@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}. Each query is materialized through the
+`noop` sink — full execution, no driver-side collect, so the number measures
+the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: widest-coverage representatives, extended as operators land
+HEADLINE = [
+    "q_feature_block",  # flagship: scan -> window block -> fill (glue.py pipeline core)
+    "window_rsi",
+    "window_first_n_split",
+    "stat_autocorr_lag_k",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from etl_aws_spark.operators.windows import glue_feature_block
+    from etl_aws_spark.registry import all_queries
+    from etl_aws_spark.session import get_session
+    from etl_aws_spark.sources.readers import read_table
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def q_feature_block(spark, d):
+        return glue_feature_block(read_table(spark, d, "events"), "value", "user_id", ["ts", "event_id"])
+
+    queries = dict(all_queries())
+    queries["q_feature_block"] = q_feature_block
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + page cache)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

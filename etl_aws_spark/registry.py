@@ -1,0 +1,73 @@
+"""Query registry: one named query per SURVEY.md §2 operator ID.
+
+Each operator module in ``suite/`` registers a (PySpark callable, DuckDB
+oracle SQL) pair with the :func:`query` decorator. ``__spark_entry__.py``
+exposes the registry to the driver.
+
+Conventions (see FIXTURES.md §C determinism rules):
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded to 4 decimals in BOTH engines so
+  floating-point summation order can't flip the value hash;
+- derived integer columns are cast to BIGINT in both engines (Spark and
+  DuckDB default some extractions to different widths);
+- ordering-sensitive ops carry a full tie-break key;
+- queries with no SQL-expressible semantics register ``oracle=None`` and
+  get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None -> rows-only check
+    category: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, category: str = "") -> Callable:
+    """Register a named query with its DuckDB oracle SQL (or None)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query id: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, category=category)
+        return fn
+
+    return deco
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan: columnar, pushdown-capable."""
+    from etl_aws_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_suite_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_suite_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def _ensure_suite_loaded() -> None:
+    # import for side effect: suite modules self-register
+    import etl_aws_spark.suite  # noqa: F401

@@ -1,0 +1,9 @@
+"""Query suite: binds engine operators to the driver's synthetic tables.
+
+Importing this package registers every query in
+:data:`etl_aws_spark.registry.REGISTRY`. Module per SURVEY.md §2 category.
+"""
+
+from etl_aws_spark.suite import (  # noqa: F401
+    q_windows,
+)

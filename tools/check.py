@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at the given
+scale factor, compares row count, column names/types, and order-insensitive
+values (exact, with a np.allclose fallback reported as FUZZY so borderline
+rounding shows up before the real gate).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        # normalize list-ish cells for sorting
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    key = pdf.astype(str).apply(lambda r: "|".join(r.values), axis=1) if len(pdf) else None
+    if key is not None:
+        pdf = pdf.loc[key.sort_values(kind="mergesort").index]
+    return pdf.reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[str, str]:
+    if len(spark_pdf) != len(duck_pdf):
+        return "FAIL", f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return "FAIL", f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    issues = []
+    fuzzy = False
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if str(sv.dtype) != str(dv.dtype):
+            issues.append(f"dtype[{c}] spark={sv.dtype} duck={dv.dtype}")
+        try:
+            if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                a, b = sv.to_numpy(dtype=float), dv.to_numpy(dtype=float)
+                both_nan = np.isnan(a) & np.isnan(b)
+                eq = np.where(both_nan, True, a == b)
+                if not eq.all():
+                    close = np.where(both_nan, True, np.isclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True))
+                    if close.all():
+                        fuzzy = True
+                        issues.append(f"FUZZY[{c}] max|Δ|={np.nanmax(np.abs(a - b)):.3e}")
+                    else:
+                        i = int(np.argmax(~eq))
+                        return "FAIL", f"values[{c}] row{i}: spark={a[i]!r} duck={b[i]!r}"
+            else:
+                if not sv.equals(dv):
+                    neq = sv != dv
+                    neq &= ~(sv.isna() & dv.isna())
+                    if neq.any():
+                        i = int(np.argmax(neq.to_numpy()))
+                        return "FAIL", f"values[{c}] row{i}: spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}"
+        except Exception as e:
+            return "FAIL", f"compare error[{c}]: {e}"
+    if fuzzy:
+        return "FUZZY", "; ".join(issues)
+    if issues:
+        return "WARN", "; ".join(issues)
+    return "OK", ""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else sys.argv[1:])
+
+    import __spark_entry__ as ent
+    from etl_aws_spark.session import get_session
+
+    spark = get_session("check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    n_ok = n_bad = 0
+    t0 = time.time()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            tq = time.time()
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+            if name in oracles:
+                duck_pdf = con.execute(oracles[name]).df()
+                status, msg = compare(name, spark_pdf, duck_pdf)
+            else:
+                status, msg = ("ROWS-ONLY", f"{len(spark_pdf)} rows") if len(spark_pdf) >= 0 else ("FAIL", "no rows")
+            dt = time.time() - tq
+        except Exception:
+            status, msg, dt = "ERROR", traceback.format_exc(limit=40).strip().replace("\n", " | ")[-2000:], 0.0
+        flag = "✓" if status in ("OK", "ROWS-ONLY") else "✗"
+        if status in ("OK", "ROWS-ONLY"):
+            n_ok += 1
+        else:
+            n_bad += 1
+        print(f"{flag} {name:32s} {status:9s} {dt:6.2f}s  {msg}")
+    print(f"\n{n_ok} ok, {n_bad} bad, {time.time() - t0:.1f}s total, sf_dir={sf_dir}")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
