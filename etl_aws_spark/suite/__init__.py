@@ -5,5 +5,10 @@ Importing this package registers every query in
 """
 
 from etl_aws_spark.suite import (  # noqa: F401
+    q_aggregates,
+    q_relational,
+    q_scalars,
+    q_scans,
+    q_sorts_dedup,
     q_windows,
 )

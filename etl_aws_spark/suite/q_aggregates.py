@@ -1,0 +1,236 @@
+"""SURVEY §2.4 aggregation queries.
+
+Rounding: grouped double sums round to 2 decimals (magnitude ~1e8 at test
+scale — fp accumulation error is far below 5e-3), means/stddevs to 4,
+ratios/R² to 6. Mirrored exactly in the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import aggregates as agg
+from etl_aws_spark.operators import windows as ow
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
+
+# deterministic null injection: the fixtures are null-free, so null-handling
+# operators knock out value on event_id % 7 == 0 (same rule in the oracles)
+_NULLIFY = "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+
+
+def _nullified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+@query(
+    "agg_group_generic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+           round(sum(l_extendedprice), 2) + 0.0 AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS sum_disc_price,
+           round(avg(l_quantity), 4) + 0.0 AS avg_qty,
+           round(avg(l_discount), 6) + 0.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregate",
+)
+def agg_group_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic grouped aggregate (`preprocessing.py:33-46`), TPC-H-Q1-shaped:
+    one hash aggregate, partial+final, map-side combine."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+        rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_group_nunique",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_group_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per group (`preprocessing.py:85-99`, `eda.ipynb` 18-20).
+    Exact here; `nunique_per_group(approx=True)` is the 100 TB path."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "agg_value_counts",
+    oracle="SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
+    category="aggregate",
+)
+def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency table (`eda.ipynb` cell 8)."""
+    return agg.value_counts(load(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "agg_global_mean_fill",
+    oracle="""
+    SELECT round(avg(value), 4) + 0.0 AS mean_value,
+           round(avg(CAST(user_id AS DOUBLE)), 4) + 0.0 AS mean_user_id
+    FROM events
+    """,
+    category="aggregate",
+)
+def agg_global_mean_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global column means, the imputation source (`preprocessing.py:164-168`)."""
+    ev = load(spark, sf_dir, "events").withColumn("user_id", F.col("user_id").cast("double"))
+    means = agg.global_means(ev, ["value", "user_id"])
+    return means.select(
+        rnd(F.col("mean_value"), 4).alias("mean_value"),
+        rnd(F.col("mean_user_id"), 4).alias("mean_user_id"),
+    )
+
+
+@query(
+    "null_fill_global_mean",
+    oracle=f"""
+    WITH n AS (SELECT event_id, {_NULLIFY} AS value FROM events),
+         m AS (SELECT avg(value) AS gmean FROM n)
+    SELECT event_id, round(coalesce(value, gmean), 4) + 0.0 AS value_filled
+    FROM n CROSS JOIN m
+    """,
+    category="null",
+)
+def null_fill_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce(c, global mean) (`preprocessing.py:163-168`) — scalar agg
+    broadcast-crossed, NOT an empty-frame window (which would funnel all
+    rows through one partition)."""
+    df = _nullified(spark, sf_dir).select("event_id", "value")
+    filled = agg.fill_with_global_mean(df, "value", out="value_filled")
+    return filled.select("event_id", rnd(F.col("value_filled"), 4).alias("value_filled"))
+
+
+@query(
+    "agg_describe_percentiles",
+    oracle="""
+    SELECT count(l_extendedprice) AS count,
+           round(avg(l_extendedprice), 4) + 0.0 AS mean,
+           round(stddev_samp(l_extendedprice), 4) + 0.0 AS std,
+           round(min(l_extendedprice), 4) + 0.0 AS min,
+           round(max(l_extendedprice), 4) + 0.0 AS max,
+           round(quantile_cont(l_extendedprice, 0.10), 4) + 0.0 AS p10,
+           round(quantile_cont(l_extendedprice, 0.25), 4) + 0.0 AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) + 0.0 AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0 AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) + 0.0 AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) + 0.0 AS p99
+    FROM lineitem
+    """,
+    category="aggregate",
+)
+def agg_describe_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() with the reference's percentile list
+    (`preprocessing.py:50-58`): exact interpolated percentiles (matches
+    quantile_cont); `percentile_approx` is the 100 TB single-pass variant."""
+    d = agg.describe_percentiles(load(spark, sf_dir, "lineitem"), "l_extendedprice")
+    keep = [F.col("count")] + [
+        rnd(F.col(c), 4).alias(c)
+        for c in ["mean", "std", "min", "max", "p10", "p25", "p50", "p75", "p95", "p99"]
+    ]
+    return d.select(*keep)
+
+
+@query(
+    "agg_null_count",
+    oracle=f"""
+    SELECT count(*) FILTER (WHERE v.value IS NULL) AS nulls_value,
+           count(*) FILTER (WHERE v.event_type IS NULL) AS nulls_event_type
+    FROM (SELECT {_NULLIFY} AS value, event_type FROM events) v
+    """,
+    category="aggregate",
+)
+def agg_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts in one pass (`eda.ipynb` cell 21)."""
+    return agg.null_counts(_nullified(spark, sf_dir), ["value", "event_type"])
+
+
+@query(
+    "agg_dup_count",
+    oracle="""
+    SELECT (SELECT count(*) FROM lineitem)
+         - (SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem))
+         AS dup_rows
+    """,
+    category="aggregate",
+)
+def agg_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-duplicated row count over a projection (`eda.ipynb` cell 25)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    return agg.duplicate_row_count(li)
+
+
+@query(
+    "agg_row_count_checkpoint",
+    oracle="""
+    SELECT (SELECT count(*) FROM orders) AS raw_rows,
+           (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS filtered_rows,
+           (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS joined_rows
+    """,
+    category="aggregate",
+)
+def agg_row_count_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage row-count checkpoints (`glue.py:93-229` fires ≥8 count() jobs;
+    the engine computes all three in one action — in pipelines the same
+    numbers ride on `observe()`, see plans/refined.py)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    raw = orders.agg(F.count(F.lit(1)).alias("raw_rows"))
+    filt = orders.filter(F.col("o_orderstatus") == "F").agg(F.count(F.lit(1)).alias("filtered_rows"))
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).agg(
+        F.count(F.lit(1)).alias("joined_rows")
+    )
+    return raw.crossJoin(filt).crossJoin(joined)
+
+
+@query(
+    "agg_regression_metrics",
+    oracle="""
+    WITH p AS (
+      SELECT value AS y,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yhat
+      FROM events
+    ), f AS (SELECT y, yhat FROM p WHERE yhat IS NOT NULL)
+    SELECT round(avg(abs(y - yhat)), 4) + 0.0 AS mae,
+           round(sqrt(avg((y - yhat) * (y - yhat))), 4) + 0.0 AS rmse,
+           round(1.0 - sum((y - yhat) * (y - yhat))
+                     / (sum(y * y) - count(*) * avg(y) * avg(y)), 6) + 0.0 AS r2
+    FROM f
+    """,
+    category="aggregate",
+)
+def agg_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/RMSE/R² as one aggregate pass (`train.py:358-368`), on the
+    naive-persistence validation frame (yhat = previous value)."""
+    ev = load(spark, sf_dir, "events")
+    w = ow.key_window("user_id", ["ts", "event_id"])
+    pairs = ev.select(F.col("value").alias("y"), F.lag("value", 1).over(w).alias("yhat"))
+    m = agg.regression_metrics(pairs, "y", "yhat")
+    return m.select(
+        rnd(F.col("mae"), 4).alias("mae"),
+        rnd(F.col("rmse"), 4).alias("rmse"),
+        rnd(F.col("r2"), 6).alias("r2"),
+    )

@@ -1,0 +1,287 @@
+"""SURVEY §2.2 (projections/filters), §2.3 (joins), §2.7 (set ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.functions import normalize_key
+from etl_aws_spark.operators import relational as rel
+from etl_aws_spark.registry import load, query
+
+# ---- projections --------------------------------------------------------
+
+
+@query(
+    "project_select",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate FROM lineitem",
+    category="projection",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit projection (`glue.py:140-162`); reaches the parquet scan as
+    ReadSchema pruning — only these 5 columns are decoded."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+@query(
+    "project_rename",
+    oracle="""
+    SELECT o_orderkey AS pedido, o_custkey AS cliente, o_totalprice AS valor_total,
+           o_orderdate AS data_pedido, o_orderstatus AS status
+    FROM orders
+    """,
+    category="projection",
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk rename in one projection node (`glue.py:113-128` chains 16)."""
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"
+    )
+    return rel.rename_columns(
+        df,
+        {
+            "o_orderkey": "pedido",
+            "o_custkey": "cliente",
+            "o_totalprice": "valor_total",
+            "o_orderdate": "data_pedido",
+            "o_orderstatus": "status",
+        },
+    )
+
+
+@query(
+    "project_rename_all_lower",
+    oracle="SELECT p_partkey, p_brand, p_retailprice FROM part",
+    category="projection",
+)
+def project_rename_all_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercase every column name (`glue.py:102-103`) — demonstrated by
+    first aliasing to the mixed case the raw yfinance frames carry."""
+    df = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("P_PartKey"),
+        F.col("p_brand").alias("P_Brand"),
+        F.col("p_retailprice").alias("P_RetailPrice"),
+    )
+    return rel.lowercase_columns(df)
+
+
+@query(
+    "project_drop",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+           l_tax, l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+    category="projection",
+)
+def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column drop (`glue.py:226`) — Catalyst folds it into scan pruning."""
+    return load(spark, sf_dir, "lineitem").drop("l_partkey", "l_suppkey")
+
+
+# ---- filters ------------------------------------------------------------
+
+
+@query(
+    "filter_range_conjunctive",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+      AND l_quantity >= 10.0 AND l_quantity <= 40.0
+    """,
+    category="filter",
+)
+def filter_range_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range predicate (`glue.py:78-83`), expressed as BETWEEN
+    on the actual date column so year boundaries can't zero it out; both
+    conjuncts reach the parquet scan as PushedFilters."""
+    df = rel.filter_date_range(
+        load(spark, sf_dir, "lineitem"), "l_shipdate", "1996-01-01", "1996-12-31 23:59:59"
+    )
+    return df.filter((F.col("l_quantity") >= 10.0) & (F.col("l_quantity") <= 40.0))
+
+
+@query(
+    "filter_equality",
+    oracle="SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
+    category="filter",
+)
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality selection (`glue.py:96,169`, `visualize.py:35,79`)."""
+    df = load(spark, sf_dir, "orders")
+    return df.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+
+
+@query(
+    "filter_not_null",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 1000.0) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_name IS NOT NULL
+    """,
+    category="filter",
+)
+def filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-success check: left join then isNotNull on a dim attribute
+    (`glue.py:137`)."""
+    dim = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000.0)
+    joined = rel.left_join_dim(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        dim.select("c_custkey", "c_name", "c_mktsegment"),
+        "o_custkey",
+        "c_custkey",
+    )
+    return joined.filter(F.col("c_name").isNotNull())
+
+
+@query(
+    "filter_date_cutoff",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'train' ELSE 'test' END AS split
+    FROM orders
+    """,
+    category="filter",
+)
+def filter_date_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test cutoff (`train.py:73-79`) in one labeled pass."""
+    df = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return rel.split_by_cutoff(df, "o_orderdate", "1998-01-01")
+
+
+# ---- joins --------------------------------------------------------------
+
+
+@query(
+    "join_left_equi_dim",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    category="join",
+)
+def join_left_equi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join fact -> broadcast dimension (`glue.py:134`). The dim
+    is hinted broadcast: no shuffle of the fact side (BroadcastHashJoin)."""
+    return rel.left_join_dim(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_custkey"),
+        load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+@query(
+    "join_key_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT upper(concat('  ', n_name, ' ')) AS dirty_name, n_regionkey AS dim_regionkey
+      FROM nation
+    )
+    SELECT n.n_nationkey, n.n_name, d.dim_regionkey
+    FROM nation n
+    LEFT JOIN dirty d
+      ON lower(trim(d.dirty_name)) = lower(trim(n.n_name))
+    """,
+    category="join",
+)
+def join_key_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key normalization before joining (`glue.py:131-132`): the dimension
+    side carries the reference CSV's real defects (leading spaces, wrong
+    case) and still matches via lower(trim(cast))."""
+    nation = load(spark, sf_dir, "nation")
+    dirty = nation.select(
+        F.upper(F.concat(F.lit("  "), F.col("n_name"), F.lit(" "))).alias("dirty_name"),
+        F.col("n_regionkey").alias("dim_regionkey"),
+    )
+    joined = nation.select("n_nationkey", "n_name").join(
+        F.broadcast(dirty),
+        normalize_key(F.col("dirty_name")) == normalize_key(F.col("n_name")),
+        "left",
+    )
+    return joined.select("n_nationkey", "n_name", "dim_regionkey")
+
+
+@query(
+    "join_left_multi_key",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_type, g.n_in_group
+    FROM part p
+    LEFT JOIN (
+      SELECT p_brand, p_type, count(*) AS n_in_group FROM part GROUP BY p_brand, p_type
+    ) g ON p.p_brand = g.p_brand AND p.p_type = g.p_type
+    """,
+    category="join",
+)
+def join_left_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key left join attaching group sizes
+    (`preprocessing.py:104-106`). The aggregate side is broadcast."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return rel.attach_group_counts(part, ["p_brand", "p_type"]).select(
+        "p_partkey", "p_brand", "p_type", "n_in_group"
+    )
+
+
+@query(
+    "join_broadcast_scalar_row",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity, s.s_acctbal, s.s_name
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    category="join",
+)
+def join_broadcast_scalar_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate one scalar row per key across all fact rows of that key
+    (`webscrapping.py:41-46` repeats a ticker's fundamentals over its whole
+    history) — a broadcast left join, not a per-row python loop."""
+    return rel.left_join_dim(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal", "s_name"),
+        "l_suppkey",
+        "s_suppkey",
+    )
+
+
+# ---- set ops ------------------------------------------------------------
+
+
+@query(
+    "union_concat",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'view'
+    """,
+    category="setop",
+)
+def union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append same-schema frames (`webscrapping.py:52,64` pd.concat) via
+    unionByName — name-aligned, not positional."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    parts = [ev.filter(F.col("event_type") == t) for t in ("click", "purchase", "view")]
+    return rel.union_all(parts)
+
+
+@query(
+    "concat_columns_axis1",
+    oracle="""
+    SELECT x.o_orderkey, x.o_totalprice, y.o_orderdate, y.o_orderpriority
+    FROM (SELECT o_orderkey, o_totalprice FROM orders) x
+    JOIN (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders) y
+      ON x.o_orderkey = y.o_orderkey
+    """,
+    category="setop",
+)
+def concat_columns_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise concat of aligned frames (`webscrapping.py:46`) as a key
+    join — positional alignment is never trusted in a distributed engine."""
+    orders = load(spark, sf_dir, "orders")
+    x = orders.select("o_orderkey", "o_totalprice")
+    y = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return rel.concat_columns(x, y, "o_orderkey")

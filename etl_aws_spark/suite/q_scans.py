@@ -1,0 +1,168 @@
+"""SURVEY §2.1 scan/sink queries.
+
+The fixture tables are single parquet files, so partitioned-layout scans
+and every sink are demonstrated round-trip: write the layout under a
+deterministic /tmp cache, read it back through the engine's scan path, and
+let the oracle check the result against the original table. The write
+happens at most once per (sf_dir, layout) and contains no
+time/random-dependent values, so reruns are hash-stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.sources import readers, writers
+
+_CACHE_ROOT = "/tmp/etl_aws_spark_cache"
+
+
+def _cache_dir(sf_dir: str, layout: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(_CACHE_ROOT, tag, layout)
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+_EVENTS_DATED_COLS = {
+    "ano": F.year("ts").cast("bigint"),
+    "mes": F.month("ts").cast("bigint"),
+    "dia": F.dayofmonth("ts").cast("bigint"),
+}
+
+
+@query(
+    "scan_parquet_partitioned",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           year(ts) AS ano, month(ts) AS mes, day(ts) AS dia
+    FROM events
+    WHERE make_date(year(ts), month(ts), day(ts))
+          BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+    """,
+    category="scan",
+)
+def scan_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned tree scan with partition-pruned date range
+    (`glue.py:78-83`, with the cross-year range bug fixed — the filter is
+    BETWEEN on make_date(ano,mes,dia), not independent column ranges)."""
+    root = _cache_dir(sf_dir, "events_by_day")
+    if not _done(root):
+        ev = load(spark, sf_dir, "events").withColumns(_EVENTS_DATED_COLS)
+        writers.write_parquet_partitioned(ev, root, ["ano", "mes", "dia"])
+    df = readers.read_parquet_partitioned(spark, root)
+    pruned = df.filter(
+        F.make_date("ano", "mes", "dia").between(F.lit("2024-01-10"), F.lit("2024-01-20"))
+    )
+    return pruned.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ano").cast("bigint").alias("ano"),
+        F.col("mes").cast("bigint").alias("mes"),
+        F.col("dia").cast("bigint").alias("dia"),
+    )
+
+
+@query(
+    "scan_csv_delim_header",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="scan",
+)
+def scan_csv_delim_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`;`-delimited CSV with header and an EXPLICIT schema (`glue.py:100`
+    relies on inferSchema; the engine passes the schema — one pass, stable
+    types)."""
+    path = _cache_dir(sf_dir, "nation_csv")
+    if not _done(path):
+        writers.write_csv(load(spark, sf_dir, "nation"), path, sep=";")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return readers.read_csv(spark, path, schema=schema, sep=";")
+
+
+@query(
+    "scan_parquet_single",
+    oracle="SELECT * FROM lineitem",
+    category="scan",
+)
+def scan_parquet_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single parquet object scan (`lambda_function.py:73-74` read side)."""
+    return readers.read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="SELECT * FROM lineitem",
+    category="sink",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned overwrite sink (`glue.py:237`) with dynamic partition
+    overwrite + sort-within-partitions, verified by reading the layout back:
+    the round trip must be lossless."""
+    root = _cache_dir(sf_dir, "lineitem_by_flag")
+    if not _done(root):
+        writers.write_parquet_partitioned(
+            load(spark, sf_dir, "lineitem"), root, ["l_returnflag"], sort_within_by=["l_orderkey"]
+        )
+    df = readers.read_parquet_partitioned(spark, root)
+    # partition column comes back at the end; restore source order for clarity
+    return df.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+
+@query(
+    "sink_parquet_daily_partition",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           year(ts) AS ano, month(ts) AS mes, day(ts) AS dia
+    FROM events
+    """,
+    category="sink",
+)
+def sink_parquet_daily_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-partition landing sink `ano=Y/mes=M/dia=D` (`s3.py:72-95`),
+    partition values derived from the event date, read back losslessly."""
+    root = _cache_dir(sf_dir, "events_daily_sink")
+    if not _done(root):
+        writers.write_daily_partition(load(spark, sf_dir, "events"), root, "ts")
+    df = readers.read_parquet_partitioned(spark, root)
+    return df.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.col("ano").cast("bigint").alias("ano"),
+        F.col("mes").cast("bigint").alias("mes"),
+        F.col("dia").cast("bigint").alias("dia"),
+    )
+
+
+@query(
+    "sink_csv",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    category="sink",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink round trip (`load_data.py:8-11`, `eda.ipynb` cell 49)."""
+    path = _cache_dir(sf_dir, "event_counts_csv")
+    if not _done(path):
+        agg = load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        writers.write_csv(agg, path, sep=";")
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    return readers.read_csv(spark, path, schema=schema, sep=";")

@@ -1,0 +1,122 @@
+"""SURVEY §2.6 (sort/limit/top-k/sample) and §2.9 (dedup).
+
+Determinism: every limit carries a total-order tie-break; sampling is
+pseudo-random via md5 of the row key — identical hex in both engines, so
+even the "random" sample is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators.dedup import dedup_canonical
+from etl_aws_spark.registry import load, query
+
+
+@query(
+    "sort_multi_col",
+    oracle="""
+    SELECT event_id, user_id, ts, value FROM events
+    ORDER BY user_id, ts, event_id LIMIT 100
+    """,
+    category="sort",
+)
+def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column sort (`preprocessing.py:82,322`). In the engine, sorts
+    before windowing are folded into window specs; a global orderBy exists
+    only at the output boundary, planned as TakeOrderedAndProject here."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return ev.orderBy("user_id", "ts", "event_id").limit(100)
+
+
+@query(
+    "sort_desc_topn",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    category="sort",
+)
+def sort_desc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N by value desc (`model_evaluation.ipynb` cell 54) with an
+    explicit tie-break. Spark plans TakeOrderedAndProject: per-partition
+    heaps + a driver merge of N·partitions rows — no global sort."""
+    return (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "limit_show_head",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5",
+    category="sort",
+)
+def limit_show_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head inspection (`glue.py:91`). A bare limit(n) is whatever-task-
+    finishes-first; the engine canonicalizes with an ordering."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+
+
+@query(
+    "sample_rows",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 200
+    """,
+    category="sort",
+)
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n pseudo-random sample (`preprocessing.py:17-19`).
+
+    Ordering by md5(key) is uniform-ish, seedable (prepend a salt), and —
+    unlike rand() — reproducible across engines and partitionings, which
+    upgrades the driver check from rows-only to a full value hash."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.orderBy(F.md5(F.col("event_id").cast("string"))).limit(200)
+
+
+@query(
+    "dedup_by_key",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts, value FROM r WHERE rn = 1
+    """,
+    category="dedup",
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key dedup with a DETERMINISTIC survivor (`glue.py:226` uses
+    dropDuplicates — arbitrary survivor; the engine pins first-by-(ts,id))."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts", "value")
+    return dedup_canonical(ev, ["user_id", "event_type"], ["ts", "event_id"])
+
+
+@query(
+    "dedup_keep_first_ordered",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM r WHERE rn = 1
+    """,
+    category="dedup",
+)
+def dedup_keep_first_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep first occurrence per key in a defined order
+    (`preprocessing.py:22-25`)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return dedup_canonical(docs, ["lang"], ["doc_id"])
