@@ -1,0 +1,312 @@
+"""Per-key time-series operators: EWMA/MACD, seasonal decomposition,
+cascading interpolation, stationarity statistics.
+
+These re-express the reference's statsmodels/pandas time-series surface
+(`src/data/preprocessing.py:217-351`, `src/model/train.py:250-291`) in
+Spark-native form:
+
+- **Pure DataFrame ops wherever the math allows** (seasonal decompose,
+  Dickey-Fuller, Ljung-Box) — these stay in whole-stage codegen and scale
+  to any number of keys with one shuffle on the key column.
+- **Arrow-batched ``applyInPandas``** only for true sequential recurrences
+  (EWMA) and data-dependent interpolation, where a window expression cannot
+  express the semantics. Groups are per-key series (one ticker's history in
+  the reference ≈ one ``user_id`` in fixtures), so group state is bounded by
+  series length, not dataset size — the canonical Spark pattern for per-key
+  pandas.
+
+Scale note: all operators shuffle **once** on the key column; everything
+downstream (windows, folds) reuses that partitioning. No driver-side
+collection anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# EWMA / MACD (reference: preprocessing.py:346-351, ewm(span, adjust=False))
+# ---------------------------------------------------------------------------
+
+def ewm_alpha(span: int) -> float:
+    """pandas span → smoothing factor α = 2/(span+1)."""
+    return 2.0 / (span + 1.0)
+
+
+def macd(
+    df: DataFrame,
+    value: str,
+    key: str,
+    order: Sequence[str],
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD with `adjust=False` EWMA semantics (`preprocessing.py:346-351`).
+
+    The EWMA here is the recurrence y_t = α·x_t + (1-α)·y_{t-1}, y_1 = x_1 —
+    inherently sequential per key, so it runs as a grouped-map
+    ``applyInPandas``: one Arrow batch per key, a vectorizable O(n) fold
+    inside. The fold is written with explicit float literals (α = 2/(span+1),
+    β = (span-1)/(span+1)) so the oracle's identical fold is bit-compatible.
+
+    Output: key, order cols, value, macd, macd_signal.
+    """
+    fa, fb = ewm_alpha(fast), (fast - 1.0) / (fast + 1.0)
+    sa, sb = ewm_alpha(slow), (slow - 1.0) / (slow + 1.0)
+    ga, gb = ewm_alpha(signal), (signal - 1.0) / (signal + 1.0)
+    order = list(order)
+    out_cols = [key, *order, value, "macd", "macd_signal"]
+    schema_src = df.select(*[c for c in (key, *order, value)])
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema_src.schema.fields)
+    schema += ", macd double, macd_signal double"
+
+    def _fold(xs, a: float, b: float) -> list[float]:
+        acc = None
+        out = []
+        for x in xs:
+            acc = x if acc is None else a * x + b * acc
+            out.append(acc)
+        return out
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value].astype(float).tolist()
+        e_fast = _fold(xs, fa, fb)
+        e_slow = _fold(xs, sa, sb)
+        m = [hi - lo for hi, lo in zip(e_fast, e_slow)]
+        pdf["macd"] = m
+        pdf["macd_signal"] = _fold(m, ga, gb)
+        return pdf[out_cols]
+
+    return (
+        df.select(key, *order, value)
+        .groupBy(key)
+        .applyInPandas(compute, schema=schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (reference: preprocessing.py:217-269 via statsmodels
+# seasonal_decompose(model='additive')) — pure DataFrame re-derivation
+# ---------------------------------------------------------------------------
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    value: str,
+    key: str,
+    order: Sequence[str],
+    period: int,
+) -> DataFrame:
+    """Additive decomposition x = trend + seasonal + resid, statsmodels
+    semantics (`preprocessing.py:262` calls ``seasonal_decompose(...,
+    model='additive', period=p)``) expressed entirely with window/group
+    aggregates — no UDF, fully codegen'd, one shuffle on the key:
+
+    - trend: centered moving average of width ``period`` (odd periods),
+      null where the window is incomplete (statsmodels' NaN edges);
+    - seasonal: per-phase mean of (x - trend), centered by subtracting the
+      mean of the phase means;
+    - resid: x - trend - seasonal.
+
+    Requires odd ``period`` (the reference uses 5 and 7; even periods use a
+    2×p convolution the caller can build from two of these).
+    """
+    if period % 2 == 0:
+        raise ValueError("even periods need the 2xMA variant; reference uses 5/7")
+    half = period // 2
+    w = Window.partitionBy(key).orderBy(*order)
+    frame = w.rowsBetween(-half, half)
+    rn = F.row_number().over(w)
+    with_trend = (
+        df.select(key, *order, value)
+        .withColumn("_phase", ((rn - F.lit(1)) % F.lit(period)).cast("int"))
+        .withColumn(
+            "trend",
+            F.when(
+                F.count(value).over(frame) == period, F.avg(value).over(frame)
+            ),
+        )
+        .withColumn("_detr", F.col(value) - F.col("trend"))
+    )
+    phase_means = with_trend.groupBy(key, "_phase").agg(
+        F.avg("_detr").alias("_pmean")
+    )
+    # center: subtract the unweighted mean of the phase means (statsmodels
+    # seasonal_mean normalization)
+    centered = phase_means.withColumn(
+        "seasonal", F.col("_pmean") - F.avg("_pmean").over(Window.partitionBy(key))
+    ).select(key, "_phase", "seasonal")
+    out = (
+        with_trend.join(centered, [key, "_phase"])
+        .withColumn("resid", F.col(value) - F.col("trend") - F.col("seasonal"))
+        .drop("_phase", "_detr")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stationarity / randomness statistics (reference: preprocessing.py:273-286,
+# metrics_visualizer.py:177-193) — closed-form aggregate re-derivations
+# ---------------------------------------------------------------------------
+
+def dickey_fuller_stat(df: DataFrame, value: str, key: str, order: Sequence[str]) -> DataFrame:
+    """Dickey-Fuller t-statistic per key (lag-0 ADF, `preprocessing.py:273-286`).
+
+    The DF regression Δx_t = c + γ·x_{t-1} + ε has slope t-statistic
+    t = r·√((n-2)/(1-r²)) with r = corr(Δx_t, x_{t-1}) — a pure aggregate,
+    no OLS solver needed. (statsmodels' ``adfuller`` additionally auto-selects
+    augmentation lags; the reference always prints the base statistic.)
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    lagged = df.select(
+        key,
+        F.lag(value, 1).over(w).alias("_xl"),
+        (F.col(value) - F.lag(value, 1).over(w)).alias("_dx"),
+    ).filter(F.col("_xl").isNotNull())
+    r = F.corr("_dx", "_xl")
+    n = F.count(F.lit(1))
+    return lagged.groupBy(key).agg(
+        (r * F.sqrt((n - 2) / (1 - r * r))).alias("adf_stat"),
+        n.alias("n_obs"),
+    )
+
+
+def ljung_box_q(df: DataFrame, value: str, key: str, order: Sequence[str], lags: int) -> DataFrame:
+    """Ljung-Box Q(h) per key (`metrics_visualizer.py:177-193`).
+
+    Q = n(n+2) Σ_{k=1..h} ρ_k²/(n-k), with ρ_k the biased ACF
+    (full-series mean, denominator Σ(x-x̄)²) — exactly statsmodels'
+    ``acorr_ljungbox`` estimator, as grouped aggregates over lagged columns.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    wk = Window.partitionBy(key)
+    cols = [F.col(value).alias("_x"), F.avg(value).over(wk).alias("_m")]
+    for k in range(1, lags + 1):
+        cols.append(F.lag(value, k).over(w).alias(f"_l{k}"))
+    lagged = df.select(key, *cols)
+    n = F.count("_x")
+    c0 = F.sum(((F.col("_x") - F.col("_m")) * (F.col("_x") - F.col("_m"))))
+    q = F.lit(0.0)
+    aggs = [n.alias("_n"), c0.alias("_c0")]
+    for k in range(1, lags + 1):
+        ck = F.sum((F.col("_x") - F.col("_m")) * (F.col(f"_l{k}") - F.col("_m")))
+        aggs.append(ck.alias(f"_c{k}"))
+    g = lagged.groupBy(key).agg(*aggs)
+    for k in range(1, lags + 1):
+        rho2 = (F.col(f"_c{k}") / F.col("_c0")) ** 2
+        q = q + rho2 / (F.col("_n") - k)
+    return g.select(
+        key,
+        (F.col("_n") * (F.col("_n") + 2) * q).alias("lb_stat"),
+        F.col("_n").alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cascading interpolation (reference: preprocessing.py:61-180)
+# ---------------------------------------------------------------------------
+
+def interpolate_cascade(
+    df: DataFrame,
+    value: str,
+    ticker: str,
+    sector: str,
+    industry: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """Cascading null repair: ffill per ticker → quadratic interpolation at
+    industry / sector / global granularity (gated by distinct-ticker counts)
+    → ffill/bfill → global-mean fallback (`preprocessing.py:61-180`).
+
+    The gating counts are plain grouped aggregates (one ``GROUPING
+    SETS``-style pass instead of the reference's three separate
+    groupby+merge rounds). The interpolation itself is data-dependent and
+    sequential, so it runs per interpolation-group via ``applyInPandas``.
+    pandas' ``interpolate(method='polynomial')`` needs scipy (absent here);
+    the quadratic fit through the three nearest known points is implemented
+    directly in numpy with identical interior semantics.
+
+    Output schema = input schema with ``value`` repaired (no added columns).
+    """
+    import numpy as np  # noqa: F401  (used inside the UDF)
+
+    order = list(order)
+    counts_ind = df.groupBy(sector, industry).agg(
+        F.countDistinct(ticker).alias("_n_tic_ind")
+    )
+    counts_sec = df.groupBy(sector).agg(
+        F.countDistinct(ticker).alias("_n_tic_sec"),
+        F.countDistinct(industry).alias("_n_ind_sec"),
+    )
+    base = (
+        df.join(F.broadcast(counts_ind), [sector, industry], "left")
+        .join(F.broadcast(counts_sec), [sector], "left")
+    )
+
+    # step 1: per-ticker ffill (pure window op, stays JVM-side)
+    w_tic = Window.partitionBy(ticker).orderBy(*order)
+    ffilled = base.withColumn(
+        value, F.last(value, ignorenulls=True).over(w_tic.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    # step 2: choose interpolation group per row (industry > sector > global)
+    grp = (
+        F.when(F.col("_n_tic_ind") > 1, F.concat_ws("", F.lit("I"), sector, industry))
+        .when(F.col("_n_ind_sec") > 1, F.concat_ws("", F.lit("S"), sector))
+        .otherwise(F.lit("G"))
+    )
+    tagged = ffilled.withColumn("_igrp", grp)
+
+    out_fields = [f for f in df.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def interp(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        x = pdf[value].to_numpy(dtype=float)
+        isna = np.isnan(x)
+        if isna.any() and (~isna).sum() >= 3:
+            known = np.flatnonzero(~isna)
+            for i in np.flatnonzero(isna):
+                lo = np.searchsorted(known, i)
+                # three nearest known indices (interior quadratic; edges left
+                # to the ffill/bfill pass, matching pandas limit_direction
+                # defaults for interpolate)
+                if lo == 0 or lo == len(known):
+                    continue
+                cand = known[max(0, lo - 2): lo + 2]
+                if len(cand) < 3:
+                    cand = known[:3] if lo <= 1 else known[-3:]
+                sel = sorted(cand, key=lambda j: (abs(j - i), j))[:3]
+                xs = np.array(sorted(sel), dtype=float)
+                ys = x[np.array(sorted(sel))]
+                coef = np.polyfit(xs - xs[0], ys, 2)
+                x[i] = float(np.polyval(coef, i - xs[0]))
+        pdf[value] = x
+        return pdf[out_cols]
+
+    interped = tagged.groupBy("_igrp").applyInPandas(interp, schema=schema)
+
+    # step 3: final per-ticker ffill + bfill, then global-mean fallback.
+    # The mean arrives via a broadcast cross join of a 1-row aggregate —
+    # never an unpartitioned window (which would funnel all rows through one
+    # task at scale).
+    w_fwd = Window.partitionBy(ticker).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.partitionBy(ticker).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    filled = (
+        interped.withColumn(value, F.last(value, ignorenulls=True).over(w_fwd))
+        .withColumn(value, F.first(value, ignorenulls=True).over(w_bwd))
+    )
+    gmean = filled.agg(F.avg(value).alias("_gmean"))
+    repaired = filled.crossJoin(F.broadcast(gmean)).withColumn(
+        value, F.coalesce(F.col(value), F.col("_gmean"))
+    )
+    return repaired.select(*out_cols)

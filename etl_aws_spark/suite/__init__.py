@@ -10,5 +10,6 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_scalars,
     q_scans,
     q_sorts_dedup,
+    q_timeseries,
     q_windows,
 )

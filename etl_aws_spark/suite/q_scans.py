@@ -32,11 +32,14 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-_EVENTS_DATED_COLS = {
-    "ano": F.year("ts").cast("bigint"),
-    "mes": F.month("ts").cast("bigint"),
-    "dia": F.dayofmonth("ts").cast("bigint"),
-}
+def _events_dated_cols() -> dict:
+    # built lazily: Column construction needs an active SparkSession, and the
+    # driver may import this module before creating one
+    return {
+        "ano": F.year("ts").cast("bigint"),
+        "mes": F.month("ts").cast("bigint"),
+        "dia": F.dayofmonth("ts").cast("bigint"),
+    }
 
 
 @query(
@@ -56,7 +59,7 @@ def scan_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     BETWEEN on make_date(ano,mes,dia), not independent column ranges)."""
     root = _cache_dir(sf_dir, "events_by_day")
     if not _done(root):
-        ev = load(spark, sf_dir, "events").withColumns(_EVENTS_DATED_COLS)
+        ev = load(spark, sf_dir, "events").withColumns(_events_dated_cols())
         writers.write_parquet_partitioned(ev, root, ["ano", "mes", "dia"])
     df = readers.read_parquet_partitioned(spark, root)
     pruned = df.filter(

@@ -1,0 +1,233 @@
+"""SURVEY §2.5/§2.8/§2.10 time-series queries: EWMA/MACD, seasonal
+decomposition, stationarity stats, cascading interpolation.
+
+Role mapping (FIXTURES.md §C): user_id ≡ ticker, ts ≡ trade date,
+value ≡ close.
+
+The MACD oracle is exact: pandas ``ewm(adjust=False)`` is the recurrence
+y_t = α·x_t + β·y_{t-1}, which DuckDB expresses as ``list_reduce`` over the
+per-row prefix list — the same sequential fold, same float literals, so the
+hashes match bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import timeseries as ts
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
+
+_OVER_PRE = (
+    f"OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL} "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@query(
+    "window_ewm_macd",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) {_OVER_PRE} AS pre
+      FROM events
+    ), m AS (
+      SELECT event_id, user_id, ts, value,
+             list_reduce(pre, (acc, x) -> 2.0/13.0*x + 11.0/13.0*acc)
+               - list_reduce(pre, (acc, x) -> 2.0/27.0*x + 25.0/27.0*acc) AS macd
+      FROM s
+    ), ms AS (
+      SELECT event_id, user_id, ts, value, macd,
+             list(macd) {_OVER_PRE} AS mpre
+      FROM m
+    )
+    SELECT event_id, user_id, ts, value,
+           round(macd, 4) + 0.0 AS macd,
+           round(list_reduce(mpre, (acc, x) -> 2.0/10.0*x + 8.0/10.0*acc), 4) + 0.0
+             AS macd_signal
+    FROM ms
+    """,
+    category="timeseries",
+)
+def window_ewm_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9), `ewm(adjust=False)` semantics (`preprocessing.py:346-351`)."""
+    df = load(spark, sf_dir, "events")
+    out = ts.macd(df, "value", key="user_id", order=["ts", "event_id"])
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        rnd(F.col("macd")).alias("macd"),
+        rnd(F.col("macd_signal")).alias("macd_signal"),
+    )
+
+
+@query(
+    "stat_seasonal_decompose",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}) - 1) % 5
+               AS phase,
+             CASE WHEN count(value) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) = 5
+                  THEN avg(value) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) END AS trend
+      FROM events
+    ), p AS (
+      SELECT user_id, phase, avg(value - trend) AS pmean
+      FROM t GROUP BY user_id, phase
+    ), c AS (
+      SELECT user_id, phase,
+             pmean - avg(pmean) OVER (PARTITION BY user_id) AS seasonal
+      FROM p
+    )
+    SELECT t.event_id, t.user_id, t.ts, t.value,
+           round(t.trend, 4) + 0.0 AS trend,
+           round(c.seasonal, 4) + 0.0 AS seasonal,
+           round(t.value - t.trend - c.seasonal, 4) + 0.0 AS resid
+    FROM t JOIN c ON t.user_id = c.user_id AND t.phase = c.phase
+    """,
+    category="timeseries",
+)
+def stat_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition, period 5, statsmodels semantics
+    (`preprocessing.py:217-269`) — pure window/group aggregates, no UDF."""
+    df = load(spark, sf_dir, "events")
+    out = ts.seasonal_decompose_additive(
+        df, "value", key="user_id", order=["ts", "event_id"], period=5
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        rnd(F.col("trend")).alias("trend"),
+        rnd(F.col("seasonal")).alias("seasonal"),
+        rnd(F.col("resid")).alias("resid"),
+    )
+
+
+@query(
+    "stat_adf_test",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}) AS xl,
+             value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}) AS dx
+      FROM events
+    )
+    SELECT user_id,
+           round(corr(dx, xl) * sqrt((count(*) - 2) / (1.0 - corr(dx, xl) * corr(dx, xl))), 6)
+             + 0.0 AS adf_stat,
+           count(*) AS n_obs
+    FROM l WHERE xl IS NOT NULL GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def stat_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller t-stat per key (`preprocessing.py:273-286`), closed form."""
+    df = load(spark, sf_dir, "events")
+    out = ts.dickey_fuller_stat(df, "value", key="user_id", order=["ts", "event_id"])
+    return out.select("user_id", rnd(F.col("adf_stat"), 6).alias("adf_stat"), "n_obs")
+
+
+@query(
+    "stat_ljung_box",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, value AS x,
+             avg(value) OVER (PARTITION BY user_id) AS m,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}) AS l1,
+             lag(value, 2) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}) AS l2,
+             lag(value, 3) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}) AS l3
+      FROM events
+    ), g AS (
+      SELECT user_id, count(x) AS n, sum((x - m) * (x - m)) AS c0,
+             sum((x - m) * (l1 - m)) AS c1,
+             sum((x - m) * (l2 - m)) AS c2,
+             sum((x - m) * (l3 - m)) AS c3
+      FROM l GROUP BY user_id
+    )
+    SELECT user_id,
+           round(n * (n + 2) * ((c1/c0)*(c1/c0)/(n-1) + (c2/c0)*(c2/c0)/(n-2)
+                                + (c3/c0)*(c3/c0)/(n-3)), 6) + 0.0 AS lb_stat,
+           n AS n_obs
+    FROM g
+    """,
+    category="timeseries",
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q(3) per key (`metrics_visualizer.py:177-193`), aggregates only."""
+    df = load(spark, sf_dir, "events")
+    out = ts.ljung_box_q(df, "value", key="user_id", order=["ts", "event_id"], lags=3)
+    return out.select("user_id", rnd(F.col("lb_stat"), 6).alias("lb_stat"), "n_obs")
+
+
+@query(
+    "stat_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) + 0.0 FROM lineitem
+    """,
+    category="timeseries",
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix, long form (`visualize.py:258-263`).
+    One aggregate pass computes all pairs; the long form is a driver-side
+    constant unpivot of the single result row."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    agg = li.agg(
+        *[rnd(F.corr(a, b), 6).alias(f"corr_{a}__{b}") for a, b in pairs]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"corr_{a}__{b}").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.col_a", "r.col_b", "r.corr")
+
+
+@query("interp_polynomial_cascade", oracle=None, category="timeseries")
+def interp_polynomial_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading quadratic interpolation (`preprocessing.py:61-180`), rows-only.
+
+    Fixture adaptation: nulls are injected deterministically (every 7th
+    event) and a (setor, industria) hierarchy is derived from user_id so all
+    three cascade rules fire: shared industries (rule 1), single-ticker
+    industries in multi-industry sectors (rule 2), and one isolated
+    sector/industry pair (rule 3). Exact-pandas interpolation semantics are
+    pinned by unit tests (tests/test_timeseries.py); the driver records the
+    rows-only check declared in SURVEY §2.8.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    holed = ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    tagged = holed.withColumns(
+        {
+            "setor": F.when(F.col("user_id") == 0, F.lit("s_solo")).otherwise(
+                F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string"))
+            ),
+            "industria": F.when(F.col("user_id") == 0, F.lit("i_solo"))
+            .when(F.col("user_id") % 5 == 0, F.concat(F.lit("iu"), F.col("user_id").cast("string")))
+            .otherwise(F.concat(F.lit("i"), (F.col("user_id") % 20).cast("string"))),
+        }
+    )
+    return ts.interpolate_cascade(
+        tagged, "value", ticker="user_id", sector="setor", industry="industria",
+        order=["ts", "event_id"],
+    )

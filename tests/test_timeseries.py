@@ -1,0 +1,113 @@
+"""Pin timeseries operators to reference (pandas/statsmodels) semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import timeseries as ts
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for key in (1, 2, 3):
+        for i in range(40):
+            rows.append((key, i, float(100 + rng.randn() * 5)))
+    return spark.createDataFrame(rows, "k long, t long, x double")
+
+
+def test_macd_matches_pandas_ewm(spark, series_df):
+    got = (
+        ts.macd(series_df, "x", key="k", order=["t"])
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    for key, grp in got.groupby("k"):
+        s = grp.sort_values("t")["x"]
+        e12 = s.ewm(span=12, adjust=False).mean()
+        e26 = s.ewm(span=26, adjust=False).mean()
+        macd = e12 - e26
+        signal = macd.ewm(span=9, adjust=False).mean()
+        np.testing.assert_allclose(grp["macd"].to_numpy(), macd.to_numpy(), rtol=1e-12)
+        np.testing.assert_allclose(grp["macd_signal"].to_numpy(), signal.to_numpy(), rtol=1e-12)
+
+
+def test_seasonal_decompose_reconstructs(spark, series_df):
+    out = (
+        ts.seasonal_decompose_additive(series_df, "x", key="k", order=["t"], period=5)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    # edges: trend null for first/last half-window rows only
+    for _, grp in out.groupby("k"):
+        trend = grp["trend"].to_numpy()
+        assert np.isnan(trend[:2]).all() and np.isnan(trend[-2:]).all()
+        assert not np.isnan(trend[2:-2]).any()
+    # additivity where trend defined
+    core = out.dropna(subset=["trend"])
+    np.testing.assert_allclose(
+        core["x"], core["trend"] + core["seasonal"] + core["resid"], rtol=1e-9
+    )
+    # per-key seasonal components are centered (sum of the 5 phase values ≈ 0)
+    for _, grp in out.groupby("k"):
+        phases = grp.drop_duplicates(subset=["seasonal"])["seasonal"]
+        assert abs(phases.sum()) < 1e-8
+
+
+def test_dickey_fuller_closed_form(spark, series_df):
+    out = ts.dickey_fuller_stat(series_df, "x", key="k", order=["t"]).toPandas()
+    pdf = series_df.toPandas()
+    for _, row in out.iterrows():
+        s = pdf[pdf.k == row.k].sort_values("t")["x"].to_numpy()
+        dx, xl = np.diff(s), s[:-1]
+        # OLS t-stat of slope in dx = c + g*xl via lstsq, compared to the
+        # corr-based closed form the operator uses
+        X = np.column_stack([np.ones_like(xl), xl])
+        beta, res, *_ = np.linalg.lstsq(X, dx, rcond=None)
+        resid = dx - X @ beta
+        s2 = (resid**2).sum() / (len(dx) - 2)
+        se = np.sqrt(s2 * np.linalg.inv(X.T @ X)[1, 1])
+        np.testing.assert_allclose(row.adf_stat, beta[1] / se, rtol=1e-9)
+
+
+def test_ljung_box_formula(spark, series_df):
+    out = ts.ljung_box_q(series_df, "x", key="k", order=["t"], lags=3).toPandas()
+    pdf = series_df.toPandas()
+    for _, row in out.iterrows():
+        s = pdf[pdf.k == row.k].sort_values("t")["x"].to_numpy()
+        n, m = len(s), s.mean()
+        c0 = ((s - m) ** 2).sum()
+        q = 0.0
+        for k in (1, 2, 3):
+            rk = ((s[k:] - m) * (s[:-k] - m)).sum() / c0
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        np.testing.assert_allclose(row.lb_stat, q, rtol=1e-9)
+
+
+def test_interpolate_cascade_repairs_all_nulls(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    for key in range(8):
+        sector = f"s{key % 2}"
+        industry = f"i{key % 3}" if key > 0 else "solo"
+        for i in range(30):
+            v = None if (i % 6 == 2) else float(50 + rng.randn())
+            rows.append((key, sector, industry, i, v))
+    df = spark.createDataFrame(rows, "tic long, sec string, ind string, t long, x double")
+    out = ts.interpolate_cascade(
+        df, "x", ticker="tic", sector="sec", industry="ind", order=["t"]
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == len(rows)
+    assert pdf["x"].notna().all()
+    # idempotence: repairing a null-free frame is the identity
+    again = ts.interpolate_cascade(
+        out, "x", ticker="tic", sector="sec", industry="ind", order=["t"]
+    ).toPandas()
+    merged = pdf.merge(again, on=["tic", "t"], suffixes=("_a", "_b"))
+    np.testing.assert_allclose(merged["x_a"], merged["x_b"], rtol=1e-12)
