@@ -1,0 +1,277 @@
+"""SURVEY §2.10 ML-surface queries.
+
+Role mapping: events (user_id ≡ ticker, ts ≡ date, value ≡ close) for
+time-series model ops; lineitem for feature-matrix ops (features
+l_quantity/l_discount/l_tax, target l_extendedprice).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.ml import encoders, models
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
+
+_W_SQL = f"OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL})"
+
+
+@query(
+    "encode_target_mean",
+    oracle="""
+    SELECT e.event_id, e.event_type, e.value,
+           round(m.te, 4) + 0.0 AS event_type_te
+    FROM events e
+    JOIN (SELECT event_type, avg(value) AS te FROM events GROUP BY event_type) m
+      USING (event_type)
+    """,
+    category="ml",
+)
+def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-target encoding (`train.py:187`): fit = one aggregate,
+    transform = broadcast join."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = encoders.target_encode(ev, "event_type", "value", out="event_type_te")
+    return out.select(
+        "event_id", "event_type", "value", rnd(F.col("event_type_te")).alias("event_type_te")
+    )
+
+
+@query(
+    "encode_onehot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_returnflag = 'A' AS INTEGER) AS l_returnflag__A,
+           CAST(l_returnflag = 'N' AS INTEGER) AS l_returnflag__N,
+           CAST(l_returnflag = 'R' AS INTEGER) AS l_returnflag__R
+    FROM lineitem
+    """,
+    category="ml",
+)
+def encode_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized one-hot indicators over a fixed vocabulary
+    (`train.py:171-175`, handle_unknown='ignore')."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    return encoders.onehot_encode(li, "l_returnflag", ["A", "N", "R"])
+
+
+@query(
+    "impute_mean_mode",
+    oracle="""
+    WITH holed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type
+      FROM events
+    ), m AS (
+      SELECT avg(value) AS mean_v FROM holed
+    ), md AS (
+      SELECT event_type AS mode_t FROM holed WHERE event_type IS NOT NULL
+      GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 1
+    )
+    SELECT event_id,
+           round(coalesce(value, mean_v), 4) + 0.0 AS value,
+           coalesce(event_type, mode_t) AS event_type
+    FROM holed, m, md
+    """,
+    category="ml",
+)
+def impute_mean_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/mode imputation with deterministic mode tie-break
+    (`train.py:173,179`). Nulls injected deterministically on the fixtures."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    holed = ev.withColumns(
+        {
+            "value": F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")),
+            "event_type": F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("event_type")),
+        }
+    )
+    out = encoders.impute_mean_mode(holed, numeric=["value"], categorical=["event_type"])
+    return out.select("event_id", rnd(F.col("value")).alias("value"), "event_type")
+
+
+@query("transform_power_scale", oracle=None, category="ml")
+def transform_power_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yeo-Johnson + z-score (`train.py:178-182`). λ fitted by a single
+    grid-MLE aggregate pass (vs sklearn's ~25 sequential Brent passes);
+    semantics pinned by tests/test_ml.py against a numpy reimplementation.
+    Rows-only: the λ-grid argmax isn't SQL-expressible in one statement."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    out = encoders.power_scale(li, "l_extendedprice", out="price_ps")
+    return out.select(
+        "l_orderkey", "l_linenumber", rnd(F.col("price_ps"), 6).alias("price_ps")
+    )
+
+
+@query(
+    "feature_select_kbest",
+    oracle="""
+    WITH s AS (
+      SELECT 'l_quantity' AS feature, corr(l_quantity, l_extendedprice) AS r,
+             count(*) AS n FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', corr(l_discount, l_extendedprice), count(*) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', corr(l_tax, l_extendedprice), count(*) FROM lineitem
+    ), f AS (
+      SELECT feature, r * r * (n - 2) / (1 - r * r) AS f_stat FROM s
+    ), rk AS (
+      SELECT feature, f_stat,
+             CAST(row_number() OVER (ORDER BY f_stat DESC, feature ASC) AS INTEGER) AS rank
+      FROM f
+    )
+    SELECT feature, round(f_stat, 4) + 0.0 AS f_stat, rank FROM rk WHERE rank <= 2
+    """,
+    category="ml",
+)
+def feature_select_kbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by univariate F-statistic (`train.py:24-54`): all correlations
+    in ONE aggregate pass."""
+    li = load(spark, sf_dir, "lineitem")
+    out = encoders.select_k_best(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", k=2
+    )
+    return out.select("feature", rnd(F.col("f_stat")).alias("f_stat"), "rank")
+
+
+@query(
+    "split_by_date",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'train' ELSE 'test' END AS split
+    FROM events
+    """,
+    category="ml",
+)
+def split_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout labeling at a cutoff (`train.py:57-92`)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return models.split_by_date(ev, "ts", "2024-01-16 00:00:00")
+
+
+@query(
+    "cv_time_series_folds",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() {_W_SQL} AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), x AS (
+      SELECT b.*, CAST(floor(n / 4.0) AS INTEGER) AS tsz,
+             CAST(f.fold AS INTEGER) AS fold
+      FROM b CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS fold) f
+    ), r AS (
+      SELECT event_id, user_id, ts, value, fold,
+             CASE WHEN rn <= n - (3 - fold) * tsz THEN 'train'
+                  WHEN rn <= n - (3 - fold) * tsz + tsz THEN 'test' END AS role
+      FROM x
+    )
+    SELECT event_id, user_id, ts, value, fold, role FROM r WHERE role IS NOT NULL
+    """,
+    category="ml",
+)
+def cv_time_series_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window TimeSeriesSplit folds per key (`train.py:14`)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = models.time_series_folds(ev, "user_id", ["ts", "event_id"], n_splits=3)
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.col("fold").cast("int").alias("fold"), "role"
+    )
+
+
+@query(
+    "gen_validation_frame",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) {_W_SQL} AS yhat
+      FROM events
+    )
+    SELECT event_id, user_id, value AS y_real, yhat AS y_pred
+    FROM p WHERE yhat IS NOT NULL
+    """,
+    category="ml",
+)
+def gen_validation_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, y_real, y_pred) assembly by aligned join (`utils.py:20-36`);
+    the 'prediction' is the naive lag-1 forecast, joined back on keys rather
+    than positionally concatenated."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    preds = ev.withColumn("yhat", F.lag("value", 1).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    return models.validation_frame(
+        ev.join(preds.select("event_id"), "event_id", "leftsemi"),
+        preds,
+        keys=["event_id", "user_id"],
+        y_real="value",
+        y_pred="yhat",
+    )
+
+
+@query("model_sarimax_per_group", oracle=None, category="ml")
+def model_sarimax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key autoregressive fit + 5-step forecast via applyInPandas
+    (`train.py:250-291`). statsmodels SARIMAX when importable, exact-OLS
+    ARX(1) otherwise (this environment). Rows-only: 5 forecast rows per key."""
+    ev = load(spark, sf_dir, "events")
+    out = models.arx_forecast_per_key(
+        ev, "value", key="user_id", order=["ts", "event_id"], steps=5
+    )
+    return out.select("user_id", "step", rnd(F.col("yhat"), 4).alias("yhat"))
+
+
+@query("model_gbt_fit_predict", oracle=None, category="ml")
+def model_gbt_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GBT regression via Spark ML (`train.py:319-352`): assemble
+    → GBTRegressor(seed=42) → score. Rows-only (tree ensembles aren't
+    SQL-expressible); error aggregates are checked in tests/test_ml.py."""
+    li = load(spark, sf_dir, "lineitem")
+    preds, _ = models.gbt_fit_predict(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        target="l_extendedprice",
+        keys=["l_orderkey", "l_linenumber"],
+    )
+    return preds.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", rnd(F.col("yhat"), 4).alias("yhat")
+    )
+
+
+@query("model_persist_pickle", oracle=None, category="ml")
+def model_persist_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model persistence round trip (`utils.py:8-13`): save the fitted
+    pipeline with Spark ML's writer, reload, re-score, and report parity.
+    Rows-only: returns a single audit row."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    preds, model = models.gbt_fit_predict(
+        li,
+        features=["l_quantity", "l_discount"],
+        target="l_extendedprice",
+        keys=["l_orderkey", "l_linenumber"],
+        max_iter=3,
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp/etl_aws_spark_cache", tag, "gbt_model")
+    reloaded = models.persist_pipeline(model, path)
+    re_preds = reloaded.transform(li).select(
+        "l_orderkey", "l_linenumber", F.col("yhat").alias("yhat2")
+    )
+    n_match = (
+        preds.join(re_preds, ["l_orderkey", "l_linenumber"])
+        .filter(F.abs(F.col("yhat") - F.col("yhat2")) < 1e-9)
+        .count()
+    )
+    n_total = preds.count()
+    return spark.createDataFrame(
+        [(len(reloaded.stages), n_total, n_match, n_total == n_match)],
+        "n_stages int, n_rows long, n_match long, roundtrip_ok boolean",
+    )

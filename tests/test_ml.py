@@ -1,0 +1,103 @@
+"""Pin ML operators to sklearn-equivalent semantics (numpy reimplementation —
+sklearn itself is not in this environment)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_aws_spark.ml import encoders, models
+
+
+def _yj_np(x: np.ndarray, lam: float) -> np.ndarray:
+    out = np.empty_like(x, dtype=float)
+    pos = x >= 0
+    if abs(lam) < 1e-12:
+        out[pos] = np.log1p(x[pos])
+    else:
+        out[pos] = ((x[pos] + 1.0) ** lam - 1.0) / lam
+    if abs(lam - 2.0) < 1e-12:
+        out[~pos] = -np.log1p(-x[~pos])
+    else:
+        out[~pos] = -(((-x[~pos] + 1.0) ** (2.0 - lam)) - 1.0) / (2.0 - lam)
+    return out
+
+
+def test_yeo_johnson_grid_matches_numpy_mle(spark):
+    rng = np.random.RandomState(0)
+    x = np.exp(rng.randn(2000))  # right-skewed, true λ well below 1
+    df = spark.createDataFrame([(float(v),) for v in x], "x double")
+    lam = encoders.yeo_johnson_fit_lambda(df, "x")
+    # numpy profile-MLE over the same grid
+    grid = [round(-2.0 + 0.1 * i, 1) for i in range(41)]
+    pen = np.sum(np.sign(x) * np.log1p(np.abs(x)))
+    lls = []
+    for g in grid:
+        t = _yj_np(x, g)
+        lls.append(-0.5 * len(x) * math.log(t.var()) + (g - 1.0) * pen)
+    assert lam == grid[int(np.argmax(lls))]
+    # transformed output is standardized
+    out = encoders.power_scale(df, "x", out="z", lam=lam).toPandas()
+    assert abs(out["z"].mean()) < 1e-9
+    assert abs(out["z"].std(ddof=0) - 1.0) < 1e-9
+
+
+def test_time_series_folds_match_sklearn_semantics(spark):
+    # sklearn TimeSeriesSplit(n_splits=3) on n=14: test_size=3,
+    # folds: train 5/8/11 rows, test rows 6-8 / 9-11 / 12-14
+    rows = [(1, i, float(i)) for i in range(14)]
+    df = spark.createDataFrame(rows, "k long, t long, x double")
+    out = models.time_series_folds(df, "k", ["t"], n_splits=3).toPandas()
+    for fold, n_train in [(0, 5), (1, 8), (2, 11)]:
+        part = out[out.fold == fold]
+        train_t = sorted(part[part.role == "train"].t)
+        test_t = sorted(part[part.role == "test"].t)
+        assert train_t == list(range(n_train))
+        assert test_t == list(range(n_train, n_train + 3))
+
+
+def test_gbt_learns_linear_signal(spark):
+    rng = np.random.RandomState(1)
+    rows = [
+        (i, float(q), float(d), float(5.0 * q - 2.0 * d + rng.randn() * 0.01))
+        for i, (q, d) in enumerate(zip(rng.uniform(0, 10, 800), rng.uniform(0, 1, 800)))
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, d double, y double")
+    preds, model = models.gbt_fit_predict(
+        df, ["q", "d"], "y", keys=["id"], max_iter=20, max_depth=4
+    )
+    err = preds.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).collect()[0][0]
+    spread = df.agg(F.stddev("y")).collect()[0][0]
+    assert err < 0.2 * spread  # learns most of the signal
+    assert len(model.stages) == 2
+
+
+def test_arx_forecast_recovers_ar1(spark):
+    # exact AR(1): x_t = 2 + 0.5 x_{t-1}, fixed point 4; forecast must
+    # continue the recurrence exactly (no noise → OLS is exact)
+    xs = [10.0]
+    for _ in range(49):
+        xs.append(2.0 + 0.5 * xs[-1])
+    df = spark.createDataFrame([(1, i, v) for i, v in enumerate(xs)], "k long, t long, x double")
+    out = (
+        models.arx_forecast_per_key(df, "x", key="k", order=["t"], steps=3)
+        .orderBy("step")
+        .toPandas()
+    )
+    expect = []
+    last = xs[-1]
+    for _ in range(3):
+        last = 2.0 + 0.5 * last
+        expect.append(last)
+    np.testing.assert_allclose(out["yhat"].to_numpy(), expect, rtol=1e-6)
+
+
+def test_validation_frame_aligns_on_keys(spark):
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id long, y double")
+    p = spark.createDataFrame([(3, 31.0), (1, 9.0)], "id long, yhat double")
+    out = models.validation_frame(a, p, keys=["id"], y_real="y", y_pred="yhat").toPandas()
+    got = dict(zip(out.id, zip(out.y_real, out.y_pred)))
+    assert got == {1: (10.0, 9.0), 3: (30.0, 31.0)}
