@@ -12,6 +12,7 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_scalars,
     q_scans,
     q_sorts_dedup,
+    q_text,
     q_timeseries,
     q_windows,
 )

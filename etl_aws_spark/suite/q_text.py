@@ -1,0 +1,289 @@
+"""North-star text-corpus queries (SURVEY §2.13): dedup family, fingerprint,
+language ID, quality, token stats — over the `documents` fixture.
+
+Duplicates are injected deterministically (every 10th doc re-appended with
+doc_id+1,000,000) so the dedup operators have real work; the oracle CTE
+performs the identical injection. All hash math comes from
+`text/_dialect.py`, rendered per engine — the oracles are bit-exact mirrors,
+so every dedup query gets a full value-hash check, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
+from etl_aws_spark.text import _dialect as D
+from etl_aws_spark.text import analysis, dedup
+
+_CORPUS_SQL = """
+    corpus AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dups)
+
+
+@query(
+    "text_dedup_exact",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, h AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS hh
+      FROM corpus
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY hh) AS canonical_id,
+           CAST(doc_id <> min(doc_id) OVER (PARTITION BY hh) AS INT) AS is_dup
+    FROM h
+    """,
+    category="text",
+)
+def text_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text digest; min-id survivor."""
+    out = dedup.exact_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    return out.select("doc_id", "canonical_id", "is_dup")
+
+
+def _minhash_bands_sql(bands: int = 4, r: int = 4) -> str:
+    sigs = ",\n".join(
+        f"{D.minhash('text', f's{i}', D.DUCK)} AS mh{i}" for i in range(bands * r)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "SELECT doc_id, md5(concat_ws('_', "
+        + ", ".join(f"mh{b * r + j}" for j in range(r))
+        + ")) AS bk FROM sig"
+        for b in range(bands)
+    )
+    return f"sig AS (SELECT doc_id, {sigs} FROM corpus), bands AS ({band_selects})"
+
+
+@query(
+    "text_dedup_near_minhash",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    bmin AS (SELECT bk, min(doc_id) AS bm FROM bands GROUP BY bk),
+    canon AS (
+      SELECT b.doc_id, min(bm) AS canonical_id
+      FROM bands b JOIN bmin USING (bk) GROUP BY b.doc_id
+    )
+    SELECT doc_id, canonical_id,
+           CAST(doc_id <> canonical_id AS INT) AS is_dup
+    FROM canon
+    """,
+    category="text",
+)
+def text_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup canonicalization.
+    Signatures fold per-row (no explode); only (band_key, id) shuffles."""
+    out = dedup.minhash_lsh_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    return out.select("doc_id", "canonical_id", "is_dup")
+
+
+@query(
+    "text_dedup_simhash",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, s AS (
+      SELECT doc_id,
+             {D.simhash_bits(D.hashed_token_array('text', 'x', D.DUCK), 16, D.DUCK)} AS simhash
+      FROM corpus
+    )
+    SELECT doc_id, simhash,
+           min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+           CAST(doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS INT) AS is_dup
+    FROM s
+    """,
+    category="text",
+)
+def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures with exact-signature canonicalization."""
+    out = dedup.simhash(_corpus(spark, sf_dir), "doc_id", "text")
+    return out.select("doc_id", "simhash", "canonical_id", "is_dup")
+
+
+@query(
+    "text_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, sh AS (
+      SELECT doc_id, source, {D.word_shingles('text', 2, D.DUCK)} AS sg FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sg, b.sg))
+                 / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE),
+                 6) + 0.0 AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sg, b.sg))
+          / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) >= 0.8
+    """,
+    category="text",
+)
+def text_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard ≥ 0.8 over source-blocked candidate pairs."""
+    out = dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", block_cols=["source"], n=2, threshold=0.8
+    )
+    return out.select("id_a", "id_b", rnd(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@query(
+    "text_fingerprint",
+    # staged CTEs (tokens → gram hashes → window mins): inlining the nested
+    # list expression makes DuckDB re-tokenize the doc per window (~100 s at
+    # sf0.01); staged runs in ~1 s. Same expressions as _dialect.winnow_*.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {D.tokens('text', D.DUCK)} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks) - 2),
+               i -> {D.hash60("toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]", D.DUCK)})
+               AS hts
+      FROM t
+    ), f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hts) - 2),
+               i -> list_min(hts[i:i + 3]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    """,
+    category="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (3-gram rolling hash, window 4) — the standard
+    shared-passage sketch."""
+    return dedup.winnow_fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    toks = D.tokens("text", D.DUCK)
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"list_sum(list_transform({toks}, t -> CASE WHEN t IN ({quoted}) THEN 1 ELSE 0 END))"
+        f" / CAST(len({toks}) AS DOUBLE)"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_score_sql(m)} AS sc_{lang}" for lang, m in analysis.LANG_MARKERS.items())}
+      FROM documents
+    ), b AS (
+      SELECT *, greatest(sc_de, sc_en, sc_es, sc_fr, sc_pt) AS best FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN sc_de = best THEN 'de' WHEN sc_en = best THEN 'en'
+                WHEN sc_es = best THEN 'es' WHEN sc_fr = best THEN 'fr'
+                ELSE 'pt' END AS pred_lang,
+           round(best, 6) + 0.0 AS lang_score
+    FROM b
+    """,
+    category="text",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: fraction-of-tokens score per language,
+    argmax with alphabetical tie-break."""
+    out = analysis.lang_id(load(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id", "lang", "pred_lang", rnd(F.col("lang_score"), 6).alias("lang_score")
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({D.tokens('text', D.DUCK)}) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_tokens_bpe
+    FROM documents
+    """,
+    category="text",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish pre-token counts."""
+    out = analysis.token_counts(load(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {D.tokens('text', D.DUCK)} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+             list_sum(list_transform(toks, t -> CASE WHEN t IN ({", ".join(f"'{s}'" for s in analysis.STOPWORDS)}) THEN 1 ELSE 0 END))
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_token_ratio,
+             n_punct / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(mean_token_len, 6) + 0.0 AS mean_token_len,
+           round(stopword_ratio, 6) + 0.0 AS stopword_ratio,
+           round(uniq_token_ratio, 6) + 0.0 AS uniq_token_ratio,
+           round(punct_ratio, 6) + 0.0 AS punct_ratio,
+           round(0.25 * least(n_tokens / 100.0, 1.0)
+                 + 0.25 * least(stopword_ratio * 5.0, 1.0)
+                 + 0.25 * uniq_token_ratio
+                 + 0.25 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) + 0.0 AS quality_score
+    FROM m
+    """,
+    category="text",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality profile + composite score."""
+    out = analysis.quality_score(load(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id", "n_tokens",
+        rnd(F.col("mean_token_len"), 6).alias("mean_token_len"),
+        rnd(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
+        rnd(F.col("uniq_token_ratio"), 6).alias("uniq_token_ratio"),
+        rnd(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        rnd(F.col("quality_score"), 6).alias("quality_score"),
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) + 0.0 AS avg_chars,
+           CAST(sum(len({D.tokens('text', D.DUCK)})) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    category="text",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per source: doc count, mean length, token volume,
+    language spread."""
+    docs = load(spark, sf_dir, "documents")
+    toks = D.tokens("text", D.SPARK)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("n_chars")).alias("avg_chars"),
+        F.sum(F.expr(f"size({toks})").cast("bigint")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

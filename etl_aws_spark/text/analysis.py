@@ -1,0 +1,106 @@
+"""Text analysis operators: language ID, quality scoring, token counting.
+
+All pure column expressions (no UDFs); `_dialect.py`-style SQL mirrors live
+in the suite oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_aws_spark.text import _dialect as D
+
+# Compact high-frequency marker lexicons (function words). Real corpora get
+# real profiles; the operator semantics — fraction-of-tokens-in-lexicon,
+# argmax with deterministic tie-break — are what matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "mit", "des", "ein"),
+    "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the classic GPT-2-style split, minus unicode categories (ASCII corpus).
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_score(text_col: str, markers: tuple[str, ...]) -> F.Column:
+    toks = D.tokens(text_col, D.SPARK)
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"aggregate({toks}, 0, (acc, t) -> acc + IF(t IN ({quoted}), 1, 0)) "
+        f"/ cast(size({toks}) as double)"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str) -> DataFrame:
+    """N-gram-lexicon language identification: score = fraction of tokens in
+    each language's marker lexicon; prediction = argmax, ties broken by
+    language code order. Adds ``pred_lang`` and ``lang_score``."""
+    scored = df.withColumns(
+        {f"_sc_{lang}": _marker_score(text_col, m) for lang, m in LANG_MARKERS.items()}
+    )
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[F.col(f"_sc_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"_sc_{lang}") == best, F.lit(lang)).otherwise(pred)
+    out = scored.withColumn("pred_lang", pred).withColumn("lang_score", best)
+    return out.drop(*[f"_sc_{lang}" for lang in langs])
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count (letter runs, digit
+    runs, single punctuation)."""
+    toks = D.tokens(text_col, D.SPARK)
+    return df.withColumns(
+        {
+            "n_tokens_ws": F.expr(f"size({toks})").cast("bigint"),
+            "n_tokens_bpe": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
+            ).cast("bigint"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic document quality profile: length, mean token length,
+    stopword ratio, punctuation ratio, distinct-token ratio, and a composite
+    score in [0,1] (Gopher/C4-style repetition+structure filters distilled
+    to expression form).
+
+    score = 0.25·clip(n_tok/100) + 0.25·stop_ratio·5 (cap 1) +
+            0.25·uniq_ratio + 0.25·(1 - punct_ratio·10 (cap 1))
+    """
+    toks = D.tokens(text_col, D.SPARK)
+    n_tok = F.expr(f"size({toks})")
+    n_chars = F.length(text_col)
+    mean_tok_len = F.expr(
+        f"aggregate({toks}, 0, (acc, t) -> acc + length(t)) / cast(size({toks}) as double)"
+    )
+    stop_ratio = _marker_score(text_col, STOPWORDS)
+    uniq_ratio = F.expr(f"size(array_distinct({toks})) / cast(size({toks}) as double)")
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
+    clip = lambda c: F.least(c, F.lit(1.0))  # noqa: E731
+    score = (
+        0.25 * clip(n_tok / F.lit(100.0))
+        + 0.25 * clip(stop_ratio * 5.0)
+        + 0.25 * uniq_ratio
+        + 0.25 * (1.0 - clip(punct_ratio * 10.0))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("bigint"),
+            "mean_token_len": mean_tok_len,
+            "stopword_ratio": stop_ratio,
+            "uniq_token_ratio": uniq_ratio,
+            "punct_ratio": punct_ratio,
+            "quality_score": score,
+        }
+    )

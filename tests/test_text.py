@@ -1,0 +1,68 @@
+"""Semantic checks for the text dedup family (cross-engine parity is covered
+by the DuckDB oracles; these pin detection behavior)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_aws_spark.text import analysis, dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog", "a"),   # near dup of 1
+        (4, "completely different content about spark engines", "a"),
+        (5, "el rapido zorro marron salta sobre el perro", "b"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, src string")
+
+
+def test_exact_dedup_finds_identical(spark, corpus):
+    out = dedup.exact_dedup(corpus, "id", "text").toPandas().set_index("id")
+    assert out.loc[2, "canonical_id"] == 1 and out.loc[2, "is_dup"] == 1
+    assert out.loc[1, "is_dup"] == 0
+    assert out.loc[3, "is_dup"] == 0  # near-dup is NOT an exact dup
+
+
+def test_minhash_lsh_clusters_near_dups(spark, corpus):
+    out = dedup.minhash_lsh_dedup(corpus, "id", "text").toPandas().set_index("id")
+    # identical docs always share every band
+    assert out.loc[2, "canonical_id"] == 1
+    # unrelated docs stay distinct
+    assert out.loc[4, "canonical_id"] == 4
+    assert out.loc[5, "canonical_id"] == 5
+    # one-word-changed doc shares 8/9 shingles — jaccard .8, likely banded
+    assert out.loc[3, "canonical_id"] in (1, 3)
+
+
+def test_ngram_jaccard_scores_near_dup(spark, corpus):
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, "id", "text", block_cols=["src"], n=2, threshold=0.5
+    ).toPandas()
+    got = {(a, b): j for a, b, j in pairs.itertuples(index=False)}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_hamming_pairs(spark, corpus):
+    pairs = dedup.simhash_hamming_pairs(corpus, "id", "text", max_distance=4).toPandas()
+    ids = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in ids  # identical → distance 0
+
+
+def test_lang_id_separates_languages(spark, corpus):
+    out = analysis.lang_id(corpus, "text").toPandas().set_index("id")
+    assert out.loc[1, "pred_lang"] == "en"
+    assert out.loc[5, "pred_lang"] == "es"
+
+
+def test_winnow_fingerprint_overlap(spark, corpus):
+    fps = dedup.winnow_fingerprint(corpus, "id", "text").toPandas()
+    by_id = {i: set(g.fingerprint) for i, g in fps.groupby("id")}
+    assert by_id[1] == by_id[2]          # identical docs → identical sketch
+    assert by_id[1] & by_id[3]           # near dups share fingerprints
+    assert not (by_id[1] & by_id[4])     # unrelated share none
