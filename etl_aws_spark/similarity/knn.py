@@ -1,0 +1,148 @@
+"""Cosine top-k and LSH-bucketed ANN over embedding columns.
+
+The dot product is an explicit left-fold over vector indices
+(`aggregate(sequence(1, d), 0D, (acc, i) -> acc + a[i]*b[i])`) rather than a
+black-box function, for two reasons: (1) it stays in whole-stage codegen,
+(2) the DuckDB oracle replays the identical fold (`list_reduce`) so cosine
+values match bit-for-bit — IEEE addition is evaluated in the same order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+        f"acc + cast(element_at({a}, i) as double) * cast(element_at({b}, i) as double))"
+    )
+
+
+def cosine_expr(a: str, b: str, dim: int) -> Column:
+    """Cosine similarity of two array<float> columns, double-widened."""
+    dot = _fold_dot(a, b, dim)
+    na = _fold_dot(a, a, dim)
+    nb = _fold_dot(b, b, dim)
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector: broadcast the query set
+    against the corpus, rank per query by (cosine desc, id asc).
+
+    The corpus side never shuffles — queries broadcast, the rank is a
+    per-query window over k·|queries| candidate rows after a map-side
+    ``TakeOrderedAndProject``-style filter is applied by AQE. At 100 TB the
+    corpus scan dominates; this is the bandwidth-bound exact baseline.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(vec_col, "_qvec", dim).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across runs/engines with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"plane{p}:{d}".encode()).digest()[:8], "big"
+            )
+            row.append(h / 2**63 - 1.0)  # ∈ [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col: str, dim: int, n_planes: int) -> Column:
+    """Random-hyperplane LSH bucket id (sign-bit signature) as a pure
+    expression: bucket = Σ_p [x·w_p > 0]·2^p. Plane weights are plan-time
+    literals — no join, no broadcast, evaluated in codegen."""
+    planes = hyperplanes(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in w) + ")"
+        dot = (
+            f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+            f"acc + cast(element_at({vec_col}, i) as double) * element_at({arr}, i))"
+        )
+        bucket = bucket + F.when(F.expr(dot) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: corpus and queries hash to sign-bit LSH buckets;
+    ranking happens bucket-locally (equi-join on bucket instead of a cross
+    join — Σ|bucket|·|bucket queries| work, 2^planes× less than brute force).
+    Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
+    higher recall); multiprobe = union of queries re-hashed with bit flips.
+    """
+    bucket = lsh_bucket_col(vec_col, dim, n_planes)
+    corpus = embeddings.withColumn("_bucket", bucket)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        .withColumn("_bucket", lsh_bucket_col("_qvec", dim, n_planes))
+    )
+    scored = corpus.join(F.broadcast(q), "_bucket").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(vec_col, "_qvec", dim).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_dedup_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    block_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold within blocking
+    groups (a semantic shard — label, LSH bucket, source…). The threshold
+    compares the ROUNDED cosine so engine/oracle agree at the boundary."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col(block_col).alias("_blk")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col(block_col).alias("_blk")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_expr("_va", "_vb", dim), round_digits) + F.lit(0.0)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

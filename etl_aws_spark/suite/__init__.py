@@ -8,9 +8,11 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_aggregates,
     q_ingest,
     q_ml,
+    q_multimodal,
     q_relational,
     q_scalars,
     q_scans,
+    q_similarity,
     q_sorts_dedup,
     q_text,
     q_timeseries,

@@ -1,0 +1,96 @@
+"""North-star similarity queries over the `embeddings` fixture (64-dim
+float vectors, 10 labels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.similarity import knn
+
+_DIM = 64
+
+# DuckDB mirror of knn._fold_dot: identical left fold, identical widening.
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)}) / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_duck_cos('e.embedding', 'q.qvec')} AS cos
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cos, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast cross join +
+    per-query rank. The fold-based dot product matches the oracle
+    bit-for-bit, so ranks are stable across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn.brute_topk(emb, queries, "vec_id", "embedding", _DIM, k=10)
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query("similarity_topk_ann_lsh", oracle=None, category="similarity")
+def similarity_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (4 sign bits →
+    16 buckets → ~16× less comparison work than brute force). Rows-only:
+    recall vs the exact baseline is asserted in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn.ann_topk(emb, queries, "vec_id", "embedding", _DIM, k=10, n_planes=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "embedding_cosine_dedup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.25
+    """,
+    category="similarity",
+)
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.25 inside label blocks (the
+    semantic-shard pattern: block first, compare within — Σ|block|² not N²)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn.cosine_dedup_pairs(
+        emb, "vec_id", "embedding", _DIM, block_col="label", threshold=0.25
+    )

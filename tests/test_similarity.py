@@ -1,0 +1,58 @@
+"""ANN recall vs exact baseline; LSH bucket properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_aws_spark.similarity import knn
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(11)
+    # 10 well-separated cluster centers, 20 points each: ANN must find
+    # same-cluster neighbors
+    centers = rng.randn(10, DIM) * 5
+    rows = []
+    for i in range(200):
+        c = i % 10
+        v = centers[c] + rng.randn(DIM) * 0.1
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, f"vec_id long, embedding array<float>, label int")
+
+
+def test_brute_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = knn.brute_topk(emb, queries, "vec_id", "embedding", DIM, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        cos = M @ M[qid]
+        expect = list(np.lexsort((pdf.vec_id.to_numpy(), -cos))[:5])
+        got_ids = got[got.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert got_ids == [int(pdf.vec_id.iloc[i]) for i in expect]
+
+
+def test_ann_recall_on_clustered_data(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn.brute_topk(emb, queries, "vec_id", "embedding", DIM, k=5).toPandas()
+    approx = knn.ann_topk(emb, queries, "vec_id", "embedding", DIM, k=5, n_planes=3).toPandas()
+    recalls = []
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    # tight clusters land in one bucket: recall should be near-perfect
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_bucket_is_deterministic(spark, emb):
+    b1 = emb.select("vec_id", knn.lsh_bucket_col("embedding", DIM, 4).alias("b")).toPandas()
+    b2 = emb.select("vec_id", knn.lsh_bucket_col("embedding", DIM, 4).alias("b")).toPandas()
+    assert b1.sort_values("vec_id").b.tolist() == b2.sort_values("vec_id").b.tolist()
+    assert b1.b.between(0, 15).all()
