@@ -1,0 +1,74 @@
+"""File-source streaming ingest with watermarked dedup and batch merge."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """Streaming scan of a landing directory. Schema is mandatory —
+    streaming readers cannot infer, and the batch engine shouldn't either
+    (SURVEY §1.2: the reference declares a schema then never uses it)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def dedup_with_watermark(
+    df: DataFrame, event_time: str, keys: list[str], late: str = "3 days"
+) -> DataFrame:
+    """Stateful duplicate drop within the lateness horizon: re-delivered
+    rows (the Lambda re-run case, `lambda_function.py:42`) are discarded;
+    state is bounded by the watermark so it cannot grow unboundedly."""
+    return df.withWatermark(event_time, late).dropDuplicates(keys)
+
+
+def windowed_counts(
+    df: DataFrame, event_time: str, key: str, window: str = "1 day", late: str = "3 days"
+) -> DataFrame:
+    """Tumbling-window per-key aggregate with late-data handling — the
+    incremental form of the daily re-aggregation the reference recomputes
+    from scratch every run."""
+    return (
+        df.withWatermark(event_time, late)
+        .groupBy(F.window(event_time, window).alias("win"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), key, "n", "sum_value"
+        )
+    )
+
+
+def merge_into_refined(
+    stream_df: DataFrame,
+    refined_path: str,
+    partition_cols: list[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch merge: each micro-batch runs the (batch) transform and
+    dynamic-partition-overwrites only the partitions it touches — the
+    streaming twin of the glue.py write with the clobbering fixed
+    (`glue.py:237` static overwrite wipes the whole refined tree)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(refined_path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

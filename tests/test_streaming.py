@@ -1,0 +1,113 @@
+"""Structured Streaming ingest: AvailableNow catch-up, watermarked dedup,
+foreachBatch merge into a partitioned refined layer."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "landing": str(tmp_path / "landing"),
+        "refined": str(tmp_path / "refined"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["landing"])
+    return d
+
+
+def _land(spark, path: str, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_dedup_and_merge(spark, dirs):
+    from etl_aws_spark.streaming import ingest
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.0),
+        (2, "2024-01-01 11:00:00", 7, 2.0),
+        (2, "2024-01-01 11:00:00", 7, 2.0),  # duplicate delivery
+        (3, "2024-01-02 09:00:00", 8, 3.0),
+    ]
+    rows = [(i, __import__("datetime").datetime.fromisoformat(t), u, v) for i, t, u, v in rows]
+    _land(spark, dirs["landing"], rows)
+
+    stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+    assert stream.isStreaming
+    deduped = ingest.dedup_with_watermark(stream, "ts", ["event_id"])
+    q = ingest.merge_into_refined(
+        deduped,
+        dirs["refined"],
+        partition_cols=["dia"],
+        transform=lambda df: df.withColumn("dia", F.dayofmonth("ts")),
+        checkpoint=dirs["ckpt"],
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(dirs["refined"])
+    assert out.count() == 3  # duplicate dropped
+    assert sorted(r.dia for r in out.select("dia").distinct().collect()) == [1, 2]
+
+    # catch-up run: new file lands, restart with same checkpoint processes
+    # ONLY the new data; the old partition is untouched (dynamic overwrite)
+    import datetime
+
+    _land(spark, dirs["landing"], [(4, datetime.datetime(2024, 1, 3, 8), 9, 4.0)])
+    stream2 = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+    q2 = ingest.merge_into_refined(
+        ingest.dedup_with_watermark(stream2, "ts", ["event_id"]),
+        dirs["refined"],
+        partition_cols=["dia"],
+        transform=lambda df: df.withColumn("dia", F.dayofmonth("ts")),
+        checkpoint=dirs["ckpt"],
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(dirs["refined"])
+    assert out2.count() == 4
+    assert out2.filter(F.col("dia") == 1).count() == 2  # day-1 rows survived
+
+
+def test_windowed_counts_schema(spark, dirs):
+    from etl_aws_spark.streaming import ingest
+
+    import datetime
+
+    _land(
+        spark,
+        dirs["landing"],
+        [
+            (1, datetime.datetime(2024, 1, 1, 10), 7, 1.0),
+            (2, datetime.datetime(2024, 1, 1, 11), 7, 2.0),
+            (3, datetime.datetime(2024, 1, 2, 9), 8, 3.0),
+        ],
+    )
+    stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+    agg = ingest.windowed_counts(stream, "ts", "user_id")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.day, r.user_id): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {(1, 7): (2, 3.0), (2, 8): (1, 3.0)}
