@@ -9,6 +9,7 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_ingest,
     q_ml,
     q_multimodal,
+    q_pipeline,
     q_relational,
     q_scalars,
     q_scans,
