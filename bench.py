@@ -15,12 +15,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# headline set: widest-coverage representatives, extended as operators land
+# headline set: one representative per engine subsystem
 HEADLINE = [
-    "q_feature_block",  # flagship: scan -> window block -> fill (glue.py pipeline core)
-    "window_rsi",
-    "window_first_n_split",
-    "stat_autocorr_lag_k",
+    "q_feature_block",        # flagship: scan -> window block -> fill (glue.py core)
+    "pipeline_refined",       # full raw->refined composition, broadcast join + observe
+    "window_rsi",             # chained window frames
+    "window_ewm_macd",        # applyInPandas (Arrow grouped-map) path
+    "window_first_n_split",   # row_number split
+    "stat_autocorr_lag_k",    # window + grouped aggregate
+    "agg_group_generic",      # hash aggregate over lineitem
+    "join_left_equi_dim",     # broadcast dim join
+    "text_dedup_near_minhash",  # HOF signatures + LSH banding
+    "text_fingerprint",       # posexplode + sliding window min
+    "similarity_topk_cosine", # vector fold + per-query rank
 ]
 
 

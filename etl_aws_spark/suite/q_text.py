@@ -58,8 +58,11 @@ def text_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_bands_sql(bands: int = 4, r: int = 4) -> str:
+    # mirror of dedup.minhash_signature: explode distinct tokens, one md5
+    # base hash per token, n min-aggregated linear permutations mod 2^31-1
+    perms = D.perm_constants(bands * r)
     sigs = ",\n".join(
-        f"{D.minhash('text', f's{i}', D.DUCK)} AS mh{i}" for i in range(bands * r)
+        f"{D.perm_min('h', a, b)} AS mh{i}" for i, (a, b) in enumerate(perms)
     )
     band_selects = "\n      UNION ALL\n".join(
         "SELECT doc_id, md5(concat_ws('_', "
@@ -67,7 +70,11 @@ def _minhash_bands_sql(bands: int = 4, r: int = 4) -> str:
         + ")) AS bk FROM sig"
         for b in range(bands)
     )
-    return f"sig AS (SELECT doc_id, {sigs} FROM corpus), bands AS ({band_selects})"
+    return (
+        f"toks AS (SELECT doc_id, unnest({D.distinct_tokens('text', D.DUCK)}) AS tok FROM corpus), "
+        f"base AS (SELECT doc_id, {D.token_base_hash('tok', D.DUCK)} AS h FROM toks), "
+        f"sig AS (SELECT doc_id, {sigs} FROM base GROUP BY doc_id), bands AS ({band_selects})"
+    )
 
 
 @query(

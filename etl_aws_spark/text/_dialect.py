@@ -42,9 +42,39 @@ def hashed_token_array(col: str, seed: str, dialect: str) -> str:
 
 def minhash(col: str, seed: str, dialect: str) -> str:
     """Min of the salted token hashes — one MinHash signature component.
-    No explode: the min folds inside the row."""
+    No explode: the min folds inside the row. (Educational form — it
+    re-hashes every token per seed; `minhash_perms` is the production
+    form: one md5 per token + cheap linear permutations.)"""
     fn = "array_min" if dialect == SPARK else "list_min"
     return f"{fn}({hashed_token_array(col, seed, dialect)})"
+
+
+# Universal-hash permutation family over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i·x + b_i) mod p with md5-derived constants. a_i·x stays
+# below 2^62, so the arithmetic is exact in both engines' BIGINTs.
+MERSENNE_P = (1 << 31) - 1
+
+
+def perm_constants(n: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(n):
+        a = int.from_bytes(hashlib.md5(f"perm_a{i}".encode()).digest()[:8], "big")
+        b = int.from_bytes(hashlib.md5(f"perm_b{i}".encode()).digest()[:8], "big")
+        out.append((a % (MERSENNE_P - 1) + 1, b % MERSENNE_P))
+    return out
+
+
+def token_base_hash(tok_expr: str, dialect: str) -> str:
+    """One 31-bit base hash per token (single md5); permutations are
+    integer arithmetic on top."""
+    return f"({hash60(tok_expr, dialect)} % {MERSENNE_P})"
+
+
+def perm_min(base_col: str, a: int, b: int) -> str:
+    """min over rows of (a·h + b) mod p — identical text in both dialects."""
+    return f"min(({a} * {base_col} + {b}) % {MERSENNE_P})"
 
 
 def _shingle_array(col: str, n: int, dialect: str) -> str:
