@@ -15,6 +15,7 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_scans,
     q_similarity,
     q_sorts_dedup,
+    q_streaming,
     q_text,
     q_timeseries,
     q_windows,

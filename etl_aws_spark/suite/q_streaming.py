@@ -1,0 +1,59 @@
+"""SURVEY §2.11 streaming query: the daily micro-ingest as a Structured
+Streaming catch-up run (rows-only — streaming execution isn't
+SQL-expressible; invariants are pinned in tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.sources import writers
+from etl_aws_spark.streaming import ingest
+
+
+@query("streaming_ingest_dedup", oracle=None, category="streaming")
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the daily-partitioned landing tree →
+    watermarked stateful dedup → foreachBatch dynamic-partition merge into
+    refined, AvailableNow trigger (the Lambda daily batch, `lambda_function
+    .py:21-101`, as an incremental catch-up run). Returns the refined
+    read-back: one row per unique event_id."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream")
+    landing, refined_p, ckpt = (
+        os.path.join(root, "landing"),
+        os.path.join(root, "refined"),
+        os.path.join(root, "ckpt"),
+    )
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+        # re-deliver ~10% of events: the stream must drop them
+        redelivered = ev.filter(F.col("event_id") % 10 == 0)
+        ev.unionByName(redelivered).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    if not os.path.exists(refined_p):
+        stream = ingest.read_stream(spark, landing, schema)
+        deduped = ingest.dedup_with_watermark(stream, "ts", ["event_id"])
+        q = ingest.merge_into_refined(
+            deduped,
+            refined_p,
+            partition_cols=["dia"],
+            transform=lambda df: df.withColumn("dia", F.dayofmonth("ts")),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(refined_p).select("event_id", "user_id", "dia")

@@ -145,6 +145,33 @@ def text_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, s AS (
+      SELECT doc_id,
+             {D.simhash_bits(D.hashed_token_array('text', 'x', D.DUCK), 16, D.DUCK)} AS simhash
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND ((a.simhash % 256) = (b.simhash % 256) OR (a.simhash // 256) = (b.simhash // 256))
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    category="text",
+)
+def text_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 2, candidate-blocked on
+    half-signature bands (a ≤2-bit difference must leave one half intact) —
+    the banded join the oracle mirrors with the same half-key predicate."""
+    out = dedup.simhash_hamming_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", nbits=16, max_distance=2
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
     "text_fingerprint",
     # staged CTEs (tokens → gram hashes → window mins): inlining the nested
     # list expression makes DuckDB re-tokenize the doc per window (~100 s at

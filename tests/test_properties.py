@@ -1,0 +1,102 @@
+"""Property tests for algebraic operator invariants (SURVEY §5.4):
+diff∘cumsum = id, leakage-guard frames exclude the current row, fillna
+touches only its subset, dedup idempotence. Hypothesis generates the series;
+one shared SparkSession keeps runs fast (max_examples kept small — each
+example is a Spark job)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import windows as ow
+from etl_aws_spark.plans import refined
+
+series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=2,
+    max_size=40,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, xs):
+    return spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(xs)], "k long, t long, x double"
+    )
+
+
+@given(xs=series)
+@SET
+def test_diff_inverts_cumsum(spark, xs):
+    w = ow.key_window("k", ["t"])
+    df = _df(spark, xs).withColumn(
+        "csum", F.sum("x").over(w.rowsBetween(-(1 << 30), 0))
+    )
+    out = ow.lag_diff(df, "csum", w, "diff").orderBy("t").toPandas()
+    # diff of running sum recovers the series (first row has no lag);
+    # cancellation error scales with the running-sum magnitude, so the
+    # absolute tolerance must too
+    atol = np.abs(np.cumsum(xs)).max() * 1e-12 + 1e-12
+    np.testing.assert_allclose(
+        out["diff"].to_numpy()[1:], np.array(xs)[1:], rtol=1e-9, atol=atol
+    )
+    assert np.isnan(out["diff"].iloc[0])
+
+
+@given(xs=series)
+@SET
+def test_trailing_frame_excludes_current_row(spark, xs):
+    w = ow.key_window("k", ["t"])
+    out = (
+        ow.trailing(_df(spark, xs), "x", 3, w, stats=("mean",))
+        .orderBy("t")
+        .toPandas()
+    )
+    got = out["rolling_mean_3_x"].to_numpy()
+    arr = np.array(xs)
+    for i in range(len(arr)):
+        lo = max(0, i - 3)
+        expect = arr[lo:i].mean() if i > lo else np.nan
+        if np.isnan(expect):
+            assert np.isnan(got[i])
+        else:
+            np.testing.assert_allclose(got[i], expect, rtol=1e-9)
+
+
+@given(xs=series, holes=st.sets(st.integers(min_value=0, max_value=39)))
+@SET
+def test_fillna_touches_only_subset(spark, xs, holes):
+    rows = [
+        (1, i, None if i in holes else float(v), float(v))
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, a double, b double")
+    out = df.fillna(0, subset=["a"]).orderBy("t").toPandas()
+    assert out["a"].notna().all()
+    np.testing.assert_allclose(out["b"].to_numpy(), np.array(xs), rtol=1e-9)  # untouched
+
+
+@given(xs=series)
+@SET
+def test_dedup_idempotent_and_deterministic(spark, xs):
+    # duplicate every row, then dedup on (k, t): survivor must be the first
+    # by the tie-break, and re-deduping changes nothing
+    df = _df(spark, xs)
+    doubled = df.unionByName(df.withColumn("x", F.col("x") + 1.0))
+    once = refined.dedup_last_per_key(doubled, ["k", "t"], ["x"])
+    twice = refined.dedup_last_per_key(once, ["k", "t"], ["x"])
+    a = once.orderBy("t").toPandas()
+    b = twice.orderBy("t").toPandas()
+    assert a.equals(b)
+    # survivor = min x (the tie-break orders by x asc)
+    np.testing.assert_allclose(
+        a["x"].to_numpy(), np.minimum(np.array(xs), np.array(xs) + 1.0), rtol=1e-12
+    )
