@@ -46,13 +46,24 @@ def brute_topk(
     ``TakeOrderedAndProject``-style filter is applied by AQE. At 100 TB the
     corpus scan dominates; this is the bandwidth-bound exact baseline.
     """
+    # norms are cached per side BEFORE the pair join: each vector's norm is
+    # computed once (N+Q folds) instead of twice per pair (2·N·Q folds).
+    # sqrt(na)·sqrt(nb) is evaluated in the same IEEE order either way, so
+    # cached-norm cosines are bit-identical to the inline form.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
     )
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
-        "query_id",
+    corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        cosine_expr(vec_col, "_qvec", dim).alias("cos"),
+        F.col(vec_col).alias("_cvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_cn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_fold_dot("_cvec", "_qvec", dim)) / (F.col("_cn") * F.col("_qn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -107,16 +118,22 @@ def ann_topk(
     Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
     higher recall); multiprobe = union of queries re-hashed with bit flips.
     """
-    bucket = lsh_bucket_col(vec_col, dim, n_planes)
-    corpus = embeddings.withColumn("_bucket", bucket)
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-        .withColumn("_bucket", lsh_bucket_col("_qvec", dim, n_planes))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_cn"),
+        lsh_bucket_col(vec_col, dim, n_planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
+        lsh_bucket_col(vec_col, dim, n_planes).alias("_bucket"),
     )
     scored = corpus.join(F.broadcast(q), "_bucket").select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine_expr(vec_col, "_qvec", dim).alias("cos"),
+        "neighbor_id",
+        (F.expr(_fold_dot("_cvec", "_qvec", dim)) / (F.col("_cn") * F.col("_qn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -135,13 +152,25 @@ def cosine_dedup_pairs(
     groups (a semantic shard — label, LSH bucket, source…). The threshold
     compares the ROUNDED cosine so engine/oracle agree at the boundary."""
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col(block_col).alias("_blk")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_na"),
+        F.col(block_col).alias("_blk"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col(block_col).alias("_blk")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_nb"),
+        F.col(block_col).alias("_blk"),
     )
     pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine_expr("_va", "_vb", dim), round_digits) + F.lit(0.0)
+    cos = (
+        F.round(
+            F.expr(_fold_dot("_va", "_vb", dim)) / (F.col("_na") * F.col("_nb")),
+            round_digits,
+        )
+        + F.lit(0.0)
+    )
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -101,7 +101,7 @@ def transform_power_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics pinned by tests/test_ml.py against a numpy reimplementation.
     Rows-only: the λ-grid argmax isn't SQL-expressible in one statement."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
-    out = encoders.power_scale(li, "l_extendedprice", out="price_ps")
+    out = encoders.power_scale(li, "l_extendedprice", out="price_ps", fit_sample_mod=10)
     return out.select(
         "l_orderkey", "l_linenumber", rnd(F.col("price_ps"), 6).alias("price_ps")
     )

