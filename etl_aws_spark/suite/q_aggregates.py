@@ -234,3 +234,46 @@ def agg_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("rmse"), 4).alias("rmse"),
         rnd(F.col("r2"), 6).alias("r2"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment,
+           CASE WHEN GROUPING(c_nationkey) = 0 THEN CAST(c_nationkey AS INT) END
+             AS c_nationkey,
+           CAST(GROUPING(c_nationkey) AS INT) AS gid,
+           count(DISTINCT c_custkey) AS n_cust,
+           round(sum(c_acctbal), 2) + 0.0 AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment))
+    """,
+    category="aggregate",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup in ONE pass via GROUPING SETS — the rewrite of the
+    reference's three separate groupby+merge rounds
+    (`preprocessing.py:85-106`: tickers per (setor,industria), per setor).
+    One shuffle instead of three jobs + two joins; `grouping()` tags the
+    level. Mapping: c_mktsegment ≡ setor, c_nationkey ≡ industria,
+    c_custkey ≡ ticker."""
+    cust = load(spark, sf_dir, "customer")
+    out = (
+        cust.groupingSets(
+            [["c_mktsegment", "c_nationkey"], ["c_mktsegment"]],
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        .agg(
+            F.grouping("c_nationkey").cast("int").alias("gid"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            rnd(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "gid",
+        "n_cust",
+        "sum_bal",
+    )
