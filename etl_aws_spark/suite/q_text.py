@@ -313,6 +313,39 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({D.tokens('text', D.DUCK)}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), idf AS (
+      SELECT term, ln((n_docs + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+      FROM tf CROSS JOIN n GROUP BY term, n_docs
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf
+      FROM tf JOIN idf USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, round(tfidf, 6) + 0.0 AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    category="text",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF — the corpus
+    profiling op behind keyword extraction / quality triage."""
+    out = analysis.tfidf_top_terms(load(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return out.select("doc_id", "term", rnd(F.col("tfidf"), 6).alias("tfidf"), "rank")
+
+
+@query(
     "text_stats",
     oracle=f"""
     SELECT source,

@@ -68,6 +68,39 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df_t+1)) + 1, sklearn's smooth_idf).
+
+    Relational shape: explode tokens → (doc, term) counts → term document
+    frequencies → broadcast-join idf → per-doc rank. Two narrow shuffles
+    (term counts, doc rank); the idf table is |vocabulary| rows — broadcast."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.expr(D.tokens(text_col, D.SPARK))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Heuristic document quality profile: length, mean token length,
     stopword ratio, punctuation ratio, distinct-token ratio, and a composite
