@@ -1,0 +1,114 @@
+"""Temporal join operators: as-of (backward) join and gap-based
+sessionization.
+
+Neither exists as a single Spark primitive; both are expressed as
+compositions of built-in operators (task-brief case (a)), so they stay in
+whole-stage codegen and inherit Catalyst planning — no Pandas UDF needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance: None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` within the key (pandas ``merge_asof`` /
+    DuckDB ``ASOF JOIN`` semantics, left-outer).
+
+    Implementation: union the two sides tagged by origin, sort per key on
+    (ts, origin) with right rows first at equal timestamps, and
+    forward-fill the right payload with ``last(ignorenulls)`` — an as-of
+    join as ONE window pass over the union. No join node at all: one
+    shuffle on the key, O(1) state per row, immune to the range-join
+    explosion a naive ``ON l.ts >= r.ts`` theta join produces (which Spark
+    would execute as a per-key cross product).
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_r_ts"),
+    ).select(*l_tagged.columns)  # align column order
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at identical ts → inclusive (<=)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
+        | {"_r_ts": F.last("_r_ts", ignorenulls=True).over(w)}
+    )
+    out = filled.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],
+        F.col("_r_ts").alias(f"right_{right_ts}"),
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tail: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based session assignment: a new session starts when the time
+    since the previous event in the key exceeds ``gap_seconds``. Session id
+    = running count of session starts (the lag-gap-cumsum composition —
+    identical SQL runs on any engine; Spark's native ``session_window``
+    aggregate is the streaming twin).
+
+    Adds ``session_id`` (per-key, 1-based) — one window pass, one shuffle.
+    """
+    order = [ts_col, *order_tail]
+    w = Window.partitionBy(key).orderBy(*order)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long"), 1).over(w)
+    is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("_start", is_start).withColumn(
+        "session_id", F.sum("_start").over(run).cast("long")
+    ).drop("_start")
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    value: str,
+    order_tail: Sequence[str] = (),
+) -> DataFrame:
+    """Per-session aggregates over the sessionized frame: bounds, event
+    count, value sum — the event-analytics rollup."""
+    s = sessionize(df, key, ts_col, gap_seconds, order_tail)
+    return s.groupBy(key, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value).alias("sum_value"),
+    )

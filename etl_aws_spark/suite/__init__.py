@@ -16,6 +16,7 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_similarity,
     q_sorts_dedup,
     q_streaming,
+    q_temporal,
     q_text,
     q_timeseries,
     q_windows,
