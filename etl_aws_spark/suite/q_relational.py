@@ -285,3 +285,64 @@ def concat_columns_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = orders.select("o_orderkey", "o_totalprice")
     y = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
     return rel.concat_columns(x, y, "o_orderkey")
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    category="setop",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — absent from the reference (SURVEY §2.7), free
+    on Spark: customers with both finished and open orders."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    category="setop",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers with no orders (the anti-join the
+    reference approximates with a left join + isNotNull check,
+    `glue.py:137`)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "pivot_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+    category="setop",
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized pivot: per-user event-type count matrix. An explicit
+    category list keeps the pivot single-pass (no extra distinct job) and
+    the output schema stable."""
+    ev = load(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", cats).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cats]
+    )
