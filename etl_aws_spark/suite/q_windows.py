@@ -217,3 +217,22 @@ def stat_autocorr_lag_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.corr("value", "l1"), 6).alias("acf_1"),
         rnd(F.corr("value", "l2"), 6).alias("acf_2"),
     )
+
+
+@query(
+    "window_rolling_minmax",
+    oracle=f"""
+    SELECT {_KEYS}, value,
+           min(value) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS rolling_min_5_value,
+           max(value) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS rolling_max_5_value
+    FROM events
+    """,
+    category="window",
+)
+def window_rolling_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing min/max over the leakage-guard frame (-5,-1) — the support/
+    resistance band feature; completes the `trailing` stat family."""
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return ow.trailing(df, "value", 5, _w(), stats=("min", "max"))
