@@ -25,6 +25,8 @@ HEADLINE = [
     "stat_autocorr_lag_k",    # window + grouped aggregate
     "agg_group_generic",      # hash aggregate over lineitem
     "join_left_equi_dim",     # broadcast dim join
+    "showcase_topk_revenue_3way",    # TPC-H Q3 shape: 3-way join + top-k
+    "showcase_regional_revenue_5way",  # TPC-H Q5 shape: 5-way join chain
     "text_dedup_near_minhash",  # HOF signatures + LSH banding
     "text_fingerprint",       # posexplode + sliding window min
     "similarity_topk_cosine", # vector fold + per-query rank

@@ -13,6 +13,7 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_relational,
     q_scalars,
     q_scans,
+    q_showcase,
     q_similarity,
     q_sorts_dedup,
     q_streaming,

@@ -1,0 +1,89 @@
+"""Composed multi-way-join showcase queries (TPC-H Q3/Q5 shapes on the
+driver's TPC-H-ish fixtures).
+
+The reference never joins more than two tables; these demonstrate that the
+engine surface composes to classic warehouse workloads — Catalyst handles
+join ordering, broadcast selection for the dimension chain, and partial
+aggregation with no hand-holding."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
+
+
+@query(
+    "showcase_topk_revenue_3way",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    category="showcase",
+)
+def showcase_topk_revenue_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered on every table, grouped revenue,
+    deterministic top-k. Filters push to all three scans; customer
+    broadcasts; the orders⋈lineitem shuffle is the only wide exchange."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "showcase_regional_revenue_5way",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    category="showcase",
+)
+def showcase_regional_revenue_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (minus the supplier leg the fixtures can't close):
+    region→nation→customer dimension chain folds into broadcast joins; only
+    orders⋈lineitem shuffles."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )

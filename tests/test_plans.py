@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale posture is part of the
+contract, not an accident. Each test pins a plan property that a future
+refactor could silently lose (pushdown reaching the scan, broadcast for
+dims, one exchange per window block)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    return "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf):
+    from etl_aws_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf, "orders")
+    q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    plan = _plan(q)
+    # predicate pushed into the scan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)", plan), plan
+    # column pruning: scan reads only the referenced columns
+    scan = plan[plan.index("FileScan") :].splitlines()[0]
+    assert "o_orderdate" not in scan and "o_orderpriority" not in scan
+
+
+def test_dim_join_is_broadcast_not_shuffle(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["join_left_equi_dim"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
+
+
+def test_window_feature_block_has_single_exchange(spark, sf):
+    from etl_aws_spark.operators.windows import glue_feature_block
+    from etl_aws_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf, "events")
+    out = glue_feature_block(ev, "value", key="user_id", order=["ts", "event_id"])
+    plan = _plan(out)
+    # nine window features over one spec -> exactly one hash-partition
+    # exchange (N features must not cost N shuffles)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pipeline_uses_broadcast_and_bounded_exchanges(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["pipeline_refined"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    # window block + dedup reuse the same key partitioning; only the
+    # broadcast build side and one hash exchange remain
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_minhash_shuffles_are_narrow(spark, sf):
+    """The LSH pipeline must shuffle (id, hash/band) projections, never the
+    document text."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_dedup_near_minhash"](spark, sf))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
