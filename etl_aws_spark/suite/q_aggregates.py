@@ -277,3 +277,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cust",
         "sum_bal",
     )
+
+
+@query(
+    "agg_group_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) + 0.0 AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (grouped twin of
+    agg_describe_percentiles). `percentile()` is exact/interpolated and
+    matches quantile_cont; `percentile_approx` is the single-pass 100 TB
+    variant (KLL sketch, mergeable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
