@@ -130,22 +130,20 @@ def power_scale(
     col: str,
     out: str | None = None,
     lam: float | None = None,
-    fit_sample_mod: int | None = None,
+    fit_filter: "F.Column | None" = None,
 ) -> DataFrame:
     """Yeo-Johnson transform (λ fitted if not given) followed by z-score
     standardization (`train.py:178-182`). Two aggregate passes total; the
     transform itself is a pure column expression.
 
-    ``fit_sample_mod=k`` fits λ on the deterministic 1/k hash-sample of the
-    column (xxhash64 % k == 0): the grid pass evaluates 41 transform
-    variants per row, so fitting on a sample cuts that cost by k× while the
-    λ argmax — a corpus-level shape parameter — is statistically unchanged.
+    ``fit_filter`` restricts the λ fit to a deterministic sample (e.g. a
+    key-mod predicate): the grid pass evaluates 41 transform variants per
+    row, so fitting on a 1/k sample cuts that cost by k× while the λ
+    argmax — a corpus-level shape parameter — is statistically unchanged.
     The z-score stats still use the FULL column."""
     out = out or f"{col}_ps"
     if lam is None:
-        fit_df = df
-        if fit_sample_mod:
-            fit_df = df.filter(F.pmod(F.xxhash64(col), F.lit(fit_sample_mod)) == 0)
+        fit_df = df.filter(fit_filter) if fit_filter is not None else df
         lam = yeo_johnson_fit_lambda(fit_df, col)
     t = df.withColumn(out, _yj_expr(F.col(col), lam))
     stats = t.agg(

@@ -129,6 +129,48 @@ def arx_forecast_per_key(
     return df.select(key, *order, value).groupBy(key).applyInPandas(fit_forecast, schema=schema)
 
 
+def ar1_forecast_closed_form(
+    df: DataFrame, value: str, key: str, order: Sequence[str], steps: int
+) -> DataFrame:
+    """AR(1)-with-intercept forecast per key in CLOSED FORM — no UDF, no
+    solver: φ = covar_pop(y, y₋₁)/var_pop(y₋₁), c = ȳ − φ·ȳ₋₁, and the
+    h-step forecast telescopes to c·(1−φ^h)/(1−φ) + φ^h·y_last (drift
+    limit c·h + y_last as φ→1). One window pass + one aggregate + a
+    5-element explode: the entire model fit is whole-stage-codegen'd
+    relational algebra, the fully-declarative twin of
+    `arx_forecast_per_key`."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    lagged = df.select(
+        key,
+        F.col(value).alias("_y"),
+        F.lag(value, 1).over(w).alias("_yl"),
+        *[F.col(c) for c in order],
+    )
+    stats = lagged.groupBy(key).agg(
+        (F.covar_pop("_y", "_yl") / F.var_pop("_yl")).alias("_phi"),
+        F.avg(F.when(F.col("_yl").isNotNull(), F.col("_y"))).alias("_my"),
+        F.avg("_yl").alias("_mx"),
+        F.max_by("_y", F.col(order[0])).alias("_ylast"),
+    )
+    base = stats.select(
+        key,
+        "_phi",
+        (F.col("_my") - F.col("_phi") * F.col("_mx")).alias("_c"),
+        "_ylast",
+        F.explode(F.sequence(F.lit(1), F.lit(steps))).alias("step"),
+    )
+    phi_k = F.pow("_phi", F.col("step"))
+    geo = F.coalesce(
+        (1.0 - phi_k) / F.nullif(1.0 - F.col("_phi"), F.lit(0.0)),
+        F.col("step").cast("double"),
+    )
+    return base.select(
+        key,
+        F.col("step").cast("int").alias("step"),
+        (F.col("_c") * geo + phi_k * F.col("_ylast")).alias("yhat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gradient-boosted trees via Spark ML (train.py:319-352)
 # ---------------------------------------------------------------------------

@@ -94,14 +94,53 @@ def impute_mean_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", rnd(F.col("value")).alias("value"), "event_type")
 
 
-@query("transform_power_scale", oracle=None, category="ml")
+@query(
+    "transform_power_scale",
+    # full grid-MLE mirror: the oracle re-derives λ over the same 41-point
+    # grid on the same 1/10 key-sample, then applies the same transform +
+    # z-score. (Prices are positive, so only the x>=0 Yeo-Johnson branch
+    # fires; it is still written out in full.)
+    oracle="""
+    WITH grid AS (
+      SELECT round(-2.0 + 0.1 * i, 1) AS lam FROM range(41) t(i)
+    ), fit AS (
+      SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 10 = 0
+    ), stats AS (
+      SELECT g.lam,
+             var_pop(CASE WHEN abs(g.lam) < 1e-12 THEN ln(x + 1.0)
+                          ELSE (pow(x + 1.0, g.lam) - 1.0) / g.lam END) AS v,
+             count(*) AS n,
+             sum(sign(x) * ln(abs(x) + 1.0)) AS pen
+      FROM fit CROSS JOIN grid g GROUP BY g.lam
+    ), ll AS (
+      SELECT lam, -0.5 * n * ln(v) + (lam - 1.0) * pen AS ll
+      FROM stats WHERE v IS NOT NULL AND v > 0
+    ), best AS (
+      SELECT lam FROM ll ORDER BY ll DESC, lam ASC LIMIT 1
+    ), t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN abs(b.lam) < 1e-12 THEN ln(l_extendedprice + 1.0)
+                  ELSE (pow(l_extendedprice + 1.0, b.lam) - 1.0) / b.lam END AS y
+      FROM lineitem CROSS JOIN best b
+    ), z AS (
+      SELECT avg(y) AS mu, stddev_pop(y) AS sd FROM t
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((y - mu) / nullif(sd, 0.0), 6) + 0.0 AS price_ps
+    FROM t CROSS JOIN z
+    """,
+    category="ml",
+)
 def transform_power_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yeo-Johnson + z-score (`train.py:178-182`). λ fitted by a single
-    grid-MLE aggregate pass (vs sklearn's ~25 sequential Brent passes);
-    semantics pinned by tests/test_ml.py against a numpy reimplementation.
-    Rows-only: the λ-grid argmax isn't SQL-expressible in one statement."""
+    grid-MLE aggregate pass over a deterministic 1/10 key-sample (vs
+    sklearn's ~25 sequential Brent passes); the oracle independently
+    re-derives λ in SQL and must land on the same grid point."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
-    out = encoders.power_scale(li, "l_extendedprice", out="price_ps", fit_sample_mod=10)
+    out = encoders.power_scale(
+        li, "l_extendedprice", out="price_ps",
+        fit_filter=F.col("l_orderkey") % 10 == 0,
+    )
     return out.select(
         "l_orderkey", "l_linenumber", rnd(F.col("price_ps"), 6).alias("price_ps")
     )
@@ -215,6 +254,45 @@ def gen_validation_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_real="value",
         y_pred="yhat",
     )
+
+
+@query(
+    "model_ar1_forecast",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, value AS y,
+             lag(value, 1) {_W_SQL} AS yl,
+             ts
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             covar_pop(y, yl) / var_pop(yl) AS phi,
+             avg(CASE WHEN yl IS NOT NULL THEN y END) AS my,
+             avg(yl) AS mx,
+             arg_max(y, ts) AS ylast
+      FROM l GROUP BY user_id
+    ), b AS (
+      SELECT user_id, phi, my - phi * mx AS c, ylast,
+             CAST(k.step AS INT) AS step
+      FROM s CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) k
+    )
+    SELECT user_id, step,
+           round(c * coalesce((1.0 - pow(phi, step)) / nullif(1.0 - phi, 0.0),
+                              CAST(step AS DOUBLE))
+                 + pow(phi, step) * ylast, 4) + 0.0 AS yhat
+    FROM b
+    """,
+    category="ml",
+)
+def model_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form AR(1) fit + 5-step forecast per key — the fully
+    declarative twin of model_sarimax_per_group: the model IS an aggregate
+    (covar/var), so the oracle checks the forecasts exactly."""
+    ev = load(spark, sf_dir, "events")
+    out = models.ar1_forecast_closed_form(
+        ev, "value", key="user_id", order=["ts", "event_id"], steps=5
+    )
+    return out.select("user_id", "step", rnd(F.col("yhat"), 4).alias("yhat"))
 
 
 @query("model_sarimax_per_group", oracle=None, category="ml")

@@ -35,16 +35,54 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media(spark, sf_dir).select("asset_id", "mime", "n_bytes", "digest")
 
 
-@query("multimodal_feature_extract", oracle=None, category="multimodal")
+@query(
+    "multimodal_feature_extract",
+    # the deterministic decode stub derives features from the sha256 digest,
+    # which DuckDB can replay byte-for-byte (ASCII corpus: sha256(text) ==
+    # sha256(utf8 bytes)) — so even the STUB path gets a value-hash oracle;
+    # a real PIL decode would fall back to rows-only.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(32 + ('0x' || substr(sha256(text), 1, 2))::INT % 224 AS INT) AS width,
+           CAST(32 + ('0x' || substr(sha256(text), 3, 2))::INT % 224 AS INT) AS height,
+           3 AS n_channels,
+           round(('0x' || substr(sha256(text), 5, 2))::INT / 255.0, 6) + 0.0
+             AS mean_intensity
+    FROM documents
+    """,
+    category="multimodal",
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode + feature extraction over Arrow batches (decode
     stubbed deterministically — no codecs in this container; see
-    multimodal/ops.py). Rows-only: one feature row per asset, stable values."""
-    return ops.extract_features(_media(spark, sf_dir))
+    multimodal/ops.py). The stub's hash-derived features are mirrored by
+    the oracle, so the whole Arrow pipeline is value-checked."""
+    out = ops.extract_features(_media(spark, sf_dir))
+    return out.select(
+        "asset_id", "mime", "n_bytes", "width", "height", "n_channels",
+        (F.round(F.col("mean_intensity"), 6) + F.lit(0.0)).alias("mean_intensity"),
+    )
 
 
-@query("multimodal_frame_sample", oracle=None, category="multimodal")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS asset_id, text,
+             least(8, greatest(1, octet_length(encode(text)) // 64)) AS n_frames
+      FROM documents
+    )
+    SELECT asset_id, CAST(i AS INT) AS frame_idx,
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_digest
+    FROM f CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    WHERE i < n_frames
+    """,
+    category="multimodal",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (UDTF shape: rows expand per asset) through the same
-    Arrow pipeline. Rows-only: ≤8 frames per asset, deterministic digests."""
+    Arrow pipeline. The stub samples 64-byte windows; ASCII corpus means
+    byte windows ≡ char windows, so DuckDB mirrors the digests exactly."""
     return ops.sample_frames(_media(spark, sf_dir))
