@@ -43,14 +43,16 @@ def synthetic_quote_client(ticker: str, n_days: int) -> pd.DataFrame:
         move = ((h % 2001) - 1000) / 10000.0  # ±10%
         o = price
         c = price * (1.0 + move)
+        # raw doubles, no rounding: Python round() is banker's, SQL round()
+        # is half-away — emitting raw keeps the oracle mirror bit-exact
         rows.append(
             (
                 ticker,
                 day,
-                round(o, 4),
-                round(max(o, c) * 1.01, 4),
-                round(min(o, c) * 0.99, 4),
-                round(c, 4),
+                o,
+                max(o, c) * 1.01,
+                min(o, c) * 0.99,
+                c,
                 100_000 + h % 900_000,
             )
         )

@@ -12,15 +12,60 @@ from etl_aws_spark.registry import load, query
 from etl_aws_spark.sources import catalog, rest, writers
 
 
-@query("source_rest_api_batch", oracle=None, category="source")
+@query(
+    "source_rest_api_batch",
+    # the synthetic client is a sha256-seeded random walk — DuckDB replays
+    # it with the same left-fold product, so even the INGEST source is
+    # value-checked (a real HTTP client would fall back to rows-only)
+    oracle="""
+    WITH t AS (
+      SELECT n_name AS ticker,
+             20.0 + (('0x' || substr(sha256(n_name), 1, 8))::BIGINT % 1000) / 10.0 AS p0
+      FROM nation
+    ), d AS (
+      SELECT ticker, p0, CAST(x AS INT) AS day,
+             ('0x' || substr(sha256(ticker || ':' || x), 1, 8))::BIGINT AS h
+      FROM t CROSS JOIN (SELECT unnest(range(30)) AS x)
+    ), m AS (
+      SELECT ticker, p0, day, h,
+             ((h % 2001) - 1000) / 10000.0 AS move
+      FROM d
+    ), pre AS (
+      SELECT ticker, p0, day, h, move,
+             coalesce(list(1.0 + move) OVER (PARTITION BY ticker ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []) AS factors
+      FROM m
+    ), px AS (
+      SELECT ticker, day, h, move,
+             list_reduce(list_prepend(p0, factors), (acc, x) -> acc * x) AS o
+      FROM pre
+    )
+    SELECT ticker, day,
+           round(o, 4) + 0.0 AS open,
+           round(greatest(o, o * (1.0 + move)) * 1.01, 4) + 0.0 AS high,
+           round(least(o, o * (1.0 + move)) * 0.99, 4) + 0.0 AS low,
+           round(o * (1.0 + move), 4) + 0.0 AS close,
+           CAST(100000 + h % 900000 AS BIGINT) AS volume
+    FROM px
+    """,
+    category="source",
+)
 def source_rest_api_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed per-ticker REST fetch (`webscrapping.py:19-60`): the
     nation table stands in for the ticker dimension; the deterministic
     synthetic client stands in for yfinance (no network in this
-    environment). Rows-only: 25 tickers × 30 days = 750 rows; values are
-    hash-derived and identical on every run."""
+    environment). 25 tickers × 30 days, every OHLCV value hash-checked
+    against the SQL replay of the same walk."""
     tickers = load(spark, sf_dir, "nation").select(F.col("n_name").alias("ticker"))
-    return rest.fetch_quotes_batch(tickers, "ticker", n_days=30)
+    out = rest.fetch_quotes_batch(tickers, "ticker", n_days=30)
+    return out.select(
+        "ticker", "day",
+        (F.round("open", 4) + F.lit(0.0)).alias("open"),
+        (F.round("high", 4) + F.lit(0.0)).alias("high"),
+        (F.round("low", 4) + F.lit(0.0)).alias("low"),
+        (F.round("close", 4) + F.lit(0.0)).alias("close"),
+        "volume",
+    )
 
 
 @query("catalog_msck_repair", oracle=None, category="source")

@@ -59,10 +59,50 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_ann_lsh", oracle=None, category="similarity")
+def _duck_bucket(vec: str, n_planes: int = 4) -> str:
+    """DuckDB mirror of knn.lsh_bucket_col: same md5-derived plane
+    constants (repr round-trips the exact doubles), same left-fold dot, so
+    every sign bit — and therefore every bucket — matches bit-for-bit."""
+    terms = []
+    for p, w in enumerate(knn.hyperplanes(n_planes, _DIM)):
+        arr = "[" + ", ".join(repr(v) for v in w) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_DIM} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i])), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "similarity_topk_ann_lsh",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket FROM c WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('c.embedding', 'q.qvec')} AS cos
+      FROM c JOIN q USING (bucket)
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cos, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
 def similarity_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH buckets (4 sign bits →
-    16 buckets → ~16× less comparison work than brute force). Rows-only:
+    16 buckets → ~16× less comparison work than brute force). The oracle
+    replays the identical plane constants and fold order, so the bucket
+    assignment — and the approximate result — is value-checked exactly;
     recall vs the exact baseline is asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
