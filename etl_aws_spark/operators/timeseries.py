@@ -264,19 +264,18 @@ def interpolate_cascade(
         .join(F.broadcast(counts_sec), [sector], "left")
     )
 
-    # step 1: per-ticker ffill (pure window op, stays JVM-side)
-    w_tic = Window.partitionBy(ticker).orderBy(*order)
-    ffilled = base.withColumn(
-        value, F.last(value, ignorenulls=True).over(w_tic.rowsBetween(Window.unboundedPreceding, 0))
-    )
-
-    # step 2: choose interpolation group per row (industry > sector > global)
+    # Choose the interpolation group per row (industry > sector > global).
+    # A ticker maps to exactly ONE (sector, industry) pair and therefore to
+    # exactly one group, so every per-ticker step (initial ffill, the
+    # interpolation, the final ffill/bfill) runs INSIDE the grouped-map —
+    # one shuffle instead of four window exchanges (the plan audit caught
+    # the 14-exchange formulation).
     grp = (
-        F.when(F.col("_n_tic_ind") > 1, F.concat_ws("", F.lit("I"), sector, industry))
-        .when(F.col("_n_ind_sec") > 1, F.concat_ws("", F.lit("S"), sector))
+        F.when(F.col("_n_tic_ind") > 1, F.concat_ws("", F.lit("I"), sector, industry))
+        .when(F.col("_n_ind_sec") > 1, F.concat_ws("", F.lit("S"), sector))
         .otherwise(F.lit("G"))
     )
-    tagged = ffilled.withColumn("_igrp", grp)
+    tagged = base.withColumn("_igrp", grp)
 
     out_fields = [f for f in df.schema.fields]
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
@@ -287,6 +286,8 @@ def interpolate_cascade(
         import pandas as pd
 
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        # step 1: per-ticker ffill (the reference's first pass)
+        pdf[value] = pdf.groupby(ticker, sort=False)[value].ffill()
         x = pdf[value].to_numpy(dtype=float)
         isna = np.isnan(x)
         if isna.any() and (~isna).sum() >= 3:
@@ -307,22 +308,18 @@ def interpolate_cascade(
                 coef = np.polyfit(xs - xs[0], ys, 2)
                 x[i] = float(np.polyval(coef, i - xs[0]))
         pdf[value] = x
+        # step 3: final per-ticker edge repair
+        pdf[value] = pdf.groupby(ticker, sort=False)[value].ffill()
+        pdf[value] = pdf.groupby(ticker, sort=False)[value].bfill()
         return pdf[out_cols]
 
     interped = tagged.groupBy("_igrp").applyInPandas(interp, schema=schema)
 
-    # step 3: final per-ticker ffill + bfill, then global-mean fallback.
-    # The mean arrives via a broadcast cross join of a 1-row aggregate —
+    # global-mean fallback via a broadcast cross join of a 1-row aggregate —
     # never an unpartitioned window (which would funnel all rows through one
     # task at scale).
-    w_fwd = Window.partitionBy(ticker).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_bwd = Window.partitionBy(ticker).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-    filled = (
-        interped.withColumn(value, F.last(value, ignorenulls=True).over(w_fwd))
-        .withColumn(value, F.first(value, ignorenulls=True).over(w_bwd))
-    )
-    gmean = filled.agg(F.avg(value).alias("_gmean"))
-    repaired = filled.crossJoin(F.broadcast(gmean)).withColumn(
+    gmean = interped.agg(F.avg(value).alias("_gmean"))
+    repaired = interped.crossJoin(F.broadcast(gmean)).withColumn(
         value, F.coalesce(F.col(value), F.col("_gmean"))
     )
     return repaired.select(*out_cols)
