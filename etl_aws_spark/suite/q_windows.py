@@ -236,3 +236,32 @@ def window_rolling_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     resistance band feature; completes the `trailing` stat family."""
     df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     return ow.trailing(df, "value", 5, _w(), stats=("min", "max"))
+
+
+@query(
+    "window_rolling_mean_minp",
+    oracle=f"""
+    SELECT {_KEYS},
+           CASE WHEN count(value) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) = 3
+                THEN round(avg(value) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) + 0.0 END
+             AS rolling_mean_3_strict
+    FROM events
+    """,
+    category="window",
+)
+def window_rolling_mean_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing mean with pandas `min_periods=window` semantics: NULL until
+    the frame is FULL. The reference's two rolling paths disagree here
+    (SURVEY §1.2 hazard): `glue.py:192-194` emits partial-frame averages
+    then zero-fills; `preprocessing.py:329` (`shift(1).rolling(n).mean()`)
+    emits NaN for the first n-1 rows. `window_rolling_mean` is the glue
+    semantics; this query is the pandas semantics — both explicit engine
+    citizens so a pipeline can pick either, knowingly."""
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    frame = _w().rowsBetween(-3, -1)
+    strict = F.when(
+        F.count("value").over(frame) == 3, rnd(F.avg("value").over(frame))
+    )
+    return df.select("event_id", "user_id", "ts", strict.alias("rolling_mean_3_strict"))
