@@ -1,0 +1,46 @@
+"""Cleaning operators: MAD robustness, winsor bounds, sample determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import cleaning
+
+
+def test_mad_flags_planted_outlier_zscore_would_miss(spark):
+    # 30 tight values + 2 huge outliers per key: the outliers inflate the
+    # stddev (z-score misses the smaller one) but not the MAD
+    rows = []
+    for k in (1, 2):
+        rows += [(k, i, 100.0 + (i % 7) * 0.1) for i in range(30)]
+        rows += [(k, 100, 5000.0), (k, 101, 300.0)]
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+    out = cleaning.flag_outliers_mad(df, "x", "k", k=3.0).toPandas()
+    flagged = set(map(tuple, out[out.is_outlier == 1][["k", "i"]].values))
+    assert (1, 100) in flagged and (1, 101) in flagged
+    assert not any(i < 30 for _, i in flagged)
+
+
+def test_winsorize_clips_to_percentile_band(spark):
+    vals = [float(v) for v in range(1, 101)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    out = cleaning.winsorize(df, ["x"], lower=0.05, upper=0.95).toPandas()
+    lo, hi = np.percentile(vals, 5), np.percentile(vals, 95)
+    assert out["x"].min() == pytest.approx(lo)
+    assert out["x"].max() == pytest.approx(hi)
+    # interior values untouched
+    mid = out[(out.i >= 10) & (out.i < 90)].sort_values("i")["x"]
+    assert mid.tolist() == vals[10:90]
+
+
+def test_stratified_sample_deterministic_and_balanced(spark):
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    a = cleaning.stratified_sample_hash(df, "grp", "id", 25).toPandas()
+    b = cleaning.stratified_sample_hash(df, "grp", "id", 25).toPandas()
+    assert sorted(a.id) == sorted(b.id)  # pure function of the data
+    by = a.groupby("grp").size()
+    # each stratum near 25% of 500
+    assert ((by > 80) & (by < 175)).all(), by.to_dict()
