@@ -91,7 +91,11 @@ def arx_forecast_per_key(
     pattern.
     """
     order = list(order)
-    schema = f"`{key}` long, step int, yhat double"
+    # Derive the key field's type from the input schema: the reference keys
+    # series by ticker STRINGS (train.py:250), so hard-coding `long` would
+    # fail or miscast at the Arrow boundary for non-bigint keys.
+    key_type = df.schema[key].dataType.simpleString()
+    schema = f"`{key}` {key_type}, step int, yhat double"
 
     def fit_forecast(pdf):
         import numpy as np
@@ -183,10 +187,14 @@ def gbt_fit_predict(
     max_iter: int = 10,
     max_depth: int = 3,
     seed: int = 42,
+    fit_df: DataFrame | None = None,
 ):
-    """Fit a ``GBTRegressor`` on the feature columns and score the same frame
+    """Fit a ``GBTRegressor`` on the feature columns and score ``df``
     (`train.py:319-352` trains CatBoost/XGB/LGBM single-node; Spark ML trains
-    distributed). Returns (predictions DataFrame, fitted PipelineModel).
+    distributed). Pass ``fit_df`` to train on a (deterministic) sample while
+    scoring the full frame — each boosting iteration is a full pass over the
+    training data, so at scale you fit on a sample and score everything.
+    Returns (predictions DataFrame, fitted PipelineModel).
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import VectorAssembler
@@ -197,7 +205,7 @@ def gbt_fit_predict(
         featuresCol="_features", labelCol=target, predictionCol="yhat",
         maxIter=max_iter, maxDepth=max_depth, seed=seed, stepSize=0.1,
     )
-    model = Pipeline(stages=[assembler, gbt]).fit(df)
+    model = Pipeline(stages=[assembler, gbt]).fit(df if fit_df is None else fit_df)
     preds = model.transform(df).select(*keys, target, "yhat")
     return preds, model
 

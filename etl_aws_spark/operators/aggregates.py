@@ -82,10 +82,21 @@ def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
 
 
 def duplicate_row_count(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
-    """count(*) - count(distinct cols): fully-duplicated rows (`eda.ipynb` cell 25)."""
+    """count(*) - count(distinct <row>): fully-duplicated rows (`eda.ipynb`
+    cell 25, pandas ``df.duplicated().sum()``).
+
+    The distinct is taken over a STRUCT of the columns, not the bare column
+    list: SQL ``COUNT(DISTINCT c1, c2)`` skips any tuple containing a NULL,
+    which would count every null-bearing row as a "duplicate" — pandas
+    treats NaN == NaN for duplicated(). A struct is itself never NULL, so
+    null-bearing tuples participate as ordinary distinct values.
+    """
     cols = cols or df.columns
     return df.agg(
-        (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols])).alias("dup_rows")
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct(*[F.col(c) for c in cols]))
+        ).alias("dup_rows")
     )
 
 

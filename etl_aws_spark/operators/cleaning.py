@@ -32,12 +32,15 @@ def flag_outliers_mad(
         )
     )
     out = with_med.join(F.broadcast(mad), key)
+    # Degenerate-MAD policy: when >50% of a group's values equal the median,
+    # MAD is 0 and the k·MAD band collapses — fall back to flagging any
+    # deviation from the median (every non-median value is extreme relative
+    # to a group that is mostly constant). Never emits NULL.
+    dev = F.abs(F.col(value) - F.col("_med"))
     return out.withColumn(
         "is_outlier",
-        (
-            F.abs(F.col(value) - F.col("_med"))
-            > F.lit(k) * F.nullif(F.col("_mad"), F.lit(0.0))
-        ).cast("int"),
+        F.when(F.col("_mad") == 0.0, (dev > 0.0).cast("int"))
+        .otherwise((dev > F.lit(k) * F.col("_mad")).cast("int")),
     ).drop("_med", "_mad")
 
 

@@ -18,12 +18,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def salted(df: DataFrame, n_salts: int, salt_col: str = "_salt", deterministic_by: str | None = None) -> DataFrame:
+def salted(
+    df: DataFrame,
+    n_salts: int,
+    salt_col: str = "_salt",
+    deterministic_by: str | Sequence[str] | None = None,
+) -> DataFrame:
     """Append a salt in [0, n_salts). Deterministic when ``deterministic_by``
-    names a column (hash-mod — reproducible, test-friendly); otherwise
-    uniform random per row (better balance for truly degenerate keys)."""
+    names a column or columns (hash-mod — reproducible across runs and stage
+    retries; a retry of a lost partition re-derives the same salt from row
+    content, where F.rand would reassign); otherwise uniform random per row
+    (better balance for truly degenerate keys, but NOT retry-stable)."""
     if deterministic_by is not None:
-        salt = F.pmod(F.xxhash64(deterministic_by), F.lit(n_salts))
+        cols = [deterministic_by] if isinstance(deterministic_by, str) else list(deterministic_by)
+        salt = F.pmod(F.xxhash64(*cols), F.lit(n_salts))
     else:
         salt = (F.rand(seed=42) * n_salts).cast("int")
     return df.withColumn(salt_col, salt)
@@ -55,6 +63,9 @@ def salted_count_sum(
     )
 
 
+_REPLICATION_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def replicated_skew_join(
     big: DataFrame,
     small: DataFrame,
@@ -66,8 +77,21 @@ def replicated_skew_join(
     side across every salt (explode of a literal range — |small|×n_salts
     rows), join on (key, salt). Each shuffle partition receives at most
     |hot_key|/n_salts big-side rows. Use when the small side is too large to
-    broadcast but small enough to replicate n_salts times."""
-    big_s = salted(big, n_salts)
+    broadcast but small enough to replicate n_salts times.
+
+    Only big-side-preserving join types are accepted: under 'right'/'full'
+    every unmatched small-side row would be emitted once per salt copy —
+    n_salts duplicates — so those raise instead of silently corrupting.
+    The big-side salt is a deterministic hash of the whole row (varies
+    within a hot key, stable across stage retries — F.rand would reassign
+    rows to salts on a retry after repartition)."""
+    if how not in _REPLICATION_SAFE_HOW:
+        raise ValueError(
+            f"replicated_skew_join: how={how!r} is not replication-safe; "
+            f"unmatched small-side rows would duplicate {n_salts}x. "
+            f"Use one of {sorted(_REPLICATION_SAFE_HOW)}."
+        )
+    big_s = salted(big, n_salts, deterministic_by=big.columns)
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -56,11 +56,27 @@ def read_csv(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic fixture table, normalizing nano-timestamps."""
+    """Read one synthetic fixture table, normalizing nano-timestamps.
+
+    The ``nanosAsLong`` flag is consulted only at schema-inference time (the
+    eager footer read inside ``spark.read.parquet``), so it is scoped to
+    exactly that call and the prior value restored in a ``finally`` — later
+    parquet reads in the same session see TIMESTAMP(NANOS) columns of
+    non-fixture tables fail loudly instead of silently decoding as longs.
+    """
     nanos = _NANOS_COLS.get(name, [])
     if nanos:
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos:
         if isinstance(df.schema[c].dataType, T.LongType):
             # integral `div` — float division would lose precision on ~1e18 ns

@@ -16,7 +16,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = "key long, ts timestamp, value double, ewma double, n bigint"
 STATE_SCHEMA = "ewma double, n bigint"
 
 
@@ -37,31 +36,54 @@ def ewma_stateful(
     batch result exactly (pinned in tests/test_streaming_stateful.py).
     """
     alpha = 2.0 / (span + 1.0)
-    beta = (span - 1.0) / (span + 1.0)
+    # Key dtype follows the input schema — the reference keys series by
+    # ticker strings, so a hard-coded `key long` would miscast at the Arrow
+    # boundary for non-bigint keys.
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = f"key {key_type}, ts timestamp, value double, ewma double, n bigint"
 
     def update(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (k,) = key_tuple
         acc, n = state.get if state.exists else (None, 0)
-        out = []
-        for pdf in pdfs:
-            # columns arrive renamed to (key, ts, value) by the selectExpr
-            pdf = pdf.sort_values(["ts"], kind="mergesort")
-            for _, row in pdf.iterrows():
-                x = float(row["value"])
-                acc = x if acc is None else alpha * x + beta * acc
-                n += 1
-                out.append((k, row["ts"], x, acc, n))
+        # columns arrive renamed to (key, ts, value) by the selectExpr
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts"], kind="mergesort"
+        )
+        if len(pdf):
+            # Vectorized adjust=False fold seeded by the carried-in
+            # accumulator: prepend the state row, ewm, drop it — identical
+            # recurrence e_t = α·x_t + (1−α)·e_{t−1}, no per-row Python.
+            x = pdf["value"].astype(float)
+            if acc is None:
+                ewma = x.ewm(alpha=alpha, adjust=False).mean()
+            else:
+                seeded = pd.concat([pd.Series([acc]), x], ignore_index=True)
+                ewma = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+                ewma.index = x.index
+            acc = float(ewma.iloc[-1])
+            out = pd.DataFrame(
+                {
+                    "key": k,
+                    "ts": pdf["ts"],
+                    "value": x,
+                    "ewma": ewma,
+                    "n": n + pd.RangeIndex(1, len(pdf) + 1),
+                }
+            )
+            n += len(pdf)
+        else:
+            out = pd.DataFrame(columns=["key", "ts", "value", "ewma", "n"])
         state.update((acc, n))
-        yield pd.DataFrame(out, columns=["key", "ts", "value", "ewma", "n"])
+        yield out
 
     return (
         df.selectExpr(f"{key} AS key", f"{ts_col} AS ts", f"{value} AS value")
         .groupBy("key")
         .applyInPandasWithState(
             update,
-            outputStructType=OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -49,13 +49,19 @@ def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_returnflag = 'N' AS INTEGER) AS l_returnflag__N,
            CAST(l_returnflag = 'R' AS INTEGER) AS l_returnflag__R
     FROM lineitem
+    WHERE l_orderkey % 5 = 0
     """,
     category="ml",
 )
 def encode_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized one-hot indicators over a fixed vocabulary
-    (`train.py:171-175`, handle_unknown='ignore')."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    (`train.py:171-175`, handle_unknown='ignore'). Gate projection is a
+    deterministic 1/5 key-slice to bound driver-side hashing."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
     return encoders.onehot_encode(li, "l_returnflag", ["A", "N", "R"])
 
 
@@ -128,6 +134,7 @@ def impute_mean_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round((y - mu) / nullif(sd, 0.0), 6) + 0.0 AS price_ps
     FROM t CROSS JOIN z
+    WHERE l_orderkey % 5 = 0
     """,
     category="ml",
 )
@@ -141,7 +148,7 @@ def transform_power_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", out="price_ps",
         fit_filter=F.col("l_orderkey") % 10 == 0,
     )
-    return out.select(
+    return out.filter(F.col("l_orderkey") % 5 == 0).select(
         "l_orderkey", "l_linenumber", rnd(F.col("price_ps"), 6).alias("price_ps")
     )
 
@@ -310,17 +317,27 @@ def model_sarimax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("model_gbt_fit_predict", oracle=None, category="ml")
 def model_gbt_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed GBT regression via Spark ML (`train.py:319-352`): assemble
-    → GBTRegressor(seed=42) → score. Rows-only (tree ensembles aren't
+    → GBTRegressor(seed=42) → score. Fit on the deterministic 20% hash-sample
+    (iterative full-pass training in a query path is the classic scale-killer
+    — at 100 TB you fit on a sample and SCORE the full data), score
+    everything, return per-flag error aggregates rather than shipping every
+    prediction to the driver. Rows-only (tree ensembles aren't
     SQL-expressible); error aggregates are checked in tests/test_ml.py."""
     li = load(spark, sf_dir, "lineitem")
+    fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
     preds, _ = models.gbt_fit_predict(
         li,
         features=["l_quantity", "l_discount", "l_tax"],
         target="l_extendedprice",
-        keys=["l_orderkey", "l_linenumber"],
+        keys=["l_orderkey", "l_linenumber", "l_returnflag"],
+        max_iter=5,
+        fit_df=fit_df,
     )
-    return preds.select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", rnd(F.col("yhat"), 4).alias("yhat")
+    err = F.col("l_extendedprice") - F.col("yhat")
+    return preds.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        rnd(F.avg(F.abs(err)), 4).alias("mae"),
     )
 
 
@@ -329,13 +346,13 @@ def model_persist_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model persistence round trip (`utils.py:8-13`): save the fitted
     pipeline with Spark ML's writer, reload, re-score, and report parity.
     Rows-only: returns a single audit row."""
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     preds, model = models.gbt_fit_predict(
         li,
         features=["l_quantity", "l_discount"],
         target="l_extendedprice",
         keys=["l_orderkey", "l_linenumber"],
-        max_iter=3,
+        max_iter=2,
     )
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join("/tmp/etl_aws_spark_cache", tag, "gbt_model")

@@ -23,6 +23,20 @@ def test_mad_flags_planted_outlier_zscore_would_miss(spark):
     assert not any(i < 30 for _, i in flagged)
 
 
+def test_mad_zero_group_still_flags_wild_value(spark):
+    # Degenerate-MAD group: 20 constant values + one wild one. MAD is 0, so
+    # the k*MAD band collapses; the fallback flags any deviation from the
+    # median instead of emitting NULL for the whole group.
+    rows = [(1, i, 42.0) for i in range(20)] + [(1, 99, 9000.0)]
+    rows += [(2, i, float(i)) for i in range(21)]  # healthy group for contrast
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+    out = cleaning.flag_outliers_mad(df, "x", "k", k=3.0).toPandas()
+    g1 = out[out.k == 1]
+    assert g1.is_outlier.notna().all()  # never NULL
+    assert set(g1[g1.is_outlier == 1].i) == {99}
+    assert (g1[g1.i != 99].is_outlier == 0).all()
+
+
 def test_winsorize_clips_to_percentile_band(spark):
     vals = [float(v) for v in range(1, 101)]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")

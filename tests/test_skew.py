@@ -44,3 +44,12 @@ def test_replicated_skew_join_matches_plain(spark, skewed):
     plain_left = skewed.join(dim_small, "k", "left").count()
     salted_left = skew.replicated_skew_join(skewed, dim_small, "k", n_salts=4, how="left").count()
     assert plain_left == salted_left == skewed.count()
+
+
+def test_replicated_skew_join_rejects_small_side_preserving_how(spark, skewed):
+    # 'right'/'full' would emit each unmatched small-side row once per salt
+    # copy (n_salts duplicates) — must refuse loudly, not corrupt silently.
+    dim = spark.createDataFrame([(99, "orphan")], "k long, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="not replication-safe"):
+            skew.replicated_skew_join(skewed, dim, "k", n_salts=4, how=how)
