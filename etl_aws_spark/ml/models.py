@@ -71,26 +71,114 @@ def validation_frame(
 # Per-key autoregressive forecasting (train.py:250-291)
 # ---------------------------------------------------------------------------
 
+def hannan_rissanen_armax(
+    y,
+    X=None,
+    X_future=None,
+    steps: int = 5,
+    n_iter: int = 2,
+):
+    """Pure-numpy ARMAX(1, 0, 1) fit + h-step forecast — the estimator
+    behind :func:`arx_forecast_per_key`, factored out so tests can pin the
+    Spark output against this exact function (tests/test_ml.py).
+
+    Hannan–Rissanen two-stage least squares, the classical statsmodels-free
+    route to the reference's SARIMAX(1,0,1)-with-exog per ticker
+    (`train.py:250-291`, ``ORDEM_ARIMA = (1, 0, 1)``):
+
+    1. long-AR stage: OLS of y_t on [1, y_{t-1..t-p_long}, x_t] gives
+       innovation estimates ê_t (ê := 0 before the window);
+    2. ARMAX stage: OLS of y_t on [1, y_{t-1}, ê_{t-1}, x_t] gives
+       (c, φ, θ, β);
+    3. ``n_iter`` refinements: rebuild ê from the fitted recursion
+       ê_t = y_t − (c + φ·y_{t-1} + θ·ê_{t-1} + β·x_t), refit stage 2.
+
+    Forecasts use the standard conditional expectation: step 1 carries the
+    last in-sample innovation through θ, steps ≥ 2 have E[e] = 0, the AR
+    term telescopes on its own forecasts. ``X_future`` (steps × k) supplies
+    future exog; defaults to the last observed row held constant.
+
+    Returns (params dict, np.ndarray forecasts of length ``steps``).
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    if X is not None:
+        X = np.asarray(X, dtype=float)
+        if X.ndim == 1:
+            X = X[:, None]
+        k_x = X.shape[1]
+    else:
+        k_x = 0
+    if n < 8:  # too short for two-stage estimation: mean forecast
+        mu = float(y.mean()) if n else float("nan")
+        return {"c": mu, "phi": 0.0, "theta": 0.0, "beta": [0.0] * k_x}, np.full(steps, mu)
+
+    def _x(t0, t1):
+        return [X[t0:t1]] if k_x else []
+
+    # stage 1: long autoregression for innovation estimates
+    p_long = int(min(max(4, round(np.sqrt(n))), n // 2 - 1))
+    rows = n - p_long
+    design = np.column_stack(
+        [np.ones(rows)]
+        + [y[p_long - j - 1 : n - j - 1] for j in range(p_long)]
+        + _x(p_long, n)
+    )
+    coef, *_ = np.linalg.lstsq(design, y[p_long:], rcond=None)
+    e = np.zeros(n)
+    e[p_long:] = y[p_long:] - design @ coef
+
+    # stage 2 (+ refinements): ARMAX(1,1) regression on lagged y and ê
+    c = phi = theta = 0.0
+    beta = np.zeros(k_x)
+    for _ in range(1 + n_iter):
+        d2 = np.column_stack([np.ones(n - 1), y[:-1], e[:-1]] + _x(1, n))
+        coef2, *_ = np.linalg.lstsq(d2, y[1:], rcond=None)
+        c, phi, theta = float(coef2[0]), float(coef2[1]), float(coef2[2])
+        beta = coef2[3:]
+        # rebuild innovations from the fitted recursion (e_0 := 0)
+        e = np.zeros(n)
+        for t in range(1, n):
+            xb = float(X[t] @ beta) if k_x else 0.0
+            e[t] = y[t] - (c + phi * y[t - 1] + theta * e[t - 1] + xb)
+
+    if k_x:
+        if X_future is None:
+            X_future = np.repeat(X[-1][None, :], steps, axis=0)
+        else:
+            X_future = np.asarray(X_future, dtype=float).reshape(steps, k_x)
+    fc = np.empty(steps)
+    prev, e_prev = y[-1], e[-1]
+    for h in range(steps):
+        xb = float(X_future[h] @ beta) if k_x else 0.0
+        fc[h] = c + phi * prev + theta * e_prev + xb
+        prev, e_prev = fc[h], 0.0  # E[e_{n+h}] = 0 for h >= 1
+    params = {"c": c, "phi": phi, "theta": theta, "beta": [float(b) for b in beta]}
+    return params, fc
+
+
 def arx_forecast_per_key(
     df: DataFrame,
     value: str,
     key: str,
     order: Sequence[str],
     steps: int,
-    ar_order: int = 1,
+    exog: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-key AR(p)-with-trend fit + h-step forecast via ``applyInPandas``
-    (`train.py:250-291` fits SARIMAX(1,0,1) per ticker; statsmodels is not
-    available in this environment, so the estimator is an exact-OLS ARX(p)
-    fitted with ``numpy.linalg.lstsq`` — same applyInPandas plumbing, same
-    output shape, deterministic). If statsmodels is importable it is used
-    instead (SARIMAX(1,0,1)).
+    """Per-key ARMAX(1, 0, 1) fit + h-step forecast via ``applyInPandas``,
+    mirroring `train.py:250-291` (SARIMAX(1,0,1) with exogenous regressors
+    per ticker, ``treinar_sarimax_por_acao_com_exog``). The estimator is
+    :func:`hannan_rissanen_armax` — pure numpy, deterministic, no
+    statsmodels dependency; future exog holds the last observed row.
 
     Output: (key, step, yhat) with step ∈ 1..steps. One shuffle on the key;
     each group is one ticker's history (bounded), the canonical grouped-map
-    pattern.
+    pattern — at 100 TB the shuffle carries only (key, order, value, exog).
     """
     order = list(order)
+    exog = list(exog)
     # Derive the key field's type from the input schema: the reference keys
     # series by ticker STRINGS (train.py:250), so hard-coding `long` would
     # fail or miscast at the Arrow boundary for non-bigint keys.
@@ -103,34 +191,18 @@ def arx_forecast_per_key(
 
         pdf = pdf.sort_values(order, kind="mergesort")
         y = pdf[value].to_numpy(dtype=float)
+        X = pdf[exog].to_numpy(dtype=float) if exog else None
         k = pdf[key].iloc[0]
-        try:  # optional native path
-            from statsmodels.tsa.statespace.sarimax import SARIMAX  # noqa
-
-            model = SARIMAX(y, order=(1, 0, 1)).fit(disp=False)
-            fc = model.forecast(steps)
-        except Exception:
-            p = ar_order
-            if len(y) <= p + 2:
-                fc = np.full(steps, y.mean() if len(y) else np.nan)
-            else:
-                X = np.column_stack(
-                    [np.ones(len(y) - p)] + [y[p - j - 1 : len(y) - j - 1] for j in range(p)]
-                )
-                beta, *_ = np.linalg.lstsq(X, y[p:], rcond=None)
-                hist = list(y)
-                fc = []
-                for _ in range(steps):
-                    x = np.array([1.0] + [hist[-j - 1] for j in range(p)])
-                    nxt = float(x @ beta)
-                    fc.append(nxt)
-                    hist.append(nxt)
-                fc = np.array(fc)
+        _, fc = hannan_rissanen_armax(y, X, steps=steps)
         return pd.DataFrame(
             {key: k, "step": np.arange(1, steps + 1, dtype="int32"), "yhat": fc}
         )
 
-    return df.select(key, *order, value).groupBy(key).applyInPandas(fit_forecast, schema=schema)
+    return (
+        df.select(key, *order, value, *exog)
+        .groupBy(key)
+        .applyInPandas(fit_forecast, schema=schema)
+    )
 
 
 def ar1_forecast_closed_form(

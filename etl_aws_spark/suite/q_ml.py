@@ -304,12 +304,25 @@ def model_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("model_sarimax_per_group", oracle=None, category="ml")
 def model_sarimax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key autoregressive fit + 5-step forecast via applyInPandas
-    (`train.py:250-291`). statsmodels SARIMAX when importable, exact-OLS
-    ARX(1) otherwise (this environment). Rows-only: 5 forecast rows per key."""
+    """Per-key ARMAX(1,0,1)-with-exog fit + 5-step forecast via
+    applyInPandas, mirroring `train.py:250-291`
+    (``treinar_sarimax_por_acao_com_exog``, ``ORDEM_ARIMA = (1, 0, 1)``):
+    Hannan-Rissanen two-stage OLS in pure numpy — AR(1) + MA(1) + exogenous
+    calendar regressors (cyclic day-of-week, built as Spark columns before
+    the grouped map). Rows-only: ARMA estimation isn't SQL-expressible;
+    parameter recovery and Spark-vs-local exactness are pinned in
+    tests/test_ml.py."""
     ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts").cast("double")
+    ev = ev.withColumns(
+        {
+            "x_dow_sin": F.sin(dow * (2.0 * 3.141592653589793 / 7.0)),
+            "x_dow_cos": F.cos(dow * (2.0 * 3.141592653589793 / 7.0)),
+        }
+    )
     out = models.arx_forecast_per_key(
-        ev, "value", key="user_id", order=["ts", "event_id"], steps=5
+        ev, "value", key="user_id", order=["ts", "event_id"], steps=5,
+        exog=["x_dow_sin", "x_dow_cos"],
     )
     return out.select("user_id", "step", rnd(F.col("yhat"), 4).alias("yhat"))
 

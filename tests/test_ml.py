@@ -95,6 +95,77 @@ def test_arx_forecast_recovers_ar1(spark):
     np.testing.assert_allclose(out["yhat"].to_numpy(), expect, rtol=1e-6)
 
 
+def test_armax_recovers_arma11_and_exog_params():
+    # ARMAX(1,0,1): y_t = 1 + 0.6 y_{t-1} + 2.5 x_t + e_t + 0.4 e_{t-1}.
+    # Hannan-Rissanen is consistent: with n=4000 the estimates should land
+    # close to truth (pure numpy, no Spark needed).
+    rng = np.random.RandomState(7)
+    n = 4000
+    x = np.sin(np.arange(n) * 0.37) + 0.1 * rng.randn(n)
+    e = rng.randn(n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 1.0 + 0.6 * y[t - 1] + 2.5 * x[t] + e[t] + 0.4 * e[t - 1]
+    params, fc = models.hannan_rissanen_armax(y, x, steps=5)
+    assert abs(params["phi"] - 0.6) < 0.08
+    assert abs(params["theta"] - 0.4) < 0.10
+    assert abs(params["beta"][0] - 2.5) < 0.15
+    assert abs(params["c"] - 1.0) < 0.25
+    assert np.isfinite(fc).all()
+
+
+def test_armax_ma_term_improves_one_step_fit():
+    # On pure ARMA(1,1) data the full estimator's in-sample innovations must
+    # be closer to the true shocks than an AR(1)-only fit's residuals —
+    # i.e. the MA term genuinely does work (the round-1 gap vs the
+    # reference's SARIMAX(1,0,1), train.py:250-291).
+    rng = np.random.RandomState(11)
+    n = 3000
+    e = rng.randn(n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.5 * y[t - 1] + e[t] + 0.7 * e[t - 1]
+    params, _ = models.hannan_rissanen_armax(y, steps=1)
+    assert abs(params["theta"] - 0.7) < 0.10
+    # AR(1)-only residual variance is inflated by the unmodeled MA component
+    phi_ar = np.cov(y[1:], y[:-1])[0, 1] / np.var(y[:-1])
+    var_ar = np.var(y[1:] - phi_ar * y[:-1])
+    # rebuild ARMAX innovations
+    c, phi, theta = params["c"], params["phi"], params["theta"]
+    eh = np.zeros(n)
+    for t in range(1, n):
+        eh[t] = y[t] - (c + phi * y[t - 1] + theta * eh[t - 1])
+    assert np.var(eh[1:]) < 0.92 * var_ar
+
+
+def test_armax_spark_matches_local_exactly(spark):
+    # The grouped-map output must equal hannan_rissanen_armax applied per
+    # key locally — same float ops, Arrow round-trip is exact.
+    rng = np.random.RandomState(3)
+    rows = []
+    series = {}
+    for k in (1, 2, 3):
+        y = np.cumsum(rng.randn(60)) + 10.0 * k
+        x = rng.randn(60)
+        series[k] = (y, x)
+        rows += [(k, i, float(y[i]), float(x[i])) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, t long, y double, x double")
+    out = (
+        models.arx_forecast_per_key(df, "y", key="k", order=["t"], steps=4, exog=["x"])
+        .toPandas()
+        .sort_values(["k", "step"])
+    )
+    for k, (y, x) in series.items():
+        _, fc = models.hannan_rissanen_armax(y, x, steps=4)
+        got = out[out.k == k]["yhat"].to_numpy()
+        np.testing.assert_array_equal(got, fc)
+
+
+def test_armax_short_series_mean_fallback():
+    params, fc = models.hannan_rissanen_armax(np.array([3.0, 5.0, 7.0]), steps=2)
+    np.testing.assert_allclose(fc, [5.0, 5.0])
+
+
 def test_validation_frame_aligns_on_keys(spark):
     a = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id long, y double")
     p = spark.createDataFrame([(3, 31.0), (1, 9.0)], "id long, yhat double")
