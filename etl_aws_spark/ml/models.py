@@ -251,6 +251,43 @@ def ar1_forecast_closed_form(
 # Gradient-boosted trees via Spark ML (train.py:319-352)
 # ---------------------------------------------------------------------------
 
+def _gbt_pipeline(
+    features: Sequence[str],
+    target: str,
+    categorical: Sequence[str] = (),
+    max_iter: int = 10,
+    max_depth: int = 3,
+    step_size: float = 0.1,
+    seed: int = 42,
+):
+    """Assemble the StringIndexer* → VectorAssembler → GBTRegressor pipeline.
+
+    Categorical columns take the reference's CatBoost ``cat_features`` role
+    (`train.py:319-352`): StringIndexer (handleInvalid='keep' so unseen
+    levels score instead of failing) feeds the indexed column to the trees,
+    which split natively on the index — no one-hot blow-up.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    categorical = list(categorical)
+    indexers = [
+        StringIndexer(inputCol=c, outputCol=f"_idx_{c}", handleInvalid="keep")
+        for c in categorical
+    ]
+    assembler = VectorAssembler(
+        inputCols=list(features) + [f"_idx_{c}" for c in categorical],
+        outputCol="_features",
+    )
+    gbt = GBTRegressor(
+        featuresCol="_features", labelCol=target, predictionCol="yhat",
+        maxIter=max_iter, maxDepth=max_depth, seed=seed, stepSize=step_size,
+        maxBins=64,
+    )
+    return Pipeline(stages=[*indexers, assembler, gbt])
+
+
 def gbt_fit_predict(
     df: DataFrame,
     features: Sequence[str],
@@ -260,26 +297,122 @@ def gbt_fit_predict(
     max_depth: int = 3,
     seed: int = 42,
     fit_df: DataFrame | None = None,
+    categorical: Sequence[str] = (),
 ):
     """Fit a ``GBTRegressor`` on the feature columns and score ``df``
     (`train.py:319-352` trains CatBoost/XGB/LGBM single-node; Spark ML trains
     distributed). Pass ``fit_df`` to train on a (deterministic) sample while
     scoring the full frame — each boosting iteration is a full pass over the
     training data, so at scale you fit on a sample and score everything.
-    Returns (predictions DataFrame, fitted PipelineModel).
+    ``categorical`` columns go through StringIndexer into the trees (the
+    CatBoost ``cat_features`` analogue). Returns (predictions DataFrame,
+    fitted PipelineModel).
     """
-    from pyspark.ml import Pipeline
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import GBTRegressor
-
-    assembler = VectorAssembler(inputCols=list(features), outputCol="_features")
-    gbt = GBTRegressor(
-        featuresCol="_features", labelCol=target, predictionCol="yhat",
-        maxIter=max_iter, maxDepth=max_depth, seed=seed, stepSize=0.1,
+    pipe = _gbt_pipeline(
+        features, target, categorical=categorical,
+        max_iter=max_iter, max_depth=max_depth, seed=seed,
     )
-    model = Pipeline(stages=[assembler, gbt]).fit(df if fit_df is None else fit_df)
+    model = pipe.fit(df if fit_df is None else fit_df)
     preds = model.transform(df).select(*keys, target, "yhat")
     return preds, model
+
+
+def gbt_grid_search_temporal(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    time_col: str,
+    grid: Sequence[dict] | None = None,
+    n_splits: int = 2,
+    categorical: Sequence[str] = (),
+    seed: int = 42,
+    refit: bool = True,
+    fit_partitions: int | None = None,
+):
+    """Hyperparameter search over ``GBTRegressor`` with EXPANDING-WINDOW
+    temporal folds — the reference's ``RandomizedSearchCV(cv=TimeSeriesSplit)``
+    shape (`train.py:14`, `notebooks/model_evaluation.ipynb` XGB/LGBM/CatBoost
+    grids). Spark ML's CrossValidator randomizes folds, which leaks future
+    rows into training for time-series data, so the folds here are built by
+    exact time-percentile cutoffs: fold i trains on the first (i+1)/(k+1) of
+    the timeline and validates on the next 1/(k+1) slice.
+
+    Each candidate×fold fit is a distributed Spark job (same execution model
+    as CrossValidator); candidates are ranked by mean validation RMSE.
+    Returns (results DataFrame ordered best-first, best PipelineModel refit
+    on the full frame). The results frame is driver-built but tiny
+    (|grid| rows) — the data never leaves the cluster.
+    """
+    if grid is None:
+        grid = [
+            {"max_depth": d, "max_iter": it, "step_size": s}
+            for d in (3, 5)
+            for it in (5, 10)
+            for s in (0.1,)
+        ]
+    # exact percentile cutoffs over the timeline (one tiny aggregate row)
+    fracs = [i / (n_splits + 1.0) for i in range(1, n_splits + 2)]
+    cuts = df.agg(
+        *[
+            F.percentile(F.col(time_col).cast("double"), F.lit(q)).alias(f"c{i}")
+            for i, q in enumerate(fracs)
+        ]
+    ).first()
+    folds = []
+    t = F.col(time_col).cast("double")
+    for i in range(n_splits):
+        train = df.filter(t <= F.lit(cuts[i]))
+        val = df.filter((t > F.lit(cuts[i])) & (t <= F.lit(cuts[i + 1])))
+        if fit_partitions:
+            # searches run on a small sample — right-size its partition
+            # count so each boosting iteration isn't dominated by empty-task
+            # scheduling overhead
+            train, val = train.coalesce(fit_partitions), val.coalesce(fit_partitions)
+        # every candidate re-reads each fold: persist once, not |grid| scans
+        folds.append((train.persist(), val.persist()))
+
+    rows = []
+    for params in grid:
+        rmses = []
+        for train, val in folds:
+            pipe = _gbt_pipeline(
+                features, target, categorical=categorical, seed=seed, **params
+            )
+            model = pipe.fit(train)
+            err = F.col(target) - F.col("yhat")
+            rmse = (
+                model.transform(val)
+                .agg(F.sqrt(F.avg(err * err)).alias("rmse"))
+                .first()["rmse"]
+            )
+            rmses.append(float(rmse))
+        rows.append((params["max_depth"], params["max_iter"], params["step_size"],
+                     sum(rmses) / len(rmses)))
+
+    spark = df.sparkSession
+    res = spark.createDataFrame(
+        rows, "max_depth int, max_iter int, step_size double, avg_rmse double"
+    )
+    res = res.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("avg_rmse").asc(), F.col("max_depth").asc(),
+                F.col("max_iter").asc(), F.col("step_size").asc(),
+            )
+        ).cast("int"),
+    )
+    best_model = None
+    if refit:
+        best = min(rows, key=lambda r: (r[3], r[0], r[1], r[2]))
+        best_params = {"max_depth": best[0], "max_iter": best[1], "step_size": best[2]}
+        best_model = _gbt_pipeline(
+            features, target, categorical=categorical, seed=seed, **best_params
+        ).fit(df)
+    for train, val in folds:
+        train.unpersist()
+        val.unpersist()
+    return res, best_model
 
 
 def persist_pipeline(model, path: str):

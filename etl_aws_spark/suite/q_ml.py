@@ -354,6 +354,42 @@ def model_gbt_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("model_gbt_grid_search", oracle=None, category="ml")
+def model_gbt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter search with expanding-window temporal folds — the
+    reference's RandomizedSearchCV/HalvingRandomSearchCV over TimeSeriesSplit
+    (`train.py:14,293-352`, model_evaluation.ipynb grids) re-expressed for
+    Spark ML: exact time-percentile fold cutoffs (no future leakage, unlike
+    CrossValidator's random folds), one distributed fit per candidate x fold,
+    candidates ranked by mean validation RMSE. Categorical feature goes
+    through StringIndexer into the trees (CatBoost cat_features analogue).
+    Fits run on the deterministic 10% hash-sample — at 100 TB you search on
+    a sample and refit the winner. Rows-only: |grid| ranked rows."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .withColumn("_t", F.col("l_shipdate").cast("timestamp").cast("double"))
+    )
+    grid = [
+        {"max_depth": d, "max_iter": it, "step_size": 0.1}
+        for d in (2, 4) for it in (2, 4)
+    ]
+    res, _ = models.gbt_grid_search_temporal(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        target="l_extendedprice",
+        time_col="_t",
+        grid=grid,
+        n_splits=1,
+        categorical=["l_returnflag"],
+        refit=False,
+        fit_partitions=8,
+    )
+    return res.select(
+        "max_depth", "max_iter", "step_size", rnd(F.col("avg_rmse"), 4).alias("avg_rmse"), "rank"
+    )
+
+
 @query("model_persist_pickle", oracle=None, category="ml")
 def model_persist_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model persistence round trip (`utils.py:8-13`): save the fitted

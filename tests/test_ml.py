@@ -95,6 +95,51 @@ def test_arx_forecast_recovers_ar1(spark):
     np.testing.assert_allclose(out["yhat"].to_numpy(), expect, rtol=1e-6)
 
 
+def test_gbt_grid_search_temporal_ranks_capacity(spark):
+    # y depends on q through a 6-step staircase: depth-1 trees underfit it,
+    # depth-4 trees nail it. The temporal grid search must rank the deeper
+    # model first and its holdout RMSE must beat the shallow one's.
+    rng = np.random.RandomState(5)
+    rows = []
+    for t in range(1200):
+        q = rng.uniform(0, 12)
+        y = float(np.floor(q / 2.0) * 10.0 + rng.randn() * 0.1)
+        rows.append((t, float(q), y))
+    df = spark.createDataFrame(rows, "t long, q double, y double")
+    grid = [
+        {"max_depth": 1, "max_iter": 3, "step_size": 0.5},
+        {"max_depth": 4, "max_iter": 3, "step_size": 0.5},
+    ]
+    res, best = models.gbt_grid_search_temporal(
+        df, ["q"], "y", time_col="t", grid=grid, n_splits=2, fit_partitions=4
+    )
+    pdf = res.toPandas().sort_values("rank")
+    assert pdf.iloc[0].max_depth == 4  # capacity wins
+    assert pdf.iloc[0].avg_rmse < 0.5 * pdf.iloc[1].avg_rmse
+    # refit model scores the full frame
+    preds = best.transform(df)
+    err = preds.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).collect()[0][0]
+    assert err < 1.0
+
+
+def test_gbt_categorical_feature_via_indexer(spark):
+    # y = 100*level(cat) + noise: numeric-only GBT can't see the signal,
+    # the StringIndexer path (CatBoost cat_features analogue) captures it.
+    rng = np.random.RandomState(9)
+    lv = {"a": 0.0, "b": 100.0, "c": 200.0}
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(lv[["a", "b", "c"][i % 3]] + rng.randn()))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    df = df.withColumn("noise", F.lit(1.0))
+    preds, _ = models.gbt_fit_predict(
+        df, ["noise"], "y", keys=["id"], max_iter=5, categorical=["cat"]
+    )
+    err = preds.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).collect()[0][0]
+    assert err < 5.0  # vs ~82 for the no-signal numeric-only model
+
+
 def test_armax_recovers_arma11_and_exog_params():
     # ARMAX(1,0,1): y_t = 1 + 0.6 y_{t-1} + 2.5 x_t + e_t + 0.4 e_{t-1}.
     # Hannan-Rissanen is consistent: with n=4000 the estimates should land
