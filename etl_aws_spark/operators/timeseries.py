@@ -252,17 +252,19 @@ def interpolate_cascade(
     import numpy as np  # noqa: F401  (used inside the UDF)
 
     order = list(order)
-    counts_ind = df.groupBy(sector, industry).agg(
-        F.countDistinct(ticker).alias("_n_tic_ind")
-    )
-    counts_sec = df.groupBy(sector).agg(
-        F.countDistinct(ticker).alias("_n_tic_sec"),
-        F.countDistinct(industry).alias("_n_ind_sec"),
-    )
-    base = (
-        df.join(F.broadcast(counts_ind), [sector, industry], "left")
-        .join(F.broadcast(counts_sec), [sector], "left")
-    )
+    # Gating counts in ONE chain instead of two separate countDistinct
+    # aggregates (round-1 plan: 10 exchanges): a ticker maps to exactly one
+    # (sector, industry), so distinct(sector, industry, ticker) is tiny
+    # (#tickers rows); per-industry ticker counts are a plain count over it,
+    # and per-sector industry counts are a plain count over THAT (its rows
+    # are already distinct industries). The two branches off `ci` share one
+    # physical shuffle via exchange reuse; both sides of the dim join are
+    # dimension-sized, and the fact table sees a single broadcast join.
+    d = df.select(sector, industry, ticker).distinct()
+    ci = d.groupBy(sector, industry).agg(F.count(F.lit(1)).alias("_n_tic_ind"))
+    cs = ci.groupBy(sector).agg(F.count(F.lit(1)).alias("_n_ind_sec"))
+    dim = ci.join(cs, sector)
+    base = df.join(F.broadcast(dim), [sector, industry], "left")
 
     # Choose the interpolation group per row (industry > sector > global).
     # A ticker maps to exactly ONE (sector, industry) pair and therefore to
