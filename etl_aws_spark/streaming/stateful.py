@@ -47,8 +47,27 @@ def ewma_stateful(
     ) -> Iterator[pd.DataFrame]:
         (k,) = key_tuple
         acc, n = state.get if state.exists else (None, 0)
-        # columns arrive renamed to (key, ts, value) by the selectExpr
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        # columns arrive renamed to (key, ts, value) by the selectExpr.
+        # The iterator CAN be empty (any timeout configuration delivers
+        # timed-out keys with no data) — pd.concat([]) raises, and an
+        # implicitly all-object empty frame would not coerce to the typed
+        # out_schema at the Arrow boundary, so build the typed empty frame
+        # explicitly.
+        frames = [p for p in pdfs]
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series(dtype=object),
+                "ts": pd.Series(dtype="datetime64[ns]"),
+                "value": pd.Series(dtype=float),
+                "ewma": pd.Series(dtype=float),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if not frames or sum(len(p) for p in frames) == 0:
+            state.update((acc, n))
+            yield empty
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
             ["ts"], kind="mergesort"
         )
         if len(pdf):
@@ -74,7 +93,7 @@ def ewma_stateful(
             )
             n += len(pdf)
         else:
-            out = pd.DataFrame(columns=["key", "ts", "value", "ewma", "n"])
+            out = empty
         state.update((acc, n))
         yield out
 

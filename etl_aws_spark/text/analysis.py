@@ -72,27 +72,36 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     """Top-k characteristic terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df_t+1)) + 1, sklearn's smooth_idf).
 
-    Relational shape: explode tokens → (doc, term) counts → term document
-    frequencies → broadcast-join idf → per-doc rank. Two narrow shuffles
-    (term counts, doc rank); the idf table is |vocabulary| rows — broadcast."""
+    Relational shape — ONE linear pipeline over the (doc, term) relation,
+    exactly three shuffles: explode tokens → (doc, term) counts [1] →
+    document frequency as a COUNT WINDOW over term [2] (tf rows are unique
+    per (doc, term), so count(*) over the term partition IS the distinct-doc
+    frequency — no second aggregate, no vocabulary-sized broadcast join,
+    and the tokenize+count subtree is never duplicated) → per-doc rank [3].
+    N docs is a 1-row count (``id_col`` is the table's primary key)
+    broadcast via a single-row cross join. Very hot terms make skewed term
+    partitions in [2]; the sort spills, and the alternative (aggregate +
+    broadcast join) re-tokenizes the corpus twice because the join's
+    null-filter pushdown breaks exchange reuse — measured strictly worse."""
     from pyspark.sql import Window
 
     terms = df.select(
         F.col(id_col), F.explode(F.expr(D.tokens(text_col, D.SPARK))).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
-    docfreq = (
-        tf.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("_df"))
+    n_docs = df.select(F.count(id_col).alias("_n"))
+    wt = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("_df", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n_docs))
         .select(
+            id_col,
             "term",
-            (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("idf"),
+            (
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
         )
-    )
-    scored = tf.join(F.broadcast(docfreq), "term").select(
-        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (

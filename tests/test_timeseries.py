@@ -111,3 +111,39 @@ def test_interpolate_cascade_repairs_all_nulls(spark):
     ).toPandas()
     merged = pdf.merge(again, on=["tic", "t"], suffixes=("_a", "_b"))
     np.testing.assert_allclose(merged["x_a"], merged["x_b"], rtol=1e-12)
+
+def test_interpolate_cascade_null_industry_uses_sector(spark):
+    # Advisor finding (round 2): a NULL-industry row must still qualify for
+    # SECTOR-level interpolation (pandas drops NaN groupby keys, so the
+    # reference never industry-interpolates it, but its sector-only merge
+    # still attaches the sector gate). Ticker 9's industry is NULL inside a
+    # multi-industry sector: its interior null must be repaired by the
+    # sector group's quadratic, not demoted to the global-mean constant.
+    rows = []
+    for tic, ind in ((1, "ia"), (2, "ib"), (9, None)):
+        for i in range(12):
+            v = None if (tic == 9 and i == 6) else float(10 * tic + i)
+            rows.append((tic, "s0", ind, i, v))
+    df = spark.createDataFrame(rows, "tic long, sec string, ind string, t long, x double")
+    out = ts.interpolate_cascade(
+        df, "x", ticker="tic", sector="sec", industry="ind", order=["t"]
+    ).toPandas()
+    assert out["x"].notna().all()
+    got = out[(out.tic == 9) & (out.t == 6)]["x"].iloc[0]
+    # ticker 9's own series is linear (90 + t): ffill inside the sector
+    # group carries 95.0; the global mean of observed values would be far
+    # from that. Sector-level repair keeps the value near the local series.
+    assert abs(got - 95.0) < 3.0
+    # and the NULL-industry bucket itself must never gate industry-level
+    # interpolation: with TWO null-industry tickers in an otherwise
+    # single-ticker-per-industry sector, each still repairs via sector.
+    rows2 = []
+    for tic, ind in ((1, "ia"), (8, None), (9, None)):
+        for i in range(12):
+            v = None if (tic in (8, 9) and i == 6) else float(10 * tic + i)
+            rows2.append((tic, "s0", ind, i, v))
+    df2 = spark.createDataFrame(rows2, "tic long, sec string, ind string, t long, x double")
+    out2 = ts.interpolate_cascade(
+        df2, "x", ticker="tic", sector="sec", industry="ind", order=["t"]
+    ).toPandas()
+    assert out2["x"].notna().all()
