@@ -223,6 +223,56 @@ def ljung_box_q(df: DataFrame, value: str, key: str, order: Sequence[str], lags:
     )
 
 
+def pacf_yule_walker(
+    df: DataFrame, value: str, key: str, order: Sequence[str]
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per key via the Durbin–Levinson
+    recursion on the biased Yule–Walker ACF — the data behind the
+    reference's PACF order-selection plots (`src/data/visualize.py:133-173`,
+    ``plot_pacf``), in fully relational form.
+
+    ACF estimator: ρ_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² with the
+    full-series mean (statsmodels ``acf(adjusted=False)``), the same shape
+    as :func:`ljung_box_q`. Durbin–Levinson then gives closed forms:
+    φ₁₁ = ρ₁, φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²), and with φ₂₁ = ρ₁(1−φ₂₂),
+    φ₃₃ = (ρ₃−φ₂₁ρ₂−φ₂₂ρ₁)/(1−φ₂₁ρ₁−φ₂₂ρ₂).
+
+    One shuffle on the key (window + aggregate share it); denominators are
+    null-guarded (constant series → NULL pacf, not a runtime error under
+    ANSI mode).
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    wk = Window.partitionBy(key)
+    lagged = df.select(
+        key,
+        F.col(value).alias("_x"),
+        F.avg(value).over(wk).alias("_m"),
+        *[F.lag(value, k).over(w).alias(f"_l{k}") for k in (1, 2, 3)],
+    )
+    dx = F.col("_x") - F.col("_m")
+    g = lagged.groupBy(key).agg(
+        F.sum(dx * dx).alias("_c0"),
+        *[
+            F.sum(dx * (F.col(f"_l{k}") - F.col("_m"))).alias(f"_c{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    c0 = F.nullif(F.col("_c0"), F.lit(0.0))
+    r1, r2, r3 = (F.col(f"_c{k}") / c0 for k in (1, 2, 3))
+    p1 = r1
+    p2 = (r2 - r1 * r1) / F.nullif(F.lit(1.0) - r1 * r1, F.lit(0.0))
+    a21 = r1 * (F.lit(1.0) - p2)
+    p3 = (r3 - a21 * r2 - p2 * r1) / F.nullif(
+        F.lit(1.0) - a21 * r1 - p2 * r2, F.lit(0.0)
+    )
+    return g.select(
+        key,
+        p1.alias("pacf_1"),
+        p2.alias("pacf_2"),
+        p3.alias("pacf_3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cascading interpolation (reference: preprocessing.py:61-180)
 # ---------------------------------------------------------------------------

@@ -111,13 +111,20 @@ def ann_topk(
     dim: int,
     k: int,
     n_planes: int = 4,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: corpus and queries hash to sign-bit LSH buckets;
     ranking happens bucket-locally (equi-join on bucket instead of a cross
     join — Σ|bucket|·|bucket queries| work, 2^planes× less than brute force).
-    Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
-    higher recall); multiprobe = union of queries re-hashed with bit flips.
-    """
+
+    Two accuracy/cost knobs, quantified by :func:`ann_recall_at_k`:
+    ``n_planes`` (fewer planes → bigger buckets → higher recall) and
+    ``n_probes`` (multiprobe: each query additionally probes the
+    ``n_probes−1`` Hamming-1 neighbor buckets — one flipped sign bit —
+    multiplying candidates by ~n_probes without touching the corpus-side
+    index). Probes explode on the tiny broadcast query side only."""
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(f"n_probes must be in [1, n_planes+1], got {n_probes}")
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -130,6 +137,14 @@ def ann_topk(
         F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
         lsh_bucket_col(vec_col, dim, n_planes).alias("_bucket"),
     )
+    if n_probes > 1:
+        # distinct XOR masks → distinct probe buckets per query, so no
+        # (query, neighbor) pair can arise twice from the join
+        masks = [0] + [1 << p for p in range(n_probes - 1)]
+        q = q.withColumn(
+            "_bucket",
+            F.explode(F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     scored = corpus.join(F.broadcast(q), "_bucket").select(
         "query_id",
         "neighbor_id",
@@ -137,6 +152,49 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_planes: int = 4,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Recall@k of :func:`ann_topk` against the exact :func:`brute_topk`
+    ground truth — the accuracy side of the LSH cost/recall knobs
+    (``n_planes``, ``n_probes``): fewer planes / more probes → more
+    comparisons → higher recall. Emits one row per query (n_hits, n_true,
+    recall) plus a
+    ROLLUP total row (query_id NULL) whose recall is the corpus-wide mean
+    (micro == macro here since every query has exactly k truth rows).
+
+    Both sides are dimension-bounded top-k frames (|queries|·k rows), so
+    the join and rollup are trivially small regardless of corpus size."""
+    exact = brute_topk(embeddings, queries, id_col, vec_col, dim, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_topk(
+        embeddings, queries, id_col, vec_col, dim, k,
+        n_planes=n_planes, n_probes=n_probes,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return (
+        marked.rollup("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "n_true",
+            (F.col("n_hits") / F.col("n_true")).alias("recall"),
+        )
+    )
 
 
 def cosine_dedup_pairs(

@@ -115,6 +115,62 @@ def similarity_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_recall_at_k",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket FROM c WHERE vec_id < 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('e.embedding', 'q.qvec')} DESC, e.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rank <= 10
+    ), approx AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('c.embedding', 'q.qvec')} DESC, c.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM c JOIN q USING (bucket)
+      ) WHERE rank <= 10
+    ), marked AS (
+      SELECT e.query_id, coalesce(a.hit, 0) AS hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           count(*) AS n_true,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) + 0.0 AS recall
+    FROM marked GROUP BY ROLLUP (query_id)
+    """,
+    category="similarity",
+)
+def similarity_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN path vs the exact cosine baseline, per query
+    plus the rollup mean — quantifies the ``n_planes`` accuracy/cost knob
+    that `similarity_topk_ann_lsh` only asserts in tests. Identical plane
+    constants and fold order on both engines make the candidate sets — and
+    therefore the recall fractions — exactly reproducible."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn.ann_recall_at_k(emb, queries, "vec_id", "embedding", _DIM, k=10, n_planes=4)
+    return out.select(
+        "query_id",
+        "n_hits",
+        "n_true",
+        (F.round(F.col("recall"), 6) + F.lit(0.0)).alias("recall"),
+    )
+
+
+@query(
     "embedding_cosine_dedup",
     oracle=f"""
     WITH pairs AS (

@@ -220,6 +220,61 @@ def stat_autocorr_lag_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stat_pacf",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS m,
+             lag(value, 1) {_OVER} AS l1,
+             lag(value, 2) {_OVER} AS l2,
+             lag(value, 3) {_OVER} AS l3
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             sum((value - m) * (value - m)) AS c0,
+             sum((value - m) * (l1 - m)) AS c1,
+             sum((value - m) * (l2 - m)) AS c2,
+             sum((value - m) * (l3 - m)) AS c3
+      FROM l GROUP BY user_id
+    ), r AS (
+      SELECT user_id,
+             c1 / nullif(c0, 0.0) AS r1,
+             c2 / nullif(c0, 0.0) AS r2,
+             c3 / nullif(c0, 0.0) AS r3
+      FROM g
+    ), p AS (
+      SELECT user_id, r1, r2, r3,
+             (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p2
+      FROM r
+    ), q AS (
+      SELECT user_id, r1, r2, r3, p2, r1 * (1.0 - p2) AS a21 FROM p
+    )
+    SELECT user_id,
+           round(r1, 6) + 0.0 AS pacf_1,
+           round(p2, 6) + 0.0 AS pacf_2,
+           round((r3 - a21 * r2 - p2 * r1)
+                 / nullif(1.0 - a21 * r1 - p2 * r2, 0.0), 6) + 0.0 AS pacf_3
+    FROM q
+    """,
+    category="window",
+)
+def stat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 per key: Durbin-Levinson on the
+    biased Yule-Walker ACF (`visualize.py:133-173` PACF order-selection
+    data). Fully relational — one shuffle on the key."""
+    from etl_aws_spark.operators import timeseries as ts
+
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = ts.pacf_yule_walker(df, "value", key="user_id", order=["ts", "event_id"])
+    return out.select(
+        "user_id",
+        rnd(F.col("pacf_1"), 6).alias("pacf_1"),
+        rnd(F.col("pacf_2"), 6).alias("pacf_2"),
+        rnd(F.col("pacf_3"), 6).alias("pacf_3"),
+    )
+
+
+@query(
     "window_rolling_minmax",
     oracle=f"""
     SELECT {_KEYS}, value,

@@ -56,3 +56,45 @@ def test_lsh_bucket_is_deterministic(spark, emb):
     b2 = emb.select("vec_id", knn.lsh_bucket_col("embedding", DIM, 4).alias("b")).toPandas()
     assert b1.sort_values("vec_id").b.tolist() == b2.sort_values("vec_id").b.tolist()
     assert b1.b.between(0, 15).all()
+
+
+def test_ann_recall_query_shape_and_floor(spark, emb):
+    # Per-query rows + a rollup total (query_id NULL); every recall in
+    # [0,1]; the mean row equals the micro average of the per-query rows.
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = knn.ann_recall_at_k(
+        emb, queries, "vec_id", "embedding", DIM, k=5, n_planes=3
+    ).toPandas()
+    per_q = out[out.query_id.notna()]
+    total = out[out.query_id.isna()]
+    assert len(per_q) == 10 and len(total) == 1
+    assert (per_q.n_true == 5).all()
+    assert per_q.recall.between(0, 1).all()
+    assert abs(total.recall.iloc[0] - per_q.n_hits.sum() / per_q.n_true.sum()) < 1e-12
+    # clustered fixture: neighbors share the query's bucket -> high recall
+    assert total.recall.iloc[0] >= 0.9
+
+
+def test_ann_multiprobe_raises_recall(spark):
+    # On spread-out data single-bucket probing misses cross-boundary
+    # neighbors; Hamming-1 multiprobe must recover strictly more of the
+    # true top-k (deterministic data + deterministic planes -> exact).
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    rows = [
+        (i, [float(v) for v in rng.randn(DIM)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 8)
+
+    def mean_recall(n_probes):
+        out = knn.ann_recall_at_k(
+            df, queries, "vec_id", "embedding", DIM, k=5,
+            n_planes=4, n_probes=n_probes,
+        ).toPandas()
+        return float(out[out.query_id.isna()].recall.iloc[0])
+
+    r1, r5 = mean_recall(1), mean_recall(5)
+    assert r5 > r1, (r1, r5)
+    assert r5 >= 0.5, (r1, r5)

@@ -147,3 +147,42 @@ def test_interpolate_cascade_null_industry_uses_sector(spark):
         df2, "x", ticker="tic", sector="sec", industry="ind", order=["t"]
     ).toPandas()
     assert out2["x"].notna().all()
+
+def test_pacf_matches_numpy_durbin_levinson(spark, series_df):
+    out = ts.pacf_yule_walker(series_df, "x", key="k", order=["t"]).toPandas()
+    pdf = series_df.toPandas()
+    for _, row in out.iterrows():
+        s = pdf[pdf.k == row.k].sort_values("t")["x"].to_numpy()
+        m = s.mean()
+        c0 = ((s - m) ** 2).sum()
+        rho = [((s[k:] - m) * (s[:-k] - m)).sum() / c0 for k in (1, 2, 3)]
+        # Durbin-Levinson reference implementation
+        phi = np.zeros((4, 4))
+        phi[1, 1] = rho[0]
+        for j in (2, 3):
+            num = rho[j - 1] - sum(phi[j - 1, i] * rho[j - i - 1] for i in range(1, j))
+            den = 1.0 - sum(phi[j - 1, i] * rho[i - 1] for i in range(1, j))
+            phi[j, j] = num / den
+            for i in range(1, j):
+                phi[j, i] = phi[j - 1, i] - phi[j, j] * phi[j - 1, j - i]
+        np.testing.assert_allclose(
+            [row.pacf_1, row.pacf_2, row.pacf_3],
+            [phi[1, 1], phi[2, 2], phi[3, 3]],
+            rtol=1e-9,
+        )
+
+
+def test_pacf_ar1_signature(spark):
+    # AR(1) with phi=0.7: pacf_1 ~ 0.7, pacf_2 and pacf_3 ~ 0 (the PACF
+    # cutoff property that makes the plot useful for order selection).
+    rng = np.random.RandomState(17)
+    y = np.zeros(800)
+    for t in range(1, 800):
+        y[t] = 0.7 * y[t - 1] + rng.randn()
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(y)], "k long, t long, x double"
+    )
+    out = ts.pacf_yule_walker(df, "x", key="k", order=["t"]).toPandas().iloc[0]
+    assert abs(out.pacf_1 - 0.7) < 0.08
+    assert abs(out.pacf_2) < 0.08
+    assert abs(out.pacf_3) < 0.08
