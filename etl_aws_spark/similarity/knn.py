@@ -181,7 +181,9 @@ def ann_recall_at_k(
         embeddings, queries, id_col, vec_col, dim, k,
         n_planes=n_planes, n_probes=n_probes,
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    # both sides are |queries|·k rows; broadcast beats the SMJ the static
+    # planner picks (it can't size through the rank window + filter)
+    marked = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
     return (
         marked.rollup("query_id")
         .agg(

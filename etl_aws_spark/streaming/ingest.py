@@ -28,6 +28,18 @@ def dedup_with_watermark(
     return df.withWatermark(event_time, late).dropDuplicates(keys)
 
 
+def dedup_within_watermark(
+    df: DataFrame, event_time: str, keys: list[str], late: str = "3 days"
+) -> DataFrame:
+    """Duplicate drop where re-deliveries of the SAME key may carry
+    slightly different event times (retried fetches re-stamp the quote):
+    ``dropDuplicatesWithinWatermark`` keeps one row per key as long as the
+    duplicates arrive within the lateness horizon, without requiring the
+    event-time column in the key. Use :func:`dedup_with_watermark` when
+    (key, event_time) together identify a row exactly."""
+    return df.withWatermark(event_time, late).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_counts(
     df: DataFrame, event_time: str, key: str, window: str = "1 day", late: str = "3 days"
 ) -> DataFrame:
@@ -53,20 +65,31 @@ def merge_into_refined(
     partition_cols: list[str],
     transform: Callable[[DataFrame], DataFrame] | None = None,
     checkpoint: str | None = None,
+    mode: str = "overwrite",
 ) -> StreamingQuery:
     """foreachBatch merge: each micro-batch runs the (batch) transform and
     dynamic-partition-overwrites only the partitions it touches — the
     streaming twin of the glue.py write with the clobbering fixed
-    (`glue.py:237` static overwrite wipes the whole refined tree)."""
+    (`glue.py:237` static overwrite wipes the whole refined tree).
+
+    ``mode``: 'overwrite' (default) replaces each touched partition with
+    the micro-batch's rows — idempotent on foreachBatch replay, correct
+    when a partition always arrives as one complete drop (the daily-land
+    pattern). 'append' adds files to existing partitions — required when
+    LATE rows trickle into already-written partitions (the watermarked
+    late-quote-correction path), at the cost of relying on the upstream
+    watermark dedup for replay idempotence; a transactional table format
+    (Delta/Iceberg MERGE) gives both at once and is the production choice.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform else batch_df
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(refined_path)
-        )
+        writer = out.write.mode(mode)
+        if mode == "overwrite":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.partitionBy(*partition_cols).parquet(refined_path)
 
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint:

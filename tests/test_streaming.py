@@ -111,3 +111,79 @@ def test_windowed_counts_schema(spark, dirs):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == {(1, 7): (2, 3.0), (2, 8): (1, 3.0)}
+
+
+def test_watermark_late_data_replay(spark, dirs):
+    # SURVEY §2.11 late-quote-correction: out-of-order micro-batches against
+    # a 1-hour watermark. Run 1 advances the watermark to max(ts) - 1h;
+    # run 2 (same checkpoint) replays a within-horizon late row (kept), a
+    # too-late row (dropped by the watermark), and a re-delivered duplicate
+    # (dropped by dedup state, which outlives rows newer than the watermark).
+    import datetime
+
+    from etl_aws_spark.streaming import ingest
+
+    def land(rows):
+        _land(
+            spark,
+            dirs["landing"],
+            [(i, datetime.datetime.fromisoformat(t), u, v) for i, t, u, v in rows],
+        )
+
+    def run():
+        stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+        q = ingest.merge_into_refined(
+            ingest.dedup_with_watermark(stream, "ts", ["event_id", "ts"], late="1 hour"),
+            dirs["refined"],
+            partition_cols=["dia"],
+            transform=lambda df: df.withColumn("dia", F.dayofmonth("ts")),
+            checkpoint=dirs["ckpt"],
+            mode="append",  # late rows land in already-written partitions
+        )
+        q.awaitTermination(120)
+
+    land([(1, "2024-01-01 10:00:00", 7, 1.0), (2, "2024-01-01 12:00:00", 7, 2.0)])
+    run()  # watermark after this run: 11:00
+
+    land(
+        [
+            (5, "2024-01-01 11:30:00", 7, 5.0),  # late but inside horizon
+            (6, "2024-01-01 09:00:00", 7, 6.0),  # older than watermark
+            (2, "2024-01-01 12:00:00", 7, 2.0),  # duplicate re-delivery
+        ]
+    )
+    run()
+
+    got = sorted(r.event_id for r in spark.read.parquet(dirs["refined"]).collect())
+    assert got == [1, 2, 5]
+
+
+def test_dedup_within_watermark_restamped_duplicates(spark, dirs):
+    # The Lambda re-run case where the retry re-stamps the quote: same
+    # event_id, event times a few minutes apart. Key-only dedup must keep
+    # exactly one row per id inside the horizon.
+    import datetime
+
+    from etl_aws_spark.streaming import ingest
+
+    _land(
+        spark,
+        dirs["landing"],
+        [
+            (1, datetime.datetime(2024, 1, 1, 10, 0), 7, 1.0),
+            (1, datetime.datetime(2024, 1, 1, 10, 7), 7, 1.0),  # re-stamped retry
+            (2, datetime.datetime(2024, 1, 1, 11, 0), 8, 2.0),
+        ],
+    )
+    stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+    q = (
+        ingest.dedup_within_watermark(stream, "ts", ["event_id"], late="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM wm_dedup").collect())
+    assert got == [1, 2]
