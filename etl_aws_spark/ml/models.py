@@ -475,6 +475,34 @@ def gbt_grid_search_temporal(
             val.unpersist()
 
 
+def gbt_feature_importances(model, spark: "SparkSession") -> DataFrame:
+    """Ranked impurity-based feature importances of a fitted GBT pipeline —
+    the data behind the reference's SHAP/importance ranking plots
+    (`src/model/metrics_visualizer.py:501-530`, `notebooks/
+    model_evaluation.ipynb` cell 54 ranks the top 20). Spark ML's
+    ``featureImportances`` is the normalized total impurity improvement per
+    feature across all trees (sums to 1), the distributed analogue of the
+    sklearn/CatBoost attribute the reference plots.
+
+    The vector is |features|-sized driver-side model metadata — not data —
+    so building the tiny ranked frame locally is the right call at any
+    scale. Indexed categorical columns report under their original name.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressionModel
+
+    assembler = next(s for s in model.stages if isinstance(s, VectorAssembler))
+    gbt = next(s for s in model.stages if isinstance(s, GBTRegressionModel))
+    names = [
+        n[len("_idx_"):] if n.startswith("_idx_") else n
+        for n in assembler.getInputCols()
+    ]
+    imps = gbt.featureImportances.toArray()
+    ranked = sorted(zip(names, imps), key=lambda t: (-t[1], t[0]))
+    rows = [(n, float(v), i + 1) for i, (n, v) in enumerate(ranked)]
+    return spark.createDataFrame(rows, "feature string, importance double, rank int")
+
+
 def persist_pipeline(model, path: str):
     """Round-trip a fitted PipelineModel through disk
     (`src/model/utils.py:8-13` pickles; Spark ML uses its own writer so the

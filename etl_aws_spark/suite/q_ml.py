@@ -390,6 +390,29 @@ def model_gbt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("model_gbt_feature_importance", oracle=None, category="ml")
+def model_gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked GBT feature importances (`metrics_visualizer.py:501-530` SHAP
+    ranking, `model_evaluation.ipynb` cell 54 top-20) — fit on the
+    deterministic 20% hash-sample, then rank the impurity-based importance
+    of each feature incl. the indexed categorical. Rows-only: one row per
+    feature; dominance of the price-driving feature is pinned in
+    tests/test_ml.py."""
+    li = load(spark, sf_dir, "lineitem")
+    fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
+    _, model = models.gbt_fit_predict(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        target="l_extendedprice",
+        keys=["l_orderkey", "l_linenumber"],
+        max_iter=5,
+        fit_df=fit_df,
+        categorical=["l_returnflag"],
+    )
+    out = models.gbt_feature_importances(model, spark)
+    return out.select("feature", rnd(F.col("importance"), 4).alias("importance"), "rank")
+
+
 @query("model_persist_pickle", oracle=None, category="ml")
 def model_persist_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model persistence round trip (`utils.py:8-13`): save the fitted

@@ -217,3 +217,23 @@ def test_validation_frame_aligns_on_keys(spark):
     out = models.validation_frame(a, p, keys=["id"], y_real="y", y_pred="yhat").toPandas()
     got = dict(zip(out.id, zip(out.y_real, out.y_pred)))
     assert got == {1: (10.0, 9.0), 3: (30.0, 31.0)}
+
+
+def test_gbt_feature_importances_rank_signal(spark):
+    # y = 50*q + noise, with a pure-noise second feature: the importance
+    # ranking must put q first by a wide margin, and importances sum to 1.
+    rng = np.random.RandomState(13)
+    rows = [
+        (i, float(q), float(rng.rand()), float(50.0 * q + rng.randn() * 0.1))
+        for i, q in enumerate(rng.uniform(0, 10, 500))
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, noise double, y double")
+    _, model = models.gbt_fit_predict(
+        df, ["q", "noise"], "y", keys=["id"], max_iter=10
+    )
+    out = models.gbt_feature_importances(model, spark).toPandas()
+    assert list(out.columns) == ["feature", "importance", "rank"]
+    assert out.sort_values("rank").feature.iloc[0] == "q"
+    top = out[out.feature == "q"].importance.iloc[0]
+    assert top > 0.9
+    assert abs(out.importance.sum() - 1.0) < 1e-6
