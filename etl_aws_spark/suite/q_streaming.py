@@ -57,3 +57,56 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.read.parquet(refined_p).select("event_id", "user_id", "dia")
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           user_id,
+           count(*) AS n,
+           round(sum(value), 4) + 0.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window per-key aggregation as an AvailableNow
+    streaming run (SURVEY §2.11: the daily re-aggregation the reference
+    recomputes from scratch, incrementalized). The oracle is the BATCH
+    day-grouping over the same events — so the driver value-hash checks
+    stream/batch parity, the strongest invariant a streaming operator can
+    offer. Complete output mode to a memory sink; the landing tree is the
+    deterministic parquet snapshot of `events`."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_wc")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+        ev.write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    name = f"wincounts_{tag}"
+    stream = ingest.read_stream(spark, landing, schema)
+    agg = ingest.windowed_counts(stream, "ts", "user_id", window="1 day", late="3 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.to_date("window_start").cast("timestamp").alias("day"),
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
+    )

@@ -99,6 +99,56 @@ def text_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_id", "is_dup")
 
 
+_MH_EST = "(" + " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(16)
+) + ") / 16.0"
+
+
+@query(
+    "text_dedup_minhash_quality",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (bk)
+      WHERE a.doc_id < b.doc_id
+    ),
+    ts AS (SELECT doc_id, {D.distinct_tokens('text', D.DUCK)} AS tok_set FROM corpus),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             {_MH_EST} AS est,
+             CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+               / nullif(len(ta.tok_set) + len(tb.tok_set)
+                        - len(list_intersect(ta.tok_set, tb.tok_set)), 0) AS tru
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      JOIN ts ta ON ta.doc_id = p.id_a
+      JOIN ts tb ON tb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b,
+           round(est, 6) + 0.0 AS est_jaccard,
+           round(tru, 6) + 0.0 AS true_jaccard,
+           round(abs(est - tru), 6) + 0.0 AS abs_err
+    FROM scored
+    """,
+    category="text",
+)
+def text_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) Jaccard-estimate quality over the LSH candidate pairs —
+    the dedup-family analogue of `similarity_ann_recall_at_k`: est vs true
+    Jaccard + absolute error per candidate pair, quantifying the
+    ``num_hashes`` accuracy knob."""
+    out = dedup.minhash_estimate_quality(_corpus(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "id_a",
+        "id_b",
+        rnd(F.col("est_jaccard"), 6).alias("est_jaccard"),
+        rnd(F.col("true_jaccard"), 6).alias("true_jaccard"),
+        rnd(F.col("abs_err"), 6).alias("abs_err"),
+    )
+
+
 @query(
     "text_dedup_simhash",
     oracle=f"""

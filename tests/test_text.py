@@ -66,3 +66,24 @@ def test_winnow_fingerprint_overlap(spark, corpus):
     assert by_id[1] == by_id[2]          # identical docs → identical sketch
     assert by_id[1] & by_id[3]           # near dups share fingerprints
     assert not (by_id[1] & by_id[4])     # unrelated share none
+
+
+def test_minhash_estimate_quality(spark):
+    from etl_aws_spark.text import dedup
+
+    # a: base doc; b: exact copy (est = true = 1, err = 0); c: half-overlap
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.minhash_estimate_quality(df, "doc_id", "text").toPandas()
+    exact = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert len(exact) == 1
+    assert exact.est_jaccard.iloc[0] == 1.0
+    assert exact.true_jaccard.iloc[0] == 1.0
+    assert exact.abs_err.iloc[0] == 0.0
+    # every surfaced pair: estimator within the 16-hash binomial noise
+    assert (out.abs_err <= 0.5).all()
+    assert out.est_jaccard.between(0, 1).all() and out.true_jaccard.between(0, 1).all()
