@@ -10,8 +10,24 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: str | Column) -> Column:
+    """Seconds-since-epoch expression legal for BOTH ``TIMESTAMP`` (LTZ) and
+    ``TIMESTAMP_NTZ`` inputs.
+
+    Parquet timestamps without a timezone annotation are inferred as
+    ``TIMESTAMP_NTZ``, and ``TIMESTAMP_NTZ → BIGINT`` is an illegal cast
+    (AnalysisException DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION). Casting
+    through ``timestamp_ltz`` first is legal from both flavors; with the
+    session timezone pinned to UTC (session.py) the NTZ wall-clock maps to
+    the same epoch value DuckDB's ``date_part('epoch', ts)`` yields on naive
+    timestamps, so the oracles are unaffected.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("long")
 
 
 def asof_join_backward(
@@ -87,7 +103,7 @@ def sessionize(
     """
     order = [ts_col, *order_tail]
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long"), 1).over(w)
+    gap = _epoch_seconds(ts_col) - F.lag(_epoch_seconds(ts_col), 1).over(w)
     is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     run = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("_start", is_start).withColumn(
