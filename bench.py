@@ -51,16 +51,27 @@ def main() -> None:
     queries = dict(all_queries())
     queries["q_feature_block"] = q_feature_block
 
+    # best-of-N: a single post-warmup iteration cannot distinguish a plan
+    # regression from a noisy sandbox (the r3 episode: uniform ~1.8x
+    # slowdown on untouched queries). min over repeats is the standard
+    # defensible estimator for wall-clock under interference.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + page cache)
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        spreads[name] = runs
+        print(f"  {name}: best={min(runs)} runs={runs}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -70,6 +81,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "spread": spreads,
             }
         )
     )

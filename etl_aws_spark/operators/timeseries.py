@@ -65,22 +65,27 @@ def macd(
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema_src.schema.fields)
     schema += ", macd double, macd_signal double"
 
-    def _fold(xs, a: float, b: float) -> list[float]:
-        acc = None
-        out = []
-        for x in xs:
-            acc = x if acc is None else a * x + b * acc
-            out.append(acc)
+    def _ewm(s, span: int):
+        # pandas' C-path ewm(adjust=False) runs the identical recurrence
+        # y_t = α·x_t + (1-α)·y_{t-1} with fl(1-α) == fl((span-1)/(span+1))
+        # and (1-α)+α == 1.0 for spans 9/12/26 — verified bit-equal to the
+        # explicit Python fold (tests/test_timeseries.py), so the DuckDB
+        # list_reduce oracle still hash-matches. One divergence: ewm SKIPS
+        # NaN while the fold (and the oracle's NULL arithmetic) propagates
+        # it forever — mask from the first NaN onward to keep fold
+        # semantics.
+        out = s.ewm(span=span, adjust=False).mean()
+        isna = s.isna()
+        if isna.any():
+            out[isna.cummax()] = float("nan")
         return out
 
     def compute(pdf):
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        xs = pdf[value].astype(float).tolist()
-        e_fast = _fold(xs, fa, fb)
-        e_slow = _fold(xs, sa, sb)
-        m = [hi - lo for hi, lo in zip(e_fast, e_slow)]
+        x = pdf[value].astype(float)
+        m = _ewm(x, fast) - _ewm(x, slow)
         pdf["macd"] = m
-        pdf["macd_signal"] = _fold(m, ga, gb)
+        pdf["macd_signal"] = _ewm(m, signal)
         return pdf[out_cols]
 
     def per_partition(batches):

@@ -36,6 +36,38 @@ def test_macd_matches_pandas_ewm(spark, series_df):
         np.testing.assert_allclose(grp["macd_signal"].to_numpy(), signal.to_numpy(), rtol=1e-12)
 
 
+def test_macd_ewm_bit_equals_oracle_fold(spark, series_df):
+    """The DuckDB oracle is the explicit left fold y_t = a·x_t + b·y_{t-1}
+    with a = 2/(span+1), b = (span-1)/(span+1). The vectorized pandas-ewm
+    path must stay BIT-equal to it (not just allclose) or the value-hash
+    gate breaks."""
+
+    def fold(xs, a, b):
+        acc, out = None, []
+        for x in xs:
+            acc = x if acc is None else a * x + b * acc
+            out.append(acc)
+        return np.array(out)
+
+    got = ts.macd(series_df, "x", key="k", order=["t"]).orderBy("k", "t").toPandas()
+    for _, grp in got.groupby("k"):
+        xs = grp.sort_values("t")["x"].to_numpy()
+        m = fold(xs, 2.0 / 13.0, 11.0 / 13.0) - fold(xs, 2.0 / 27.0, 25.0 / 27.0)
+        sig = fold(m, 2.0 / 10.0, 8.0 / 10.0)
+        assert np.array_equal(grp["macd"].to_numpy(), m)
+        assert np.array_equal(grp["macd_signal"].to_numpy(), sig)
+
+
+def test_macd_nan_propagates_like_fold(spark):
+    """ewm skips NaN; the fold (and the oracle's NULL arithmetic) poisons
+    everything after the first NaN — the mask must preserve that."""
+    rows = [(1, 0, 1.0), (1, 1, 2.0), (1, 2, None), (1, 3, 4.0)]
+    df = spark.createDataFrame(rows, "k long, t long, x double")
+    got = ts.macd(df, "x", key="k", order=["t"]).orderBy("t").toPandas()
+    assert got["macd"].notna().tolist() == [True, True, False, False]
+    assert got["macd_signal"].notna().tolist() == [True, True, False, False]
+
+
 def test_seasonal_decompose_reconstructs(spark, series_df):
     out = (
         ts.seasonal_decompose_additive(series_df, "x", key="k", order=["t"], period=5)
