@@ -56,53 +56,47 @@ def macd(
 
     Output: key, order cols, value, macd, macd_signal.
     """
-    fa, fb = ewm_alpha(fast), (fast - 1.0) / (fast + 1.0)
-    sa, sb = ewm_alpha(slow), (slow - 1.0) / (slow + 1.0)
-    ga, gb = ewm_alpha(signal), (signal - 1.0) / (signal + 1.0)
     order = list(order)
     out_cols = [key, *order, value, "macd", "macd_signal"]
     schema_src = df.select(*[c for c in (key, *order, value)])
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema_src.schema.fields)
     schema += ", macd double, macd_signal double"
 
-    def _ewm(s, span: int):
-        # pandas' C-path ewm(adjust=False) runs the identical recurrence
-        # y_t = α·x_t + (1-α)·y_{t-1} with fl(1-α) == fl((span-1)/(span+1))
-        # and (1-α)+α == 1.0 for spans 9/12/26 — verified bit-equal to the
-        # explicit Python fold (tests/test_timeseries.py), so the DuckDB
-        # list_reduce oracle still hash-matches. One divergence: ewm SKIPS
-        # NaN while the fold (and the oracle's NULL arithmetic) propagates
-        # it forever — mask from the first NaN onward to keep fold
-        # semantics.
-        out = s.ewm(span=span, adjust=False).mean()
+    def _gewm(s, by, span: int):
+        # pandas' Cython GroupBy.ewm(adjust=False) runs the identical
+        # recurrence y_t = α·x_t + (1-α)·y_{t-1}, restarting at each group
+        # boundary, with fl(1-α) == fl((span-1)/(span+1)) and (1-α)+α ==
+        # 1.0 for spans 9/12/26 — verified BIT-equal to the explicit Python
+        # fold (tests/test_timeseries.py), so the DuckDB list_reduce oracle
+        # still hash-matches. Chosen over per-group Series.ewm because the
+        # Python-level groupby.apply overhead dominated at ~1.5k keys
+        # (measured 7× on the sf0.1 shape). One divergence: ewm SKIPS NaN
+        # while the fold (and the oracle's NULL arithmetic) poisons
+        # everything after it — mask from each group's first NaN onward.
+        out = s.groupby(by, sort=False).ewm(span=span, adjust=False).mean().to_numpy()
         isna = s.isna()
         if isna.any():
-            out[isna.cummax()] = float("nan")
+            out[isna.groupby(by, sort=False).cummax().to_numpy()] = float("nan")
         return out
-
-    def compute(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        x = pdf[value].astype(float)
-        m = _ewm(x, fast) - _ewm(x, slow)
-        pdf["macd"] = m
-        pdf["macd_signal"] = _ewm(m, signal)
-        return pdf[out_cols]
 
     def per_partition(batches):
         import pandas as pd
 
         # one concat per PARTITION (not per key): Python/Arrow round-trip
         # overhead is per-task, so 10k keys cost 32 calls, not 10k.
-        # applyInPandas was measured 2.5× slower here purely on per-group
-        # call overhead (groups are ≤ a few hundred rows).
+        # One key-major sort, then every EWMA runs as a single Cython pass
+        # over the whole partition — zero Python-per-group cost.
         pdf = pd.concat(list(batches), ignore_index=True)
         if len(pdf) == 0:
             yield pdf.assign(macd=0.0, macd_signal=0.0)[out_cols].iloc[:0]
             return
-        yield (
-            pdf.groupby(key, group_keys=False, sort=False)[pdf.columns.tolist()]
-            .apply(compute)[out_cols]
-        )
+        pdf = pdf.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
+        x = pdf[value].astype(float)
+        by = pdf[key]
+        m = _gewm(x, by, fast) - _gewm(x, by, slow)
+        pdf["macd"] = m
+        pdf["macd_signal"] = _gewm(pd.Series(m), by, signal)
+        yield pdf[out_cols]
 
     return (
         df.select(key, *order, value)
