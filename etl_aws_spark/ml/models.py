@@ -71,12 +71,99 @@ def validation_frame(
 # Per-key autoregressive forecasting (train.py:250-291)
 # ---------------------------------------------------------------------------
 
+def css_refine(y, X, c, phi, theta, beta, n_iter: int = 30):
+    """Conditional-sum-of-squares refinement of ARMAX(1,0,1) parameters by
+    damped Gauss–Newton (Levenberg), starting from Hannan–Rissanen
+    estimates.
+
+    CSS — minimize S(c,φ,θ,β) = Σ_t e_t² with e_0 := 0 and
+    e_t = y_t − (c + φ·y_{t−1} + θ·e_{t−1} + β·x_t) — is the conditional
+    Gaussian (negative log-)likelihood up to a monotone transform, i.e. the
+    same objective statsmodels' ``SARIMAX(..., method='css')`` minimizes
+    and the large-n limit of its exact MLE (the reference fit,
+    `/root/reference/src/model/train.py:250-291`). Two-stage OLS alone is
+    consistent but not efficient; this closes the estimator gap with
+    public textbook machinery only (Box–Jenkins §7.1 conditional least
+    squares).
+
+    The Jacobian follows the innovation recursion: each ∂e_t/∂p obeys the
+    same AR(1)-in-θ filter ∂e_t/∂p = −s_t − θ·∂e_{t−1}/∂p with signal
+    s_t ∈ {1, y_{t−1}, e_{t−1}, x_t}. Deterministic; diverging steps are
+    rejected by the damping loop, and a non-finite state returns the start
+    values untouched (the HR fit), so this is strictly-no-worse.
+
+    Returns (c, φ, θ, β, e) with e the length-n innovation array under the
+    refined parameters (e[0] = 0), ready for forecasting.
+    """
+    import numpy as np
+
+    n = len(y)
+    k_x = 0 if X is None else X.shape[1]
+    p = np.concatenate([[c, phi, theta], np.asarray(beta, dtype=float)])
+
+    def innovations(p):
+        c_, phi_, theta_ = p[0], p[1], p[2]
+        b_ = p[3:]
+        e = np.zeros(n)
+        for t in range(1, n):
+            xb = float(X[t] @ b_) if k_x else 0.0
+            e[t] = y[t] - c_ - phi_ * y[t - 1] - theta_ * e[t - 1] - xb
+        return e
+
+    def jacobian(p, e):
+        theta_ = p[2]
+        J = np.zeros((n, 3 + k_x))
+        for t in range(1, n):
+            J[t, 0] = -1.0 - theta_ * J[t - 1, 0]
+            J[t, 1] = -y[t - 1] - theta_ * J[t - 1, 1]
+            J[t, 2] = -e[t - 1] - theta_ * J[t - 1, 2]
+            if k_x:
+                J[t, 3:] = -X[t] - theta_ * J[t - 1, 3:]
+        return J
+
+    e = innovations(p)
+    if not np.isfinite(e).all():
+        return c, phi, theta, np.asarray(beta, dtype=float), e
+    sse = float(e[1:] @ e[1:])
+    lam = 1e-3
+    for _ in range(n_iter):
+        J = jacobian(p, e)
+        A = J[1:].T @ J[1:]
+        g = J[1:].T @ e[1:]
+        improved = False
+        for _try in range(8):
+            damp = lam * (np.diag(np.diag(A)) + 1e-12 * np.eye(len(p)))
+            try:
+                step = np.linalg.solve(A + damp, g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            p_new = p - step
+            p_new[1] = float(np.clip(p_new[1], -0.995, 0.995))
+            p_new[2] = float(np.clip(p_new[2], -0.995, 0.995))
+            e_new = innovations(p_new)
+            sse_new = float(e_new[1:] @ e_new[1:]) if np.isfinite(e_new).all() else float("inf")
+            if sse_new < sse:
+                p, e, improved = p_new, e_new, True
+                rel = (sse - sse_new) / max(sse, 1e-300)
+                sse = sse_new
+                lam = max(lam / 10.0, 1e-12)
+                if rel < 1e-12:
+                    n_iter = 0  # converged — outer loop exits next check
+                break
+            lam *= 10.0
+        if not improved or n_iter == 0:
+            break
+    return float(p[0]), float(p[1]), float(p[2]), p[3:].copy(), e
+
+
 def hannan_rissanen_armax(
     y,
     X=None,
     X_future=None,
     steps: int = 5,
     n_iter: int = 2,
+    refine: str | None = "css",
 ):
     """Pure-numpy ARMAX(1, 0, 1) fit + h-step forecast — the estimator
     behind :func:`arx_forecast_per_key`, factored out so tests can pin the
@@ -92,6 +179,11 @@ def hannan_rissanen_armax(
        (c, φ, θ, β);
     3. ``n_iter`` refinements: rebuild ê from the fitted recursion
        ê_t = y_t − (c + φ·y_{t-1} + θ·ê_{t-1} + β·x_t), refit stage 2.
+
+    With ``refine="css"`` (default) the HR estimates then seed
+    :func:`css_refine`, aligning the estimator with the reference's MLE fit
+    (HR alone is consistent but not efficient; the CSS optimum coincides
+    with conditional maximum likelihood under Gaussian errors).
 
     Forecasts use the standard conditional expectation: step 1 carries the
     last in-sample innovation through θ, steps ≥ 2 have E[e] = 0, the AR
@@ -171,6 +263,9 @@ def hannan_rissanen_armax(
         scale = float(np.abs(y).max()) + 1.0
         if not np.isfinite(e).all() or float(np.abs(e).max()) > 1e6 * scale:
             return _mean_fallback()
+
+    if refine == "css":
+        c, phi, theta, beta, e = css_refine(y, X, c, phi, theta, beta)
 
     if k_x:
         if X_future is None:
