@@ -440,6 +440,50 @@ def gbt_fit_predict(
     return preds, model
 
 
+def _temporal_folds(
+    df: DataFrame,
+    time_col: str,
+    n_splits: int,
+    fit_partitions: int | None,
+    caller: str,
+):
+    """Build persisted expanding-window temporal folds by exact
+    time-percentile cutoffs (shared by grid and halving search). Returns
+    (all_folds, live_folds); caller must unpersist all_folds."""
+    fracs = [i / (n_splits + 1.0) for i in range(1, n_splits + 2)]
+    cuts = df.agg(
+        *[
+            F.percentile(F.col(time_col).cast("double"), F.lit(q)).alias(f"c{i}")
+            for i, q in enumerate(fracs)
+        ]
+    ).first()
+    folds = []
+    t = F.col(time_col).cast("double")
+    for i in range(n_splits):
+        train = df.filter(t <= F.lit(cuts[i]))
+        val = df.filter((t > F.lit(cuts[i])) & (t <= F.lit(cuts[i + 1])))
+        if fit_partitions:
+            # searches run on a small sample — right-size its partition
+            # count so each boosting iteration isn't dominated by empty-task
+            # scheduling overhead
+            train, val = train.coalesce(fit_partitions), val.coalesce(fit_partitions)
+        # every candidate re-reads each fold: persist once, not |grid| scans
+        folds.append((train.persist(), val.persist()))
+    # one count pass over the persisted folds, then drop degenerate ones
+    # (empty train would fail inside pipe.fit; empty val yields NULL rmse)
+    live = [(train, val) for train, val in folds if train.count() > 0 and val.count() > 0]
+    if not live:
+        for train, val in folds:
+            train.unpersist()
+            val.unpersist()
+        raise ValueError(
+            f"{caller}: every fold over '{time_col}' has an "
+            "empty train or validation slice — the time column is too "
+            "coarse/skewed for the requested n_splits"
+        )
+    return folds, live
+
+
 def gbt_grid_search_temporal(
     df: DataFrame,
     features: Sequence[str],
@@ -481,41 +525,11 @@ def gbt_grid_search_temporal(
             for s in (0.1,)
         ]
     # exact percentile cutoffs over the timeline (one tiny aggregate row)
-    fracs = [i / (n_splits + 1.0) for i in range(1, n_splits + 2)]
-    cuts = df.agg(
-        *[
-            F.percentile(F.col(time_col).cast("double"), F.lit(q)).alias(f"c{i}")
-            for i, q in enumerate(fracs)
-        ]
-    ).first()
-    folds = []
-    t = F.col(time_col).cast("double")
-    for i in range(n_splits):
-        train = df.filter(t <= F.lit(cuts[i]))
-        val = df.filter((t > F.lit(cuts[i])) & (t <= F.lit(cuts[i + 1])))
-        if fit_partitions:
-            # searches run on a small sample — right-size its partition
-            # count so each boosting iteration isn't dominated by empty-task
-            # scheduling overhead
-            train, val = train.coalesce(fit_partitions), val.coalesce(fit_partitions)
-        # every candidate re-reads each fold: persist once, not |grid| scans
-        folds.append((train.persist(), val.persist()))
+    folds, live = _temporal_folds(
+        df, time_col, n_splits, fit_partitions, "gbt_grid_search_temporal"
+    )
 
     try:
-        # one count pass over the persisted folds, then drop degenerate ones
-        # (empty train would fail inside pipe.fit; empty val yields NULL rmse)
-        live = [
-            (train, val)
-            for train, val in folds
-            if train.count() > 0 and val.count() > 0
-        ]
-        if not live:
-            raise ValueError(
-                f"gbt_grid_search_temporal: every fold over '{time_col}' has an "
-                "empty train or validation slice — the time column is too "
-                "coarse/skewed for the requested n_splits"
-            )
-
         def _evaluate(params: dict) -> tuple:
             rmses = []
             for train, val in live:
@@ -565,6 +579,153 @@ def gbt_grid_search_temporal(
             ).fit(df)
         return res, best_model
     finally:
+        for train, val in folds:
+            train.unpersist()
+            val.unpersist()
+
+
+def gbt_halving_search_temporal(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    time_col: str,
+    grid: Sequence[dict] | None = None,
+    n_splits: int = 2,
+    categorical: Sequence[str] = (),
+    seed: int = 42,
+    factor: int = 3,
+    min_resource_frac: float = 0.25,
+    refit: bool = True,
+    fit_partitions: int | None = None,
+    parallelism: int = 4,
+):
+    """SUCCESSIVE-HALVING hyperparameter search over ``GBTRegressor`` with
+    the same expanding-window temporal folds as
+    :func:`gbt_grid_search_temporal` — the reference's
+    ``HalvingRandomSearchCV`` (`train.py:14`, `model_evaluation.ipynb`
+    cells 51-61) re-expressed for Spark.
+
+    Rung r evaluates the surviving candidates on a deterministic
+    ``min_resource_frac·factor^r`` sample of each training fold (sampled
+    once per rung and persisted, shared across candidates), keeps the top
+    ``ceil(n/factor)`` by mean validation RMSE, and grows the resource —
+    so losing configurations cost a fraction of a full fit. Total fit work
+    is O(|grid|·min_frac + |grid|/factor·min_frac·factor + ...) ≈ a couple
+    of full-grid rungs instead of |grid| full fits — the point of halving
+    at 100 TB, where each boosting iteration is a full pass over the
+    sample.
+
+    Validation always runs on the FULL fold slice (sampling the metric
+    would add noise exactly where decisions are made — matches sklearn,
+    which subsamples only the training resource). Deterministic: sampling
+    is seeded per rung, ties break on the params tuple.
+
+    Returns (results DataFrame: one row per candidate×rung evaluation with
+    ``rank`` = 1 for the winner, best PipelineModel refit on the full
+    frame if ``refit``).
+    """
+    import math
+
+    if grid is None:
+        grid = [
+            {"max_depth": d, "max_iter": it, "step_size": s}
+            for d in (3, 5)
+            for it in (5, 10)
+            for s in (0.1,)
+        ]
+    folds, live = _temporal_folds(
+        df, time_col, n_splits, fit_partitions, "gbt_halving_search_temporal"
+    )
+    rung_caches: list = []
+
+    def _params_key(p: dict) -> tuple:
+        return (p["max_depth"], p["max_iter"], p["step_size"])
+
+    try:
+        rows = []
+        candidates = sorted(grid, key=_params_key)
+        frac = float(min_resource_frac)
+        rung = 0
+        final_scores: dict[tuple, tuple] = {}
+        while True:
+            if frac >= 1.0:
+                rung_folds = live
+            else:
+                rung_folds = [
+                    (train.sample(fraction=frac, seed=seed + rung).persist(), val)
+                    for train, val in live
+                ]
+                rung_caches.extend(t for t, _ in rung_folds)
+
+            def _evaluate(params: dict) -> float:
+                rmses = []
+                for train, val in rung_folds:
+                    pipe = _gbt_pipeline(
+                        features, target, categorical=categorical, seed=seed, **params
+                    )
+                    model = pipe.fit(train)
+                    err = F.col(target) - F.col("yhat")
+                    rmse = (
+                        model.transform(val)
+                        .agg(F.sqrt(F.avg(err * err)).alias("rmse"))
+                        .first()["rmse"]
+                    )
+                    if rmse is not None:
+                        rmses.append(float(rmse))
+                return sum(rmses) / len(rmses) if rmses else float("inf")
+
+            if parallelism > 1 and len(candidates) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(parallelism, len(candidates))
+                ) as pool:
+                    scores = list(pool.map(_evaluate, candidates))
+            else:
+                scores = [_evaluate(p) for p in candidates]
+
+            ranked = sorted(zip(candidates, scores), key=lambda t: (t[1], _params_key(t[0])))
+            n_keep = max(1, math.ceil(len(candidates) / factor))
+            survivors = {_params_key(p) for p, _ in ranked[:n_keep]}
+            for p, s in ranked:
+                k = _params_key(p)
+                rows.append((*k, rung, round(min(frac, 1.0), 6), s, k in survivors))
+                final_scores[k] = (-rung, s, k)
+            candidates = [p for p, _ in ranked[:n_keep]]
+            if len(candidates) == 1 or frac >= 1.0:
+                break
+            frac = min(frac * factor, 1.0)
+            rung += 1
+
+        winner_key = min(final_scores[_params_key(p)] for p in candidates)[2]
+        spark = df.sparkSession
+        res = spark.createDataFrame(
+            rows,
+            "max_depth int, max_iter int, step_size double, rung int, "
+            "resource_frac double, avg_rmse double, survived boolean",
+        )
+        # rank 1 = winner; everyone else ordered by (last rung desc, rmse)
+        order = sorted(final_scores.values())
+        rank_of = {k: i + 1 for i, (_, _, k) in enumerate(order)}
+        rank_df = spark.createDataFrame(
+            [(k[0], k[1], k[2], rank_of[k]) for k in rank_of],
+            "max_depth int, max_iter int, step_size double, rank int",
+        )
+        res = res.join(F.broadcast(rank_df), ["max_depth", "max_iter", "step_size"])
+        best_model = None
+        if refit:
+            best_params = {
+                "max_depth": winner_key[0],
+                "max_iter": winner_key[1],
+                "step_size": winner_key[2],
+            }
+            best_model = _gbt_pipeline(
+                features, target, categorical=categorical, seed=seed, **best_params
+            ).fit(df)
+        return res, best_model
+    finally:
+        for cached in rung_caches:
+            cached.unpersist()
         for train, val in folds:
             train.unpersist()
             val.unpersist()

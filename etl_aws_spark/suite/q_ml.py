@@ -390,6 +390,43 @@ def model_gbt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("model_gbt_halving_search", oracle=None, category="ml")
+def model_gbt_halving_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-halving hyperparameter search (the reference's
+    HalvingRandomSearchCV, `train.py:14`, `model_evaluation.ipynb` cells
+    51-61) over the same temporal folds as the full grid: rung 0 fits every
+    candidate on a 30% fold sample, survivors advance to the full fold —
+    losers cost a fraction of a full fit. Rows-only: one row per
+    candidate x rung with survived flag and final rank; halving-vs-grid
+    winner parity is pinned in tests/test_ml.py."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .withColumn("_t", F.col("l_shipdate").cast("timestamp").cast("double"))
+    )
+    grid = [
+        {"max_depth": d, "max_iter": it, "step_size": 0.1}
+        for d in (2, 4) for it in (2, 4)
+    ]
+    res, _ = models.gbt_halving_search_temporal(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        target="l_extendedprice",
+        time_col="_t",
+        grid=grid,
+        n_splits=1,
+        categorical=["l_returnflag"],
+        factor=2,
+        min_resource_frac=0.3,
+        refit=False,
+        fit_partitions=8,
+    )
+    return res.select(
+        "max_depth", "max_iter", "step_size", "rung", "resource_frac",
+        rnd(F.col("avg_rmse"), 4).alias("avg_rmse"), "survived", "rank",
+    ).orderBy("rank", "rung")
+
+
 @query("model_gbt_feature_importance", oracle=None, category="ml")
 def model_gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked GBT feature importances (`metrics_visualizer.py:501-530` SHAP

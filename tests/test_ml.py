@@ -122,6 +122,42 @@ def test_gbt_grid_search_temporal_ranks_capacity(spark):
     assert err < 1.0
 
 
+def test_gbt_halving_picks_same_winner_as_full_grid(spark):
+    """Verdict r3 item 7: halving must agree with the exhaustive grid on a
+    fixture where capacity clearly wins (deep+more-iters fits a nonlinear
+    signal better)."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for t in range(600):
+        x1, x2 = rng.rand() * 10, rng.rand() * 10
+        y = x1 * x2 + 0.01 * rng.randn()  # interaction: needs depth
+        rows.append((t, float(x1), float(x2), float(y)))
+    df = spark.createDataFrame(rows, "t long, x1 double, x2 double, y double")
+    grid = [
+        {"max_depth": d, "max_iter": it, "step_size": 0.3}
+        for d in (1, 4) for it in (2, 10)
+    ]
+    full, _ = models.gbt_grid_search_temporal(
+        df, ["x1", "x2"], "y", "t", grid=grid, n_splits=1, refit=False,
+        fit_partitions=4,
+    )
+    halving, _ = models.gbt_halving_search_temporal(
+        df, ["x1", "x2"], "y", "t", grid=grid, n_splits=1, refit=False,
+        factor=2, min_resource_frac=0.4, fit_partitions=4,
+    )
+    full_best = full.filter("rank = 1").first()
+    halv_best = halving.filter("rank = 1").first()
+    assert (full_best.max_depth, full_best.max_iter) == (4, 10)
+    assert (halv_best.max_depth, halv_best.max_iter) == (
+        full_best.max_depth, full_best.max_iter,
+    )
+    # rung accounting: rung 0 evaluated all 4 candidates on the sample,
+    # later rungs only survivors
+    pdf = halving.toPandas()
+    assert len(pdf[pdf.rung == 0]) == 4
+    assert 0 < len(pdf[pdf.rung > 0]) < 4 or pdf.rung.max() == 0
+
+
 def test_gbt_categorical_feature_via_indexer(spark):
     # y = 100*level(cat) + noise: numeric-only GBT can't see the signal,
     # the StringIndexer path (CatBoost cat_features analogue) captures it.
