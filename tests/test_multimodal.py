@@ -1,0 +1,47 @@
+"""BMP codec round-trip and the real-pixel decode path in extract_features."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_aws_spark.multimodal import ops
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.RandomState(9)
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 4)]:  # odd widths exercise padding
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = ops.decode_bmp24(ops.encode_bmp24(img))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_bmp_decode_known_mean():
+    img = np.array([[[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)  # 1x2
+    payload = ops.encode_bmp24(img)
+    dec = ops.decode_bmp24(payload)
+    assert dec.shape == (1, 2, 3)
+    assert int(dec.sum()) == 765  # mean intensity = 765/(6*255) = 0.5
+
+
+def test_bmp_decode_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        ops.decode_bmp24(b"BMW cars are manufactured in Bavaria" + b"x" * 64)
+    with pytest.raises(ValueError):
+        ops.decode_bmp24(b"plain text payload")
+
+
+def test_extract_features_real_pixels_for_bmp(spark):
+    # a BMP payload must yield features from ACTUAL pixels (not the hash
+    # stub), while a text payload still routes to the stub deterministically
+    img = np.full((4, 6, 3), 51, dtype=np.uint8)  # mean = 51/255 = 0.2
+    bmp = ops.encode_bmp24(img)
+    rows = [(1, bytearray(bmp), "image/bmp", len(bmp), "d1"),
+            (2, bytearray(b"just text"), "text/plain", 9, "d2")]
+    df = spark.createDataFrame(rows, ops.MEDIA_SCHEMA)
+    out = {r.asset_id: r for r in ops.extract_features(df).collect()}
+    assert (out[1].width, out[1].height, out[1].n_channels) == (6, 4, 3)
+    assert abs(out[1].mean_intensity - 0.2) < 1e-12
+    w, h, c, mi = ops._decode_stub(b"just text")
+    assert (out[2].width, out[2].height, out[2].mean_intensity) == (w, h, mi)
