@@ -204,24 +204,40 @@ def cosine_dedup_pairs(
     id_col: str,
     vec_col: str,
     dim: int,
-    block_col: str,
+    block_col: str | None,
     threshold: float,
     round_digits: int = 6,
+    n_planes: int = 6,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold within blocking
     groups (a semantic shard — label, LSH bucket, source…). The threshold
-    compares the ROUNDED cosine so engine/oracle agree at the boundary."""
+    compares the ROUNDED cosine so engine/oracle agree at the boundary.
+
+    ``block_col=None`` falls back to sign-bit LSH buckets
+    (:func:`lsh_bucket_col`, ``n_planes`` knob) as the blocking key, so the
+    operator no longer depends on a caller-supplied shard column at scale:
+    the candidate set is same-bucket pairs (Σ|bucket|² work, never N²),
+    trading the usual LSH recall for a fixed 2^planes fan-in. High-cosine
+    pairs point in similar directions and agree on most sign bits, so the
+    pairs a dedup actually wants survive the blocking with high
+    probability; multiprobe banding (text/dedup.py) is the recall-raising
+    twin when needed."""
+    blk = (
+        F.col(block_col)
+        if block_col is not None
+        else lsh_bucket_col(vec_col, dim, n_planes)
+    )
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_na"),
-        F.col(block_col).alias("_blk"),
+        blk.alias("_blk"),
     )
     b = embeddings.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_nb"),
-        F.col(block_col).alias("_blk"),
+        blk.alias("_blk"),
     )
     pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
     cos = (

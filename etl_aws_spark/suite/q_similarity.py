@@ -190,3 +190,32 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.cosine_dedup_pairs(
         emb, "vec_id", "embedding", _DIM, block_col="label", threshold=0.25
     )
+
+
+@query(
+    "embedding_cosine_dedup_lsh",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos
+      FROM c a JOIN c b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.25
+    """,
+    category="similarity",
+)
+def embedding_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with NO caller-supplied block column: the
+    blocking key is the sign-bit LSH bucket (6 planes, 64 buckets), closing
+    the r3 'needs a natural block key at 100 TB' note — candidate pairs are
+    same-bucket only, an equi-join on a derived key, never a cross product.
+    The oracle recomputes the identical buckets (same md5-derived plane
+    literals, same fold), so the pair set matches exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn.cosine_dedup_pairs(
+        emb, "vec_id", "embedding", _DIM, block_col=None, threshold=0.25, n_planes=6
+    )

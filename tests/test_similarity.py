@@ -98,3 +98,23 @@ def test_ann_multiprobe_raises_recall(spark):
     r1, r5 = mean_recall(1), mean_recall(5)
     assert r5 > r1, (r1, r5)
     assert r5 >= 0.5, (r1, r5)
+
+
+def test_cosine_dedup_lsh_fallback_blocks(spark, emb):
+    # block_col=None must derive LSH buckets: near-identical vectors agree
+    # on every sign bit, so true near-dups land in one bucket and are found;
+    # the pair set is a subset of the label-blocked exact pair set restricted
+    # to same-bucket, with identical cosines for shared pairs.
+    lsh = knn.cosine_dedup_pairs(
+        emb, "vec_id", "embedding", DIM, block_col=None, threshold=0.95, n_planes=4
+    ).toPandas()
+    # clustered fixture: plenty of same-cluster near-dups survive blocking
+    assert len(lsh) > 0
+    exact = knn.cosine_dedup_pairs(
+        emb.withColumn("_one", F.lit(1)),
+        "vec_id", "embedding", DIM, block_col="_one", threshold=0.95,
+    ).toPandas()
+    exact_pairs = {(r.id_a, r.id_b): r.cos for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        assert (r.id_a, r.id_b) in exact_pairs
+        assert r.cos == exact_pairs[(r.id_a, r.id_b)]
