@@ -59,6 +59,43 @@ def windowed_counts(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    event_time: str,
+    key: str,
+    gap: str = "1 hour",
+    late: str = "30 days",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key SESSION-window aggregate — the streaming twin of the batch
+    lag-gap-cumsum sessionization (operators/temporal_joins.py sessionize):
+    Spark merges each event's [ts, ts+gap) window into the running session
+    while they overlap, with watermark-bounded state.
+
+    Boundary semantics differ by design: ``session_window`` starts a NEW
+    session when the gap is >= the duration (windows must strictly
+    overlap to merge), while the batch operator's ``gap > threshold`` keeps
+    an exactly-threshold gap in-session (pandas convention). Oracles mirror
+    each operator's own rule. ``session_end`` is last event time + gap
+    (Spark's window end), not the last event time.
+    """
+    return (
+        df.withWatermark(event_time, late)
+        .groupBy(F.session_window(event_time, gap).alias("sw"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def merge_into_refined(
     stream_df: DataFrame,
     refined_path: str,

@@ -60,6 +60,74 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_window",
+    # batch oracle for the stream: Spark's session_window starts a NEW
+    # session when the gap >= duration (windows must strictly overlap to
+    # merge), so the oracle's gap rule is >= 3600 — intentionally different
+    # from window_sessionize's pandas-style `> 3600` (see
+    # streaming/ingest.py session_window_stats docstring).
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN date_part('epoch', ts)
+                       - lag(date_part('epoch', ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= 3600
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) + 0.0 AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    category="streaming",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation as a stream (`F.session_window` +
+    watermark, AvailableNow) — the streaming twin of the batch gap
+    sessionization fixed in r4. The oracle recomputes sessions in batch SQL
+    under session_window's own boundary rule, so the driver hash-checks
+    stream/batch parity for stateful session merging."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_sw")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+        ev.write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    name = f"sesswin_{tag}"
+    stream = ingest.read_stream(spark, landing, schema)
+    agg = ingest.session_window_stats(stream, "ts", "user_id", gap="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events",
+        (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
     "streaming_windowed_counts",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

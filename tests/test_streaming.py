@@ -187,3 +187,35 @@ def test_dedup_within_watermark_restamped_duplicates(spark, dirs):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM wm_dedup").collect())
     assert got == [1, 2]
+
+
+def test_session_window_boundary_semantics(spark, dirs):
+    # session_window merges only strictly-overlapping windows: a gap of
+    # exactly the duration starts a NEW session (documented divergence from
+    # the batch operator's `gap > threshold` rule).
+    import datetime
+
+    from etl_aws_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 1, 1.0),
+        (2, t0 + datetime.timedelta(minutes=59), 1, 2.0),   # merges
+        (3, t0 + datetime.timedelta(minutes=179), 1, 4.0),  # exactly 1h later -> new
+    ]
+    _land(spark, dirs["landing"], rows)
+    stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+    agg = ingest.session_window_stats(stream, "ts", "user_id", gap="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("swtest")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start, r.n_events): r.sum_value
+        for r in spark.table("swtest").collect()
+    }
+    assert got == {
+        (t0, 2): 3.0,
+        (t0 + datetime.timedelta(minutes=179), 1): 4.0,
+    }
