@@ -440,6 +440,96 @@ def gbt_fit_predict(
     return preds, model
 
 
+def rf_fit_predict(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    keys: Sequence[str],
+    num_trees: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+    fit_df: DataFrame | None = None,
+    categorical: Sequence[str] = (),
+):
+    """Random-forest twin of :func:`gbt_fit_predict` — the second tree
+    family from the reference's model zoo (`train.py:293-352` trains
+    XGB/LGBM/CatBoost AND RandomForest; Spark ML's ``RandomForestRegressor``
+    is the distributed analogue). Bagged trees train independently, so —
+    unlike boosting's serial full passes — the ensemble parallelizes across
+    the cluster per tree; same sample-fit/full-score discipline.
+    Returns (predictions DataFrame, fitted PipelineModel)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    categorical = list(categorical)
+    indexers = [
+        StringIndexer(inputCol=c, outputCol=f"_idx_{c}", handleInvalid="keep")
+        for c in categorical
+    ]
+    assembler = VectorAssembler(
+        inputCols=list(features) + [f"_idx_{c}" for c in categorical],
+        outputCol="_features",
+    )
+    rf = RandomForestRegressor(
+        featuresCol="_features", labelCol=target, predictionCol="yhat",
+        numTrees=num_trees, maxDepth=max_depth, seed=seed, maxBins=64,
+    )
+    model = Pipeline(stages=[*indexers, assembler, rf]).fit(
+        df if fit_df is None else fit_df
+    )
+    preds = model.transform(df).select(*keys, target, "yhat")
+    return preds, model
+
+
+def prediction_attribution_ablate(
+    model,
+    df: DataFrame,
+    features: Sequence[str],
+    keys: Sequence[str],
+) -> DataFrame:
+    """PER-PREDICTION feature attribution by mean ablation — the
+    data product behind the reference's SHAP summary/force plots
+    (`src/model/metrics_visualizer.py:501-530`) without any SHAP library:
+    for each feature f, re-score the frame with f replaced by its global
+    mean and report ``contrib_f = yhat − yhat_{f←mean}`` per row. Positive
+    contrib = the row's actual value of f pushes the prediction up
+    relative to an average-f row.
+
+    Execution shape chosen for scale: every ablation variant is tagged and
+    UNIONED, the model scores the union in ONE distributed transform, and a
+    keys-pivot on the variant tag reassembles per-row contributions — one
+    scoring pass over (|features|+1)·N rows and ONE shuffle (the pivot),
+    instead of |features| binary shuffle joins. No per-row Python. (Exact
+    TreeSHAP needs per-leaf path weights Spark ML doesn't expose;
+    mean-ablation is the standard public fallback and shares its
+    sign/ordering on additive signals.)
+
+    Output: keys, yhat, one ``contrib_<f>`` column per feature.
+    """
+    from functools import reduce
+
+    features = list(features)
+    keys = list(keys)
+    means = df.agg(*[F.avg(f).alias(f) for f in features]).first()
+    variants = [df.withColumn("_variant", F.lit("__base__"))] + [
+        df.withColumn(f, F.lit(float(means[f]))).withColumn("_variant", F.lit(f))
+        for f in features
+    ]
+    unioned = reduce(DataFrame.unionByName, variants)
+    scored = model.transform(unioned).select(*keys, "_variant", "yhat")
+    wide = (
+        scored.groupBy(*keys)
+        .pivot("_variant", ["__base__", *features])
+        .agg(F.first("yhat"))
+    )
+    return wide.select(
+        *keys,
+        F.col("__base__").alias("yhat"),
+        *[(F.col("__base__") - F.col(f)).alias(f"contrib_{f}") for f in features],
+    )
+
+
 def _temporal_folds(
     df: DataFrame,
     time_col: str,

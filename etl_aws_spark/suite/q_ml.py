@@ -390,6 +390,60 @@ def model_gbt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("model_rf_fit_predict", oracle=None, category="ml")
+def model_rf_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest regression — the second tree family of the reference's
+    model zoo (`train.py:293-352` also trains RandomForest alongside the
+    boosters) via Spark ML's distributed RandomForestRegressor; bagged
+    trees parallelize per tree, unlike boosting's serial passes. Same
+    sample-fit/full-score discipline and per-flag error rollup as the GBT
+    twin. Rows-only (tree ensembles aren't SQL-expressible)."""
+    li = load(spark, sf_dir, "lineitem")
+    fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
+    preds, _ = models.rf_fit_predict(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        target="l_extendedprice",
+        keys=["l_orderkey", "l_linenumber", "l_returnflag"],
+        num_trees=10,
+        max_depth=5,
+        fit_df=fit_df,
+    )
+    err = F.col("l_extendedprice") - F.col("yhat")
+    return preds.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        rnd(F.avg(F.abs(err)), 4).alias("mae"),
+    )
+
+
+@query("model_gbt_attribution", oracle=None, category="ml")
+def model_gbt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prediction feature attribution by mean ablation — the data
+    behind the reference's SHAP force/summary plots
+    (`metrics_visualizer.py:501-530`) with public machinery only: one
+    scoring pass over the tagged ablation union, one pivot shuffle
+    (ml/models.py prediction_attribution_ablate). Returns row-level
+    contributions for a deterministic 1-in-50 sample plus yhat; sign
+    structure is pinned in tests/test_ml.py. Rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    _, model = models.gbt_fit_predict(
+        li, features=feats, target="l_extendedprice",
+        keys=["l_orderkey", "l_linenumber"], max_iter=5, fit_df=fit_df,
+    )
+    sample = li.filter(F.col("l_orderkey") % 50 == 0)
+    out = models.prediction_attribution_ablate(
+        model, sample, feats, keys=["l_orderkey", "l_linenumber"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        rnd(F.col("yhat"), 4).alias("yhat"),
+        *[rnd(F.col(f"contrib_{f}"), 4).alias(f"contrib_{f}") for f in feats],
+    )
+
+
 @query("model_gbt_halving_search", oracle=None, category="ml")
 def model_gbt_halving_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Successive-halving hyperparameter search (the reference's

@@ -158,6 +158,50 @@ def test_gbt_halving_picks_same_winner_as_full_grid(spark):
     assert 0 < len(pdf[pdf.rung > 0]) < 4 or pdf.rung.max() == 0
 
 
+def test_rf_learns_linear_signal(spark):
+    rng = np.random.RandomState(13)
+    rows = [
+        (i, float(x1 := rng.rand() * 10), float(x2 := rng.rand() * 10),
+         float(3 * x1 + 0.5 * x2 + rng.randn() * 0.1))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    preds, model = models.rf_fit_predict(
+        df, features=["x1", "x2"], target="y", keys=["id"], num_trees=20
+    )
+    err = preds.selectExpr("sqrt(avg((y - yhat)*(y - yhat))) rmse").first().rmse
+    assert err < 2.5  # vs y-std ~9 for a mean-only model
+
+
+def test_attribution_sign_and_magnitude(spark):
+    # additive signal y = 4*x1 + 1*x2: ablating x1 must move predictions
+    # more than ablating x2, and contrib sign must follow (x - mean(x))
+    rng = np.random.RandomState(31)
+    rows = [
+        (i, float(x1 := rng.rand() * 10), float(x2 := rng.rand() * 10),
+         float(4 * x1 + x2 + rng.randn() * 0.05))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    _, model = models.gbt_fit_predict(
+        df, features=["x1", "x2"], target="y", keys=["id"], max_iter=20, max_depth=4
+    )
+    out = models.prediction_attribution_ablate(
+        model, df, ["x1", "x2"], keys=["id"]
+    ).toPandas().merge(
+        __import__("pandas").DataFrame(rows, columns=["id", "x1", "x2", "y"]), on="id"
+    )
+    assert out["contrib_x1"].abs().mean() > 2 * out["contrib_x2"].abs().mean()
+    # sign follows the centered feature on the dominant driver (tree fit is
+    # noisy near the mean; check rows well away from it)
+    far = out[(out.x1 - out.x1.mean()).abs() > 2]
+    assert ((far.x1 > far.x1.mean()) == (far.contrib_x1 > 0)).mean() > 0.95
+    # yhat equals the model's own prediction for the unablated frame
+    base = model.transform(df).select("id", "yhat").toPandas().set_index("id")["yhat"]
+    got = out.set_index("id")["yhat"]
+    np.testing.assert_allclose(got.sort_index(), base.sort_index(), rtol=1e-12)
+
+
 def test_gbt_categorical_feature_via_indexer(spark):
     # y = 100*level(cat) + noise: numeric-only GBT can't see the signal,
     # the StringIndexer path (CatBoost cat_features analogue) captures it.
