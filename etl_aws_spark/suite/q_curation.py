@@ -1,0 +1,179 @@
+"""Training-data curation queries: rule filters, stratified sampling,
+contamination, repetition, token-budget selection (text/curation.py).
+
+The curation layer of a pretraining pipeline, downstream of dedup and
+quality profiling. Every query has an exact DuckDB oracle built from the
+same `_dialect` expressions, including the deterministic hash sampling —
+sampling here is replayable by ANY engine, not a seeded RNG artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
+from etl_aws_spark.text import _dialect as D
+from etl_aws_spark.text import analysis, curation
+
+_STOP_IN = ", ".join(f"'{s}'" for s in analysis.STOPWORDS)
+
+_RULES_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {D.tokens('text', D.DUCK)} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE) AS mean_len,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+             list_sum(list_transform(toks, t -> CASE WHEN t IN ({_STOP_IN}) THEN 1 ELSE 0 END))
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           n_tok >= 10 AND n_tok <= 100000 AS r_len,
+           mean_len >= 2.0 AND mean_len <= 12.0 AS r_tok_len,
+           uniq_ratio > 0.3 AS r_uniq,
+           stop_ratio >= 0.02 AS r_stop,
+           (n_tok >= 10 AND n_tok <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+             AND uniq_ratio > 0.3 AND stop_ratio >= 0.02 AS keep
+    FROM m
+"""
+
+
+@query("text_filter_gopher_rules", oracle=_RULES_SQL, category="curation")
+def text_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter as boolean columns + conjunction, so one
+    pass yields both the filtered corpus and per-rule rejection counts."""
+    out = curation.gopher_rules(load(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "r_len", "r_tok_len", "r_uniq", "r_stop", "keep")
+
+
+_RATES = {"web": 0.5, "news": 0.8, "wiki": 1.0, "books": 0.25}
+_RATE_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in sorted(_RATES.items())
+)
+
+
+@query(
+    "sample_stratified_by_source",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ({D.hash60("concat('sample:', CAST(doc_id AS VARCHAR))", D.DUCK)}) % 10000
+          < (CASE {_RATE_CASE} ELSE 0.0 END) * 10000
+    """,
+    category="curation",
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling rates (the domain-mixing step) via
+    a content hash of the id — reproducible across engines/runs, no RNG
+    state; the oracle replays the identical hash and selects the identical
+    rows, which no seeded ``sample()`` can offer."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.stratified_sample_hash(docs, "doc_id", "source", _RATES).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
+      FROM documents WHERE doc_id % 97 <> 0
+    ), ev AS (
+      SELECT DISTINCT unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT tr.doc_id, CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared,
+           count(DISTINCT tr.h) >= 2 AS contaminated
+    FROM tr JOIN ev USING (h)
+    GROUP BY tr.doc_id
+    """,
+    category="curation",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: 3-gram shingle overlap between the
+    training corpus and a (tiny, broadcast) eval set — shuffles carry
+    (hash, id) only, never text. Eval set = every 97th doc, standing in
+    for a held-out benchmark."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.contamination_overlap(
+        train, eval_df, "doc_id", "text", n=3, min_shared=2
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {D._shingle_array('text', 2, D.DUCK)} AS sh FROM documents
+    )
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+           round(CASE WHEN len(sh) > 0
+                 THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+                 ELSE 0.0 END, 6) + 0.0 AS dup_ratio
+    FROM s
+    """,
+    category="curation",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-bigram fraction (the Gopher repetition filter)
+    — HOF expressions only, the shingle array never leaves the row."""
+    out = curation.repetition_ratio(load(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+    return out.select("doc_id", "n_shingles", rnd(F.col("dup_ratio"), 6).alias("dup_ratio"))
+
+
+@query(
+    "curation_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {D.tokens('text', D.DUCK)} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> CASE WHEN t IN ({_STOP_IN}) THEN 1 ELSE 0 END))
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_token_ratio,
+             n_punct / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM t
+    ), q AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             0.25 * least(n_tokens / 100.0, 1.0)
+             + 0.25 * least(stopword_ratio * 5.0, 1.0)
+             + 0.25 * uniq_token_ratio
+             + 0.25 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality
+      FROM m
+    ), c AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q
+    )
+    SELECT doc_id, round(quality, 6) + 0.0 AS quality, n_tokens
+    FROM c WHERE cum <= 20000
+    """,
+    category="curation",
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best docs under a 20k-token budget. The oracle is the
+    naive GLOBAL ordered cumsum; the engine runs the scalable two-phase
+    form (bucket totals -> driver cutoff over <=1001 rows -> ordered cumsum
+    inside the single cutoff bucket) — row-identical by monotone-bucketing
+    (text/curation.py token_budget_select)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = analysis.quality_score(docs, "text").select(
+        "doc_id",
+        F.col("quality_score").alias("quality"),
+        F.col("n_tokens"),
+    )
+    out = curation.token_budget_select(
+        scored, "doc_id", "quality", "n_tokens", budget=20_000
+    )
+    return out.select("doc_id", rnd(F.col("quality"), 6).alias("quality"), "n_tokens")

@@ -1,0 +1,164 @@
+"""Training-data curation operators: rule filters, stratified sampling,
+contamination checks, repetition detection, token-budget selection.
+
+The curation layer a 100 TB pretraining pipeline runs AFTER dedup
+(text/dedup.py) and quality profiling (text/analysis.py) — every operator
+here is pure relational algebra over the shared `_dialect` token/shingle
+expressions, so each has an exact DuckDB oracle and stays in whole-stage
+codegen. The reference repo has no corpus layer (it is a quotes ETL); these
+re-express the public C4/Gopher-style curation recipes in Spark form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_aws_spark.text import _dialect as D
+from etl_aws_spark.text.analysis import STOPWORDS, _marker_score
+
+
+def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/C4-style rule filter, distilled to expression form: each rule
+    is a boolean column, ``keep`` is their conjunction — so downstream can
+    both filter and report per-rule rejection counts from one pass.
+
+    Rules (public Gopher table 1 / C4 heuristics, thresholds scaled to the
+    fixture corpus): token count in [10, 100k], mean token length in
+    [2, 12], distinct-token ratio > 0.3, stopword ratio >= 0.02.
+    """
+    toks = D.tokens(text_col, D.SPARK)
+    n_tok = F.expr(f"size({toks})")
+    mean_len = F.expr(
+        f"aggregate({toks}, 0, (acc, t) -> acc + length(t)) / cast(size({toks}) as double)"
+    )
+    uniq_ratio = F.expr(f"size(array_distinct({toks})) / cast(size({toks}) as double)")
+    stop_ratio = _marker_score(text_col, STOPWORDS)
+    rules = {
+        "r_len": (n_tok >= 10) & (n_tok <= 100_000),
+        "r_tok_len": (mean_len >= 2.0) & (mean_len <= 12.0),
+        "r_uniq": uniq_ratio > 0.3,
+        "r_stop": stop_ratio >= 0.02,
+    }
+    out = df.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def stratified_sample_hash(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """DETERMINISTIC stratified sampling: per-stratum rates applied via a
+    content hash of the id — ``hash60('sample:'||id) % 10000 < rate·10000``
+    — so the sample is reproducible across runs/engines (no RNG state, no
+    seed drift between executors) and any engine can replay it exactly.
+    Unlisted strata get rate 0. The rate table enters as plan-time literals
+    (a CASE chain), not a join — nothing to broadcast, nothing to skew."""
+    h = D.hash60(f"concat('sample:', cast({id_col} as string))", D.SPARK)
+    rate = F.lit(0.0)
+    for stratum in sorted(rates):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(rates[stratum])).otherwise(rate)
+    return df.filter(F.expr(f"{h} % 10000") < rate * 10000)
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination check: count distinct word n-gram shingles
+    each train document shares with ANY eval document, flag docs with
+    ``>= min_shared``. Shuffle carries (shingle_hash, id) pairs only —
+    never text — and the eval side (benchmarks are tiny) broadcasts, so at
+    100 TB this is one scan of the corpus plus a map-side join.
+
+    Output: one row per train doc that shares at least one shingle:
+    (id, n_shared, contaminated)."""
+    sh = D.shingle_hashes(text_col, n, D.SPARK)
+    t = train.select(F.col(id_col), F.explode(F.expr(sh)).alias("_h"))
+    e = eval_df.select(F.explode(F.expr(sh)).alias("_h")).distinct()
+    return (
+        t.join(F.broadcast(e), "_h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").alias("n_shared"))
+        .withColumn("contaminated", F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Within-document repetition (the Gopher duplicate-n-gram filter):
+    fraction of n-gram occurrences that are repeats of an earlier n-gram,
+    ``1 − distinct/total``. Pure HOF expressions — the shingle array never
+    leaves the row, no explode, no shuffle."""
+    all_sh = D._shingle_array(text_col, n, D.SPARK)
+    total = F.expr(f"size({all_sh})")
+    distinct = F.expr(f"size(array_distinct({all_sh}))")
+    return df.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_shingles"),
+        F.when(total > 0, 1.0 - distinct / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Select the highest-quality documents whose cumulative token count
+    fits a budget — the data-mixing step that picks what actually gets
+    trained on.
+
+    The naive form is a GLOBAL ordered cumulative sum (one task at 100 TB).
+    This is the scalable two-phase equivalent with identical output:
+
+    1. bucket docs by ``floor(quality·n_buckets)`` and aggregate token
+       totals per bucket — one narrow shuffle of (bucket, tokens);
+    2. the per-bucket running totals (≤ n_buckets rows — driver-safe by
+       construction) locate the cutoff bucket: every higher bucket is
+       kept wholesale, every lower dropped, and ONLY the cutoff bucket —
+       1/n_buckets of the data — runs an ordered cumulative sum against
+       the residual budget.
+
+    Monotone bucketing refines the (quality desc, id asc) global order, so
+    the result is row-identical to the naive global cumsum (the oracle
+    computes that form).
+    """
+    bucket = F.floor(F.col(quality_col) * n_buckets).cast("long")
+    b = df.withColumn("_bkt", bucket)
+    totals = (
+        b.groupBy("_bkt")
+        .agg(F.sum(tokens_col).alias("_tok"))
+        .orderBy(F.desc("_bkt"))
+        .collect()
+    )
+    spent = 0
+    cutoff = None  # first bucket that does not fit wholesale
+    for row in totals:
+        if spent + row["_tok"] <= budget:
+            spent += row["_tok"]
+        else:
+            cutoff = row["_bkt"]
+            break
+    if cutoff is None:  # everything fits
+        return b.select(id_col, quality_col, tokens_col)
+    residual = budget - spent
+    keep_whole = b.filter(F.col("_bkt") > cutoff)
+    w = Window.partitionBy("_bkt").orderBy(F.desc(quality_col), F.asc(id_col))
+    keep_partial = (
+        b.filter(F.col("_bkt") == cutoff)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= residual)
+        .drop("_cum")
+    )
+    return keep_whole.unionByName(keep_partial).select(id_col, quality_col, tokens_col)
