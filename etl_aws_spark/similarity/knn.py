@@ -199,6 +199,94 @@ def ann_recall_at_k(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-label elementwise mean vector — the IVF coarse quantizer built
+    from an existing partition of the corpus (labels here; k-means cells in
+    a from-scratch index). posexplode → (label, pos) partial-aggregating
+    avg → reassemble ordered — one narrow shuffle of (label, pos, val),
+    map-side combined, no row ever holds more than one component.
+
+    Components are ROUNDED (default 4 digits): float summation order
+    differs across engines/partitionings, and downstream cosine ranking
+    must see identical centroid literals to rank identically. Rounded
+    centroids are the index artifact, exact by convention."""
+    parts = embeddings.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    comp = parts.groupBy("label", "pos").agg(
+        (F.round(F.avg("val"), round_digits) + F.lit(0.0)).alias("val")
+    )
+    return comp.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)").alias(
+            "centroid"
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k — the second ANN scale path next to the
+    LSH one (:func:`ann_topk`): the corpus is partitioned into coarse cells
+    (``label_col``; at 100 TB, k-means cells), each query scores the TINY
+    broadcast centroid table, probes its ``n_probe`` nearest cells, and
+    ranks only within those cells via an equi-join on the cell id — work is
+    n_probe/n_cells of brute force and the corpus never shuffles.
+
+    Centroid components are rounded (see :func:`label_centroids`), so the
+    probe choice — and therefore the result set — is engine-exact and
+    oracle-replayable. Ties break on (cos desc, label asc / neighbor_id
+    asc) everywhere."""
+    cents = label_centroids(embeddings, label_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "_qvec",
+        "_qn",
+        "label",
+        (
+            F.expr(_fold_dot("_qvec", "centroid", dim))
+            / (F.col("_qn") * F.expr(f"sqrt({_fold_dot('centroid', 'centroid', dim)})"))
+        ).alias("_ccos"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("label"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qvec", "_qn", "label")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_cvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_cn"),
+    )
+    scored = corpus.join(F.broadcast(probes), "label").select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_fold_dot("_cvec", "_qvec", dim)) / (F.col("_cn") * F.col("_qn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_dedup_pairs(
     embeddings: DataFrame,
     id_col: str,

@@ -170,6 +170,83 @@ def similarity_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_CENTROIDS = f"""
+    parts AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), comp AS (
+      SELECT label, i, round(avg(val), 4) + 0.0 AS val FROM parts GROUP BY label, i
+    ), cents AS (
+      SELECT label, list(val ORDER BY i) AS centroid FROM comp GROUP BY label
+    )
+"""
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS}
+    SELECT label, centroid FROM cents
+    """,
+    category="similarity",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the IVF coarse quantizer): posexplode →
+    map-side-combined per-component avg → ordered reassembly. Components
+    rounded to 4 digits so the index artifact is engine-exact (float
+    summation order differs across engines/partitionings)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn.label_centroids(emb, "label", "embedding", _DIM)
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), qc AS (
+      SELECT q.query_id, q.qvec, c.label,
+             {_duck_cos('q.qvec', 'c.centroid')} AS ccos
+      FROM q CROSS JOIN cents c
+    ), probes AS (
+      SELECT query_id, qvec, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label ASC) AS pr
+        FROM qc
+      ) WHERE pr <= 2
+    ), scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_duck_cos('e.embedding', 'p.qvec')} AS cos
+      FROM embeddings e JOIN probes p ON e.label = p.label
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cos, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-10 — the second scale path beside LSH: each query
+    scores the broadcast centroid table, probes its 2 nearest cells, and
+    ranks only inside them (equi-join on the cell id; work is
+    n_probe/n_cells of brute force, the corpus never shuffles). Rounded
+    centroids make probe choice oracle-replayable."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn.ivf_topk(
+        emb, queries, "vec_id", "embedding", "label", _DIM, k=10, n_probe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @query(
     "embedding_cosine_dedup",
     oracle=f"""

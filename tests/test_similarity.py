@@ -118,3 +118,31 @@ def test_cosine_dedup_lsh_fallback_blocks(spark, emb):
     for r in lsh.itertuples():
         assert (r.id_a, r.id_b) in exact_pairs
         assert r.cos == exact_pairs[(r.id_a, r.id_b)]
+
+
+def test_ivf_topk_recall_on_clustered_data(spark, emb):
+    # well-separated clusters: a query's true neighbors live in its own
+    # cell, so probing the 2 nearest centroids recovers ~all of brute-force
+    queries = emb.filter(F.col("vec_id") < 6)
+    exact = knn.brute_topk(emb, queries, "vec_id", "embedding", DIM, k=5).toPandas()
+    ivf = knn.ivf_topk(
+        emb, queries, "vec_id", "embedding", "label", DIM, k=5, n_probe=2
+    ).toPandas()
+    true_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    got_pairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.9, recall
+    # every query produced exactly k ranked rows
+    assert (ivf.groupby("query_id").size() == 5).all()
+
+
+def test_label_centroids_match_numpy_mean(spark, emb):
+    got = {r.label: r.centroid for r in knn.label_centroids(
+        emb, "label", "embedding", DIM
+    ).collect()}
+    pdf = emb.select("label", "embedding").toPandas()
+    for lab, grp in pdf.groupby("label"):
+        want = np.round(
+            np.mean(np.stack(grp.embedding.to_numpy()).astype(np.float64), axis=0), 4
+        )
+        np.testing.assert_allclose(got[lab], want, atol=1e-9)
