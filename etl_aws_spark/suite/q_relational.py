@@ -346,3 +346,61 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cats]
     )
+
+
+@query(
+    "reshape_unpivot_long",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'error') AS error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS event_type, click AS n FROM w
+    UNION ALL SELECT user_id, 'error', error FROM w
+    UNION ALL SELECT user_id, 'purchase', purchase FROM w
+    UNION ALL SELECT user_id, 'signup', signup FROM w
+    UNION ALL SELECT user_id, 'view', view FROM w
+    """,
+    category="setop",
+)
+def reshape_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (pandas melt / SQL UNPIVOT): the wide per-user count matrix
+    back to long form via Spark's native ``unpivot`` — a Generate node, one
+    pass, no join; the inverse of `pivot_counts`."""
+    ev = load(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", cats).count()
+    wide = wide.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cats]
+    )
+    return wide.unpivot("user_id", cats, "event_type", "n")
+
+
+@query(
+    "join_semi_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) + 0.0 AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+    category="relational",
+)
+def join_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — orders with at least one returned lineitem
+    (SQL EXISTS). The semi-join physical node emits each left row at most
+    once and never materializes right columns — strictly less work than
+    the inner-join+distinct a pandas workflow would use."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    out = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+    return out.select(
+        "o_orderkey", "o_custkey", (F.round("o_totalprice", 2) + F.lit(0.0)).alias("o_totalprice")
+    )

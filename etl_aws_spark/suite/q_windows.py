@@ -320,3 +320,48 @@ def window_rolling_mean_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").over(frame) == 3, rnd(F.avg("value").over(frame))
     )
     return df.select("event_id", "user_id", "ts", strict.alias("rolling_mean_3_strict"))
+
+
+@query(
+    "window_ntile_buckets",
+    oracle=f"""
+    SELECT {_KEYS},
+           CAST(ntile(10) {_OVER} AS INT) AS decile
+    FROM events
+    """,
+    category="window",
+)
+def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key decile assignment (`ntile(10)`) — the quantile-bucket
+    feature (pandas `qcut` by rank) as a single window pass."""
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return df.select(
+        "event_id", "user_id", "ts", F.ntile(10).over(_w()).cast("int").alias("decile")
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle=f"""
+    SELECT {_KEYS},
+           round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) + 0.0
+             AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) + 0.0
+             AS cume
+    FROM events
+    """,
+    category="window",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each value within its key (`percent_rank` +
+    `cume_dist`, full tie-break) — pandas `rank(pct=True)` family as one
+    window pass."""
+    from pyspark.sql import Window as W
+
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return df.select(
+        "event_id", "user_id", "ts",
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cume"),
+    )
