@@ -96,6 +96,33 @@ def session_window_stats(
     )
 
 
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    late: str = "30 days",
+) -> DataFrame:
+    """STREAM-STREAM inner join within a time bound — the attribution
+    pattern (click → purchase inside the window). Both sides carry
+    watermarks and the join condition carries the time range, so Spark can
+    bound each side's state buffer: a left row is dropped once the right
+    watermark passes ``left_ts + within`` — state is O(rows within the
+    horizon), not O(stream). On a finite AvailableNow run every match is
+    emitted, so the result equals the batch range join (the oracle)."""
+    l = left.withWatermark(left_ts, late).alias("l")
+    r = right.withWatermark(right_ts, late).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + interval {within}"
+        ),
+    )
+
+
 def merge_into_refined(
     stream_df: DataFrame,
     refined_path: str,

@@ -128,6 +128,79 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_join",
+    # batch oracle: the equivalent range join — on a finite AvailableNow
+    # run the stream-stream join emits exactly the batch match set
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    category="streaming",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with time bounds (click → purchase within
+    1 h, the attribution pattern): watermarks on both sides bound the state
+    buffers; the driver hash-checks the emitted matches against the batch
+    range join — stream/batch parity for the hardest stateful operator."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_ssj")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+        ev.write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    name = f"ssjoin_{tag}"
+    stream = ingest.read_stream(spark, landing, schema)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts"), F.col("user_id").alias("key_u")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("user_id").alias("key_u"),
+    )
+    joined = ingest.stream_stream_time_join(
+        clicks, purchases, key="key_u", left_ts="ts", right_ts="pts", within="1 hour",
+    )
+    # Each shuffle partition carries TWO state stores for a stream-stream
+    # join; store open/commit overhead is per-partition-per-batch, so size
+    # the stateful shuffle to the STATE volume (tiny here), not the batch
+    # throughput — at 100 TB this dial turns the other way.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.select(
+                "click_id", "purchase_id",
+                F.col("l.key_u").alias("user_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("pts").alias("purchase_ts"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@query(
     "streaming_windowed_counts",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

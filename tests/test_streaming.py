@@ -219,3 +219,36 @@ def test_session_window_boundary_semantics(spark, dirs):
         (t0, 2): 3.0,
         (t0 + datetime.timedelta(minutes=179), 1): 4.0,
     }
+
+
+def test_stream_stream_join_time_bounds(spark, dirs):
+    # purchase exactly at click+1h is included (<=); outside the window or
+    # wrong user never matches
+    import datetime
+
+    from etl_aws_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, 1, 1.0),                                   # click u1
+        (2, t0 + datetime.timedelta(hours=1), 1, 1.0),     # purchase at bound
+        (3, t0 + datetime.timedelta(hours=2), 1, 1.0),     # too late
+        (4, t0 + datetime.timedelta(minutes=5), 9, 1.0),   # other user
+    ]
+    _land(spark, dirs["landing"], rows)
+    stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+    clicks = stream.filter(F.col("event_id") == 1).select(
+        F.col("event_id").alias("click_id"), "ts", F.col("user_id").alias("k")
+    )
+    buys = stream.filter(F.col("event_id") > 1).select(
+        F.col("event_id").alias("buy_id"), F.col("ts").alias("bts"),
+        F.col("user_id").alias("k"),
+    )
+    j = ingest.stream_stream_time_join(clicks, buys, "k", "ts", "bts", within="1 hour")
+    q = (
+        j.select("click_id", "buy_id").writeStream.format("memory")
+        .queryName("ssj_test").outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.buy_id) for r in spark.table("ssj_test").collect()}
+    assert got == {(1, 2)}
