@@ -177,3 +177,97 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "doc_id", "quality", "n_tokens", budget=20_000
     )
     return out.select("doc_id", rnd(F.col("quality"), 6).alias("quality"), "n_tokens")
+
+
+def _pipeline_oracle() -> str:
+    from etl_aws_spark.suite.q_text import _minhash_bands_sql
+
+    rules = """
+      len(toks) >= 10 AND len(toks) <= 100000
+      AND list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+      AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) > 0.3
+      AND list_sum(list_transform(toks, t -> CASE WHEN t IN ({stop}) THEN 1 ELSE 0 END))
+          / CAST(len(toks) AS DOUBLE) >= 0.02
+    """.format(stop=_STOP_IN)
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), ex AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             ) AS canon
+      FROM raw
+    ), e_kept AS (
+      SELECT doc_id, text FROM ex WHERE doc_id = canon
+    ), g AS (
+      SELECT doc_id, text, {D.tokens('text', D.DUCK)} AS toks FROM e_kept
+    ), corpus AS (
+      SELECT doc_id, text FROM g WHERE {rules}
+    ), {_minhash_bands_sql()},
+    bmin AS (SELECT bk, min(doc_id) AS bm FROM bands GROUP BY bk),
+    mcanon AS (
+      SELECT b.doc_id, min(bm) AS canonical_id FROM bands b JOIN bmin USING (bk)
+      GROUP BY b.doc_id
+    ), m_kept AS (
+      SELECT c.doc_id, c.text FROM corpus c JOIN mcanon USING (doc_id)
+      WHERE doc_id = canonical_id
+    ), t2 AS (
+      SELECT doc_id, text, {D.tokens('text', D.DUCK)} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM m_kept
+    ), m2 AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> CASE WHEN t IN ({_STOP_IN}) THEN 1 ELSE 0 END))
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_token_ratio,
+             n_punct / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM t2
+    ), q2 AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             0.25 * least(n_tokens / 100.0, 1.0)
+             + 0.25 * least(stopword_ratio * 5.0, 1.0)
+             + 0.25 * uniq_token_ratio
+             + 0.25 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality
+      FROM m2
+    ), c2 AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q2
+    )
+    SELECT doc_id, round(quality, 6) + 0.0 AS quality, n_tokens
+    FROM c2 WHERE cum <= 15000
+    """
+
+
+@query("pipeline_corpus_refined", oracle=_pipeline_oracle(), category="curation")
+def pipeline_corpus_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus refinement — the text-side twin of
+    `pipeline_refined`: re-delivered raw corpus → exact dedup (digest
+    groups) → Gopher rule filter → MinHash/LSH near-dup canonicalization →
+    quality-ordered 15k-token budget selection. Four operators from four
+    modules composed in one lazy plan (Catalyst sees the whole pipeline:
+    the text column is pruned where unused, filters collapse before the
+    LSH explode). The oracle recomputes every stage in one SQL — the
+    strongest composition check the gate offers."""
+    from etl_aws_spark.text import dedup as ddp
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    raw = docs.unionByName(redelivered)
+    e = ddp.exact_dedup(raw, "doc_id", "text").filter(F.col("is_dup") == 0)
+    g = curation.gopher_rules(e.select("doc_id", "text"), "text").filter("keep")
+    m = ddp.minhash_lsh_dedup(g.select("doc_id", "text"), "doc_id", "text").filter(
+        F.col("is_dup") == 0
+    )
+    scored = analysis.quality_score(m.select("doc_id", "text"), "text").select(
+        "doc_id", F.col("quality_score").alias("quality"), "n_tokens"
+    )
+    out = curation.token_budget_select(scored, "doc_id", "quality", "n_tokens", 15_000)
+    return out.select("doc_id", rnd(F.col("quality"), 6).alias("quality"), "n_tokens")
