@@ -100,3 +100,35 @@ def test_dedup_idempotent_and_deterministic(spark, xs):
     np.testing.assert_allclose(
         a["x"].to_numpy(), np.minimum(np.array(xs), np.array(xs) + 1.0), rtol=1e-12
     )
+
+
+budget_rows = st.lists(
+    st.tuples(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=budget_rows, budget=st.integers(min_value=0, max_value=400))
+@SET
+def test_token_budget_equals_naive_prefix(spark, rows, budget):
+    # two-phase bucket selection == largest prefix of the (quality desc,
+    # id asc) order whose token sum fits — for ANY quality distribution
+    # (ties, clusters, single bucket) and ANY budget
+    from etl_aws_spark.text import curation
+
+    data = [(i, q, t) for i, (q, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, q double, tok long")
+    got = sorted(
+        r.id for r in curation.token_budget_select(df, "id", "q", "tok", budget).collect()
+    )
+    cum, want = 0, []
+    for i, q, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum > budget:
+            break
+        want.append(i)
+    assert got == sorted(want)
