@@ -249,3 +249,53 @@ def drop_na_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop rows with any null (`train.py:40`)."""
     df = _nullified(spark, sf_dir).select("event_id", "user_id", "value")
     return df.na.drop()
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+    category="scalar",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column — the log-
+    pipeline staple. ``from_json`` with a declared schema (not
+    ``get_json_object`` string-probing) so the parse happens ONCE per row
+    into a struct, Catalyst prunes unused fields, and the typed column
+    participates in pushdown/codegen downstream."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("_p", F.from_json("props", "k BIGINT"))
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").alias("k"),
+        (F.col("_p.k") % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "agg_json_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) + 0.0 AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    category="scalar",
+)
+def agg_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-then-aggregate over the JSON payload: one from_json pass, hash
+    aggregate on the typed field — the shape a 100 TB log rollup needs
+    (parse cost scales with the scan, the shuffle carries only the typed
+    aggregates)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select("event_type", F.from_json("props", "k BIGINT").getField("k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        rnd(F.avg("k"), 4).alias("avg_k"),
+    )
