@@ -87,3 +87,40 @@ def showcase_regional_revenue_5way(spark: SparkSession, sf_dir: str) -> DataFram
             rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
         )
     )
+
+
+@query(
+    "showcase_promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS economy_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    category="showcase",
+)
+def showcase_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a dim join with a
+    date-range filter — the filter reaches the lineitem scan as a pushed
+    predicate, `part` broadcasts, and the CASE rides the partial aggregate
+    (monthly promo-revenue share, the marketing-mix rollup)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        joined.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            rnd(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("economy_pct")
+        )
+    )
