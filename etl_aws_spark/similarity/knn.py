@@ -199,6 +199,28 @@ def ann_recall_at_k(
     )
 
 
+def label_centroid_components(
+    embeddings: DataFrame,
+    label_col: str,
+    vec_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exploded centroid components ``(label, pos, val)`` — one row per
+    (label, vector position): posexplode → (label, pos) partial-aggregating
+    avg — one narrow shuffle of (label, pos, val), map-side combined, no
+    row ever holds more than one component. ``pos`` is 0-based.
+
+    This scalar form is also the gate-friendly query output shape (the
+    external correctness harness canonicalizes via pandas sort, which
+    cannot order array cells — the r4 lesson)."""
+    parts = embeddings.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    return parts.groupBy("label", "pos").agg(
+        (F.round(F.avg("val"), round_digits) + F.lit(0.0)).alias("val")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str,
@@ -208,20 +230,14 @@ def label_centroids(
 ) -> DataFrame:
     """Per-label elementwise mean vector — the IVF coarse quantizer built
     from an existing partition of the corpus (labels here; k-means cells in
-    a from-scratch index). posexplode → (label, pos) partial-aggregating
-    avg → reassemble ordered — one narrow shuffle of (label, pos, val),
-    map-side combined, no row ever holds more than one component.
+    a from-scratch index): :func:`label_centroid_components` reassembled
+    into ordered vectors.
 
     Components are ROUNDED (default 4 digits): float summation order
     differs across engines/partitionings, and downstream cosine ranking
     must see identical centroid literals to rank identically. Rounded
     centroids are the index artifact, exact by convention."""
-    parts = embeddings.select(
-        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "val")
-    )
-    comp = parts.groupBy("label", "pos").agg(
-        (F.round(F.avg("val"), round_digits) + F.lit(0.0)).alias("val")
-    )
+    comp = label_centroid_components(embeddings, label_col, vec_col, round_digits)
     return comp.groupBy("label").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)").alias(
             "centroid"

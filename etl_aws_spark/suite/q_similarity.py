@@ -186,17 +186,25 @@ _DUCK_CENTROIDS = f"""
     "embedding_label_centroids",
     oracle=f"""
     WITH {_DUCK_CENTROIDS}
-    SELECT label, centroid FROM cents
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos, val FROM comp
     """,
     category="similarity",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid vectors (the IVF coarse quantizer): posexplode →
-    map-side-combined per-component avg → ordered reassembly. Components
+    """Per-label centroid components (the IVF coarse quantizer) in the
+    scalar exploded form ``(label, pos, val)`` — one row per vector
+    position: posexplode → map-side-combined per-component avg. Components
     rounded to 4 digits so the index artifact is engine-exact (float
-    summation order differs across engines/partitionings)."""
+    summation order differs across engines/partitionings).
+
+    The exploded shape (rather than the assembled ``array<double>``
+    centroid that :func:`knn.label_centroids` feeds to IVF internally) is
+    deliberate: the correctness gate canonicalizes results via pandas
+    sort, which cannot order array cells — complex-typed output columns
+    are banned registry-wide (tests/test_entry.py guards this)."""
     emb = load(spark, sf_dir, "embeddings")
-    return knn.label_centroids(emb, "label", "embedding", _DIM)
+    comp = knn.label_centroid_components(emb, "label", "embedding")
+    return comp.select("label", F.col("pos").cast("int").alias("pos"), "val")
 
 
 @query(

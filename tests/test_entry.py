@@ -22,6 +22,26 @@ def test_every_query_has_callable_and_registry_consistency():
         assert callable(fn), name
 
 
+def test_no_complex_typed_query_outputs(spark):
+    """Registry-wide guard: no query may emit a top-level Array/Map/Struct
+    column. The external correctness gate canonicalizes results with a
+    pandas sort, which cannot order complex-typed cells (r4's
+    embedding_label_centroids red row: TypeError unhashable 'list').
+    Vector-valued results must ship in exploded scalar form instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in ent.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "complex-typed output columns break the driver's pandas canonicalizer: "
+        + "; ".join(offenders)
+    )
+
+
 def test_queries_run_at_sf0001(spark):
     """Every registered query must execute and return a stable schema at the
     smallest scale factor (cheap end-to-end sanity; value checks are in
