@@ -511,22 +511,38 @@ def prediction_attribution_ablate(
 
     features = list(features)
     keys = list(keys)
+    # the pivot's F.first would silently collapse duplicate keys into
+    # arbitrary per-variant picks — fail loudly instead (cheap: limit(1)
+    # short-circuits the probe)
+    if df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            f"prediction_attribution_ablate requires unique keys {keys}; "
+            "duplicate key rows would make contributions arbitrary"
+        )
     means = df.agg(*[F.avg(f).alias(f) for f in features]).first()
+    # an all-NULL feature has no ablation baseline; its contribution is 0
+    # by definition — skip the variant, emit a 0.0 column to keep schema
+    live = [f for f in features if means[f] is not None]
     variants = [df.withColumn("_variant", F.lit("__base__"))] + [
         df.withColumn(f, F.lit(float(means[f]))).withColumn("_variant", F.lit(f))
-        for f in features
+        for f in live
     ]
     unioned = reduce(DataFrame.unionByName, variants)
     scored = model.transform(unioned).select(*keys, "_variant", "yhat")
     wide = (
         scored.groupBy(*keys)
-        .pivot("_variant", ["__base__", *features])
+        .pivot("_variant", ["__base__", *live])
         .agg(F.first("yhat"))
     )
     return wide.select(
         *keys,
         F.col("__base__").alias("yhat"),
-        *[(F.col("__base__") - F.col(f)).alias(f"contrib_{f}") for f in features],
+        *[
+            (F.col("__base__") - F.col(f)).alias(f"contrib_{f}")
+            if f in set(live)
+            else F.lit(0.0).alias(f"contrib_{f}")
+            for f in features
+        ],
     )
 
 

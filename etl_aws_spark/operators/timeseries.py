@@ -65,18 +65,30 @@ def macd(
     def _gewm(s, by, span: int):
         # pandas' Cython GroupBy.ewm(adjust=False) runs the identical
         # recurrence y_t = α·x_t + (1-α)·y_{t-1}, restarting at each group
-        # boundary, with fl(1-α) == fl((span-1)/(span+1)) and (1-α)+α ==
-        # 1.0 for spans 9/12/26 — verified BIT-equal to the explicit Python
-        # fold (tests/test_timeseries.py), so the DuckDB list_reduce oracle
-        # still hash-matches. Chosen over per-group Series.ewm because the
-        # Python-level groupby.apply overhead dominated at ~1.5k keys
-        # (measured 7× on the sf0.1 shape). One divergence: ewm SKIPS NaN
-        # while the fold (and the oracle's NULL arithmetic) poisons
-        # everything after it — mask from each group's first NaN onward.
-        out = s.groupby(by, sort=False).ewm(span=span, adjust=False).mean().to_numpy()
-        isna = s.isna()
-        if isna.any():
-            out[isna.groupby(by, sort=False).cummax().to_numpy()] = float("nan")
+        # boundary — BIT-equal to the explicit β-fold (and the DuckDB
+        # list_reduce oracle) only when fl(1-α) == fl(β = (span-1)/(span+1)),
+        # which holds for the verified spans 9/12/26 but is not an IEEE
+        # identity in general. Check it per span and fall back to the
+        # explicit fold when it fails, so callers with other spans keep
+        # value-hash parity instead of silently drifting. One divergence
+        # either way: ewm SKIPS NaN while the fold (and the oracle's NULL
+        # arithmetic) poisons everything after it — mask from each group's
+        # first NaN onward (the explicit fold poisons naturally).
+        alpha = 2.0 / (span + 1.0)
+        beta = (span - 1.0) / (span + 1.0)
+        if 1.0 - alpha == beta:
+            out = s.groupby(by, sort=False).ewm(span=span, adjust=False).mean().to_numpy()
+            isna = s.isna()
+            if isna.any():
+                out[isna.groupby(by, sort=False).cummax().to_numpy()] = float("nan")
+            return out
+        import numpy as np
+
+        xs = s.to_numpy(dtype=float)
+        starts = ~by.eq(by.shift()).to_numpy()  # True at each group's first row
+        out = np.empty(len(xs))
+        for i in range(len(xs)):
+            out[i] = xs[i] if starts[i] else alpha * xs[i] + beta * out[i - 1]
         return out
 
     def per_partition(batches):

@@ -433,7 +433,21 @@ def model_gbt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, features=feats, target="l_extendedprice",
         keys=["l_orderkey", "l_linenumber"], max_iter=5, fit_df=fit_df,
     )
-    sample = li.filter(F.col("l_orderkey") % 50 == 0)
+    # the synthetic lineitem is NOT key-unique on (l_orderkey,
+    # l_linenumber) — ~20% of key groups hold several distinct rows, and
+    # ablate's pivot requires unique keys (it raises otherwise, since
+    # F.first would pick arbitrarily per variant). Keep the
+    # lowest-extendedprice row per key: deterministic (extendedprice is
+    # distinct within every duplicate group of the fixture) and cheap.
+    from pyspark.sql import Window
+
+    wdet = Window.partitionBy("l_orderkey", "l_linenumber").orderBy("l_extendedprice")
+    sample = (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .withColumn("_rn", F.row_number().over(wdet))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     out = models.prediction_attribution_ablate(
         model, sample, feats, keys=["l_orderkey", "l_linenumber"]
     )

@@ -178,6 +178,11 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join; store open/commit overhead is per-partition-per-batch, so size
     # the stateful shuffle to the STATE volume (tiny here), not the batch
     # throughput — at 100 TB this dial turns the other way.
+    # NOTE: spark.sql.shuffle.partitions is session-global and there is no
+    # per-query streaming override — the set/restore below is safe only
+    # because the gate (and bench.py) run queries serially on this session;
+    # a concurrently-planned query would observe the temporary value. The
+    # finally clause restores it even if start() throws.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -133,9 +133,15 @@ def token_budget_select(
     Monotone bucketing refines the (quality desc, id asc) global order, so
     the result is row-identical to the naive global cumsum (the oracle
     computes that form).
+
+    NULL-quality rows are excluded up front: they cannot be ranked in the
+    quality order, and leaving them in would let the NULL bucket's tokens
+    be charged against the budget in phase 1 while both phase-2 keep
+    predicates (NULL > cutoff, NULL == cutoff) silently drop the rows —
+    driver accounting and the returned frame would disagree.
     """
     bucket = F.floor(F.col(quality_col) * n_buckets).cast("long")
-    b = df.withColumn("_bkt", bucket)
+    b = df.filter(F.col(quality_col).isNotNull()).withColumn("_bkt", bucket)
     totals = (
         b.groupBy("_bkt")
         .agg(F.sum(tokens_col).alias("_tok"))
