@@ -303,6 +303,54 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int,
+    n_probes: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Recall@k of :func:`ivf_topk` against the exact :func:`brute_topk`
+    ground truth, swept over the ``n_probe`` knob — the IVF twin of
+    :func:`ann_recall_at_k`, so BOTH ANN paths ship measured accuracy/cost
+    curves: probing more cells scans n_probe/n_cells more corpus and recall
+    rises toward 1.0. One output row per (n_probe, query) plus a per-probe
+    ROLLUP total (query_id NULL) holding the mean recall.
+
+    Every joined side is a dimension-bounded top-k frame (|queries|·k
+    rows); the sweep multiplies that by |n_probes|, still trivially small
+    regardless of corpus size."""
+    from functools import reduce
+
+    exact = brute_topk(embeddings, queries, id_col, vec_col, dim, k).select(
+        "query_id", "neighbor_id"
+    )
+    frames = []
+    for p in n_probes:
+        approx = ivf_topk(
+            embeddings, queries, id_col, vec_col, label_col, dim, k, n_probe=p
+        ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+        marked = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        frames.append(
+            marked.rollup("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+                F.count(F.lit(1)).alias("n_true"),
+            )
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "query_id",
+                "n_hits",
+                "n_true",
+                (F.col("n_hits") / F.col("n_true")).alias("recall"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
 def cosine_dedup_pairs(
     embeddings: DataFrame,
     id_col: str,

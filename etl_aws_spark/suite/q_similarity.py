@@ -255,6 +255,83 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivf_recall_branch(p: int) -> str:
+    """One n_probe sweep branch: recall of the p-probe IVF result vs the
+    exact top-10, per query plus rollup mean — mirrors knn.ivf_recall_at_k
+    for a single probe count."""
+    return f"""
+    SELECT CAST({p} AS INTEGER) AS n_probe, query_id, n_hits, n_true, recall FROM (
+      SELECT query_id,
+             CAST(sum(hit) AS BIGINT) AS n_hits,
+             count(*) AS n_true,
+             round(CAST(sum(hit) AS DOUBLE) / count(*), 6) + 0.0 AS recall
+      FROM (
+        SELECT e.query_id, coalesce(a.hit, 0) AS hit
+        FROM exact e LEFT JOIN (
+          SELECT query_id, neighbor_id, 1 AS hit FROM (
+            SELECT pb.query_id, eb.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY pb.query_id
+                     ORDER BY {_duck_cos('eb.embedding', 'pb.qvec')} DESC, eb.vec_id ASC
+                   ) AS INTEGER) AS rank
+            FROM embeddings eb
+            JOIN (SELECT query_id, qvec, label FROM pr WHERE pr <= {p}) pb
+              ON eb.label = pb.label
+          ) WHERE rank <= 10
+        ) a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      ) GROUP BY ROLLUP (query_id)
+    )
+    """
+
+
+@query(
+    "similarity_ivf_recall_at_k",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('e.embedding', 'q.qvec')} DESC, e.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rank <= 10
+    ), qc AS (
+      SELECT q.query_id, q.qvec, c.label,
+             {_duck_cos('q.qvec', 'c.centroid')} AS ccos
+      FROM q CROSS JOIN cents c
+    ), pr AS (
+      SELECT query_id, qvec, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label ASC) AS pr
+      FROM qc
+    )
+    {' UNION ALL '.join(_duck_ivf_recall_branch(p) for p in (1, 2, 3))}
+    """,
+    category="similarity",
+)
+def similarity_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path vs the exact cosine baseline, swept
+    over n_probe in (1, 2, 3) — the IVF twin of `similarity_ann_recall_at_k`,
+    so both ANN paths ship measured accuracy/cost curves (more probed cells
+    → more corpus scanned → higher recall). Rounded centroids make probe
+    choice — and therefore every candidate set — engine-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn.ivf_recall_at_k(
+        emb, queries, "vec_id", "embedding", "label", _DIM, k=10, n_probes=(1, 2, 3)
+    )
+    return out.select(
+        "n_probe",
+        "query_id",
+        "n_hits",
+        "n_true",
+        (F.round(F.col("recall"), 6) + F.lit(0.0)).alias("recall"),
+    )
+
+
 @query(
     "embedding_cosine_dedup",
     oracle=f"""

@@ -146,3 +146,21 @@ def test_label_centroids_match_numpy_mean(spark, emb):
             np.mean(np.stack(grp.embedding.to_numpy()).astype(np.float64), axis=0), 4
         )
         np.testing.assert_allclose(got[lab], want, atol=1e-9)
+
+
+def test_ivf_recall_monotone_in_n_probe(spark, emb):
+    # probing more cells can only add candidates, so recall@k must be
+    # non-decreasing in n_probe; the rollup mean row carries the curve
+    queries = emb.filter(F.col("vec_id") < 6)
+    rec = knn.ivf_recall_at_k(
+        emb, queries, "vec_id", "embedding", "label", DIM, k=5, n_probes=(1, 2, 3)
+    ).toPandas()
+    means = (
+        rec[rec.query_id.isna()].set_index("n_probe").recall.sort_index()
+    )
+    assert list(means.index) == [1, 2, 3]
+    assert (means.diff().dropna() >= -1e-12).all(), means
+    # per-query rows: every (n_probe, query) present with k truth rows
+    per_q = rec[rec.query_id.notna()]
+    assert (per_q.n_true == 5).all()
+    assert len(per_q) == 3 * 6
