@@ -93,6 +93,142 @@ def decode_bmp24(payload: bytes):
     return img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb8(arr, row_filters=None) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG —
+    stdlib ``zlib``/``struct`` only, no imaging library. ``row_filters``
+    optionally assigns a PNG filter type (0-4, cycled) per scanline so a
+    decoder's None/Sub/Up/Average/Paeth reconstruction paths can all be
+    exercised from one corpus; default is filter 0 everywhere."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bpp = 3
+    raw = arr.reshape(h, w * bpp).astype(np.int16)
+    zeros = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        ft = 0 if not row_filters else int(row_filters[y % len(row_filters)])
+        cur = raw[y]
+        left = np.concatenate([zeros, cur[:-bpp]])
+        up = prev
+        ul = np.concatenate([zeros, prev[:-bpp]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:  # Sub
+            f = (cur - left) % 256
+        elif ft == 2:  # Up
+            f = (cur - up) % 256
+        elif ft == 3:  # Average
+            f = (cur - (left + up) // 2) % 256
+        elif ft == 4:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+            f = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad filter {ft}")
+        lines.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(payload: bytes):
+    """Decode an 8-bit truecolor non-interlaced PNG to an (H, W, 3) uint8
+    array — stdlib ``zlib`` inflate plus all five scanline unfilters
+    (None/Sub/Up/Average/Paeth), no imaging library. CRCs are verified;
+    raises ValueError on any other PNG flavor (palette, alpha, 16-bit,
+    interlaced) so callers can fall back."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("bad CRC")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    bpp = 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("bad scanline buffer size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — fully vectorized, no intra-row dependence
+            rec = (line + up) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = int(up[x])  # above
+                c = int(up[x - bpp]) if x >= bpp else 0  # upper-left
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, bpp)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in for an image decode (PIL absent here): derive
     (width, height, channels, mean_intensity) from the content hash, so the
@@ -128,14 +264,22 @@ def extract_features(df: DataFrame) -> DataFrame:
         pil_decode = None
 
     def decode(payload: bytes):
-        # Real pixel decode for the dependency-free format first: an
-        # uncompressed 24-bpp BMP decodes from actual pixel data (mean
+        # Real pixel decode for the dependency-free formats first: an
+        # uncompressed 24-bpp BMP and an 8-bit RGB PNG (stdlib zlib
+        # inflate + unfilter) both decode from actual pixel data (mean
         # intensity as exact integer sum / (n*255), deterministic across
         # engines). Anything else goes to PIL when present, else the
         # declared deterministic stub.
         if payload[:2] == b"BM":
             try:
                 img = decode_bmp24(payload)
+                h, w = img.shape[0], img.shape[1]
+                return w, h, 3, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
+            except ValueError:
+                pass
+        if payload[:8] == _PNG_SIG:
+            try:
+                img = decode_png_rgb8(payload)
                 h, w = img.shape[0], img.shape[1]
                 return w, h, 3, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
             except ValueError:

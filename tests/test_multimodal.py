@@ -45,3 +45,31 @@ def test_extract_features_real_pixels_for_bmp(spark):
     assert abs(out[1].mean_intensity - 0.2) < 1e-12
     w, h, c, mi = ops._decode_stub(b"just text")
     assert (out[2].width, out[2].height, out[2].mean_intensity) == (w, h, mi)
+
+
+def test_png_roundtrip_exact_all_filters():
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 4)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filters in [None, [0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            back = ops.decode_png_rgb8(ops.encode_png_rgb8(img, filters))
+            np.testing.assert_array_equal(back, img, err_msg=f"{w}x{h} {filters}")
+
+
+def test_png_decode_rejects_garbage_and_corruption():
+    with pytest.raises(ValueError):
+        ops.decode_png_rgb8(b"plain text payload of reasonable length....")
+    good = ops.encode_png_rgb8(np.zeros((2, 2, 3), dtype=np.uint8))
+    corrupt = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]  # flip an IDAT byte
+    with pytest.raises(ValueError):  # CRC check must catch it
+        ops.decode_png_rgb8(corrupt)
+
+
+def test_extract_features_real_pixels_for_png(spark):
+    img = np.full((4, 6, 3), 102, dtype=np.uint8)  # mean = 102/255 = 0.4
+    png = ops.encode_png_rgb8(img, [0, 1, 2, 3, 4])
+    rows = [(1, bytearray(png), "image/png", len(png), "d1")]
+    df = spark.createDataFrame(rows, ops.MEDIA_SCHEMA)
+    out = ops.extract_features(df).collect()[0]
+    assert (out.width, out.height, out.n_channels) == (6, 4, 3)
+    assert abs(out.mean_intensity - 0.4) < 1e-12
