@@ -252,3 +252,62 @@ def test_stream_stream_join_time_bounds(spark, dirs):
     q.awaitTermination(120)
     got = {(r.click_id, r.buy_id) for r in spark.table("ssj_test").collect()}
     assert got == {(1, 2)}
+
+
+def test_stream_stream_join_checkpoint_restart(spark, dirs):
+    # Restart coverage for the dual-watermark join state (the r4 gap): run 1
+    # buffers a click in the join state store; run 2 restarts from the same
+    # checkpoint and lands a purchase matching that OLD click — the pair can
+    # only be emitted if the click's buffered state was recovered. Parquet
+    # sink (a memory sink cannot recover a checkpoint) and exactly-once:
+    # run 2 must not re-emit run 1's match.
+    import datetime
+
+    from etl_aws_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    out_path = dirs["refined"]
+
+    def run():
+        stream = ingest.read_stream(spark, dirs["landing"], SCHEMA)
+        clicks = stream.filter(F.col("value") == 1.0).select(
+            F.col("event_id").alias("click_id"), "ts", F.col("user_id").alias("k")
+        )
+        buys = stream.filter(F.col("value") == 2.0).select(
+            F.col("event_id").alias("buy_id"), F.col("ts").alias("bts"),
+            F.col("user_id").alias("k"),
+        )
+        j = ingest.stream_stream_time_join(clicks, buys, "k", "ts", "bts", within="1 hour")
+        q = (
+            j.select("click_id", "buy_id")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: click c1 + purchase p10 within the hour -> (1, 10)
+    _land(spark, dirs["landing"], [
+        (1, t0, 7, 1.0),
+        (10, t0 + datetime.timedelta(minutes=30), 7, 2.0),
+    ])
+    run()
+    got1 = {(r.click_id, r.buy_id) for r in spark.read.parquet(out_path).collect()}
+    assert got1 == {(1, 10)}
+
+    # run 2 (same checkpoint): p11 matches the RESTORED c1 state; c2+p12 is
+    # a fresh in-run match; p13 is outside c1's window and must not match
+    _land(spark, dirs["landing"], [
+        (11, t0 + datetime.timedelta(minutes=45), 7, 2.0),
+        (2, t0 + datetime.timedelta(hours=3), 7, 1.0),
+        (12, t0 + datetime.timedelta(hours=3, minutes=5), 7, 2.0),
+        (13, t0 + datetime.timedelta(hours=2), 7, 2.0),
+    ])
+    run()
+    got2 = sorted(
+        (r.click_id, r.buy_id) for r in spark.read.parquet(out_path).collect()
+    )
+    assert got2 == [(1, 10), (1, 11), (2, 12)], got2
