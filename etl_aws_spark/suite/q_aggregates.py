@@ -299,3 +299,94 @@ def agg_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
         rnd(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
     )
+
+
+@query(
+    "agg_approx_distinct_error",
+    # DuckDB cannot replay Spark's HLL++ sketch, so the oracle checks the
+    # EXACT side exactly and the sketch side via its accuracy contract:
+    # within_tol is TRUE iff the HLL estimate lands within 3x the requested
+    # rsd of the exact count — deterministic for fixed data (the sketch is
+    # deterministic), and the bound is generous (3 sigma) so the row is
+    # stable across scale factors. Same harness pattern as the ANN recall
+    # queries: accuracy measured, not assumed.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+    category="aggregate",
+)
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy harness for approx_count_distinct (HLL++): at 100 TB
+    the exact distinct needs a full shuffle of the key universe, while the
+    HLL sketch is a fixed-size, map-side-mergeable register set — this
+    query quantifies what that buys, per group: the exact count plus
+    whether the estimate honored 3x its requested 5% rsd."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.expr("approx_count_distinct(user_id, 0.05)").alias("_n_approx"),
+    )
+    rel_err = F.abs(F.col("_n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return out.select(
+        "event_type", "n_exact", (rel_err <= 0.15).alias("within_tol")
+    )
+
+
+@query(
+    "agg_approx_quantiles_error",
+    # exact side: percentile() (linear interpolation) == quantile_cont.
+    # sketch side: approx_percentile with accuracy A guarantees a result
+    # whose RANK is within N/A of the target — checked by bracketing the
+    # estimate between the exact quantiles at q +/- 2/A (margin 2x).
+    oracle="""
+    SELECT CAST(0.25 AS DOUBLE) AS q,
+           round(quantile_cont(l_extendedprice, 0.25), 4) + 0.0 AS exact_val,
+           TRUE AS within_tol
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE),
+           round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0, TRUE
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE),
+           round(quantile_cont(l_extendedprice, 0.75), 4) + 0.0, TRUE
+    FROM lineitem
+    """,
+    category="aggregate",
+)
+def agg_approx_quantiles_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy harness for approx_percentile (Greenwald-Khanna): the
+    exact percentile is a full sort at scale; the GK sketch is one pass and
+    mergeable. Emits the exact quantile (value-checked) and whether the
+    estimate honored its rank guarantee: approx(q) must lie between the
+    exact quantiles at q-2/A and q+2/A (A=1000, so rank slack 2N/1000)."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75]
+    acc, slack = 1000, 2.0 / 1000
+    probe = sorted({round(v, 6) for q in qs for v in (q - slack, q, q + slack)})
+    probe_sql = ", ".join(str(v) for v in probe)
+    aggd = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({probe_sql}))").alias("ex"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({', '.join(map(str, qs))}), {acc})"
+        ).alias("ap"),
+    )
+    structs = []
+    for i, q in enumerate(qs):
+        lo = probe.index(round(q - slack, 6)) + 1
+        mid = probe.index(round(q, 6)) + 1
+        hi = probe.index(round(q + slack, 6)) + 1
+        structs.append(
+            F.struct(
+                F.lit(q).cast("double").alias("q"),
+                rnd(F.element_at("ex", mid), 4).alias("exact_val"),
+                (
+                    (F.element_at("ap", i + 1) >= F.element_at("ex", lo))
+                    & (F.element_at("ap", i + 1) <= F.element_at("ex", hi))
+                ).alias("within_tol"),
+            )
+        )
+    return aggd.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -365,3 +365,41 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
         rnd(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_rolling_time_range",
+    oracle=f"""
+    SELECT {_KEYS},
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(value) OVER w, 4) + 0.0 AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def window_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE rolling frame — RANGE BETWEEN INTERVAL 7 DAYS PRECEDING,
+    the hypertable-style rollup a row-count frame cannot express on
+    irregular event times (each row aggregates a different number of
+    peers). Ordered by exact epoch microseconds on both engines, so frame
+    boundaries are integer-exact (a seconds cast would truncate the
+    fixture's sub-second timestamps and shift boundaries vs the oracle).
+    The micros expression casts through timestamp_ltz first — legal for
+    both TIMESTAMP and TIMESTAMP_NTZ inputs (the r3 NTZ lesson; UTC
+    session makes the epoch value match DuckDB's epoch_us on naive ts).
+    Same one-shuffle-per-key posture as every other window query."""
+    from pyspark.sql import Window
+
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-604800000000, 0)
+    )
+    return df.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        rnd(F.sum("value").over(w), 4).alias("sum_7d"),
+    )
