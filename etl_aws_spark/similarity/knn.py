@@ -245,6 +245,56 @@ def label_centroids(
     )
 
 
+def _ivf_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    n_probe: int,
+) -> DataFrame:
+    """Scored IVF candidates ``(query_id, neighbor_id, cos, _pr)`` where
+    ``_pr`` is the probe rank of the candidate's cell for that query (1 =
+    nearest centroid). Keeping the rank lets one candidate join serve every
+    probe depth <= n_probe (a depth-p candidate set is exactly the rows
+    with ``_pr <= p``)."""
+    cents = label_centroids(embeddings, label_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "_qvec",
+        "_qn",
+        "label",
+        (
+            F.expr(_fold_dot("_qvec", "centroid", dim))
+            / (F.col("_qn") * F.expr(f"sqrt({_fold_dot('centroid', 'centroid', dim)})"))
+        ).alias("_ccos"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("label"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qvec", "_qn", "label", "_pr")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_cvec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_cn"),
+    )
+    return corpus.join(F.broadcast(probes), "label").select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_fold_dot("_cvec", "_qvec", dim)) / (F.col("_cn") * F.col("_qn"))).alias("cos"),
+        "_pr",
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -266,39 +316,9 @@ def ivf_topk(
     probe choice — and therefore the result set — is engine-exact and
     oracle-replayable. Ties break on (cos desc, label asc / neighbor_id
     asc) everywhere."""
-    cents = label_centroids(embeddings, label_col, vec_col, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
-    )
-    qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "_qvec",
-        "_qn",
-        "label",
-        (
-            F.expr(_fold_dot("_qvec", "centroid", dim))
-            / (F.col("_qn") * F.expr(f"sqrt({_fold_dot('centroid', 'centroid', dim)})"))
-        ).alias("_ccos"),
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("label"))
-    probes = (
-        qc.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qvec", "_qn", "label")
-    )
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("label"),
-        F.col(vec_col).alias("_cvec"),
-        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_cn"),
-    )
-    scored = corpus.join(F.broadcast(probes), "label").select(
-        "query_id",
-        "neighbor_id",
-        (F.expr(_fold_dot("_cvec", "_qvec", dim)) / (F.col("_cn") * F.col("_qn"))).alias("cos"),
-    )
+    scored = _ivf_candidates(
+        embeddings, queries, id_col, vec_col, label_col, dim, n_probe
+    ).drop("_pr")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -320,35 +340,63 @@ def ivf_recall_at_k(
     rises toward 1.0. One output row per (n_probe, query) plus a per-probe
     ROLLUP total (query_id NULL) holding the mean recall.
 
-    Every joined side is a dimension-bounded top-k frame (|queries|·k
-    rows); the sweep multiplies that by |n_probes|, still trivially small
-    regardless of corpus size."""
-    from functools import reduce
-
+    The whole sweep is ONE candidate join at the deepest probe level plus
+    ONE shared-window pass: a depth-p candidate set is exactly the rows
+    whose cell's probe rank ``_pr`` <= p, and its top-k rank is a running
+    conditional count over the shared (cos desc, id asc) order — so adding
+    probe levels adds window expressions, not corpus scans (the naive
+    per-level union re-scans the corpus |n_probes| times)."""
     exact = brute_topk(embeddings, queries, id_col, vec_col, dim, k).select(
         "query_id", "neighbor_id"
     )
-    frames = []
-    for p in n_probes:
-        approx = ivf_topk(
-            embeddings, queries, id_col, vec_col, label_col, dim, k, n_probe=p
-        ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-        marked = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
-        frames.append(
-            marked.rollup("query_id")
-            .agg(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
-                F.count(F.lit(1)).alias("n_true"),
+    cand = _ivf_candidates(
+        embeddings, queries, id_col, vec_col, label_col, dim, max(n_probes)
+    )
+    # one window spec serves every probe level: rank within the level-p
+    # candidate subset = running count of _pr<=p rows in the shared order
+    # (filtering preserves relative order, so this equals row_number over
+    # the filtered subset — the oracle's formulation)
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flags = cand.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            (
+                (F.col("_pr") <= p)
+                & (F.sum(F.when(F.col("_pr") <= p, 1).otherwise(0)).over(w) <= k)
             )
-            .select(
-                F.lit(p).cast("int").alias("n_probe"),
-                "query_id",
-                "n_hits",
-                "n_true",
-                (F.col("n_hits") / F.col("n_true")).alias("recall"),
-            )
+            .cast("int")
+            .alias(f"_hit_{p}")
+            for p in n_probes
+        ],
+    )
+    marked = exact.join(F.broadcast(flags), ["query_id", "neighbor_id"], "left")
+    agg = marked.rollup("query_id").agg(
+        *[
+            F.sum(F.coalesce(F.col(f"_hit_{p}"), F.lit(0))).cast("bigint").alias(f"_h_{p}")
+            for p in n_probes
+        ],
+        F.count(F.lit(1)).alias("n_true"),
+    )
+    structs = [
+        F.struct(
+            F.lit(p).cast("int").alias("n_probe"), F.col(f"_h_{p}").alias("n_hits")
         )
-    return reduce(DataFrame.unionByName, frames)
+        for p in n_probes
+    ]
+    return agg.select(
+        "query_id", "n_true", F.explode(F.array(*structs)).alias("_s")
+    ).select(
+        F.col("_s.n_probe").alias("n_probe"),
+        "query_id",
+        F.col("_s.n_hits").alias("n_hits"),
+        "n_true",
+        (F.col("_s.n_hits") / F.col("n_true")).alias("recall"),
+    )
 
 
 def cosine_dedup_pairs(
