@@ -399,6 +399,116 @@ def ivf_recall_at_k(
     )
 
 
+def kmeans_iterate(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Lloyd's k-means for ``iters`` fixed iterations — the from-scratch
+    build of the IVF coarse quantizer that :func:`ivf_topk` assumes (its
+    cells are labels in the fixtures, k-means cells in production).
+
+    Execution model is Spark MLlib's own: centroids are O(k·dim) MODEL
+    STATE, collected to the driver between iterations and re-broadcast as
+    plan-time literals — so the per-iteration assignment is a pure
+    expression over one corpus scan (fold of (x_i-c_i)² per centroid,
+    argmin via an ordered struct array), with NO join and NO shuffle on
+    the corpus; only the (cluster, pos, val) component aggregate shuffles,
+    and it is map-side combined. Driver traffic is k·dim doubles per
+    iteration — the sanctioned bounded-model-state pattern (SCALE.md §5).
+
+    Determinism/oracle contract: init centroids are the vectors with
+    ``id < k``, components rounded; every recomputed centroid component is
+    rounded the same way (the rounded centroid IS the index artifact, as
+    in :func:`label_centroids`); distances are evaluated as the same
+    ascending-index left fold on both engines, so assignments — and the
+    final centroids — replay exactly in SQL. Ties (equal distance) break
+    to the lower cluster id via the (dist, cluster) struct order.
+
+    Returns the long-form result: (cluster, n_members, pos, val) — one row
+    per final-centroid component, n_members from the final assignment.
+    """
+    rdig = round_digits
+
+    def _collect_cents(df: DataFrame) -> list[list[float]]:
+        # k·dim rounded doubles — bounded model state, like encoders.py
+        rows = df.select(
+            F.col("_c").alias("c"),
+            F.expr(f"transform({vec_col}, x -> round(x, {rdig}) + 0.0)").alias("v"),
+        ).collect()
+        out = {r["c"]: list(r["v"]) for r in rows}
+        return [out[c] for c in sorted(out)]
+
+    init = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("_c"), F.col(vec_col).alias(vec_col)
+    )
+    cents = _collect_cents(init)
+
+    def _assign(cent_lits: list[list[float]]) -> DataFrame:
+        structs = []
+        for j, c in enumerate(cent_lits):
+            arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in c) + ")"
+            dist = (
+                f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+                f"acc + (cast(element_at({vec_col}, i) as double) - element_at({arr}, i)) * "
+                f"(cast(element_at({vec_col}, i) as double) - element_at({arr}, i)))"
+            )
+            structs.append(f"struct({dist} as d, {j} as c)")
+        argmin = f"array_min(array({', '.join(structs)})).c"
+        return embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.expr(argmin).alias("_cluster"),
+        )
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        comp = (
+            assigned.select("_cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("_cluster", "pos")
+            .agg((F.round(F.avg("val"), rdig) + F.lit(0.0)).alias("val"))
+        )
+        new = comp.groupBy("_cluster").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)").alias(
+                "_vec"
+            )
+        )
+        rows = new.select(
+            F.col("_cluster").alias("c"),
+            F.expr(f"transform(_vec, x -> round(x, {rdig}) + 0.0)").alias("v"),
+        ).collect()
+        got = {r["c"]: list(r["v"]) for r in rows}
+        # an emptied cluster keeps its previous centroid (matches the
+        # oracle, which replays the same rule via the left join)
+        cents = [got.get(c, cents[c]) for c in range(k)]
+
+    final_assign = _assign(cents)
+    counts = final_assign.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    comp_rows = []
+    for c, vec in enumerate(cents):
+        for pos, val in enumerate(vec):
+            comp_rows.append((c, pos, float(val)))
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(comp_rows, "cluster int, pos int, val double")
+    return (
+        cent_df.join(
+            counts.select(F.col("_cluster").cast("int").alias("cluster"), "n_members"),
+            "cluster",
+            "left",
+        )
+        .select(
+            "cluster",
+            F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+            "pos",
+            "val",
+        )
+    )
+
+
 def cosine_dedup_pairs(
     embeddings: DataFrame,
     id_col: str,

@@ -332,6 +332,90 @@ def similarity_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K, _KM_ITERS = 8, 2
+
+
+def _duck_km_dist(vec: str, cent: str) -> str:
+    """Squared-L2 as the identical ascending left fold Spark evaluates, so
+    distances — and therefore argmin assignments — are bit-equal."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i]) * "
+        f"(CAST({vec}[i] AS DOUBLE) - {cent}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_km_iter(n: int, prev: str) -> str:
+    """One Lloyd iteration as CTE text: assign under `prev`, recompute
+    rounded component means, carry an emptied cluster's previous centroid."""
+    return f"""
+    a{n} AS (
+      SELECT vec_id, embedding, c FROM (
+        SELECT e.vec_id, e.embedding, p.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_km_dist('e.embedding', 'p.v')} ASC, p.c ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} p
+      ) WHERE rn = 1
+    ), r{n} AS (
+      SELECT a.c, s.i, round(avg(CAST(a.embedding[s.i] AS DOUBLE)), 4) + 0.0 AS val
+      FROM a{n} a CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+      GROUP BY a.c, s.i
+    ), c{n} AS (
+      SELECT p.c, coalesce(r.v, p.v) AS v
+      FROM {prev} p LEFT JOIN
+        (SELECT c, list(val ORDER BY i) AS v FROM r{n} GROUP BY c) r USING (c)
+    )"""
+
+
+@query(
+    "embedding_kmeans_iterate",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT CAST(vec_id AS INT) AS c,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS v
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),{','.join(_duck_km_iter(n + 1, f'c{n}') for n in range(_KM_ITERS))},
+    af AS (
+      SELECT c, count(*) AS n_members FROM (
+        SELECT e.vec_id, p.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_km_dist('e.embedding', 'p.v')} ASC, p.c ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN c{_KM_ITERS} p
+      ) WHERE rn = 1 GROUP BY c
+    )
+    SELECT p.c AS cluster,
+           CAST(coalesce(af.n_members, 0) AS BIGINT) AS n_members,
+           CAST(s.i - 1 AS INT) AS pos,
+           p.v[s.i] AS val
+    FROM c{_KM_ITERS} p
+    CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    LEFT JOIN af USING (c)
+    """,
+    category="similarity",
+)
+def embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 2 fixed iterations from a deterministic init
+    (vectors with id < k, components rounded) — the from-scratch IVF
+    coarse-quantizer build. Spark-side execution is MLlib's model: k·dim
+    centroid literals collected per iteration, assignment as a pure
+    fold-expression argmin (no corpus join/shuffle), recompute as one
+    map-side-combined component aggregate. The oracle replays BOTH
+    iterations in SQL — identical fold order makes every assignment
+    bit-exact, and per-iteration rounding makes the centroid artifact
+    engine-exact — turning an 'iterative algorithm' (usually rows-only)
+    into a value-hash-checked query. Output is the exploded long form
+    (cluster, n_members, pos, val); complex-typed outputs are banned."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn.kmeans_iterate(
+        emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
+    )
+
+
 @query(
     "embedding_cosine_dedup",
     oracle=f"""

@@ -164,3 +164,17 @@ def test_ivf_recall_monotone_in_n_probe(spark, emb):
     per_q = rec[rec.query_id.notna()]
     assert (per_q.n_true == 5).all()
     assert len(per_q) == 3 * 6
+
+
+def test_kmeans_iterate_partition_and_determinism(spark, emb):
+    out = knn.kmeans_iterate(emb, "vec_id", "embedding", DIM, k=4, iters=2).toPandas()
+    n_vec = emb.count()
+    # one row per (cluster, component); members partition the corpus
+    assert len(out) == 4 * DIM
+    per_cluster = out.groupby("cluster").n_members.first()
+    assert per_cluster.sum() == n_vec
+    # deterministic end to end (fixed init, fixed iteration count)
+    again = knn.kmeans_iterate(emb, "vec_id", "embedding", DIM, k=4, iters=2).toPandas()
+    pdt = out.sort_values(["cluster", "pos"]).reset_index(drop=True)
+    pdt2 = again.sort_values(["cluster", "pos"]).reset_index(drop=True)
+    assert pdt.equals(pdt2)
