@@ -390,3 +390,33 @@ def agg_approx_quantiles_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return aggd.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+@query(
+    "agg_skew_salted_sum",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) + 0.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    category="aggregate",
+)
+def agg_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-safe aggregate (operators/skew.py salted_count_sum):
+    partial count/sum on (key, salt), final on key — each partition is
+    bounded by |hot_key|/n_salts when one key dominates (event_type has
+    ~5 values over the whole table: exactly the shape that defeats a
+    single hash agg's combine at scale). The oracle is the plain GROUP BY:
+    algebraic aggregates recombine exactly, which the value-hash proves.
+    Deterministic hash salt (retry-stable), not F.rand."""
+    from etl_aws_spark.operators import skew
+
+    ev = load(spark, sf_dir, "events")
+    out = skew.salted_count_sum(
+        ev, keys=["event_type"], sum_cols=["value"], n_salts=16,
+        deterministic_by="event_id",
+    )
+    return out.select(
+        "event_type", "n", (F.round("sum_value", 4) + F.lit(0.0)).alias("sum_value")
+    )

@@ -404,3 +404,36 @@ def join_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", (F.round("o_totalprice", 2) + F.lit(0.0)).alias("o_totalprice")
     )
+
+
+@query(
+    "join_skew_salted_replicated",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) + 0.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    category="relational",
+)
+def join_skew_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join (operators/skew.py replicated_skew_join):
+    the big side salts on a deterministic row hash, the small side
+    replicates across all 8 salts, and the join runs on (key, salt) so no
+    shuffle partition receives more than |hot_key|/n_salts big rows — the
+    manual fallback when AQE skew splitting can't apply (e.g. the small
+    side is too big to broadcast but fine to replicate). The oracle is the
+    PLAIN join: salting must be result-invariant, which this value-hash
+    proves (each big row joins exactly its own salt's copy)."""
+    from etl_aws_spark.operators import skew
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = skew.replicated_skew_join(o, c, key="o_custkey", n_salts=8, how="inner")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("revenue"),
+    )
