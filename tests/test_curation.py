@@ -88,3 +88,14 @@ def test_gopher_rules_keep_is_conjunction(spark):
         [out[1].r_len, out[1].r_tok_len, out[1].r_uniq, out[1].r_stop]
     )
     assert not out[2].keep and not out[2].r_len
+
+
+def test_token_budget_null_quality_excluded(spark):
+    # NULL-quality rows are unrankable: they must not consume budget in
+    # phase 1 and must not appear in the output (the silent-drop advice fix)
+    rows = [(1, 0.9, 50), (2, None, 10**6), (3, 0.5, 50), (4, None, 10**6)]
+    df = spark.createDataFrame(rows, "id long, q double, tok long")
+    got = sorted(r.id for r in curation.token_budget_select(df, "id", "q", "tok", 100).collect())
+    # both non-null docs fit ONLY if the huge null-quality docs didn't
+    # charge the budget; and the null docs themselves are excluded
+    assert got == [1, 3]

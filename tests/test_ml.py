@@ -356,3 +356,15 @@ def test_gbt_feature_importances_rank_signal(spark):
     top = out[out.feature == "q"].importance.iloc[0]
     assert top > 0.9
     assert abs(out.importance.sum() - 1.0) < 1e-6
+
+
+def test_attribution_rejects_duplicate_keys(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, float(rng.rand()), float(rng.rand()), float(rng.rand())) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    _, model = models.gbt_fit_predict(
+        df, features=["x1", "x2"], target="y", keys=["id"], max_iter=2
+    )
+    dup = df.union(df.limit(5))  # 5 duplicated keys
+    with pytest.raises(ValueError, match="unique keys"):
+        models.prediction_attribution_ablate(model, dup, ["x1", "x2"], keys=["id"])
