@@ -1,0 +1,111 @@
+"""Change-data operators: snapshot diff (CDC) and SCD2 history build.
+
+The reference pipeline rewrites its whole refined layer every run
+(`glue.py:237` static overwrite) and keeps no history; production lakes do
+incremental merges instead. These two operators supply that layer
+Spark-first:
+
+- :func:`snapshot_diff` derives the change set between two snapshots of the
+  same keyed table (the input a MERGE INTO would consume);
+- :func:`scd2_from_log` collapses an append-only change log into
+  slowly-changing-dimension type-2 validity ranges.
+
+Both are single-shuffle compositions of built-in operators (full-outer join
+/ one window pass), so they stay in whole-stage codegen and scale like any
+keyed join: shuffle on the key, no skew beyond the key distribution, no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key across two snapshots as insert / delete / update.
+
+    Full-outer join on the key; unchanged rows are dropped so the output is
+    exactly the change set a downstream MERGE would apply. NULL-safe
+    equality (`<=>`) keeps NULL attribute values from masquerading as
+    updates. One shuffle per side on the key; AQE can turn either side into
+    a broadcast when a snapshot is small (typical for incremental loads).
+
+    Output: key, change (insert|delete|update), old_<c>, new_<c> per
+    compare column.
+    """
+    o = old.select(
+        F.col(key),
+        F.lit(1).alias("_old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(1).alias("_new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=key, how="full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_old_present").isNull(), F.lit("insert"))
+        .when(F.col("_new_present").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            key,
+            "change",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
+def scd2_from_log(
+    log: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    order_tail: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse an append-only change log into SCD2 validity ranges.
+
+    Two window passes over one (key)-partitioned sort: (1) keep only rows
+    where ``attr`` differs from its predecessor (run-length compression of
+    consecutive duplicates), (2) ``valid_to`` = next surviving row's
+    timestamp, ``is_current`` = no successor. Equivalent to the
+    lag-filter + lead composition any SQL engine runs; both passes share
+    one partitioning so Spark plans a single Exchange.
+
+    Output: key, attr, valid_from, valid_to (NULL while current),
+    is_current (int 0/1).
+    """
+    order = [ts_col, *order_tail]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    prev = F.lag(attr, 1).over(w)
+    changed = log.withColumn("_prev", prev).filter(
+        F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col, 1).over(w2))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().cast("int").alias("is_current"),
+        )
+    )

@@ -6,6 +6,7 @@ Importing this package registers every query in
 
 from etl_aws_spark.suite import (  # noqa: F401
     q_aggregates,
+    q_changedata,
     q_cleaning,
     q_curation,
     q_ingest,

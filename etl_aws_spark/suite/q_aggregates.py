@@ -420,3 +420,69 @@ def agg_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", (F.round("sum_value", 4) + F.lit(0.0)).alias("sum_value")
     )
+
+
+@query(
+    "agg_histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) + 0.0 AS min_price,
+           round(max(o_totalprice), 2) + 0.0 AS max_price,
+           round(sum(o_totalprice), 2) + 0.0 AS sum_price
+    FROM orders
+    GROUP BY bin
+    """,
+    category="aggregate",
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25k bins over order value): bin assignment is
+    a pure projection, so the whole query is one map-side-combined hash
+    aggregate — the cardinality-bounded distribution profile that replaces
+    a driver-side ``value_counts`` on binned data. ~20 output rows
+    regardless of input scale."""
+    o = load(spark, sf_dir, "orders")
+    out = (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / 25000.0).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.min("o_totalprice"), 2).alias("min_price"),
+            rnd(F.max("o_totalprice"), 2).alias("max_price"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    return out.select("bin", "n", "min_price", "max_price", "sum_price")
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+    category="aggregate",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key modal value (most frequent event_type per user, ties broken
+    lexicographically): count-then-rank — the distributed form of pandas
+    ``groupby().agg(pd.Series.mode)``. The pre-aggregate bounds the window
+    input to (keys × distinct values), so the rank pass is tiny no matter
+    how many raw events feed it."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    out = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return out.select(
+        "user_id", F.col("event_type").alias("mode_event_type"), F.col("n").alias("n_occurrences")
+    )

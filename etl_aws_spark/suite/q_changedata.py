@@ -1,0 +1,100 @@
+"""Change-data queries: CDC snapshot diff and SCD2 history.
+
+The reference keeps no history — every Glue run statically overwrites the
+refined layer (`glue.py:237`) and the Lambda re-uploads whole daily
+partitions (`src/lambda_predict/lambda_function.py:73-91`). These queries
+supply the incremental-lake layer those patterns are missing: derive the
+change set between two snapshots, and fold a change log into SCD2 validity
+ranges. Both snapshots here are deterministic arithmetic slices of the
+``orders`` fixture so the oracle reconstructs them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import changedata as cd
+from etl_aws_spark.registry import load, query
+
+# Deterministic snapshot pair carved from `orders`:
+#   old = keys not divisible by 7         (rows deleted in new: key % 11 = 3)
+#   new = keys not ≡ 3 (mod 11)           (rows inserted:       key % 7 = 0)
+#   updated rows: key % 5 = 0 get +10.00 on the price in the new snapshot
+_OLD_SQL = "SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 7 <> 0"
+_NEW_SQL = (
+    "SELECT o_orderkey, o_totalprice"
+    " + CASE WHEN o_orderkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS price"
+    " FROM orders WHERE o_orderkey % 11 <> 3"
+)
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old AS ({_OLD_SQL}), new AS ({_NEW_SQL})
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           old.price AS old_price, new.price AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.price <> new.price
+    """,
+    category="changedata",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change set between two snapshots of a keyed table — the rows a
+    MERGE INTO would apply (insert / delete / update; unchanged dropped).
+    Full-outer join on the key, NULL-safe compare (operators/changedata.py
+    snapshot_diff). One shuffle per side; at 100 TB the incremental side is
+    typically small enough for AQE to broadcast it."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("price"),
+    )
+    out = cd.snapshot_diff(old, new, key="o_orderkey", compare_cols=["price"])
+    return out.select(
+        "o_orderkey", "change",
+        F.col("old_price"), F.col("new_price"),
+    )
+
+
+@query(
+    "merge_scd2_history",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), seg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ch WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM seg
+    """,
+    category="changedata",
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from an append-only change log: run-length
+    compress consecutive duplicate attribute values per key, then
+    ``valid_from``/``valid_to`` ranges with an ``is_current`` flag
+    (operators/changedata.py scd2_from_log — lag-filter + lead sharing one
+    partitioning, so Spark plans a single Exchange)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    out = cd.scd2_from_log(
+        ev, key="user_id", attr="event_type", ts_col="ts", order_tail=["event_id"]
+    )
+    return out.select("user_id", "event_type", "valid_from", "valid_to", "is_current")

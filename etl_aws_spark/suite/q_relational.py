@@ -437,3 +437,28 @@ def join_skew_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("revenue"),
     )
+
+
+@query(
+    "join_anti_orphans",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    category="relational",
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers with no high-value (>400k) order, the
+    SQL NOT EXISTS. The anti-join physical node streams the left side
+    against a broadcast hash set of qualifying custkeys: the filter on the
+    right side is pushed below the join, so the build side is the
+    qualifying keys only — strictly smaller than the join-then-isnull a
+    pandas workflow would build."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    out = c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti")
+    return out.select("c_custkey", "c_name", "c_mktsegment")
