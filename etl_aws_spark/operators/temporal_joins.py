@@ -128,3 +128,154 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(value).alias("sum_value"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts >= left_ts`` within the key (forward as-of — pandas
+    ``merge_asof(direction='forward')``).
+
+    Mirror of :func:`asof_join_backward`: union tagged sides, one window
+    pass — here a backward-fill with ``first(ignorenulls)`` over the
+    [current, unbounded following] frame. Left rows sort BEFORE right rows
+    at identical timestamps so the match is inclusive. Same scale shape:
+    one shuffle on the key, no join node, no range explosion.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_r_ts"),
+    ).select(*l_tagged.columns)
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned.withColumns(
+        {f"_r_{c}": F.first(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
+        | {"_r_ts": F.first("_r_ts", ignorenulls=True).over(w)}
+    )
+    return filled.filter(F.col("_side") == 0).select(
+        *lcols,
+        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],
+        F.col("_r_ts").alias(f"right_{right_ts}"),
+    )
+
+
+def bucketed_range_count(
+    windows: DataFrame,
+    points: DataFrame,
+    win_id: str,
+    key: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap range join as a BLOCKED equi-join: count/sum the
+    points falling in each window's ``[start, end)``.
+
+    A naive ``ON p.ts BETWEEN w.start AND w.end`` theta join degenerates to
+    a per-key cross product (BroadcastNestedLoopJoin at scale — the classic
+    range-join explosion). Instead both sides are bucketed on
+    ``floor(epoch / bucket_seconds)``: each window explodes to the handful
+    of buckets it covers (⌈len/bucket⌉+1 rows), each point maps to exactly
+    one bucket, and the join is a plain equi-join on (key, bucket) with the
+    range predicate as a residual filter. A point can meet a window in only
+    one bucket — its own — so no post-join dedup is needed. Work is
+    Σ per-bucket |windows|·|points|, not |W|·|P|.
+
+    Windows with no matching points are kept (count 0) via a final
+    broadcast-able left join of the per-window aggregate back onto the
+    window list.
+    """
+    bkt = lambda c: F.floor(_epoch_seconds(c) / F.lit(bucket_seconds))  # noqa: E731
+    pb = points.select(
+        F.col(key).alias("_pkey"),
+        F.col(ts_col).alias("_pts"),
+        F.col(value_col).alias("_pval"),
+        bkt(ts_col).alias("_pbkt"),
+    )
+    wb = windows.withColumn(
+        "_bkt", F.explode(F.sequence(bkt(start_col), bkt(end_col)))
+    )
+    joined = wb.join(
+        pb,
+        (F.col(key) == F.col("_pkey"))
+        & (F.col("_bkt") == F.col("_pbkt"))
+        & (F.col("_pts") >= F.col(start_col))
+        & (F.col("_pts") < F.col(end_col)),
+        "inner",
+    )
+    per_win = joined.groupBy(win_id).agg(
+        F.count(F.lit(1)).alias("n_in_range"),
+        F.sum("_pval").alias("sum_value"),
+    )
+    return (
+        windows.join(per_win, on=win_id, how="left")
+        .withColumn("n_in_range", F.coalesce(F.col("n_in_range"), F.lit(0)).cast("long"))
+        .withColumn("sum_value", F.coalesce(F.col("sum_value"), F.lit(0.0)))
+    )
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key daily resample with gap fill: aggregate to calendar days,
+    generate the full day spine between each key's first and last day, and
+    forward-fill the last observed daily total across gaps.
+
+    The spine is built per key from the AGGREGATED frame (keys × days, not
+    raw rows), so the explode is bounded by the date span — at 100 TB the
+    raw table never re-shuffles: daily agg, per-key min/max, sequence
+    explode, one left join, one window pass, all on the same key
+    partitioning.
+
+    Output: key, day, n_events (0 on gap days), daily_sum (NULL on gaps),
+    carried_sum (forward-filled).
+    """
+    daily = df.groupBy(
+        F.col(key), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum(value_col), 4) + F.lit(0.0)).alias("daily_sum"),
+    )
+    spine = (
+        daily.groupBy(key)
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .withColumn("day", F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")))
+        .select(key, "day")
+    )
+    j = spine.join(daily, on=[key, "day"], how="left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        j.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)).cast("long"))
+        .withColumn("carried_sum", F.last("daily_sum", ignorenulls=True).over(w))
+    )

@@ -104,3 +104,121 @@ def agg_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_id", "session_start", "session_end", "n_events",
         (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, value FROM events WHERE {_RIGHT_FILTER}
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           r.value AS right_value, r.ts AS right_ts
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts <= r.ts
+    """,
+    category="temporal",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event gets the EARLIEST reference row at or
+    after its timestamp — pandas ``merge_asof(direction='forward')`` — as a
+    single union + backward-fill window pass (no join node). Checked
+    against DuckDB's native forward ``ASOF JOIN`` (``<=`` inequality):
+    two independent formulations that must agree row-for-row."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.expr(_RIGHT_FILTER)).select("user_id", "ts", "value")
+    out = tj.asof_join_forward(
+        ev, right, key="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return out.select("event_id", "user_id", "ts", "value", "right_value", "right_ts")
+
+
+# sparse window anchors: every 97th event opens a 2-hour watch window
+_WINDOW_FILTER = "event_id % 97 = 0"
+
+
+@query(
+    "join_range_interval",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id AS win_id, user_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE {_WINDOW_FILTER}
+    ), p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT w.win_id, w.user_id, w.start_ts, w.end_ts,
+           CAST(count(p.ts) AS BIGINT) AS n_in_range,
+           round(coalesce(sum(p.value), 0.0), 4) + 0.0 AS sum_value
+    FROM w LEFT JOIN p
+      ON p.user_id = w.user_id AND p.ts >= w.start_ts AND p.ts < w.end_ts
+    GROUP BY w.win_id, w.user_id, w.start_ts, w.end_ts
+    """,
+    category="temporal",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join — purchases falling inside each 2-hour
+    watch window — expressed as a BUCKETED equi-join (operators/
+    temporal_joins.py bucketed_range_count): windows explode to the hour
+    buckets they cover, points map to one bucket, join on (user, bucket)
+    with the range as a residual filter. The oracle is the naive theta
+    join the blocking provably equals; at scale the blocked form does
+    Σ per-bucket work while the naive form is a per-key cross product."""
+    ev = load(spark, sf_dir, "events")
+    windows = ev.filter(F.expr(_WINDOW_FILTER)).select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase")
+    out = tj.bucketed_range_count(
+        windows, points, win_id="win_id", key="user_id",
+        start_col="start_ts", end_col="end_ts", ts_col="ts",
+        value_col="value", bucket_seconds=3600,
+    )
+    return out.select(
+        "win_id", "user_id", "start_ts", "end_ts", "n_in_range",
+        (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "timeseries_resample_daily_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS n, round(sum(value), 4) + 0.0 AS daily_sum
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), b AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+             CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b
+    )
+    SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           d.daily_sum,
+           last_value(d.daily_sum IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_sum
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+    category="temporal",
+)
+def timeseries_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with date-spine gap fill (operators/temporal_joins.py
+    resample_daily_ffill): per-user calendar-day aggregate, full day spine
+    between each user's first and last day, forward-filled daily total
+    across gap days — the distributed form of pandas
+    ``resample('D').sum().ffill()`` (`preprocessing.py`'s reindex-ffill
+    idiom). The spine explode runs on the aggregated (user × day) frame,
+    never the raw events."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = tj.resample_daily_ffill(ev, key="user_id", ts_col="ts", value_col="value")
+    # day re-cast to timestamp purely for cross-engine hash stability
+    return out.select(
+        "user_id", F.col("day").cast("timestamp").alias("day"),
+        "n_events", "daily_sum", "carried_sum",
+    )

@@ -105,3 +105,99 @@ def test_timestamp_consumers_analyze_under_ntz(spark):
     assert derived.collect()[0]["epoch"] == int(
         _ts(0).replace(tzinfo=datetime.timezone.utc).timestamp()
     )
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                              "2024-01-01 05:00", "2024-01-01 00:30"]),
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 03:00",
+                              "2024-01-01 00:00"]),
+        "rv": [10.0, 30.0, 99.0],
+    })
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="forward",
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    out = (
+        tj.asof_join_forward(ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+                             value_cols=["rv"])
+        .orderBy("k", "ts").toPandas()
+    )
+    # inclusive: the 01:00 left row matches the 01:00 right row
+    assert list(out["right_rv"]) == [
+        None if pd.isna(x) else x for x in exp["rv"]
+    ] or out["right_rv"].equals(exp["rv"])
+    assert out.loc[1, "right_rv"] == 10.0  # equal-ts match is inclusive
+    assert pd.isna(out.loc[2, "right_rv"])  # nothing after 05:00
+
+
+@pytest.mark.parametrize("tstype", ["timestamp", "timestamp_ntz"])
+def test_bucketed_range_count_equals_naive(spark, tstype):
+    base = datetime.datetime(2024, 1, 1)
+    pts = [(1, base + datetime.timedelta(minutes=13 * i), float(i)) for i in range(60)]
+    pts += [(2, base + datetime.timedelta(minutes=29 * i), 1.0) for i in range(20)]
+    p = spark.createDataFrame(pts, f"k long, ts {tstype}, v double")
+    wins = [
+        (100, 1, base, base + datetime.timedelta(hours=2)),
+        (101, 1, base + datetime.timedelta(hours=9), base + datetime.timedelta(hours=11)),
+        (102, 2, base + datetime.timedelta(hours=1), base + datetime.timedelta(hours=3)),
+        (103, 2, base + datetime.timedelta(days=2), base + datetime.timedelta(days=2, hours=2)),
+    ]
+    w = spark.createDataFrame(wins, f"win_id long, k long, s {tstype}, e {tstype}")
+    out = {
+        r.win_id: (r.n_in_range, r.sum_value)
+        for r in tj.bucketed_range_count(
+            w, p, win_id="win_id", key="k", start_col="s", end_col="e",
+            ts_col="ts", value_col="v", bucket_seconds=3600,
+        ).collect()
+    }
+    # naive reference computed in python
+    for win_id, k, s, e in wins:
+        match = [v for kk, ts, v in pts if kk == k and s <= ts < e]
+        assert out[win_id] == (len(match), sum(match) if match else 0.0), win_id
+    assert out[103] == (0, 0.0)  # empty window is kept
+
+
+def test_bucketed_range_join_plans_no_nested_loop(spark):
+    base = datetime.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(1, base, 1.0)], "k long, ts timestamp, v double"
+    )
+    w = spark.createDataFrame(
+        [(1, 1, base, base + datetime.timedelta(hours=2))],
+        "win_id long, k long, s timestamp, e timestamp",
+    )
+    out = tj.bucketed_range_count(
+        w, p, win_id="win_id", key="k", start_col="s", end_col="e",
+        ts_col="ts", value_col="v",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_daily_ffill_fills_gaps(spark):
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10), 5.0),
+        (1, datetime.datetime(2024, 1, 1, 11), 7.0),
+        (1, datetime.datetime(2024, 1, 4, 9), 2.0),   # 2-day gap
+        (2, datetime.datetime(2024, 2, 1, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = tj.resample_daily_ffill(df, key="k", ts_col="ts", value_col="v")
+    got = sorted(out.collect(), key=lambda r: (r.k, r.day))
+    k1 = [r for r in got if r.k == 1]
+    assert [str(r.day) for r in k1] == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert [r.n_events for r in k1] == [2, 0, 0, 1]
+    assert [r.daily_sum for r in k1] == [12.0, None, None, 2.0]
+    assert [r.carried_sum for r in k1] == [12.0, 12.0, 12.0, 2.0]
+    k2 = [r for r in got if r.k == 2]
+    assert len(k2) == 1 and k2[0].carried_sum == 1.0
