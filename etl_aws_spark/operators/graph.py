@@ -1,0 +1,91 @@
+"""Distributed connected components — the dedup-group closure primitive.
+
+Near-dup pipelines (MinHash/LSH, SimHash, embedding blocking) emit PAIRS;
+turning pairs into groups is a connected-components problem. One LSH round
+(`text/dedup.py minhash_lsh_dedup`) collapses docs sharing a band, and
+`lsh_closure` compresses pointer chains — but a pure functional-graph
+compression cannot merge two branches of a component that hooked to
+different roots (A<B<C<D with edges A–C, C–D, D–B: C hooks to A, D hooks
+to B, and no pointer chain connects them). This module is the always-
+correct form: alternating min-label propagation over the edge list
+(invariant-preserving; fixpoint = per-component min id) with pointer-jump
+compression (accelerates chains to O(log diameter) rounds).
+
+Scale shape per round: one (vertex)-keyed shuffle for the neighbor-min
+aggregate and one self-join on a 2-column (id, label) frame —
+`localCheckpoint` keeps lineage flat, convergence probes run every other
+round (house pattern from `lsh_closure`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Label every vertex with the minimum id in its connected component.
+
+    ``vertices``: one column ``id_col`` (distinct). ``edges``: columns
+    ``src``/``dst`` (undirected; self-loops and duplicates tolerated).
+
+    Each round does (1) label(v) := min(label(v), min over neighbors'
+    labels) — correct at fixpoint: a stable labeling is constant across
+    every edge, hence per-component, and the component min keeps its own
+    id — then (2) label(v) := label(label(v)) — safe because label(v) is
+    always an id inside v's component, so its label is too.
+
+    Returns (id_col, component_id).
+    """
+    sym = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
+    ).localCheckpoint(eager=True)
+    for i in range(max_rounds):
+        # (1) min-label propagation across edges
+        nbr_min = (
+            sym.join(labels, sym["_v"] == labels["_id"], "inner")
+            .groupBy("_u")
+            .agg(F.min("_lbl").alias("_nmin"))
+        )
+        prop = (
+            labels.join(nbr_min, labels["_id"] == nbr_min["_u"], "left")
+            .select(
+                "_id",
+                F.least(F.col("_lbl"), F.coalesce("_nmin", F.col("_lbl"))).alias("_lbl"),
+            )
+        )
+        # (2) pointer-jump compression: label := label's label
+        parent = prop.select(
+            F.col("_id").alias("_pid"), F.col("_lbl").alias("_plbl")
+        )
+        nxt = (
+            prop.join(parent, prop["_lbl"] == parent["_pid"], "left")
+            .select("_id", F.coalesce("_plbl", "_lbl").alias("_lbl"))
+            .localCheckpoint(eager=True)
+        )
+        probe = i % 2 == 1 or i == max_rounds - 1
+        if probe:
+            changed = (
+                nxt.withColumnRenamed("_lbl", "_new")
+                .join(labels, "_id")
+                .filter(F.col("_new") != F.col("_lbl"))
+                .limit(1)
+                .count()
+            )
+        labels = nxt
+        if probe and changed == 0:
+            break
+    return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))

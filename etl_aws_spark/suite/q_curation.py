@@ -271,3 +271,64 @@ def pipeline_corpus_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = curation.token_budget_select(scored, "doc_id", "quality", "n_tokens", 15_000)
     return out.select("doc_id", rnd(F.col("quality"), 6).alias("quality"), "n_tokens")
+
+
+# PII patterns: conservative constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB) — character classes, bounded repetition,
+# no lookaround/backrefs.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+# deterministic contact strings synthesized from the customer fixture so
+# the redactor has real matches (the synthetic documents text is word-salad)
+_CONTACT_SQL = (
+    "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@mail'"
+    " || CAST(c_custkey % 7 AS VARCHAR) || '.com> call 555-'"
+    " || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' now'"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, {_CONTACT_SQL} AS contact FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM c
+    """,
+    category="curation",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every pretraining corpus runs
+    before tokenization: replace email addresses and phone-shaped numbers,
+    and count what was removed (the audit metric). Pure JVM regexp
+    expressions (codegen'd, no UDF); patterns restricted to the
+    Java-regex ∩ RE2 common subset so the DuckDB oracle replays them
+    byte-identically. Input is a deterministic contact string built from
+    the customer fixture (the synthetic documents contain no PII-shaped
+    spans to exercise the redactor)."""
+    c = load(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".com> call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    out = c.select(F.col("c_custkey"), contact.alias("contact")).select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("contact"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+        F.regexp_count(F.col("contact"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("contact"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+    return out

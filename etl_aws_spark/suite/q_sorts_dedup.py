@@ -120,3 +120,41 @@ def dedup_keep_first_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`preprocessing.py:22-25`)."""
     docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     return dedup_canonical(docs, ["lang"], ["doc_id"])
+
+
+@query(
+    "dedup_names_levenshtein",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    category="dedup",
+)
+def dedup_names_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs by edit distance ≤ 1, blocked on a
+    shared name prefix so the pair join is a per-block equi-join
+    (Σ|block|², never N² — the same blocking discipline as the text/
+    embedding dedup family). Spark's built-in ``levenshtein`` and DuckDB's
+    implement the same DP, so distances — and the kept pair set — match
+    exactly."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 10, 7).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")), "inner"
+    ).withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+    return pairs.filter(F.col("dist") <= 1).select("id_a", "id_b", "name_a", "name_b", "dist")

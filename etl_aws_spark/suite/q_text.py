@@ -418,3 +418,49 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"size({toks})").cast("bigint")).alias("n_tokens"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@query(
+    "text_dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_minhash_bands_sql()},
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+    ),
+    verts AS (SELECT DISTINCT doc_id FROM corpus),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION SELECT dst AS u, src AS v FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM verts
+      UNION
+      SELECT s.u AS id, reach.r FROM reach JOIN sym s ON s.v = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component_id,
+           CAST(id <> min(r) AS INT) AS is_dup
+    FROM reach GROUP BY id
+    """,
+    category="text",
+)
+def text_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup-group closure: LSH band candidate pairs → distributed
+    connected components (operators/graph.py — alternating min-label
+    propagation + pointer jumping), labeling every doc with its component's
+    min id. Strictly stronger than the one-round `text_dedup_near_minhash`
+    canonicalization: chains A~B~C linked through DIFFERENT bands collapse
+    here. The oracle computes TRUE components via a recursive-CTE
+    reachability closure over the identical edge set — a completely
+    different algorithm that must agree on every label."""
+    corpus = _corpus(spark, sf_dir)
+    from etl_aws_spark.operators import graph
+
+    edges = dedup.minhash_band_edges(corpus, "doc_id", "text")
+    verts = corpus.select("doc_id").distinct()
+    comp = graph.connected_components(verts, edges, id_col="doc_id")
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") != F.col("component_id")).cast("int").alias("is_dup"),
+    )
