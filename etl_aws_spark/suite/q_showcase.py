@@ -124,3 +124,87 @@ def showcase_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("economy_pct")
         )
     )
+
+
+@query(
+    "showcase_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 4) + 0.0 AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(o.o_totalprice, 2) + 0.0 AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    category="showcase",
+)
+def showcase_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join — the HAVING pre-aggregate
+    shrinks lineitem to the qualifying orderkeys BEFORE any join, so the
+    expensive fact⋈fact becomes a join against a tiny filtered aggregate
+    (broadcast-able), then the customer dim attaches. The
+    aggregate-first ordering is the whole point of the shape: joining raw
+    lineitem to orders first would shuffle the full fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", rnd(F.col("_q"), 4).alias("total_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "showcase_order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    category="showcase",
+)
+def showcase_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-windowed orders, EXISTS-filtered by a mixed
+    equi + non-equi condition (any lineitem shipped after the order date),
+    counted per priority. The LEFT SEMI join carries the extra theta
+    predicate on the equi-join hash match, emits each order at most once,
+    and never materializes lineitem columns — the date filter prunes the
+    orders scan first."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    qualified = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

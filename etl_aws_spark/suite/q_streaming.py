@@ -256,3 +256,66 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_static_enrich",
+    # batch oracle: stream-static join + tumbling day aggregation emits
+    # exactly the batch join-group result on a finite AvailableNow run
+    oracle="""
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+           c.c_mktsegment,
+           count(*) AS n,
+           round(sum(e.value), 4) + 0.0 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the streaming form of the
+    reference's fact⋈dim join (`glue.py:100-135`): the event stream joins
+    the static customer dimension (broadcast per micro-batch, no state
+    store needed for the static side), then a watermarked tumbling-day
+    aggregation rolls up per segment. The oracle is the batch join+group
+    over the same inputs — stream/batch parity, value-hashed."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_enrich")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+        ev.write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    name = f"enrich_{tag}"
+    stream = ingest.read_stream(spark, landing, schema)
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = (
+        joined.withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window.start").alias("day"),
+        "c_mktsegment",
+        "n",
+        (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
+    )
