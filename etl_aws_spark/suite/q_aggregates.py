@@ -486,3 +486,98 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("event_type").alias("mode_event_type"), F.col("n").alias("n_occurrences")
     )
+
+
+@query(
+    "quality_constraint_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS chk,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+           CAST(count(*) = count(DISTINCT o_orderkey) AS INT) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           CAST(count(*) AS DOUBLE),
+           CAST(count(*) = 0 AS INT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_custkey_null_rate',
+           round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) + 0.0,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS INT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END)
+                AS DOUBLE),
+           CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) = 0
+                AS INT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+                AS DOUBLE),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) = 0
+                AS INT)
+    FROM orders
+    """,
+    category="aggregate",
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the Deequ pattern): one row per
+    constraint — PK uniqueness, FK orphan count, null rate, numeric range,
+    accepted domain — each computed as a single-pass aggregate, unioned
+    into a (check, metric, passed) report. The formalization of the
+    reference's ad-hoc `df.count()` / `isNull().sum()` sanity prints
+    (`preprocessing.py` EDA cells); at scale each check is one
+    map-side-combined scan and the report is bounded by the number of
+    constraints, not the data."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("double").alias("metric"),
+        (F.count(F.lit(1)) == F.countDistinct("o_orderkey")).cast("int").alias("passed"),
+    ).select(F.lit("orders_pk_unique").alias("chk"), "metric", "passed")
+
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+        .select(
+            F.lit("lineitem_fk_orphans").alias("chk"),
+            "metric",
+            (F.col("metric") == 0).cast("int").alias("passed"),
+        )
+    )
+
+    nulls = o.agg(
+        rnd(
+            F.sum(F.col("o_custkey").isNull().cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("metric"),
+        (F.sum(F.col("o_custkey").isNull().cast("int")) == 0).cast("int").alias("passed"),
+    ).select(F.lit("orders_custkey_null_rate").alias("chk"), "metric", "passed")
+
+    rng = li.agg(
+        F.sum(
+            ((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)).cast("int")
+        ).cast("double").alias("metric")
+    ).select(
+        F.lit("lineitem_discount_in_range").alias("chk"),
+        "metric",
+        (F.col("metric") == 0).cast("int").alias("passed"),
+    )
+
+    dom = o.agg(
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int"))
+        .cast("double")
+        .alias("metric")
+    ).select(
+        F.lit("orders_status_domain").alias("chk"),
+        "metric",
+        (F.col("metric") == 0).cast("int").alias("passed"),
+    )
+
+    return pk.unionByName(orphans).unionByName(nulls).unionByName(rng).unionByName(dom)

@@ -403,3 +403,57 @@ def window_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_7d"),
         rnd(F.sum("value").over(w), 4).alias("sum_7d"),
     )
+
+
+@query(
+    "window_cumulative_share",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS mon,
+             round(sum(o.o_totalprice), 2) + 0.0 AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT seg, mon, rev,
+           round(sum(rev) OVER (PARTITION BY seg ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0 AS cum_rev,
+           round(sum(rev) OVER (PARTITION BY seg ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(rev) OVER (PARTITION BY seg), 6) + 0.0 AS cum_share
+    FROM m
+    """,
+    category="window",
+)
+def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue share (the market-penetration curve): monthly
+    segment revenue, cumulative sum, and cumulative fraction of the
+    segment total — a running window and a partition-total window over the
+    SAME partitioning, so both evaluate in one window stage on one
+    Exchange. The pre-aggregate bounds the window input to
+    (segments × months) rows; the cumulative fold runs over rounded
+    per-month values in deterministic month order, so both engines
+    accumulate identical doubles."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    run = (
+        Window.partitionBy("seg")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("seg")
+    return m.select(
+        "seg", "mon", "rev",
+        rnd(F.sum("rev").over(run), 2).alias("cum_rev"),
+        rnd(F.sum("rev").over(run) / F.sum("rev").over(tot), 6).alias("cum_share"),
+    )
