@@ -231,3 +231,77 @@ def interp_polynomial_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged, "value", ticker="user_id", sector="setor", industry="industria",
         order=["ts", "event_id"],
     )
+
+
+@query(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(value * 100.0) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT bin, sum(ia) AS na, sum(ib) AS nb FROM s GROUP BY bin
+    ), tot AS (
+      SELECT sum(na) AS ta, sum(nb) AS tb FROM g
+    ), c AS (
+      SELECT bin,
+             sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM g
+    )
+    SELECT round(max(abs(CAST(c.ca AS DOUBLE) / t.ta - CAST(c.cb AS DOUBLE) / t.tb)), 6)
+             + 0.0 AS ks_d,
+           CAST(max(t.ta) AS BIGINT) AS n_a,
+           CAST(max(t.tb) AS BIGINT) AS n_b
+    FROM c CROSS JOIN tot t
+    """,
+    category="timeseries",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (click vs purchase value
+    distributions): D = max |ECDF_a − ECDF_b| over 0.01-quantized value
+    bins. The quantization is the scale design, not a shortcut: the
+    ordered-cumsum window runs over the BINNED aggregate (cardinality
+    bounded by 100 × value range, not row count), so the global ordering
+    the ECDF needs never touches raw rows — the standard histogram-KS
+    formulation for distributed data. Identical binning in both engines
+    makes D exact, not approximate-vs-exact."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    from pyspark.sql import Window
+
+    g = (
+        ev.select(
+            F.floor(F.col("value") * 100.0).cast("long").alias("bin"),
+            (F.col("event_type") == "click").cast("int").alias("ia"),
+            (F.col("event_type") == "purchase").cast("int").alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    )
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "bin",
+        F.sum("na").over(cum).alias("ca"),
+        F.sum("nb").over(cum).alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    out = c.crossJoin(F.broadcast(tot)).agg(
+        rnd(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+    )
+    return out.select("ks_d", "n_a", "n_b")

@@ -457,3 +457,50 @@ def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("rev").over(run), 2).alias("cum_rev"),
         rnd(F.sum("rev").over(run) / F.sum("rev").over(tot), 6).alias("cum_share"),
     )
+
+
+@query(
+    "window_streak_runs",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM d
+    ), r AS (
+      SELECT user_id, grp, count(*) AS run_len FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_up_streak,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM r GROUP BY user_id
+    """,
+    category="window",
+)
+def window_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest strictly-increasing run of values per user
+    (the momentum-streak feature). Break-flag via lag, run id via running
+    sum of breaks, then two tiny aggregates — all three passes share one
+    (user_id) partitioning, so the plan carries a single Exchange however
+    long the series is."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = _w()
+    run = _w().rowsBetween(Window.unboundedPreceding, 0)
+    d = ev.withColumn(
+        "brk",
+        F.when(F.col("value") > F.lag("value").over(w), F.lit(0)).otherwise(F.lit(1)),
+    )
+    g = d.withColumn("grp", F.sum("brk").over(run))
+    r = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return r.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_up_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
