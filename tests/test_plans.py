@@ -72,3 +72,42 @@ def test_minhash_shuffles_are_narrow(spark, sf):
     plan = _plan(all_queries()["text_dedup_near_minhash"](spark, sf))
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_range_interval_join_is_blocked_equi(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["join_range_interval"](spark, sf))
+    # the bucketed formulation must never degrade to a range-join explosion
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_large_volume_showcase_aggregates_before_joining(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["showcase_large_volume_customers"](spark, sf))
+    # HAVING pre-aggregate shrinks lineitem before any join: the aggregate
+    # node must sit below the first join (plan prints top-down, so the
+    # first HashAggregate pair appears after the joins textually — assert
+    # instead that no SortMergeJoin on raw lineitem appears and both joins
+    # are hash joins)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final pre-agg exists
+
+
+def test_cumulative_share_single_exchange_for_both_windows(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["window_cumulative_share"](spark, sf))
+    # running-sum window and partition-total window share the (seg)
+    # partitioning: exactly one exchange beyond the pre-aggregate's
+    segs = plan.count("Exchange hashpartitioning")
+    assert segs <= 2, plan  # one for groupBy, one shared by both windows
+
+
+def test_scd2_query_single_exchange(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["merge_scd2_history"](spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
