@@ -332,3 +332,69 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("contact"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
     )
     return out
+
+
+# character-bigram staging: split once, bigrams via zip_with over shifted
+# slices (the CollapseProject-safe shingle formulation from text/_dialect)
+_CS = "split(lower(text), '')"
+_BG_ARR = (
+    f"zip_with(slice({_CS}, 1, size({_CS}) - 1), "
+    f"slice({_CS}, 2, size({_CS}) - 1), (x, y) -> concat(x, y))"
+)
+
+
+@query(
+    "text_char_bigram_bits",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    c AS (SELECT doc_id, string_split(t, '') AS cs, length(t) AS n FROM d),
+    ex AS (
+      SELECT doc_id, unnest(list_transform(range(1, n), i -> cs[i] || cs[i+1])) AS bg
+      FROM c
+    ),
+    model AS (SELECT bg, count(*) AS n_bg FROM ex GROUP BY bg),
+    pref AS (SELECT substr(bg, 1, 1) AS c1, sum(n_bg) AS n_c1 FROM model GROUP BY 1),
+    sc AS (
+      SELECT e.doc_id,
+             ln(CAST(m.n_bg AS DOUBLE)) - ln(CAST(p.n_c1 AS DOUBLE)) AS lp
+      FROM ex e JOIN model m USING (bg)
+      JOIN pref p ON substr(e.bg, 1, 1) = p.c1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp) / ln(2.0), 4) + 0.0 AS bits_per_bigram
+    FROM sc GROUP BY doc_id
+    """,
+    category="curation",
+)
+def text_char_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model scoring — the perplexity-proxy
+    quality signal (CCNet-style LM filtering, reduced to an n-gram model
+    the engine can train in one aggregate): fit P(c2|c1) on the corpus
+    itself, then score every doc's mean negative log2 conditional
+    probability (bits per bigram; high = unusual character statistics).
+    Scale shape: the exploded bigram stream aggregates to an
+    alphabet²-bounded model table that broadcasts back onto the same
+    stream — one explode feeds both passes, the corpus text never
+    shuffles. Bigrams via zip_with over shifted slices (CollapseProject-
+    safe — an element_at formulation re-splits the doc per element)."""
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(F.expr(_BG_ARR)).alias("bg"))
+    model = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    pref = (
+        model.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("n_bg").alias("n_c1"))
+    )
+    scored = (
+        ex.join(F.broadcast(model), "bg")
+        .withColumn("c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(pref), "c1")
+        .select(
+            "doc_id",
+            (F.log(F.col("n_bg").cast("double")) - F.log(F.col("n_c1").cast("double"))).alias("lp"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        rnd(-F.avg("lp") / F.log(F.lit(2.0)), 4).alias("bits_per_bigram"),
+    )
+    return out.select("doc_id", "n_bigrams", "bits_per_bigram")
