@@ -169,3 +169,53 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("event_type", T.StringType()), T.StructField("n", T.LongType())]
     )
     return readers.read_csv(spark, path, schema=schema, sep=";")
+
+
+@query(
+    "scan_jsonl_schema",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) + 0.0 AS sum_value,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    category="source",
+)
+def scan_jsonl_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip with an EXPLICIT read schema — the third
+    source format beside parquet and CSV (the REST source lands JSON; this
+    is its file form). Timestamps serialize as ISO-8601 microsecond
+    strings and parse back losslessly; the declared schema means no
+    inference pass over the data (at scale, schema inference is a full
+    extra scan). The oracle aggregates the original parquet table — the
+    round trip must be exact for every value to hash-match."""
+    import shutil
+
+    path = _cache_dir(sf_dir, "jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts_iso"),
+            "user_id", "event_type", "value",
+        )
+        ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_iso", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path).withColumn(
+        "ts", F.to_timestamp("ts_iso", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -32,6 +32,11 @@ QUERIES = [
     "pipeline_corpus_refined",
 ]
 
+# override the query subset: SPARK_GRAFT_SCALING_QUERIES="a,b,c"
+_env_qs = os.environ.get("SPARK_GRAFT_SCALING_QUERIES")
+if _env_qs:
+    QUERIES = [q.strip() for q in _env_qs.split(",") if q.strip()]
+
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
