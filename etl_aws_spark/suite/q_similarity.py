@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.registry import load, query
 from etl_aws_spark.similarity import knn
+from etl_aws_spark.suite._util import rnd
 
 _DIM = 64
 
@@ -464,4 +465,69 @@ def embedding_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return knn.cosine_dedup_pairs(
         emb, "vec_id", "embedding", _DIM, block_col=None, threshold=0.25, n_planes=6
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), st AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM pos GROUP BY pos
+    ), q AS (
+      SELECT vec_id, val, mn, mx,
+             floor((val - mn) / nullif(mx - mn, 0.0) * 255.0 + 0.5) AS code
+      FROM pos JOIN st USING (pos)
+    ), e AS (
+      SELECT vec_id, code,
+             abs(val - (mn + code * (mx - mn) / 255.0)) AS err
+      FROM q
+    )
+    SELECT vec_id,
+           round(avg(err), 8) + 0.0 AS mean_abs_err,
+           round(max(err), 8) + 0.0 AS max_abs_err,
+           CAST(min(code) AS BIGINT) AS min_code,
+           CAST(max(code) AS BIGINT) AS max_code
+    FROM e GROUP BY vec_id
+    """,
+    category="similarity",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (the standard
+    memory move for billion-vector ANN: 64 doubles → 64 bytes, 8× smaller
+    shuffles for every downstream index build). Per-dimension min/max train
+    the quantizer in one narrow (pos, val) aggregation — 64 rows total, a
+    broadcast — then codes and reconstruction error are pure expressions.
+    ``floor(x + 0.5)`` (not round) keeps the code assignment bit-identical
+    across engines; the per-vector error stats certify quantizer quality.
+    Division guards via nullif: a constant dimension yields NULL (skipped
+    by avg) rather than an ANSI-mode divide error."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    st = pos.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    q = pos.join(F.broadcast(st), "pos")
+    code = F.floor(
+        (F.col("val") - F.col("mn"))
+        / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+        * 255.0
+        + 0.5
+    )
+    e = q.select(
+        "vec_id",
+        code.alias("code"),
+        F.abs(
+            F.col("val")
+            - (F.col("mn") + code * (F.col("mx") - F.col("mn")) / 255.0)
+        ).alias("err"),
+    )
+    return e.groupBy("vec_id").agg(
+        rnd(F.avg("err"), 8).alias("mean_abs_err"),
+        rnd(F.max("err"), 8).alias("max_abs_err"),
+        F.min("code").cast("long").alias("min_code"),
+        F.max("code").cast("long").alias("max_code"),
     )

@@ -305,3 +305,92 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tb").cast("long").alias("n_b"),
     )
     return out.select("ks_d", "n_a", "n_b")
+
+
+@query(
+    "stat_linear_trend_per_group",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value AS y,
+             (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY event_type))
+               / 86400.0 AS x
+      FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           round(regr_slope(y, x), 6) + 0.0 AS slope,
+           round(regr_intercept(y, x), 6) + 0.0 AS intercept,
+           round(regr_r2(y, x), 6) + 0.0 AS r2
+    FROM d GROUP BY event_type
+    """,
+    category="timeseries",
+)
+def stat_linear_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend line (slope/intercept/R² of value vs time) via
+    the native regression aggregates. Time is re-based to days-since-first-
+    observation *per group* before the fit — with raw epoch seconds the
+    normal equations cancel catastrophically (x ~ 1e9, x² ~ 1e18) and no
+    rounding would reconcile engines; after centering both engines agree to
+    well past 6 digits. One window (min over group) + one partial-aggregated
+    group-by, both on the same key, so the plan carries a single Exchange."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    d = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.col("ts").cast("timestamp_ltz").cast("double").alias("xs"),
+    ).withColumn("x", (F.col("xs") - F.min("xs").over(w)) / F.lit(86400.0))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.regr_slope("y", "x"), 6).alias("slope"),
+        rnd(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        rnd(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+@query(
+    "stat_cross_correlation_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), a AS (SELECT day, v FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, v FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS lag)
+    SELECT l.lag, count(*) AS n_days, round(corr(a.v, b.v), 6) + 0.0 AS xcorr
+    FROM a CROSS JOIN lags l JOIN b ON b.day = a.day + l.lag
+    GROUP BY l.lag
+    """,
+    category="timeseries",
+)
+def stat_cross_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two daily series (does click volume
+    lead purchase volume?): aggregate to day grain first — the only pass
+    over raw events — then an 8-row broadcast lag dimension shifts the
+    purchase series and one Pearson aggregate per lag scores the alignment.
+    The day-grain pre-aggregation is the scale move: the lag sweep joins
+    ~spans-days rows, never events, so widening to 90 lags costs nothing."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum("value").alias("v"))
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("da"), F.col("v").alias("va")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("db"), F.col("v").alias("vb")
+    )
+    lags = F.broadcast(
+        ev.sparkSession.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    )
+    pairs = a.crossJoin(lags).join(
+        b, F.date_add(F.col("da"), F.col("lag")) == F.col("db")
+    )
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        rnd(F.corr("va", "vb"), 6).alias("xcorr"),
+    )

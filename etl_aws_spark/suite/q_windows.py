@@ -504,3 +504,45 @@ def window_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_up_streak"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
     )
+
+
+@query(
+    "window_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS cnt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value, round((value - m) / sd, 4) + 0.0 AS z
+    FROM s
+    WHERE cnt = 20 AND sd > 0.0 AND abs((value - m) / sd) > 2.0
+    """,
+    category="window",
+)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detector: each point scored against the
+    mean/std of its 20 *prior* points (current row excluded so an outlier
+    cannot deflate its own score), emitting only full-window breaches of
+    |z| > 2. One window partitioning serves mean, std, and the warm-up
+    count, so the plan is a single Exchange + one WindowExec; the breach
+    filter then drops ~95% of rows before anything else touches them."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = _w().rowsBetween(-20, -1)
+    d = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        d.filter((F.col("cnt") == 20) & (F.col("sd") > 0.0) & (F.abs(z) > 2.0))
+        .select("event_id", "user_id", "ts", "value", rnd(z, 4).alias("z"))
+    )
