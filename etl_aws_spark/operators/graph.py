@@ -89,3 +89,52 @@ def connected_components(
         if probe and changed == 0:
             break
     return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list; returns (id, rank).
+
+    The vertex set is the nodes that appear in edges (so out-degree ≥ 1
+    everywhere — no dangling-mass correction needed for the undirected
+    case). Each iteration is the classic two-shuffle plan: contributions
+    ``rank/outdeg`` route along edges (one (dst)-keyed aggregate), then the
+    teleport term folds in as a pure expression. The edge list and degree
+    table are computed once and `localCheckpoint`-ed so the per-round
+    lineage stays flat; ranks are a 2-column (id, rank) frame however wide
+    the original rows were. Fixed n_iter (not convergence-probed) keeps the
+    result closed-form replayable by the SQL oracle's unrolled CTEs.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    e = e.filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint(eager=True)
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
+    verts = deg.select(F.col("_s").alias("_id")).localCheckpoint(eager=True)
+    n = verts.count()
+    teleport = (1.0 - damping) / n
+    ranks = verts.select("_id", F.lit(1.0 / n).alias("_rank"))
+    contrib_src = e.join(deg, "_s")
+    for _ in range(n_iter):
+        inbound = (
+            contrib_src.join(ranks, contrib_src["_s"] == ranks["_id"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("_rank") / F.col("_outdeg")).alias("_in"))
+        )
+        ranks = (
+            verts.join(inbound, verts["_id"] == inbound["_d"], "left")
+            .select(
+                "_id",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
+                    "_rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("_id").alias("id"), F.col("_rank").alias("rank"))

@@ -9,6 +9,7 @@ from etl_aws_spark.suite import (  # noqa: F401
     q_changedata,
     q_cleaning,
     q_curation,
+    q_graph,
     q_ingest,
     q_ml,
     q_multimodal,

@@ -1,0 +1,79 @@
+"""Graph-analytics queries over derived co-occurrence graphs.
+
+The dedup closure (`text_dedup_connected_components`, q_text.py) covers the
+pairs→groups primitive; this module covers iterative *scoring* on a graph —
+PageRank over the parts-bought-together graph, the classic recommendation
+centrality. The SQL oracle replays the fixed iteration count as unrolled
+CTEs, so the driver gate checks the actual propagation arithmetic, not just
+row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_aws_spark.operators import graph
+from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
+
+
+def _duck_pr_round(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as a pair of CTEs."""
+    return f"""
+    i{cur} AS (
+      SELECT p.d AS id, sum(r.rank / g.outdeg) AS m
+      FROM pairs p JOIN r{prev} r ON p.s = r.id JOIN deg g ON p.s = g.s
+      GROUP BY p.d
+    ), r{cur} AS (
+      SELECT v.s AS id, (1.0 - 0.85) / n.nv + 0.85 * coalesce(i{cur}.m, 0.0) AS rank
+      FROM deg v CROSS JOIN n LEFT JOIN i{cur} ON v.s = i{cur}.id
+    )"""
+
+
+@query(
+    "graph_pagerank_parts",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT s, count(*) AS outdeg FROM pairs GROUP BY s
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nv FROM deg
+    ), r0 AS (
+      SELECT s AS id, 1.0 / n.nv AS rank FROM deg CROSS JOIN n
+    ),{_duck_pr_round('0', '1')},{_duck_pr_round('1', '2')},{_duck_pr_round('2', '3')}
+    SELECT CAST(id AS BIGINT) AS p_partkey, round(rank, 8) + 0.0 AS rank
+    FROM r3
+    ORDER BY round(rank, 8) DESC, id ASC
+    LIMIT 20
+    """,
+    category="graph",
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality on the bought-together parts graph: parts are
+    linked when they share an order, three damped propagation rounds, top
+    20. The pair expansion is bounded (≤ lines-per-order² per order, a
+    small constant in this schema), so the edge build is one equi-join
+    shuffle on orderkey; each round then moves only (src, dst, rank/deg) —
+    the graph layer's iterative-scoring twin to the connected-components
+    closure. Ranking on the *rounded* score (both engines) keeps the top-20
+    cut deterministic across engines' float summation orders."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    ranks = graph.pagerank(edges, damping=0.85, n_iter=3, undirected=False)
+    return (
+        ranks.select(
+            F.col("id").cast("long").alias("p_partkey"),
+            rnd(F.col("rank"), 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("p_partkey"))
+        .limit(20)
+    )

@@ -32,3 +32,49 @@ def test_disjoint_components_and_isolated_vertices(spark):
         [(2, 1), (2, 3), (11, 10), (10, 10)],  # self-loop tolerated
     )
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def _pr_numpy(n, edge_list, damping=0.85, n_iter=3):
+    """Dense replay of the exact fixed-iteration recurrence pagerank() runs."""
+    import numpy as np
+
+    sym = set()
+    for s, d in edge_list:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    nodes = sorted({s for s, _ in sym})
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = np.zeros(len(nodes))
+    for s, _ in sym:
+        out[idx[s]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(n_iter):
+        nxt = np.full(len(nodes), (1.0 - damping) / len(nodes))
+        for s, d in sym:
+            nxt[idx[d]] += damping * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[i] for v, i in idx.items()}
+
+
+def test_pagerank_matches_dense_replay(spark):
+    from etl_aws_spark.operators.graph import pagerank
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (6, 1), (7, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    want = _pr_numpy(7 + 1, edge_list)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # ranks form a probability distribution (no dangling mass leaks)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from etl_aws_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 9)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)
