@@ -279,3 +279,77 @@ def resample_daily_ffill(
         j.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)).cast("long"))
         .withColumn("carried_sum", F.last("daily_sum", ignorenulls=True).over(w))
     )
+
+
+def _epoch_micros(col: str | Column) -> Column:
+    """Exact integer microseconds-since-epoch, legal for LTZ and NTZ inputs
+    (same ``timestamp_ltz`` bridge as :func:`_epoch_seconds`; integer µs so
+    nearest-neighbor distance comparisons can never tie on rounding)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``): each
+    left row takes whichever of its backward / forward reference rows is
+    closer in time; ties go backward.
+
+    ONE union + ONE window partitioning computes both candidates — the
+    backward fill over (unbounded preceding, current) and the forward fill
+    over (current, unbounded following) share the same sort and Exchange,
+    so the plan cost equals a single directional as-of join. With right
+    rows sorted before left at equal timestamps, an equal-ts reference is
+    always the backward candidate at distance zero, which wins every tie —
+    so the single sort order serves both directions correctly.
+    """
+    lcols = list(left.columns)
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_r_ts"),
+    ).select(*l_tagged.columns)
+    unioned = l_tagged.unionByName(r_tagged)
+    base = Window.partitionBy(key).orderBy("_ts", "_side")
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    cols = {}
+    for c in value_cols:
+        cols[f"_b_{c}"] = F.last(f"_r_{c}", ignorenulls=True).over(wb)
+        cols[f"_f_{c}"] = F.first(f"_r_{c}", ignorenulls=True).over(wf)
+    cols["_b_ts"] = F.last("_r_ts", ignorenulls=True).over(wb)
+    cols["_f_ts"] = F.first("_r_ts", ignorenulls=True).over(wf)
+    filled = unioned.withColumns(cols).filter(F.col("_side") == 1)
+    fwd_wins = (
+        F.col("_b_ts").isNull()
+        | (
+            F.col("_f_ts").isNotNull()
+            & (
+                _epoch_micros("_f_ts") - _epoch_micros("_ts")
+                < _epoch_micros("_ts") - _epoch_micros("_b_ts")
+            )
+        )
+    )
+    picked = [
+        F.when(fwd_wins, F.col(f"_f_{c}")).otherwise(F.col(f"_b_{c}")).alias(f"right_{c}")
+        for c in value_cols
+    ] + [
+        F.when(fwd_wins, F.col("_f_ts")).otherwise(F.col("_b_ts")).alias(f"right_{right_ts}")
+    ]
+    return filled.select(*lcols, *picked)

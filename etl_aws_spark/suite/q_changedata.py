@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.operators import changedata as cd
 from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
 
 # Deterministic snapshot pair carved from `orders`:
 #   old = keys not divisible by 7         (rows deleted in new: key % 11 = 3)
@@ -98,3 +99,44 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", attr="event_type", ts_col="ts", order_tail=["event_id"]
     )
     return out.select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@query(
+    "incremental_state_merge",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) + 0.0 AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+    category="changedata",
+)
+def incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: lifetime per-customer
+    order stats kept as a running state table. The 'already materialized'
+    state (orders before 2000-01-01) and the new-arrivals delta are each
+    aggregated to PARTIAL (count, sum) rows, then merged with a second
+    combine-by-key — the algebraic-aggregate merge that lets a daily job
+    touch only the new partition instead of rescanning years of history.
+    The oracle is the full recompute the merged state must equal exactly.
+    At 100 TB this is THE pattern: state ~ |customers| rows, delta ~ one
+    day, and the expensive scan never re-reads old partitions."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    cutoff = "2000-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("spend").alias("spend"))
+    )
+    return merged.select(
+        "o_custkey", "n_orders", rnd(F.col("spend"), 2).alias("total_spend")
+    )

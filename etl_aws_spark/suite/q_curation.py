@@ -398,3 +398,50 @@ def text_char_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(-F.avg("lp") / F.log(F.lit(2.0)), 4).alias("bits_per_bigram"),
     )
     return out.select("doc_id", "n_bigrams", "bits_per_bigram")
+
+
+@query(
+    "curation_domain_mix_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, CAST(len({D.tokens('text', D.DUCK)}) AS BIGINT) AS tk
+      FROM documents
+    ), per_src AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS tokens
+      FROM per_doc GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM per_src
+    )
+    SELECT source, n_docs, tokens,
+           round(tokens / total, 6) + 0.0 AS token_share,
+           round(sum(tokens) OVER (ORDER BY tokens DESC, source ASC) / total, 6)
+             + 0.0 AS cum_share
+    FROM per_src CROSS JOIN tot
+    """,
+    category="curation",
+)
+def curation_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: per-source document/token counts, corpus token
+    share, and head-to-tail cumulative share (the number you read before
+    setting sampling weights — 'the top 3 sources are 80% of tokens'). One
+    narrow (source, tk) aggregate over the corpus, a 1-row total broadcast,
+    and a window over the handful of source rows: the text itself is
+    touched exactly once and never shuffled."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tk = F.expr(f"size({D.tokens('text', D.SPARK)})").cast("bigint")
+    per_src = (
+        docs.select("source", tk.alias("tk"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tk").alias("tokens"))
+    )
+    tot = per_src.agg(F.sum("tokens").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("tokens"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "tokens",
+        rnd(F.col("tokens") / F.col("total"), 6).alias("token_share"),
+        rnd(F.sum("tokens").over(w) / F.col("total"), 6).alias("cum_share"),
+    )

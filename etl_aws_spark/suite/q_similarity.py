@@ -531,3 +531,73 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("code").cast("long").alias("min_code"),
         F.max("code").cast("long").alias("max_code"),
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), ca AS (
+      SELECT label, pos, avg(val) AS a, count(DISTINCT vec_id) AS na
+      FROM pos WHERE vec_id % 2 = 0 GROUP BY label, pos
+    ), cb AS (
+      SELECT label, pos, avg(val) AS b, count(DISTINCT vec_id) AS nb
+      FROM pos WHERE vec_id % 2 = 1 GROUP BY label, pos
+    ), j AS (
+      SELECT ca.label, ca.pos, round(ca.a, 6) AS a, round(cb.b, 6) AS b,
+             ca.na, cb.nb
+      FROM ca JOIN cb USING (label, pos)
+    )
+    SELECT label,
+           round(sqrt(sum((a - b) * (a - b))), 6) + 0.0 AS l2_shift,
+           round(sum(a * b) / nullif(sqrt(sum(a * a)) * sqrt(sum(b * b)), 0.0), 6)
+             + 0.0 AS cos_sim,
+           CAST(max(na) AS BIGINT) AS n_even, CAST(max(nb) AS BIGINT) AS n_odd
+    FROM j GROUP BY label
+    """,
+    category="similarity",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-label centroids of two
+    corpus halves (even/odd ids standing in for week-over-week snapshots),
+    compared by L2 shift and cosine. Components are rounded to 6 digits
+    BEFORE the distance fold so cross-engine summation order cannot leak
+    into the hash (same stabilization as the IVF centroid build). Shuffles
+    carry only (label, pos, val) scalars — never vectors — and the final
+    comparison is |labels| × dim rows, independent of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+
+    def half(df: DataFrame, parity: int, acol: str, ncol: str) -> DataFrame:
+        return (
+            df.filter(F.col("vec_id") % 2 == parity)
+            .groupBy("label", "pos")
+            .agg(
+                F.round(F.avg("val"), 6).alias(acol),
+                F.countDistinct("vec_id").alias(ncol),
+            )
+        )
+
+    j = half(pos, 0, "a", "na").join(half(pos, 1, "b", "nb"), ["label", "pos"])
+    return j.groupBy("label").agg(
+        rnd(F.sqrt(F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b")))), 6).alias(
+            "l2_shift"
+        ),
+        rnd(
+            F.sum(F.col("a") * F.col("b"))
+            / F.nullif(
+                F.sqrt(F.sum(F.col("a") * F.col("a")))
+                * F.sqrt(F.sum(F.col("b") * F.col("b"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("cos_sim"),
+        F.max("na").cast("long").alias("n_even"),
+        F.max("nb").cast("long").alias("n_odd"),
+    )

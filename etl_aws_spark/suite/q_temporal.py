@@ -222,3 +222,49 @@ def timeseries_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id", F.col("day").cast("timestamp").alias("day"),
         "n_events", "daily_sum", "carried_sum",
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, value FROM events WHERE {_RIGHT_FILTER}
+    ), bwd AS (
+      SELECT e.event_id, e.user_id, e.ts, e.value,
+             r.value AS bv, r.ts AS bts
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.ts
+    ), fwd AS (
+      SELECT e.event_id, r.value AS fv, r.ts AS fts
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts <= r.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts, b.value,
+           CASE WHEN b.bts IS NULL THEN f.fv
+                WHEN f.fts IS NOT NULL
+                     AND epoch_us(f.fts) - epoch_us(b.ts)
+                         < epoch_us(b.ts) - epoch_us(b.bts)
+                THEN f.fv ELSE b.bv END AS right_value,
+           CASE WHEN b.bts IS NULL THEN f.fts
+                WHEN f.fts IS NOT NULL
+                     AND epoch_us(f.fts) - epoch_us(b.ts)
+                         < epoch_us(b.ts) - epoch_us(b.bts)
+                THEN f.fts ELSE b.bts END AS right_ts
+    FROM bwd b JOIN fwd f USING (event_id)
+    """,
+    category="temporal",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — each event takes the temporally closer of its
+    backward/forward reference rows (ties backward, pandas
+    ``merge_asof(direction='nearest')``). The Spark side computes both
+    candidates in ONE union + window pass (the two frames share a sort and
+    Exchange); the oracle composes two native DuckDB ASOF joins and picks
+    per-row with exact integer-µs distances — independent formulations
+    that must agree row-for-row."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.expr(_RIGHT_FILTER)).select("user_id", "ts", "value")
+    out = tj.asof_join_nearest(
+        ev, right, key="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return out.select("event_id", "user_id", "ts", "value", "right_value", "right_ts")
