@@ -82,3 +82,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integral `div` — float division would lose precision on ~1e18 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def read_parquet_schema_merged(spark: SparkSession, root: str) -> DataFrame:
+    """Scan a parquet tree whose files were written under EVOLVING schemas
+    (columns added over time). ``mergeSchema`` makes the scan reconcile the
+    per-file footers into the union schema; files missing a column surface
+    NULLs for it. Schema merge costs one footer read per file at planning
+    time — fine for daily epochs, not for millions of tiny files; at that
+    scale pin the schema explicitly (or use a table format with a tracked
+    schema) and skip the footer sweep."""
+    return spark.read.option("mergeSchema", "true").parquet(root)

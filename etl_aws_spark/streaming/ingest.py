@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import os
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -154,6 +155,57 @@ def merge_into_refined(
         if mode == "overwrite":
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.partitionBy(*partition_cols).parquet(refined_path)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def upsert_latest_state(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch keyed upsert: maintain a parquet state table holding the
+    LATEST row per key (CDC compaction as a stream).
+
+    Each micro-batch (1) collapses itself to one row per key by the
+    ``order_cols`` ordering, (2) unions the existing state, (3) re-collapses
+    and atomically replaces the state. The batch-side collapse first means
+    the expensive merge window only ever sees |keys| + |batch keys| rows,
+    never raw updates. The merged frame is `localCheckpoint`-ed before the
+    overwrite so the read of the old state is fully materialized before the
+    path is clobbered (reading lazily from a path being overwritten is the
+    classic self-join corruption). Deterministic under ANY batch split:
+    'latest by (order_cols)' is associative, so replaying with different
+    micro-batch boundaries converges to the same state — the invariant the
+    checkpoint-restart test replays. At warehouse scale the same shape
+    targets a transactional MERGE (Delta/Iceberg) instead of the
+    full-state rewrite; the per-batch plan is identical."""
+    from pyspark.sql import Window
+
+    key_list, order_list = list(keys), list(order_cols)
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_list).orderBy(
+            *[F.desc(c) for c in order_list]
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = latest(batch_df)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*merged.columns)
+            merged = latest(merged.unionByName(prev))
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint:

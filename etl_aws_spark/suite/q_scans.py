@@ -219,3 +219,39 @@ def scan_jsonl_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "scan_parquet_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+    category="scan",
+)
+def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two write epochs of the same table — the
+    older one predates the ``o_orderpriority`` column — read back as one
+    frame with ``mergeSchema``. The scan reconciles per-file schemas into
+    the union; pre-evolution rows surface NULL for the added column. The
+    oracle replays the same evolution as a typed UNION ALL."""
+    root = _cache_dir(sf_dir, "orders_schema_epochs")
+    if not _done(root):
+        o = load(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        new = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        old.write.mode("overwrite").parquet(os.path.join(root, "epoch=1"))
+        new.write.mode("overwrite").parquet(os.path.join(root, "epoch=2"))
+        # root-level marker so reruns skip the rewrite
+        with open(os.path.join(root, "_SUCCESS"), "w") as fh:
+            fh.write("")
+    df = readers.read_parquet_schema_merged(spark, root)
+    return df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")

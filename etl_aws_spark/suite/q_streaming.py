@@ -319,3 +319,64 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, round(value, 4) + 0.0 AS last_value
+    FROM r WHERE rn = 1
+    """,
+    category="streaming",
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction as a stream: a file-source readStream over the events
+    landing (multiple micro-batches via maxFilesPerTrigger) drives a
+    foreachBatch keyed upsert that maintains latest-row-per-user parquet
+    state. 'Latest by (ts, event_id)' is associative, so the final state is
+    independent of how the stream was split into batches — which is exactly
+    what the batch-SQL oracle checks: the streamed state must equal the
+    one-shot window over the whole history."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_upsert")
+    landing, state_p, ckpt = (
+        os.path.join(root, "landing"),
+        os.path.join(root, "state"),
+        os.path.join(root, "ckpt"),
+    )
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+        # many files -> several AvailableNow micro-batches under the trigger cap
+        ev.repartition(8, "user_id").write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    if not os.path.exists(os.path.join(state_p, "_SUCCESS")):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(landing)
+        )
+        q = ingest.upsert_latest_state(
+            stream, state_p, keys=["user_id"], order_cols=["ts", "event_id"],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(300)
+    st = spark.read.parquet(state_p)
+    return st.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        (F.round("value", 4) + F.lit(0.0)).alias("last_value"),
+    )

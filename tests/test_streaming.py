@@ -311,3 +311,48 @@ def test_stream_stream_join_checkpoint_restart(spark, dirs):
         (r.click_id, r.buy_id) for r in spark.read.parquet(out_path).collect()
     )
     assert got2 == [(1, 10), (1, 11), (2, 12)], got2
+
+
+def test_upsert_latest_state_two_runs_and_batch_split(spark, dirs):
+    # The upsert state must (a) survive a second AvailableNow catch-up run
+    # against the same checkpoint, taking newer rows and keeping untouched
+    # keys, and (b) be independent of micro-batch boundaries.
+    import datetime
+
+    from etl_aws_spark.streaming import ingest
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    state = dirs["refined"]
+
+    def run(max_files=None):
+        reader = spark.readStream.schema(SCHEMA)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        stream = reader.parquet(dirs["landing"])
+        q = ingest.upsert_latest_state(
+            stream, state, keys=["user_id"], order_cols=["ts", "event_id"],
+            checkpoint=dirs["ckpt"],
+        )
+        q.awaitTermination(120)
+
+    _land(spark, dirs["landing"], [
+        (1, t0, 7, 10.0),
+        (2, t0 + datetime.timedelta(minutes=5), 7, 11.0),
+        (3, t0, 8, 20.0),
+    ])
+    run(max_files=1)
+    got1 = {r.user_id: (r.event_id, r.value)
+            for r in spark.read.parquet(state).collect()}
+    assert got1 == {7: (2, 11.0), 8: (3, 20.0)}
+
+    # run 2, same checkpoint: user 7 gets a newer row, user 9 appears, an
+    # OLDER re-delivery for user 8 must NOT regress its state
+    _land(spark, dirs["landing"], [
+        (4, t0 + datetime.timedelta(minutes=9), 7, 12.0),
+        (5, t0 + datetime.timedelta(minutes=1), 9, 30.0),
+        (0, t0 - datetime.timedelta(minutes=60), 8, 19.0),
+    ])
+    run(max_files=1)
+    got2 = {r.user_id: (r.event_id, r.value)
+            for r in spark.read.parquet(state).collect()}
+    assert got2 == {7: (4, 12.0), 8: (3, 20.0), 9: (5, 30.0)}
