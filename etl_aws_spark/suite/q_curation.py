@@ -445,3 +445,64 @@ def curation_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("tokens") / F.col("total"), 6).alias("token_share"),
         rnd(F.sum("tokens").over(w) / F.col("total"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "curation_rebalance_to_uniform_mix",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             CAST(len({D.tokens('text', D.DUCK)}) AS BIGINT) AS tk,
+             ({D.hash60("concat('mix:', CAST(doc_id AS VARCHAR))", D.DUCK)}) % 1000000
+               AS h
+      FROM documents
+    ), per_src AS (
+      SELECT source, CAST(sum(tk) AS DOUBLE) AS src_tokens FROM per_doc GROUP BY source
+    ), tot AS (
+      SELECT sum(src_tokens) / count(*) AS target FROM per_src
+    ), keep AS (
+      SELECT d.doc_id, d.source, d.tk
+      FROM per_doc d JOIN per_src s USING (source) CROSS JOIN tot
+      WHERE d.h < least(1.0, tot.target / s.src_tokens) * 1000000
+    )
+    SELECT source, count(*) AS n_docs_kept,
+           CAST(sum(tk) AS BIGINT) AS tokens_kept
+    FROM keep GROUP BY source
+    """,
+    category="curation",
+)
+def curation_rebalance_to_uniform_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix rebalancing: downsample over-represented sources toward a
+    UNIFORM token budget per source (target = total/n_sources; sources
+    already under target keep everything). The keep rule is a pure
+    content-hash threshold — `h(doc_id) < keep_rate` — so the sample is
+    deterministic, reproducible, and needs NO shuffle of the documents
+    themselves: per-source token totals are a broadcast-sized aggregate
+    joined back, and each doc decides locally. This is the action that
+    follows `curation_domain_mix_report`'s diagnosis; expectation-level
+    rebalancing (keeps token share ≈ target in expectation, not exactly)
+    is the standard production trade."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.expr(f"size({D.tokens('text', D.SPARK)})").cast("bigint")
+    h = F.expr(
+        D.hash60("concat('mix:', cast(doc_id as string))", D.SPARK)
+    ) % 1000000
+    per_doc = docs.select("doc_id", "source", tk.alias("tk"), h.alias("h"))
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("tk").cast("double").alias("src_tokens")
+    )
+    tot = per_src.agg(
+        (F.sum("src_tokens") / F.count(F.lit(1))).alias("target")
+    )
+    keep = (
+        per_doc.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("h")
+            < F.least(F.lit(1.0), F.col("target") / F.col("src_tokens")) * 1000000
+        )
+    )
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("tk").cast("long").alias("tokens_kept"),
+    )

@@ -464,3 +464,75 @@ def text_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFra
         "component_id",
         (F.col("doc_id") != F.col("component_id")).cast("int").alias("is_dup"),
     )
+
+
+@query(
+    "text_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_minhash_bands_sql()},
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+    ),
+    verts AS (SELECT DISTINCT doc_id FROM corpus),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION SELECT dst AS u, src AS v FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM verts
+      UNION
+      SELECT s.u AS id, reach.r FROM reach JOIN sym s ON s.v = reach.id
+    ),
+    cc AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
+    lab AS (
+      SELECT c.doc_id, CAST(c.n_chars AS BIGINT) AS n_chars, cc.component_id
+      FROM corpus c JOIN cc USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY component_id) AS cluster_size
+      FROM lab
+    )
+    SELECT component_id, doc_id AS kept_doc_id, cluster_size, n_chars
+    FROM ranked WHERE rn = 1
+    """,
+    category="text",
+)
+def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-dedup END STATE: near-dup clusters (LSH bands → full
+    connected-components closure) reduced to one survivor each — the
+    longest doc, ties to the smallest id (the keep-best rule every
+    production pipeline applies after clustering; length standing in for
+    the quality score). Cluster size rides along so downstream can weight
+    survivors by their duplication count. Survivor pick and size share one
+    (component_id) window partitioning — a single Exchange after the
+    closure. The oracle replays the whole composition: recursive-CTE
+    components + the same keep-best window."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.operators import graph
+
+    corpus = _corpus(spark, sf_dir)
+    edges = dedup.minhash_band_edges(corpus, "doc_id", "text")
+    verts = corpus.select("doc_id").distinct()
+    comp = graph.connected_components(verts, edges, id_col="doc_id")
+    lab = corpus.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")).join(
+        comp, "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ws = Window.partitionBy("component_id")
+    ranked = lab.select(
+        "component_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        "n_chars",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(ws).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "component_id", "kept_doc_id", "cluster_size", "n_chars"
+    )

@@ -394,3 +394,68 @@ def stat_cross_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         rnd(F.corr("va", "vb"), 6).alias("xcorr"),
     )
+
+
+@query(
+    "stat_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INTEGER) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, d.dow
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+    ), full_grid AS (
+      SELECT g.event_type, g.dow, CAST(coalesce(o.o, 0) AS DOUBLE) AS o
+      FROM grid g LEFT JOIN obs o USING (event_type, dow)
+    ), tot AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS r,
+             sum(o) OVER (PARTITION BY dow) AS c,
+             sum(o) OVER () AS n
+      FROM full_grid
+    )
+    SELECT round(sum((o - r * c / n) * (o - r * c / n) / (r * c / n)), 4) + 0.0
+             AS chi2,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
+             AS dof,
+           CAST(sum(o) AS BIGINT) AS n_obs
+    FROM tot
+    """,
+    category="timeseries",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for event_type × day-of-week: is
+    activity mix stable across the week? Contingency counts are ONE
+    group-by over events; the zero-filled grid, marginals (windows over
+    the tiny cell table), and the statistic never touch raw rows again —
+    the distributed-contingency formulation (cells ≪ rows). Expected
+    counts use the same r·c/n double arithmetic in both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    types = obs.select("event_type").distinct()
+    dows = obs.select("dow").distinct()
+    grid = types.crossJoin(dows)
+    full_grid = grid.join(obs, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce("o", F.lit(0)).cast("double").alias("o")
+    )
+    tot = full_grid.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("r") * F.col("c") / F.col("n")
+    return tot.agg(
+        rnd(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.sum("o").cast("long").alias("n_obs"),
+    )

@@ -546,3 +546,28 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("cnt") == 20) & (F.col("sd") > 0.0) & (F.abs(z) > 2.0))
         .select("event_id", "user_id", "ts", "value", rnd(z, 4).alias("z"))
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(cume_dist() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id), 6) + 0.0 AS cd
+    FROM events
+    """,
+    category="window",
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution position of each value within its series —
+    the empirical-CDF rank (completes the rank family beside percent_rank
+    and ntile). event_id in the ordering makes ties deterministic in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", "value",
+        rnd(F.cume_dist().over(w), 6).alias("cd"),
+    )
