@@ -37,11 +37,15 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
-    tolerance: None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_ts <= left_ts`` within the key (pandas ``merge_asof`` /
     DuckDB ``ASOF JOIN`` semantics, left-outer).
+
+    ``tolerance``: maximum staleness in SECONDS — a match older than this
+    is nulled out (pandas ``merge_asof(tolerance=...)``), applied as a
+    post-fill expression so the plan is unchanged.
 
     Implementation: union the two sides tagged by origin, sort per key on
     (ts, origin) with right rows first at equal timestamps, and
@@ -78,10 +82,21 @@ def asof_join_backward(
         {f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
         | {"_r_ts": F.last("_r_ts", ignorenulls=True).over(w)}
     )
+    keep = F.lit(True)
+    if tolerance is not None:
+        # exact integer-µs staleness: truncated-seconds arithmetic flips
+        # matches within 1 s of the bound when timestamps carry fractions
+        keep = (
+            _epoch_micros("_ts") - _epoch_micros("_r_ts")
+            <= F.lit(int(tolerance) * 1_000_000)
+        )
     out = filled.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],
-        F.col("_r_ts").alias(f"right_{right_ts}"),
+        *[
+            F.when(keep, F.col(f"_r_{c}")).alias(f"right_{c}")
+            for c in value_cols
+        ],
+        F.when(keep, F.col("_r_ts")).alias(f"right_{right_ts}"),
     )
     return out
 

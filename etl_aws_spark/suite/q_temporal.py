@@ -268,3 +268,39 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, right, key="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
     )
     return out.select("event_id", "user_id", "ts", "value", "right_value", "right_ts")
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, value FROM events WHERE {_RIGHT_FILTER}
+    ), m AS (
+      SELECT e.event_id, e.user_id, e.ts, e.value,
+             r.value AS rv, r.ts AS rts
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(rts) <= 1800000000 THEN rv
+             END AS right_value,
+           CASE WHEN epoch_us(ts) - epoch_us(rts) <= 1800000000 THEN rts
+             END AS right_ts
+    FROM m
+    """,
+    category="temporal",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute staleness bound (pandas
+    ``merge_asof(tolerance=...)``): a reference older than the bound is no
+    match at all — the rule that keeps stale fundamentals from leaking
+    into a feature join. Same single union + forward-fill pass as the
+    unbounded form; the bound is a post-fill expression, so the plan (one
+    key shuffle, no join node) is unchanged."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.expr(_RIGHT_FILTER)).select("user_id", "ts", "value")
+    out = tj.asof_join_backward(
+        ev, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tolerance=1800,
+    )
+    return out.select("event_id", "user_id", "ts", "value", "right_value", "right_ts")

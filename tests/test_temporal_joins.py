@@ -201,3 +201,28 @@ def test_resample_daily_ffill_fills_gaps(spark):
     assert [r.carried_sum for r in k1] == [12.0, 12.0, 12.0, 2.0]
     k2 = [r for r in got if r.k == 2]
     assert len(k2) == 1 and k2[0].carried_sum == 1.0
+
+
+def test_asof_backward_tolerance_boundary(spark):
+    # staleness exactly at the bound matches; one microsecond over is null
+    import datetime
+
+    from etl_aws_spark.operators.temporal_joins import asof_join_backward
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t0), (2, 8, t0)], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t0 - datetime.timedelta(seconds=1800), 1.0),
+            (8, t0 - datetime.timedelta(seconds=1800, microseconds=1), 2.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance=1800,
+    )
+    got = {r.id: r.right_v for r in out.collect()}
+    assert got == {1: 1.0, 2: None}
