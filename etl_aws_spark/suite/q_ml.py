@@ -547,3 +547,64 @@ def model_persist_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(reloaded.stages), n_total, n_match, n_total == n_match)],
         "n_stages int, n_rows long, n_match long, roundtrip_ok boolean",
     )
+
+
+def _nb_oracle() -> str:
+    from etl_aws_spark.text import _dialect as D
+
+    toks = D.tokens("text", D.DUCK)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({toks}) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, lang, t, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+    ), cls_tok AS (
+      SELECT lang AS c, t, count(*) AS ct FROM tok GROUP BY 1, 2
+    ), cls_tot AS (
+      SELECT c, CAST(sum(ct) AS BIGINT) AS tot FROM cls_tok GROUP BY 1
+    ), priors AS (
+      SELECT lang AS c, count(*) AS nd FROM documents GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT t) AS v FROM tok
+    ), nn AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.lang, p.c,
+             tf.tf * ln((coalesce(k.ct, 0) + 1.0) / (ct2.tot + v.v)) AS ll,
+             ln(CAST(p.nd AS DOUBLE) / nn.n) AS lp
+      FROM tf
+      CROSS JOIN priors p
+      JOIN cls_tot ct2 ON ct2.c = p.c
+      CROSS JOIN vocab v CROSS JOIN nn
+      LEFT JOIN cls_tok k ON k.c = p.c AND k.t = tf.t
+    ), per AS (
+      SELECT doc_id, lang, c, round(sum(ll) + any_value(lp), 4) AS score
+      FROM scored GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, c AS pred, score + 0.0 AS score
+    FROM per
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, c ASC) = 1
+    """
+
+
+@query("model_naive_bayes_lang", oracle=_nb_oracle(), category="ml")
+def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND scored as
+    pure DataFrame algebra (ml/naive_bayes.py): the model is two broadcast
+    tables, training is one aggregation pass, inference is a join — no
+    driver-side model object, no UDF. The oracle replays the identical
+    smoothed arithmetic in SQL, making this the rare *trained model* whose
+    per-prediction outputs are exact-hash-checked cross-engine (the
+    GBT/SARIMAX family is rows-only by declared design). Rounded scores +
+    lexicographic tie-break keep the argmax engine-stable."""
+    from etl_aws_spark.ml import naive_bayes
+    from etl_aws_spark.text import _dialect as D
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(D.tokens("text", D.SPARK)).alias("_toks")
+    )
+    out = naive_bayes.nb_train_score(
+        docs, id_col="doc_id", class_col="lang", tokens_col="_toks"
+    )
+    return out.select("doc_id", "lang", "pred", "score")

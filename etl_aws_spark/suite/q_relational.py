@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from etl_aws_spark.functions import normalize_key
 from etl_aws_spark.operators import relational as rel
 from etl_aws_spark.registry import load, query
+from etl_aws_spark.suite._util import rnd
 
 # ---- projections --------------------------------------------------------
 
@@ -462,3 +463,52 @@ def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     out = c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti")
     return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k, count(*) AS n_orders
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY 1
+    ), b AS (
+      SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal > 5000.0
+    )
+    SELECT coalesce(a.k, b.k) AS custkey,
+           CASE WHEN a.k IS NULL THEN 'right_only'
+                WHEN b.k IS NULL THEN 'left_only'
+                ELSE 'both' END AS match_status,
+           coalesce(a.n_orders, 0) AS n_orders,
+           round(coalesce(b.c_acctbal, 0.0), 2) + 0.0 AS acctbal
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    category="relational",
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-system reconciliation: FULL OUTER join of recent-order activity
+    vs high-balance accounts, each row labeled left_only / right_only /
+    both — the audit shape (completing the join-type family: inner, left,
+    semi, anti, cross, and now full outer). Both sides pre-aggregate or
+    pre-filter before the join, so the full-outer shuffle carries the
+    reduced keyed frames, not the raw tables."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .groupBy(F.col("o_custkey").alias("ka"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("kb"), "c_acctbal")
+    )
+    j = o.join(c, o.ka == c.kb, "full_outer")
+    return j.select(
+        F.coalesce("ka", "kb").alias("custkey"),
+        F.when(F.col("ka").isNull(), "right_only")
+        .when(F.col("kb").isNull(), "left_only")
+        .otherwise("both")
+        .alias("match_status"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        rnd(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+    )

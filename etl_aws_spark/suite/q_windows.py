@@ -571,3 +571,47 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         rnd(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "window_dense_rank_topk",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    )
+    SELECT p_brand, l_partkey, revenue,
+           CAST(dense_rank() OVER (PARTITION BY p_brand
+                                   ORDER BY revenue DESC, l_partkey ASC)
+                AS INTEGER) AS rnk
+    FROM rev
+    QUALIFY rnk <= 3
+    """,
+    category="window",
+)
+def window_dense_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand via dense_rank — the group-wise top-k
+    idiom (aggregate first, then rank the small per-group aggregate, never
+    the raw fact rows). The dim join broadcasts; ranking runs on
+    |parts| rows, not |lineitem|. Rank on the ROUNDED revenue so float
+    summation order can't flip placements across engines."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("rnk", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
