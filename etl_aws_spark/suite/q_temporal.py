@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.operators import temporal_joins as tj
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import EVENTS_ORDER_SQL
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
 
 # sparse "fundamentals updates": every 17th event is a reference row
 _RIGHT_FILTER = "event_id % 17 = 0"
@@ -304,3 +304,144 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"], tolerance=1800,
     )
     return out.select("event_id", "user_id", "ts", "value", "right_value", "right_ts")
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS cts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.cts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3
+    )
+    SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users,
+           round(1.0, 6) + 0.0 AS conv_from_top FROM n
+    UNION ALL
+    SELECT 2, 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 6) + 0.0 FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) + 0.0 FROM n
+    """,
+    category="temporal",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user advances a stage
+    only with an event strictly AFTER their previous stage's first event.
+    Each stage is one per-user min-aggregate joined to the (small) prior
+    stage frame — at 100 TB the stage frames are |users| rows and only the
+    stage-filtered event slices are scanned; no sessionization state, no
+    window over raw events. The three funnel counts collapse to a 1-row
+    frame unpivoted driver-free into the report shape."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = first_after("view", None, "", "vts")
+    c = first_after("click", v, "vts", "cts")
+    p = first_after("purchase", c, "cts", "pts")
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    stages = n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"), F.lit("view").alias("event_type"),
+                    F.col("n1").alias("n_users"),
+                    (F.round(F.lit(1.0), 6) + F.lit(0.0)).alias("conv_from_top"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"), F.lit("click").alias("event_type"),
+                    F.col("n2").alias("n_users"),
+                    rnd(F.col("n2") / F.col("n1").cast("double"), 6).alias("conv_from_top"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"), F.lit("purchase").alias("event_type"),
+                    F.col("n3").alias("n_users"),
+                    rnd(F.col("n3") / F.col("n1").cast("double"), 6).alias("conv_from_top"),
+                ),
+            )
+        ).alias("r")
+    )
+    return stages.select("r.stage", "r.event_type", "r.n_users", "r.conv_from_top")
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), cohort AS (
+      SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id
+    ), m AS (
+      SELECT c.cwk, CAST((epoch(a.wk) - epoch(c.cwk)) / 604800 AS BIGINT) AS offset_w,
+             a.user_id
+      FROM act a JOIN cohort c USING (user_id)
+    ), counts AS (
+      SELECT cwk, offset_w, count(DISTINCT user_id) AS n_users
+      FROM m GROUP BY cwk, offset_w
+    ), size0 AS (
+      SELECT cwk, n_users AS cohort_size FROM counts WHERE offset_w = 0
+    )
+    SELECT CAST(c.cwk AS TIMESTAMP) AS cohort_week, c.offset_w, c.n_users,
+           round(c.n_users / CAST(s.cohort_size AS DOUBLE), 6) + 0.0 AS retention
+    FROM counts c JOIN size0 s USING (cwk)
+    """,
+    category="temporal",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active week,
+    counted at each week offset, normalized by cohort size. The raw table
+    reduces immediately to the distinct (user, week) activity grid — at
+    100 TB that dedup is the only pass over events; cohorts, offsets, and
+    the matrix all derive from the |users|-scale grid. Offsets are exact
+    integer week arithmetic on truncated timestamps (both engines truncate
+    to Monday)."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    m = act.join(cohort, "user_id").select(
+        "cwk",
+        (
+            (
+                F.col("wk").cast("timestamp_ltz").cast("long")
+                - F.col("cwk").cast("timestamp_ltz").cast("long")
+            )
+            / 604800
+        )
+        .cast("long")
+        .alias("offset_w"),
+        "user_id",
+    )
+    counts = m.groupBy("cwk", "offset_w").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    size0 = counts.filter(F.col("offset_w") == 0).select(
+        "cwk", F.col("n_users").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(size0), "cwk").select(
+        F.col("cwk").alias("cohort_week"),
+        "offset_w",
+        "n_users",
+        rnd(F.col("n_users") / F.col("cohort_size").cast("double"), 6).alias(
+            "retention"
+        ),
+    )

@@ -536,3 +536,56 @@ def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("_rn") == 1).select(
         "component_id", "kept_doc_id", "cluster_size", "n_chars"
     )
+
+
+@query(
+    "text_zipf_rank_frequency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({D.tokens('text', D.DUCK)}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk
+      FROM freq QUALIFY rnk <= 100
+    ), fit AS (
+      SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+               + 0.0 AS zipf_slope
+      FROM ranked
+    )
+    SELECT r.rnk, r.tok, r.n, f.zipf_slope
+    FROM ranked r CROSS JOIN fit f
+    """,
+    category="text",
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency head of the corpus vocabulary (top 100 tokens)
+    with the fitted log-log slope attached (slope ≈ -1 is the Zipf
+    signature; a flat slope flags synthetic or templated text — a corpus
+    health check). One explode + one (token) aggregate over the corpus;
+    ranking and the regression run on the 100-row head, and the 1-row fit
+    broadcasts back onto it."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(D.tokens("text", D.SPARK))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        freq.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 100)
+    )
+    fit = ranked.agg(
+        rnd(
+            F.regr_slope(
+                F.log(F.col("n").cast("double")), F.log(F.col("rnk").cast("double"))
+            ),
+            6,
+        ).alias("zipf_slope")
+    )
+    return ranked.crossJoin(F.broadcast(fit)).select(
+        "rnk", "tok", "n", "zipf_slope"
+    )
