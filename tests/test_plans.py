@@ -111,3 +111,59 @@ def test_scd2_query_single_exchange(spark, sf):
 
     plan = _plan(all_queries()["merge_scd2_history"](spark, sf))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_naive_bayes_model_broadcasts_and_no_python(spark, sf):
+    """The NB 'model' must attach as broadcast tables and the whole
+    train+score plan must stay JVM-side (no UDF/Arrow nodes)."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["model_naive_bayes_lang"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_exchange(spark, sf):
+    """Both directional fills must share one sort/Exchange — the point of
+    the one-pass nearest formulation."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["join_asof_nearest"](spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # no join node at all: the as-of is a union + window, not a range join
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+
+def test_dense_rank_topk_ranks_aggregate_not_fact(spark, sf):
+    """Ranking must run after the (brand, part) aggregate with the dim
+    join broadcast — the fact table itself is never window-sorted."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["window_dense_rank_topk"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one exchange for the aggregate, one for the per-brand rank
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_funnel_stage_frames_not_windowed(spark, sf):
+    """The funnel must be min-aggregates + joins on user-scale frames —
+    no window over the raw event stream."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["events_funnel_conversion"](spark, sf))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rebalance_keep_decision_is_local(spark, sf):
+    """The mix rebalance must broadcast the per-source totals; the
+    documents themselves must not hash-shuffle before the keep filter."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["curation_rebalance_to_uniform_mix"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
