@@ -368,3 +368,36 @@ def test_attribution_rejects_duplicate_keys(spark):
     dup = df.union(df.limit(5))  # 5 duplicated keys
     with pytest.raises(ValueError, match="unique keys"):
         models.prediction_attribution_ablate(model, dup, ["x1", "x2"], keys=["id"])
+
+
+def test_naive_bayes_separable_vocab(spark):
+    # disjoint vocabularies per class -> self-classification is perfect,
+    # and the winning score is the rounded log-posterior
+    from etl_aws_spark.ml.naive_bayes import nb_train_score
+
+    rows = [
+        (1, "a", ["apple", "avocado", "apple"]),
+        (2, "a", ["avocado", "apple"]),
+        (3, "b", ["banana", "berry"]),
+        (4, "b", ["berry", "banana", "banana"]),
+        (5, "b", ["banana"]),
+    ]
+    docs = spark.createDataFrame(rows, "id long, cls string, toks array<string>")
+    out = nb_train_score(docs, id_col="id", class_col="cls", tokens_col="toks")
+    got = {r.id: r.pred for r in out.collect()}
+    assert got == {1: "a", 2: "a", 3: "b", 4: "b", 5: "b"}
+
+
+def test_naive_bayes_tie_breaks_lexicographically(spark):
+    # symmetric classes: identical token distributions and priors -> every
+    # score ties and the argmax must deterministically pick the smaller class
+    from etl_aws_spark.ml.naive_bayes import nb_train_score
+
+    rows = [
+        (1, "x", ["same"]),
+        (2, "y", ["same"]),
+    ]
+    docs = spark.createDataFrame(rows, "id long, cls string, toks array<string>")
+    out = nb_train_score(docs, id_col="id", class_col="cls", tokens_col="toks")
+    got = {r.id: r.pred for r in out.collect()}
+    assert got == {1: "x", 2: "x"}

@@ -226,3 +226,38 @@ def test_asof_backward_tolerance_boundary(spark):
     )
     got = {r.id: r.right_v for r in out.collect()}
     assert got == {1: 1.0, 2: None}
+
+
+def test_asof_nearest_matches_pandas(spark):
+    # cross-check against pandas merge_asof(direction='nearest') on random
+    # data: same key, ties-to-backward semantics
+    import numpy as np
+    import pandas as pd
+
+    from etl_aws_spark.operators.temporal_joins import asof_join_nearest
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "id": np.arange(200),
+        "k": rng.randint(0, 4, 200),
+        "ts": base + pd.to_timedelta(rng.randint(0, 10**6, 200), unit="s"),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 4, 60),
+        "ts": base + pd.to_timedelta(rng.randint(0, 10**6, 60), unit="s"),
+        "v": rng.randn(60).round(3),
+    }).drop_duplicates(["k", "ts"])
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="nearest", suffixes=("", "_r"),
+    ).set_index("id")["v"].to_dict()
+    out = asof_join_nearest(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        key="k", left_ts="ts", right_ts="ts", value_cols=["v"],
+    )
+    got = {r.id: r.right_v for r in out.collect()}
+    assert set(got) == set(want)
+    for i in got:
+        a, b = got[i], want[i]
+        assert (a is None and pd.isna(b)) or a == b, (i, a, b)
