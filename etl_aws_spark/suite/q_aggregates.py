@@ -581,3 +581,52 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pk.unionByName(orphans).unionByName(nulls).unionByName(rng).unionByName(dom)
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) + 0.0 AS weighted_median_price,
+           round(max(totw), 2) + 0.0 AS total_weight
+    FROM c WHERE cumw >= 0.5 * totw
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the
+    cumulative-weight formulation (sort within group, running weight, first
+    value crossing half the total) — the distributed weighted-percentile
+    shape that percentile_approx cannot weight. Both windows and the final
+    pick share ONE (flag) partitioning; the full tie-break key makes the
+    crossing row engine-deterministic."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    wp = Window.partitionBy("l_returnflag")
+    wc = wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cumw"),
+        F.sum("l_quantity").over(wp).alias("totw"),
+    )
+    return (
+        c.filter(F.col("cumw") >= 0.5 * F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            rnd(F.min("l_extendedprice"), 2).alias("weighted_median_price"),
+            rnd(F.max("totw"), 2).alias("total_weight"),
+        )
+    )

@@ -615,3 +615,45 @@ def window_dense_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rnk", F.dense_rank().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "window_rolling_corr",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL})
+               AS prev
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(corr(value, prev) OVER (PARTITION BY user_id
+                 ORDER BY {EVENTS_ORDER_SQL}
+                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW), 4) + 0.0 AS rcorr
+    FROM l
+    QUALIFY count(prev) OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL}
+                              ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) = 21
+    """,
+    category="window",
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling autocorrelation: corr(value, lagged value) over a trailing
+    21-row frame per series — the time-varying momentum signal (the global
+    `stat_autocorr_lag_k` as a window). Lag and the rolling corr share one
+    partitioning/sort, so the plan carries a single Exchange; warm-up rows
+    (incomplete frames) are dropped by the frame count."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = _w()
+    frame = w.rowsBetween(-20, 0)
+    d = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value", 1).over(w).alias("prev"),
+    )
+    out = d.select(
+        "event_id", "user_id", "ts",
+        rnd(F.corr("value", "prev").over(frame), 4).alias("rcorr"),
+        F.count("prev").over(frame).alias("_n"),
+    )
+    return out.filter(F.col("_n") == 21).drop("_n")
