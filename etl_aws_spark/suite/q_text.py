@@ -424,9 +424,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dedup_connected_components",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_SQL}, {_minhash_bands_sql()},
+
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+      FROM bands_c a JOIN bands_c b USING (bk) WHERE a.doc_id < b.doc_id
     ),
     verts AS (SELECT DISTINCT doc_id FROM corpus),
     sym AS (
@@ -456,7 +462,7 @@ def text_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFra
     corpus = _corpus(spark, sf_dir)
     from etl_aws_spark.operators import graph
 
-    edges = dedup.minhash_band_edges(corpus, "doc_id", "text")
+    edges = dedup.minhash_band_edges(corpus, "doc_id", "text", max_bucket=50)
     verts = corpus.select("doc_id").distinct()
     comp = graph.connected_components(verts, edges, id_col="doc_id")
     return comp.select(
@@ -470,9 +476,15 @@ def text_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFra
     "text_dedup_keep_best",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_SQL}, {_minhash_bands_sql()},
+
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+      FROM bands_c a JOIN bands_c b USING (bk) WHERE a.doc_id < b.doc_id
     ),
     verts AS (SELECT DISTINCT doc_id FROM corpus),
     sym AS (
@@ -516,7 +528,7 @@ def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_aws_spark.operators import graph
 
     corpus = _corpus(spark, sf_dir)
-    edges = dedup.minhash_band_edges(corpus, "doc_id", "text")
+    edges = dedup.minhash_band_edges(corpus, "doc_id", "text", max_bucket=50)
     verts = corpus.select("doc_id").distinct()
     comp = graph.connected_components(verts, edges, id_col="doc_id")
     lab = corpus.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")).join(

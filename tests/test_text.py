@@ -87,3 +87,16 @@ def test_minhash_estimate_quality(spark):
     # every surfaced pair: estimator within the 16-hash binomial noise
     assert (out.abs_err <= 0.5).all()
     assert out.est_jaccard.between(0, 1).all() and out.true_jaccard.between(0, 1).all()
+
+
+def test_minhash_band_edges_bucket_cap(spark):
+    # 8 identical docs share every band; cap below the bucket size must
+    # drop the bucket entirely (no edges), cap above keeps the clique
+    from etl_aws_spark.text.dedup import minhash_band_edges
+
+    rows = [(i, "alpha beta gamma delta") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_band_edges(docs, "doc_id", "text", max_bucket=4)
+    assert capped.count() == 0
+    uncapped = minhash_band_edges(docs, "doc_id", "text", max_bucket=None)
+    assert uncapped.count() == 8 * 7 // 2
