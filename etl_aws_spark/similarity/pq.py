@@ -1,0 +1,195 @@
+"""Product quantization (PQ) — the compressed-domain ANN path beyond
+scalar int8 quantization.
+
+PQ splits each ``dim``-dimensional vector into ``m`` subvectors of
+``dim/m`` components, learns a small codebook per subspace (Lloyd
+refinement of a sampled init), and stores each vector as ``m`` small
+integer codes — 64 doubles become 8 bytes here. Search runs in the
+compressed domain via asymmetric distance computation (ADC): a query
+precomputes its distance to every codeword once (an ``m × k`` lookup
+table), and each corpus vector's approximate distance is the sum of
+``m`` table lookups — no original vectors are ever touched at scan time.
+Reference analogue: the notebooks' feature-compression prep
+(`src/preprocessing/preprocessing.py` scaling blocks) has no ANN path;
+this is the §2.13 extension tier (SURVEY.md) built from the public PQ
+literature (Jégou et al., TPAMI 2011).
+
+Scale shape (100 TB): every frame shuffled here carries only scalar
+components — ``(id, sub, spos, val)`` parts or ``(id, sub, code, dist)``
+candidates — never whole vectors. Codebooks are ``m·k·(dim/m)`` doubles
+(1 KiB here), always broadcast. Training cost is the inherent PQ
+``N·dim·k`` codeword-evaluation product, executed as one broadcast join
+plus a map-side-combined aggregate; the corpus is scanned, never
+shuffled by vector. ADC search shuffles ``(query, neighbor, dist)``
+triples only, and the distance table (``|Q|·m·k`` rows) is broadcast.
+
+Determinism contract (FIXTURES.md §C): codebook components are rounded
+to 4 digits (the rounded codebook IS the index artifact, exactly as in
+:func:`knn.label_centroids`); every distance is an ascending-``spos``
+(or ascending-``sub``) left fold starting from 0.0, bit-identical to the
+DuckDB ``list_reduce(list_prepend(0.0, list(... ORDER BY ...)))``
+mirror; argmin ties break to the lower code id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_fold_sum(order_col: str, term_col: str) -> Column:
+    """Sum ``term_col`` in ascending ``order_col`` order as a left fold from
+    0.0 — the engine-exact summation both Spark and DuckDB replay."""
+    return F.expr(
+        f"aggregate(transform(array_sort(collect_list(struct({order_col}, {term_col}))), "
+        f"s -> s.{term_col}), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def subvector_parts(df: DataFrame, id_col: str, vec_col: str, d_sub: int) -> DataFrame:
+    """Explode vectors to scalar subspace components
+    ``(_id, sub, spos, val)`` — the only shape PQ ever shuffles."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "val"),
+    ).select(
+        "_id",
+        F.expr("_pos div %d" % d_sub).cast("int").alias("sub"),
+        (F.col("_pos") % d_sub).cast("int").alias("spos"),
+        "val",
+    )
+
+
+def init_codebook(parts: DataFrame, k: int, round_digits: int = 4) -> DataFrame:
+    """Sampled-init codebook: codeword ``j`` of every subspace is vector
+    ``j``'s subvector (ids ``< k``), components rounded. Deterministic by
+    construction — the standard sample-init Lloyd seeds."""
+    return parts.filter(F.col("_id") < k).select(
+        "sub",
+        F.col("_id").cast("int").alias("code"),
+        "spos",
+        (F.round("val", round_digits) + F.lit(0.0)).alias("cw"),
+    )
+
+
+def assign_codes(parts: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the codebook,
+    evaluate all k codewords (the inherent PQ N·dim·k product), fold the
+    squared-diff terms in spos order, argmin with code-id tie-break.
+    Returns ``(_id, sub, code, dist)``."""
+    terms = parts.join(F.broadcast(codebook), ["sub", "spos"]).select(
+        "_id", "sub", "code", "spos",
+        ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
+    )
+    dists = terms.groupBy("_id", "sub", "code").agg(
+        _ordered_fold_sum("spos", "term").alias("dist")
+    )
+    w = Window.partitionBy("_id", "sub").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def refine_codebook(
+    parts: DataFrame, codebook: DataFrame, assigned: DataFrame, round_digits: int = 4
+) -> DataFrame:
+    """One Lloyd recompute: each codeword moves to the rounded component
+    mean of its members; a codeword with no members keeps its previous
+    position (left-join coalesce — same emptied-cluster rule as
+    :func:`knn.kmeans_iterate` and its oracle)."""
+    means = (
+        assigned.join(parts, ["_id", "sub"])
+        .groupBy("sub", "code", "spos")
+        .agg((F.round(F.avg("val"), round_digits) + F.lit(0.0)).alias("cw_new"))
+    )
+    return codebook.join(means, ["sub", "code", "spos"], "left").select(
+        "sub", "code", "spos", F.coalesce("cw_new", "cw").alias("cw")
+    )
+
+
+def train_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    k: int,
+    iters: int = 1,
+    round_digits: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Sample-init + ``iters`` Lloyd refinements per subspace (all
+    subspaces train in ONE relational plan — the subspace id is just a
+    grouping column, not a loop). Returns (parts, codebook)."""
+    parts = subvector_parts(df, id_col, vec_col, d_sub)
+    cb = init_codebook(parts, k, round_digits)
+    for _ in range(iters):
+        cb = refine_codebook(parts, cb, assign_codes(parts, cb), round_digits)
+    return parts, cb
+
+
+def encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    k: int,
+    iters: int = 1,
+    round_digits: int = 4,
+    err_digits: int = 6,
+) -> DataFrame:
+    """Train and encode: ``(vec_id, sub, code, sub_err)`` — one row per
+    (vector, subspace); ``sub_err`` is the squared reconstruction error of
+    the chosen codeword (the quantity PQ training minimizes)."""
+    parts, cb = train_codebook(df, id_col, vec_col, d_sub, k, iters, round_digits)
+    enc = assign_codes(parts, cb)
+    return enc.select(
+        F.col("_id").alias("vec_id"),
+        "sub",
+        "code",
+        (F.round("dist", err_digits) + F.lit(0.0)).alias("sub_err"),
+    )
+
+
+def adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    k_codes: int,
+    topk: int = 10,
+    iters: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k in the compressed domain: queries keep
+    their raw vectors, the corpus is only its PQ codes. The per-query
+    distance table (|Q|·m·k rows — 640 here) is built once and broadcast;
+    each corpus vector's approximate distance is the ascending-``sub``
+    fold of its m table lookups. Returns
+    ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
+    parts, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
+    codes = assign_codes(parts, cb).select("_id", "sub", "code")
+
+    qparts = subvector_parts(queries, id_col, vec_col, d_sub).withColumnRenamed(
+        "_id", "query_id"
+    )
+    qterms = qparts.join(F.broadcast(cb), ["sub", "spos"]).select(
+        "query_id", "sub", "code", "spos",
+        ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
+    )
+    dtable = qterms.groupBy("query_id", "sub", "code").agg(
+        _ordered_fold_sum("spos", "term").alias("ddist")
+    )
+
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("query_id", F.col("_id").alias("neighbor_id"))
+        .agg(_ordered_fold_sum("sub", "ddist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

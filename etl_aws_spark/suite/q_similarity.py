@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.similarity import knn
+from etl_aws_spark.similarity import knn, pq
 from etl_aws_spark.suite._util import rnd
 
 _DIM = 64
@@ -600,4 +600,131 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
         F.max("na").cast("long").alias("n_even"),
         F.max("nb").cast("long").alias("n_odd"),
+    )
+
+
+_PQ_DSUB, _PQ_K = 8, 16
+
+# Shared PQ-training CTE chain: subspace parts -> sampled-init codebook ->
+# Lloyd assign/recompute (one refinement, emptied codewords keep their
+# previous position) -> final encoding. Mirrors pq.train_codebook +
+# pq.assign_codes term for term: identical rounded codebooks, identical
+# ascending-spos left folds, identical (dist, code) tie-break.
+_DUCK_PQ = f"""
+    pparts AS (
+      SELECT vec_id AS id, CAST((i - 1) // {_PQ_DSUB} AS INT) AS sub,
+             CAST((i - 1) % {_PQ_DSUB} AS INT) AS spos,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), cb0 AS (
+      SELECT sub, CAST(id AS INT) AS code, spos, round(val, 4) + 0.0 AS cw
+      FROM pparts WHERE id < {_PQ_K}
+    ), d0 AS (
+      SELECT p.id, p.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((p.val - c.cw) * (p.val - c.cw) ORDER BY p.spos)),
+               (acc, x) -> acc + x) AS dist
+      FROM pparts p JOIN cb0 c ON p.sub = c.sub AND p.spos = c.spos
+      GROUP BY p.id, p.sub, c.code
+    ), a0 AS (
+      SELECT id, sub, code FROM (
+        SELECT id, sub, code,
+               row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, code ASC) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), rmeans AS (
+      SELECT a.sub, a.code, p.spos, round(avg(p.val), 4) + 0.0 AS cw_new
+      FROM a0 a JOIN pparts p ON a.id = p.id AND a.sub = p.sub
+      GROUP BY a.sub, a.code, p.spos
+    ), cb1 AS (
+      SELECT c.sub, c.code, c.spos, coalesce(r.cw_new, c.cw) AS cw
+      FROM cb0 c LEFT JOIN rmeans r
+        ON c.sub = r.sub AND c.code = r.code AND c.spos = r.spos
+    ), denc AS (
+      SELECT p.id, p.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((p.val - c.cw) * (p.val - c.cw) ORDER BY p.spos)),
+               (acc, x) -> acc + x) AS dist
+      FROM pparts p JOIN cb1 c ON p.sub = c.sub AND p.spos = c.spos
+      GROUP BY p.id, p.sub, c.code
+    ), enc AS (
+      SELECT id, sub, code, dist FROM (
+        SELECT id, sub, code, dist,
+               row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, code ASC) AS rn
+        FROM denc
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "embedding_pq_train_encode",
+    oracle=f"""
+    WITH {_DUCK_PQ}
+    SELECT id AS vec_id, sub, code, round(dist, 6) + 0.0 AS sub_err FROM enc
+    """,
+    category="similarity",
+)
+def embedding_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization train + encode (Jégou et al., TPAMI 2011): 8
+    subspaces x 16 codes, sample-init codebook + one Lloyd refinement, all
+    subspaces trained in ONE relational plan (the subspace id is a grouping
+    column, not a loop). 64 doubles compress to 8 one-byte codes — the
+    memory move that makes billion-vector ANN fit RAM. Output is one
+    (vec_id, sub, code, sub_err) row per vector-subspace; sub_err is the
+    squared reconstruction error PQ training minimizes. Every distance is
+    an ascending-spos left fold and every codebook component is rounded to
+    4 digits on both engines, so codes — and errors — replay exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    return pq.encode(emb, "vec_id", "embedding", d_sub=_PQ_DSUB, k=_PQ_K, iters=1)
+
+
+@query(
+    "similarity_topk_pq_adc",
+    oracle=f"""
+    WITH {_DUCK_PQ}, qp AS (
+      SELECT id AS query_id, sub, spos, val FROM pparts WHERE id < 5
+    ), dt AS (
+      SELECT q.query_id, q.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((q.val - c.cw) * (q.val - c.cw) ORDER BY q.spos)),
+               (acc, x) -> acc + x) AS ddist
+      FROM qp q JOIN cb1 c ON q.sub = c.sub AND q.spos = c.spos
+      GROUP BY q.query_id, q.sub, c.code
+    ), scored AS (
+      SELECT d.query_id, e.id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(d.ddist ORDER BY e.sub)), (acc, x) -> acc + x) AS adc
+      FROM enc e JOIN dt d ON e.sub = d.sub AND e.code = d.code
+      GROUP BY d.query_id, e.id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) + 0.0 AS adc_dist, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 in the PQ compressed domain — the
+    third ANN scale path beside LSH buckets and IVF cells: the corpus is
+    only its 8 one-byte codes, each query precomputes a broadcast 8x16
+    distance table, and a corpus vector's approximate distance is the
+    ascending-sub fold of 8 table lookups. At 100 TB the scan touches 8
+    bytes per vector instead of 256, and the shuffle carries (query,
+    neighbor, dist) scalars only. Identical codebooks and fold order make
+    every ADC value — and therefore the ranking — engine-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq.adc_topk(
+        emb, queries, "vec_id", "embedding",
+        d_sub=_PQ_DSUB, k_codes=_PQ_K, topk=10, iters=1,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round(F.col("adc_dist"), 6) + F.lit(0.0)).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
     )
