@@ -506,3 +506,41 @@ def curation_rebalance_to_uniform_mix(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("tk").cast("long").alias("tokens_kept"),
     )
+
+
+_SPAN_N = 8
+
+_DUP_SPAN_SQL = f"""
+    WITH spans AS (
+      SELECT doc_id,
+             unnest(list_transform({D._shingle_array('text', _SPAN_N, D.DUCK)},
+                                   s -> {D.hash60('s', D.DUCK)})) AS h
+      FROM documents
+    ), freq AS (
+      SELECT h, count(*) AS cnt FROM spans GROUP BY h
+    ), per_doc AS (
+      SELECT s.doc_id, count(*) AS n_spans,
+             sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM spans s JOIN freq f USING (h)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           round(CAST(p.n_dup AS DOUBLE) / nullif(CAST(p.n_spans AS DOUBLE), 0.0), 6)
+             + 0.0 AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_duplicate_span_ratio", oracle=_DUP_SPAN_SQL, category="curation")
+def text_duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-SPAN coverage (Lee et al., ACL 2022): per
+    document, the fraction of word 8-gram starts whose 8-gram occurs more
+    than once anywhere in the corpus — the sub-document boilerplate signal
+    that whole-doc exact/near dedup misses and `text_repetition_ratio`
+    (within-doc only) can't see. Identical 60-bit shingle hashes on both
+    engines make every count exact. Fixture docs are >= 10 words, so the
+    8-gram slice is always non-degenerate."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.duplicate_span_ratio(docs, "doc_id", "text", n=_SPAN_N)

@@ -168,3 +168,64 @@ def token_budget_select(
         .drop("_cum")
     )
     return keep_whole.unionByName(keep_partial).select(id_col, quality_col, tokens_col)
+
+
+def duplicate_span_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-span coverage (the span-level dedup metric
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): the fraction of a document's word ``n``-gram starts
+    whose n-gram occurs more than once in the corpus (anywhere — another
+    document or a repeat within this one). Where `repetition_ratio` is the
+    WITHIN-doc Gopher signal, this is the ACROSS-corpus one: a high ratio
+    marks boilerplate/template documents that exact- and near-dedup both
+    miss because the duplication is sub-document.
+
+    Scale shape (100 TB): spans explode to (doc_id, h) 60-bit hashes — the
+    text itself never leaves its scan task; the global frequency table is
+    one map-side-combined count on h; the join back to spans is hash-keyed
+    (both sides partitioned by h, no broadcast of a corpus-sized table);
+    the per-doc rollup is a second narrow (doc_id) aggregate. Shuffles
+    carry only 16-byte rows end to end.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_ratio) — ratio NULL for
+    docs shorter than ``n`` words (nullif, ANSI-safe).
+    """
+    from etl_aws_spark.text import _dialect as D
+
+    # docs shorter than n words have no spans — and would make the Spark
+    # slice() inside the shingle expression throw (negative length, ANSI);
+    # they re-enter via the left join below with zero counts
+    long_enough = df.filter(F.expr(f"size({D.tokens(text_col, D.SPARK)}) >= {n}"))
+    spans = long_enough.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform({D._shingle_array(text_col, n, D.SPARK)}, "
+                f"s -> {D.hash60('s', D.SPARK)})"
+            )
+        ).alias("h"),
+    )
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    marked = spans.join(freq, "h")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    # docs shorter than n words produce no spans at all: restore them with
+    # zero counts so the output covers every input document
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        (
+            F.round(
+                F.col("n_dup_spans").cast("double")
+                / F.nullif(F.col("n_spans").cast("double"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_ratio"),
+    )

@@ -99,3 +99,35 @@ def test_token_budget_null_quality_excluded(spark):
     # both non-null docs fit ONLY if the huge null-quality docs didn't
     # charge the budget; and the null docs themselves are excluded
     assert got == [1, 3]
+
+
+def test_duplicate_span_ratio_detects_copied_span(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero one two"),
+            (1, "front words here " + shared),
+            (2, "totally different body with no overlap at all nine ten"),
+            (3, "tiny doc"),  # shorter than n: zero spans, NULL ratio
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        curation.duplicate_span_ratio(docs, "doc_id", "text", n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    # the copied 8-gram is exactly one span start in each carrier doc
+    assert out.loc[0, "n_dup_spans"] == 1
+    assert out.loc[1, "n_dup_spans"] == 1
+    assert out.loc[2, "n_dup_spans"] == 0
+    # 13-word doc -> 6 span starts
+    assert out.loc[0, "n_spans"] == 6
+    assert abs(out.loc[0, "dup_ratio"] - round(1 / 6, 6)) < 1e-9
+    # short doc survives with zero spans and NULL ratio
+    assert out.loc[3, "n_spans"] == 0
+    import pandas as pd
+
+    assert pd.isna(out.loc[3, "dup_ratio"])
