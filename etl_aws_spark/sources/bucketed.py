@@ -9,6 +9,8 @@ between a local merge and an all-to-all network shuffle of the fact table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -17,6 +19,18 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table. Sorting
     within buckets additionally removes the Sort from sort-merge joins."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # the in-memory catalog dies with the session but the warehouse
+        # directory persists: saveAsTable refuses an orphaned location
+        # (LOCATION_ALREADY_EXISTS) even in overwrite mode, so clear it
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, table.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

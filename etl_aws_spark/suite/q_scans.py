@@ -255,3 +255,53 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write("")
     df = readers.read_parquet_schema_merged(spark, root)
     return df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "sink_bucketed_join_noshuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    category="sink",
+)
+def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout round trip: orders and lineitem are persisted as
+    8-bucket tables on their join keys (`sources/bucketed.py`), read back,
+    and joined WITHOUT an Exchange — the fact-table shuffle that dominates
+    a 100 TB join is paid ONCE at write time and amortized over every later
+    join/aggregate on the same key (the plan shape is pinned by
+    tests/test_bucketed.py). The merge hint forces the sort-merge path so
+    the zero-shuffle property is exercised even at toy scale where Spark
+    would otherwise broadcast. The oracle is the plain join — layout must
+    never change results."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    t_orders, t_items = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    from etl_aws_spark.sources import bucketed
+
+    if not spark.catalog.tableExists(t_orders):
+        bucketed.write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_orders, "o_orderkey", 8, sort_col="o_orderkey",
+        )
+    if not spark.catalog.tableExists(t_items):
+        bucketed.write_bucketed(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_items, "l_orderkey", 8, sort_col="l_orderkey",
+        )
+    joined = spark.table(t_orders).hint("merge").join(
+        spark.table(t_items),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            + F.lit(0.0)
+        ).alias("revenue"),
+    )

@@ -167,3 +167,16 @@ def test_rebalance_keep_decision_is_local(spark, sf):
     assert "BroadcastHashJoin" in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_bucketed_sink_join_has_no_join_exchange(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    df = all_queries()["sink_bucketed_join_noshuffle"](spark, sf)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    # the only Exchange allowed is the final 5-group aggregate; the join
+    # itself must consume the bucketed layout directly
+    join_part = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange hashpartitioning" not in join_part, join_part
+    assert "bucket" in plan.lower(), plan
