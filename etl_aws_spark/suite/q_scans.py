@@ -305,3 +305,48 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("revenue"),
     )
+
+
+def _zorder_oracle() -> str:
+    from etl_aws_spark.operators import layout
+
+    xn = "((x - x_lo) * 256 // (x_hi - x_lo + 1))"
+    yn = "((y - y_lo) * 256 // (y_hi - y_lo + 1))"
+    z = layout.zvalue_sql(xn, yn, 8, layout.DUCK)
+    return f"""
+    WITH raw AS (
+      SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+      FROM lineitem
+    ), bb AS (
+      SELECT min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+      FROM raw
+    ), b AS (
+      SELECT ({z} >> 12) AS bucket, x, y FROM raw CROSS JOIN bb
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y,
+           (min(x) <= 511 AND max(x) >= 256 AND min(y) <= 31 AND max(y) >= 16)
+             AS overlaps_box
+    FROM b GROUP BY bucket
+    """
+
+
+@query("layout_zorder_pruning", oracle=_zorder_oracle(), category="sink")
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering stats — the
+    Delta/Iceberg `OPTIMIZE ZORDER BY` primitive: lineitem rows cluster by
+    the top 4 bits of the (l_partkey, l_suppkey) bit-interleave (each
+    prefix = one file of the layout), and the per-bucket min/max footer
+    stats show which files a 2-D box predicate (partkey 256-511, suppkey
+    16-31) can skip. A single-column sort leaves the second dimension's
+    min/max spanning the full domain in every file; the z-layout keeps
+    both tight (tests/test_layout.py quantifies the skip-rate win). Exact
+    integer bit arithmetic — the oracle replays it bit-for-bit."""
+    from etl_aws_spark.operators import layout
+
+    li = load(spark, sf_dir, "lineitem")
+    return layout.zorder_bucket_stats(
+        li, "l_partkey", "l_suppkey", q_bits=8, prefix_bits=4, box=(256, 511, 16, 31)
+    )
