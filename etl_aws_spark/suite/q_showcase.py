@@ -391,3 +391,165 @@ def showcase_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame
     return qualified.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "showcase_top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    category="showcase",
+)
+def showcase_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue view over a 3-month shipping window, a
+    global-max scalar subquery against that SAME view, and a dim join to
+    name the winner(s). Spark-first plan: the revenue aggregate is computed
+    once (one narrow (suppkey) shuffle); the max is a 1-row aggregate of
+    the 100-row revenue frame joined back as a broadcast — the fact table
+    is scanned exactly once, pruned by the pushed shipdate range."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "showcase_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    category="showcase",
+)
+def showcase_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) gating a brand-filtered revenue sum. Spark-first
+    decorrelation done by hand the way Catalyst rewrites it: the per-part
+    threshold is ONE map-side-combined aggregate joined back on partkey —
+    but restricted to the brand's parts first (broadcast semi-filter), so
+    the threshold aggregate reads only the brand's ~70 parts' lineitems,
+    not the whole fact table."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    li = load(spark, sf_dir, "lineitem")
+    brand_items = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thresholds = brand_items.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    small = brand_items.join(
+        F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        (F.col("l_partkey") == F.col("t_partkey"))
+        & (F.col("l_quantity") < F.col("qty_cut")),
+    )
+    return small.agg(
+        (F.round(F.sum("l_extendedprice") / 7.0, 2) + F.lit(0.0)).alias("avg_yearly")
+    )
+
+
+@query(
+    "showcase_waiting_supplier_blame",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (
+        SELECT 1 FROM li l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM li l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    category="showcase",
+)
+def showcase_waiting_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipped >90 days after the
+    order date, the fixtures carry no commit/receipt dates): suppliers who
+    were the SOLE late supplier on a finalized multi-supplier order — the
+    classic EXISTS / NOT EXISTS correlated pair. Spark-first plan: the
+    order-level truth is computed ONCE as a per-(order) aggregate
+    (n_suppliers, n_late_suppliers) instead of two correlated re-scans;
+    the blame condition becomes a pure filter on the joined aggregate —
+    one fact scan, one narrow shuffle, no nested-loop subqueries."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias(
+            "late"
+        ),
+    )
+    # order-level truth via ONE window partitioning instead of re-joining
+    # a per-order aggregate: the fact side is scanned once and shuffled
+    # once (on l_orderkey); distinct-supplier sets per order are tiny
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    annotated = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supps"),
+    )
+    # sole-late-supplier on a multi-supplier order; count every late ITEM
+    # of that supplier (matches the row-level EXISTS semantics)
+    blamed = annotated.filter(
+        F.col("late") & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    )
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        blamed.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
