@@ -1,0 +1,104 @@
+"""Count-min sketch — the mergeable frequency sketch beside the engine's
+HLL++ (distinct) and Greenwald-Khanna (quantile) sketch surfaces.
+
+A CMS is a depth x width grid of counters; each key increments one
+counter per depth row (seeded hash) and its frequency estimate is the
+MIN over its depth cells — never an undercount, overcount bounded by
+collisions (Cormode & Muthukrishnan 2005). The grid is tiny bounded
+state (depth·width longs), built with map-side-combined aggregates and
+broadcast back — the same scale posture as every sketch: corpus scanned
+once, sketch mergeable across partitions by cell-wise addition.
+
+Hashing reuses the engine's md5-derived 60-bit family
+(`text/_dialect.hash60`) with a per-depth seed, so the oracle replays
+every bucket — and therefore every estimate — exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_aws_spark.text import _dialect as D
+
+
+def _bucket_expr(j: int, width: int, dialect: str) -> str:
+    """Depth-``j`` CMS bucket of the string column ``key``."""
+    h = D.hash60(f"concat('cms{j}:', key)", dialect)
+    return f"({h}) % {width}"
+
+
+def count_min_estimates(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 32
+) -> DataFrame:
+    """Exact counts, CMS estimates, and the per-key overcount.
+
+    Two-level shape chosen for 100 TB: the corpus collapses to per-key
+    exact counts FIRST (one narrow shuffle — needed anyway to report the
+    estimation error); buckets, the grid, and the min-estimate are then
+    computed on the distinct-key frame only, with the depth·width grid
+    broadcast for the lookup join. A production ingest-side CMS skips the
+    exact pass and aggregates (depth, bucket) straight off the stream —
+    same grid, same estimates; the exact counts here are the accuracy
+    harness, exactly like `agg_approx_distinct_error` does for HLL.
+
+    Output: (key, exact_n, cms_est, overcount) with cms_est >= exact_n
+    guaranteed by construction.
+    """
+    exact = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    pairs = exact.select(
+        "key",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        F.expr(_bucket_expr(j, width, D.SPARK)).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_n", F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
+    grid = pairs.groupBy("depth", "bucket").agg(F.sum("exact_n").alias("cell_n"))
+    est = (
+        pairs.join(F.broadcast(grid), ["depth", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    return est.select(
+        "key",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+def count_min_oracle_sql(
+    table: str, key_col: str, depth: int = 4, width: int = 32
+) -> str:
+    """DuckDB mirror of :func:`count_min_estimates` (identical seeds,
+    identical 60-bit hash family, identical grid)."""
+    branches = " UNION ALL ".join(
+        f"SELECT key, exact_n, {j} AS depth, {_bucket_expr(j, width, D.DUCK)} AS bucket FROM exact"
+        for j in range(depth)
+    )
+    return f"""
+    WITH exact AS (
+      SELECT CAST({key_col} AS VARCHAR) AS key, count(*) AS exact_n
+      FROM {table} GROUP BY 1
+    ), pairs AS (
+      {branches}
+    ), grid AS (
+      SELECT depth, bucket, sum(exact_n) AS cell_n FROM pairs GROUP BY 1, 2
+    )
+    SELECT p.key,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(min(g.cell_n) AS BIGINT) AS cms_est,
+           CAST(min(g.cell_n) - p.exact_n AS BIGINT) AS overcount
+    FROM pairs p JOIN grid g USING (depth, bucket)
+    GROUP BY p.key, p.exact_n
+    """

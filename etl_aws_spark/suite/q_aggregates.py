@@ -630,3 +630,23 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.max("totw"), 2).alias("total_weight"),
         )
     )
+
+
+def _cms_oracle() -> str:
+    from etl_aws_spark.operators import sketch
+
+    return sketch.count_min_oracle_sql("events", "user_id", depth=4, width=32)
+
+
+@query("sketch_count_min_freq", oracle=_cms_oracle(), category="aggregate")
+def sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for every user (150 keys into
+    a 4x32 grid — collisions by design) with the exact count and per-key
+    overcount alongside: the CMS accuracy harness, completing the sketch
+    trio (HLL distinct, GK quantiles, CMS frequencies). Estimates can
+    never undercount; the md5-derived bucket family replays exactly in
+    the oracle, so every estimate is value-checked, not bounds-checked."""
+    from etl_aws_spark.operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    return sketch.count_min_estimates(ev, "user_id", depth=4, width=32)
