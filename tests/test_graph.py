@@ -78,3 +78,29 @@ def test_pagerank_hub_outranks_leaves(spark):
     edges = spark.createDataFrame(star, "src long, dst long")
     got = {r.id: r.rank for r in pagerank(edges, n_iter=3).collect()}
     assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_triangle_stats_on_known_graph(spark):
+    from etl_aws_spark.operators import graph
+
+    # K4 on {0,1,2,3} (4 triangles, clustering 1.0 everywhere) plus a
+    # pendant vertex 4 attached to 0 (no triangle, degree 1 -> NULL cc)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4)],
+        "s long, d long",
+    )
+    out = graph.triangle_stats(pairs).toPandas().set_index("id").sort_index()
+    assert out.loc[0, "degree"] == 4 and out.loc[4, "degree"] == 1
+    # each K4 vertex sits in 3 of the 4 triangles
+    for v in range(4):
+        assert out.loc[v, "n_triangles"] == 3
+    assert out.loc[4, "n_triangles"] == 0
+    # K4 vertices 1-3: cc = 2*3/(3*2) = 1.0; vertex 0 has the pendant:
+    # 2*3/(4*3) = 0.5
+    assert out.loc[1, "clustering"] == 1.0
+    assert out.loc[0, "clustering"] == 0.5
+    import pandas as pd
+
+    assert pd.isna(out.loc[4, "clustering"])
+    # global triangle count: sum of corners / 3
+    assert out.n_triangles.sum() % 3 == 0 and out.n_triangles.sum() // 3 == 4
