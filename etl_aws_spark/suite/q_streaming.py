@@ -380,3 +380,73 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         (F.round("value", 4) + F.lit(0.0)).alias("last_value"),
     )
+
+
+@query(
+    "streaming_sliding_window_counts",
+    # batch oracle: every event belongs to exactly two 12h-aligned 1-day
+    # sliding windows — unnest both starts and group, replaying Spark's
+    # window(ts, '1 day', '12 hours') assignment exactly
+    oracle="""
+    WITH t12 AS (
+      SELECT event_type, value,
+             date_trunc('day', ts)
+               + CASE WHEN extract(hour FROM ts) >= 12
+                      THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END AS w0
+      FROM events
+    ), assigned AS (
+      SELECT event_type, value,
+             unnest([w0, w0 - INTERVAL 12 HOUR]) AS window_start
+      FROM t12
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) + 0.0 AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window per-type aggregation (1-day window, 12-hour slide —
+    each event feeds TWO overlapping windows) as an AvailableNow streaming
+    run: the moving-average-style dashboards the reference recomputes in
+    pandas, incrementalized with watermark-bounded state. The oracle
+    replays Spark's overlap assignment via the two aligned window starts
+    per event — stream/batch parity, value-hashed."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_swc")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+        ev.write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    name = f"slidewin_{tag}"
+    stream = ingest.read_stream(spark, landing, schema)
+    agg = (
+        stream.withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day", "12 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
+    )
