@@ -328,3 +328,105 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_digest": digs})
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def encode_wav16(samples, sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a canonical 44-byte-header RIFF/WAVE
+    file (PCM, mono, 16-bit LE) — pure struct/numpy, no audio library.
+    Used to synthesize a real decodable audio corpus in tests/queries."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav16(payload: bytes):
+    """Decode a PCM mono 16-bit RIFF/WAVE payload to (samples, rate) —
+    dependency-free, walking the RIFF chunk list properly (a conforming
+    writer may insert LIST/fact chunks before data). Raises ValueError on
+    anything that is not strictly this format so callers can fall back."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or n_ch != 1 or bits != 16:
+        raise ValueError("only PCM mono 16-bit supported")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode + features over Arrow batches: duration, RMS,
+    peak, and zero-crossing count from the decoded PCM samples — the audio
+    twin of the BMP/PNG pixel paths (same plumbing: binary column in,
+    typed scalars out, one vectorized pass per batch; sqrt is IEEE
+    exact-rounded so RMS is engine-exact after rounding).
+
+    Input: (asset_id, payload). Output: asset_id, n_samples, sample_rate,
+    duration_ms, rms, peak, n_zero_crossings.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s, rate = decode_wav16(bytes(payload))
+                x = s.astype(np.float64)
+                n = len(s)
+                neg = x < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1])) if n > 1 else 0
+                # no rounding here: Python's round is half-to-even while the
+                # engine convention is Spark's HALF_UP — callers round via
+                # F.round so both engines apply one identical rounding
+                rows.append(
+                    (
+                        int(aid),
+                        n,
+                        int(rate),
+                        n * 1000.0 / rate,
+                        float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                        int(np.abs(s).max()) if n else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "sample_rate", "duration_ms",
+                    "rms", "peak", "n_zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, n_samples bigint, sample_rate bigint, duration_ms double, "
+        "rms double, peak bigint, n_zero_crossings bigint",
+    )

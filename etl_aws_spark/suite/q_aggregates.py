@@ -650,3 +650,62 @@ def sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return sketch.count_min_estimates(ev, "user_id", depth=4, width=32)
+
+
+@query(
+    "agg_time_decay_score",
+    oracle="""
+    WITH ref AS (
+      SELECT max(epoch_us(ts)) AS t_ref FROM events
+    ), w AS (
+      SELECT user_id, value,
+             ((r.t_ref - epoch_us(ts)) // 604800000000) AS k
+      FROM events CROSS JOIN ref r
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * CASE WHEN k > 50 THEN 0.0
+                        ELSE 1.0 / CAST((1::BIGINT << k) AS DOUBLE) END)
+                 + sign(sum(value * CASE WHEN k > 50 THEN 0.0
+                        ELSE 1.0 / CAST((1::BIGINT << k) AS DOUBLE) END)) * 1e-9, 4)
+             + 0.0 AS decayed_score,
+           CAST(min(k) AS BIGINT) AS weeks_since_last
+    FROM w GROUP BY user_id
+    """,
+    category="aggregate",
+)
+def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score — the feature-store staple: each
+    event contributes value · 2^-(weeks since corpus end), a one-week
+    half-life. The decay weight is a POWER OF TWO with an integer exponent
+    (shiftleft on exact microsecond arithmetic), so it is bit-identical
+    across engines — no transcendental pow() in the hash path (exponents
+    beyond 50 clamp to zero weight, far past double precision anyway).
+    t_ref is a 1-row broadcast; the corpus aggregates in one narrow
+    (user_id) shuffle."""
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max(_epoch_micros("ts")).alias("t_ref"))
+    w = ev.join(F.broadcast(ref)).select(
+        "user_id",
+        "value",
+        ((F.col("t_ref") - _epoch_micros("ts")) / F.lit(1)).cast("long").alias("_us"),
+    ).select(
+        "user_id", "value", F.expr("_us div 604800000000").alias("k")
+    )
+    weight = F.when(F.col("k") > 50, F.lit(0.0)).otherwise(
+        F.lit(1.0) / F.expr("cast(shiftleft(cast(1 as bigint), cast(k as int)) as double)")
+    )
+    s = F.sum(F.col("value") * weight)
+    # each product is an EXACT power-of-two scaling, but partial-agg
+    # summation ORDER still differs across engines by ~1e-12 — and decimal
+    # -structured inputs land sums exactly on 4-digit half-boundaries, so
+    # one unnudged rounding flips (the SCALE.md §8 class). The 1e-9 nudge
+    # (>> order jitter, << data resolution) makes both engines round the
+    # same way.
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(s + F.signum(s) * F.lit(1e-9), 4) + F.lit(0.0)).alias("decayed_score"),
+        F.min("k").cast("long").alias("weeks_since_last"),
+    )

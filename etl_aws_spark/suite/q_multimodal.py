@@ -235,3 +235,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pipeline. The stub samples 64-byte windows; ASCII corpus means
     byte windows ≡ char windows, so DuckDB mirrors the digests exactly."""
     return ops.sample_frames(_media(spark, sf_dir))
+
+
+def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL decodable audio corpus: one PCM mono 16-bit WAV
+    per document, sample count and waveform a deterministic function of
+    doc_id — so a closed-form SQL oracle recomputes the statistics the
+    decoder must produce."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.ops import encode_wav16
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 97
+                i = np.arange(n)
+                v = ((did * 131 + i * 17) % 4096) - 2048
+                payloads.append(encode_wav16(v.astype(np.int16)))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.mapInPandas(gen, "asset_id bigint, payload binary")
+
+
+@query(
+    "multimodal_audio_features_wav",
+    # closed-form waveform oracle: RIFF chunk walk + PCM decode must
+    # reproduce DuckDB's arithmetic over the same generated samples. All
+    # sums are exact integer arithmetic in double range, and sqrt is IEEE
+    # exact-rounded, so rms is engine-exact after one HALF_UP rounding.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ), s AS (
+      SELECT d.doc_id, d.n, i.i,
+             ((d.doc_id * 131 + i.i * 17) % 4096) - 2048 AS v
+      FROM d JOIN (SELECT unnest(generate_series(0, 160)) AS i) i ON i.i < d.n
+    ), z AS (
+      SELECT doc_id, n, v,
+             CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+                   AND ((lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0) <> (v < 0))
+                  THEN 1 ELSE 0 END AS zc
+      FROM s
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           round(n * 1000.0 / 8000.0, 6) + 0.0 AS duration_ms,
+           round(sqrt(sum(CAST(v AS DOUBLE) * v) / n), 6) + 0.0 AS rms,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(zc) AS BIGINT) AS n_zero_crossings
+    FROM z GROUP BY doc_id, n
+    """,
+    category="multimodal",
+)
+def multimodal_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode of a second modality: PCM mono 16-bit RIFF/WAVE
+    payloads (proper chunk-list walk — fmt/data discovery, word
+    alignment) decoded to waveform features (duration, RMS, peak,
+    zero-crossing count) in one Arrow-batched mapInPandas pass — the audio
+    twin of the BMP/PNG real-pixel paths. The corpus is synthesized from
+    doc_id so the oracle recomputes every statistic closed-form: this
+    checks the actual decode, not a stub replay."""
+    wav = _wav_corpus(spark, sf_dir)
+    out = ops.extract_audio_features(wav)
+    return out.select(
+        "asset_id", "n_samples", "sample_rate",
+        (F.round("duration_ms", 6) + F.lit(0.0)).alias("duration_ms"),
+        (F.round("rms", 6) + F.lit(0.0)).alias("rms"),
+        "peak", "n_zero_crossings",
+    )
