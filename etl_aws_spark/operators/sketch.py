@@ -102,3 +102,91 @@ def count_min_oracle_sql(
     FROM pairs p JOIN grid g USING (depth, bucket)
     GROUP BY p.key, p.exact_n
     """
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, m_bits: int = 1024, n_hashes: int = 2
+) -> DataFrame:
+    """Build a Bloom filter over a key set as ``m_bits/32`` packed longs
+    ``(word_idx, word)`` — an exact-arithmetic bitset both engines can
+    replay (the md5-derived position family again). The build is one
+    explode + one ``bit_or`` aggregate; the result is broadcast-sized by
+    construction (16 rows here)."""
+    pos_exprs = [
+        F.expr("(%s) %% %d" % (D.hash60("concat('bloom%d:', key)" % j, D.SPARK), m_bits))
+        for j in range(n_hashes)
+    ]
+    pos = keys.select(F.col(key_col).cast("string").alias("key")).select(
+        F.explode(F.array(*pos_exprs)).alias("p")
+    )
+    # 32-bit lanes: DuckDB's checked BIGINT shift rejects 1 << 63, so both
+    # engines pack positions as (p div 32, 1 << (p % 32)) — max shift 31
+    return pos.select(
+        F.expr("p div 32").cast("int").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("bit"),
+    ).groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+
+
+def bloom_prefilter_report(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    m_bits: int = 1024,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """The classic 100 TB shuffle-reduction move, measured: broadcast a
+    Bloom filter of the (filtered) dimension's keys and prefilter the fact
+    table BEFORE its join shuffle — rows the filter rejects never enter
+    the Exchange (Spark's AQE runtime row-filtering does this implicitly;
+    this is the explicit, engine-checkable form). The report quantifies
+    the trade: fact rows in, rows passing the bloom, true matches, false
+    positives, and the false-positive rate.
+
+    Every hash position is md5-derived integer arithmetic, so the oracle
+    replays membership — and the exact FP count — bit-for-bit.
+    """
+    words = bloom_bits(dim_keys, dim_key, m_bits, n_hashes)
+    probe = fact.select(F.col(fact_key).cast("string").alias("key"))
+    checked = probe
+    for j in range(n_hashes):
+        p = F.expr("(%s) %% %d" % (D.hash60("concat('bloom%d:', key)" % j, D.SPARK), m_bits))
+        w = words.select(
+            F.col("word_idx").alias(f"_wi{j}"), F.col("word").alias(f"_w{j}")
+        )
+        checked = checked.withColumn(f"_p{j}", p).join(
+            F.broadcast(w),
+            F.expr(f"_p{j} div 32") == F.col(f"_wi{j}"),
+            "left",
+        ).withColumn(
+            f"_hit{j}",
+            F.coalesce(
+                F.expr(f"(_w{j} & shiftleft(cast(1 as bigint), cast(_p{j} % 32 as int))) != 0"),
+                F.lit(False),
+            ),
+        )
+    passed = checked.withColumn(
+        "bloom_pass", F.expr(" AND ".join(f"_hit{j}" for j in range(n_hashes)))
+    )
+    truth = dim_keys.select(
+        F.col(dim_key).cast("string").alias("key"), F.lit(True).alias("is_match")
+    ).distinct()
+    marked = passed.join(F.broadcast(truth), "key", "left").select(
+        "bloom_pass", F.coalesce("is_match", F.lit(False)).alias("is_match")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("bloom_pass").cast("int")).cast("long").alias("n_pass_bloom"),
+        F.sum(F.col("is_match").cast("int")).cast("long").alias("n_true_match"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("int"))
+        .cast("long")
+        .alias("n_false_positive"),
+        (
+            F.round(
+                F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("int"))
+                / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fp_rate"),
+    )

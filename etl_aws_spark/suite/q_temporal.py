@@ -445,3 +445,55 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             + 0.0 AS prob
+    FROM trans
+    """,
+    category="temporal",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams — the
+    product-analytics 'what happens next' model behind Sankey/path
+    diagrams (and a text-free twin of the bigram LM): one lag window per
+    user (full (ts, event_id) tie-break), one (prev, next) count, row
+    probabilities from a partition-total window on the 25-cell matrix.
+    The fact table is shuffled once on user_id; everything after operates
+    on the |types|² frame."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6) + F.lit(0.0)
+        ).alias("prob"),
+    )

@@ -18,3 +18,29 @@ def test_count_min_never_undercounts_and_collides(spark):
     m = out.set_index("key").cms_est
     d = deeper.set_index("key").cms_est
     assert (d <= m).all()
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from etl_aws_spark.operators import sketch
+
+    dim = spark.range(0, 50).selectExpr("id * 3 as k")  # keys 0,3,...,147
+    fact = spark.range(0, 300).selectExpr("id as k")
+    rep = sketch.bloom_prefilter_report(fact, "k", dim, "k", m_bits=256, n_hashes=2)
+    r = rep.collect()[0]
+    assert r.n_fact == 300
+    assert r.n_true_match == 50
+    # a Bloom filter can never reject a true member
+    assert r.n_pass_bloom >= r.n_true_match
+    assert r.n_false_positive == r.n_pass_bloom - r.n_true_match
+    # 100 bits set of 256: FP rate must be well under the reject-nothing 1.0
+    assert r.n_pass_bloom < 300
+
+
+def test_bloom_more_bits_fewer_false_positives(spark):
+    from etl_aws_spark.operators import sketch
+
+    dim = spark.range(0, 64).selectExpr("id * 7 as k")
+    fact = spark.range(0, 2000).selectExpr("id as k")
+    small = sketch.bloom_prefilter_report(fact, "k", dim, "k", m_bits=128, n_hashes=2).collect()[0]
+    big = sketch.bloom_prefilter_report(fact, "k", dim, "k", m_bits=2048, n_hashes=2).collect()[0]
+    assert big.n_false_positive < small.n_false_positive
