@@ -709,3 +709,78 @@ def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(s + F.signum(s) * F.lit(1e-9), 4) + F.lit(0.0)).alias("decayed_score"),
         F.min("k").cast("long").alias("weeks_since_last"),
     )
+
+
+@query(
+    "agg_hdr_log_histogram_percentiles",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+    ), hist AS (
+      SELECT length(bin(c)) AS bucket, count(*) AS n FROM cents GROUP BY 1
+    ), cum AS (
+      SELECT bucket, n,
+             sum(n) OVER (ORDER BY bucket) AS cum_n,
+             sum(n) OVER () AS total
+      FROM hist
+    ), pcts AS (
+      SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS p
+    ), hit AS (
+      SELECT p.p, min(c.bucket) AS bucket
+      FROM pcts p JOIN cum c ON c.cum_n >= p.p * c.total
+      GROUP BY p.p
+    )
+    SELECT h.p,
+           CAST(h.bucket AS INT) AS bucket,
+           round((1::BIGINT << (h.bucket - 1)) / 100.0, 2) + 0.0 AS lo_value,
+           round(((1::BIGINT << h.bucket) - 1) / 100.0, 2) + 0.0 AS hi_value,
+           CAST(c.cum_n AS BIGINT) AS cum_count,
+           CAST(c.total AS BIGINT) AS total
+    FROM hit h JOIN cum c ON h.bucket = c.bucket
+    """,
+    category="aggregate",
+)
+def agg_hdr_log_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style percentiles: order totals land in log2 buckets
+    of exact integer cents (bucket = bit length — no transcendental log),
+    and p50/p90/p95/p99 are read off the cumulative histogram as bucket
+    bounds. The ops-latency percentile machine: the histogram is ~27
+    mergeable integer cells regardless of corpus size (the map-side state
+    a billion-row latency pipeline keeps per partition), unlike an exact
+    percentile's full sort. Bit arithmetic replays exactly; the accuracy
+    trade (bucket-width resolution) is explicit in the lo/hi bounds."""
+    ord_ = load(spark, sf_dir, "orders")
+    cents = ord_.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c")
+    )
+    hist = cents.select(F.length(F.bin("c")).alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(Window.orderBy("bucket")).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    pcts = spark.createDataFrame([(0.5,), (0.9,), (0.95,), (0.99,)], "p double")
+    hit = (
+        pcts.join(cum, F.col("cum_n") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.join(cum, "bucket").select(
+        "p",
+        F.col("bucket").cast("int").alias("bucket"),
+        (
+            F.round(F.expr("shiftleft(cast(1 as bigint), bucket - 1)") / 100.0, 2)
+            + F.lit(0.0)
+        ).alias("lo_value"),
+        (
+            F.round((F.expr("shiftleft(cast(1 as bigint), bucket)") - 1) / 100.0, 2)
+            + F.lit(0.0)
+        ).alias("hi_value"),
+        F.col("cum_n").cast("long").alias("cum_count"),
+        F.col("total").cast("long").alias("total"),
+    )

@@ -58,3 +58,27 @@ def test_stratified_sample_deterministic_and_balanced(spark):
     by = a.groupby("grp").size()
     # each stratum near 25% of 500
     assert ((by > 80) & (by < 175)).all(), by.to_dict()
+
+
+def test_hampel_flags_spike_zscore_misses(spark):
+    # one wild spike in a flat series: hampel must flag ONLY the spike and
+    # replace it with the local median; the flat neighbors stay untouched
+    import etl_aws_spark.suite.q_cleaning as qc
+    from pyspark.sql import Window, functions as F
+
+    vals = [10.0] * 6 + [500.0] + [10.0] * 6
+    rows = [(i, 1, float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, value double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, 5)
+    fr = df.select("event_id", "value", F.collect_list("value").over(w).alias("arr"))
+    med = fr.withColumn("rmed", F.expr(qc._median_of("arr", "spark")))
+    mad = med.withColumn(
+        "rmad", F.expr(qc._median_of("transform(arr, v -> abs(v - rmed))", "spark"))
+    )
+    flag = F.abs(F.col("value") - F.col("rmed")) > qc._HAMPEL_K * F.col("rmad")
+    out = mad.select("event_id", "value", flag.alias("f"),
+                     F.when(flag, F.col("rmed")).otherwise(F.col("value")).alias("clean")
+                     ).toPandas().set_index("event_id").sort_index()
+    assert out.loc[6, "f"] == True  # noqa: E712
+    assert out.loc[6, "clean"] == 10.0
+    assert out.drop(index=6).f.sum() == 0
