@@ -497,3 +497,70 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6) + F.lit(0.0)
         ).alias("prob"),
     )
+
+
+_FUNNEL_BOUND_US = 7 * 86400 * 1000000  # complete within 7 days
+
+
+@query(
+    "events_funnel_time_bound",
+    oracle=f"""
+    WITH lists AS (
+      SELECT user_id,
+             list(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS vs,
+             list(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS cs,
+             list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS ps
+      FROM events GROUP BY user_id
+    ), s1 AS (
+      SELECT user_id, cs, ps, list_min(vs) AS f1 FROM lists
+    ), s2 AS (
+      SELECT user_id, ps, f1, list_min(list_filter(cs, t -> t > f1)) AS f2 FROM s1
+    ), s3 AS (
+      SELECT user_id, f1, f2, list_min(list_filter(ps, t -> t > f2)) AS f3 FROM s2
+    )
+    SELECT CAST(count(f1) AS BIGINT) AS n_view,
+           CAST(count(f2) AS BIGINT) AS n_click_seq,
+           CAST(count(f3) AS BIGINT) AS n_purchase_seq,
+           CAST(sum(CASE WHEN f3 - f1 <= {_FUNNEL_BOUND_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_7d,
+           round(sum(CASE WHEN f3 - f1 <= {_FUNNEL_BOUND_US} THEN 1 ELSE 0 END)
+                 / nullif(CAST(count(f1) AS DOUBLE), 0.0), 6) + 0.0 AS completion_rate
+    FROM s3
+    """,
+    category="temporal",
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (view → click → purchase, completed
+    within 7 days) in the HOF-array execution shape: ONE groupBy collects
+    each user's per-stage timestamp lists, and the sequential-minimum
+    chain (first click after first view, first purchase after that) runs
+    as pure array expressions — one shuffle total, where the join
+    formulation (`events_funnel_conversion`) re-shuffles per stage. The
+    known CollapseProject HOF-inlining cost is bounded here: lambdas close
+    over a scalar min of a ~dozen-element list. Exact integer microsecond
+    arithmetic on both engines (NTZ-safe epoch bridge)."""
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    us = _epoch_micros("ts")
+    lists = ev.groupBy("user_id").agg(
+        F.collect_list(F.when(F.col("event_type") == "view", us)).alias("vs"),
+        F.collect_list(F.when(F.col("event_type") == "click", us)).alias("cs"),
+        F.collect_list(F.when(F.col("event_type") == "purchase", us)).alias("ps"),
+    )
+    s1 = lists.withColumn("f1", F.array_min("vs"))
+    s2 = s1.withColumn("f2", F.expr("array_min(filter(cs, t -> t > f1))"))
+    s3 = s2.withColumn("f3", F.expr("array_min(filter(ps, t -> t > f2))"))
+    done = F.when(F.col("f3") - F.col("f1") <= _FUNNEL_BOUND_US, 1).otherwise(0)
+    return s3.agg(
+        F.count("f1").alias("n_view"),
+        F.count("f2").alias("n_click_seq"),
+        F.count("f3").alias("n_purchase_seq"),
+        F.sum(done).cast("long").alias("n_within_7d"),
+        (
+            F.round(
+                F.sum(done) / F.nullif(F.count("f1").cast("double"), F.lit(0.0)), 6
+            )
+            + F.lit(0.0)
+        ).alias("completion_rate"),
+    )
