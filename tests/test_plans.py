@@ -180,3 +180,57 @@ def test_bucketed_sink_join_has_no_join_exchange(spark, sf):
     join_part = plan[plan.index("SortMergeJoin") :]
     assert "Exchange hashpartitioning" not in join_part, join_part
     assert "bucket" in plan.lower(), plan
+
+
+def test_pq_adc_broadcasts_model_tables_no_cartesian(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["similarity_topk_pq_adc"](spark, sf))
+    # codebook and distance table attach as broadcasts; nothing may plan a
+    # cartesian / nested-loop over the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_probe_is_broadcast_only(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["join_bloom_prefilter"](spark, sf))
+    # the fact PROBE side must never shuffle — every hash Exchange in the
+    # plan belongs to a dim-sized build (two 32-row word aggregates + the
+    # truth-set distinct), each feeding a BroadcastExchange
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    fact_scans = [
+        seg for seg in plan.split("BroadcastExchange") if "orders" in seg
+    ]
+    # the segment containing the orders scan (outside any build side) has
+    # no hash Exchange between scan and the final single-partition agg
+    probe = fact_scans[0].split("Exchange SinglePartition")[-1]
+    assert "Exchange hashpartitioning" not in probe.split("BroadcastHashJoin")[0]
+
+
+def test_zorder_stats_single_aggregate_no_join(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["layout_zorder_pruning"](spark, sf))
+    # pure projection + one bucket aggregate; bounds were collected as
+    # plan-time literals, so no join may appear
+    assert "Join" not in plan, plan
+
+
+def test_triangle_join_is_not_nested_loop(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["graph_triangle_clustering"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_time_bound_single_exchange(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["events_funnel_time_bound"](spark, sf))
+    # one shuffle: the per-user list collection; the stage chain is pure
+    # array expressions and the final report is a 1-row aggregate
+    assert plan.count("Exchange hashpartitioning") == 1, plan
