@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.operators import timeseries as ts
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd, rnd_nudged
 
 _OVER_PRE = (
     f"OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL} "
@@ -82,9 +82,10 @@ def window_ewm_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p
     )
     SELECT t.event_id, t.user_id, t.ts, t.value,
-           round(t.trend, 4) + 0.0 AS trend,
-           round(c.seasonal, 4) + 0.0 AS seasonal,
-           round(t.value - t.trend - c.seasonal, 4) + 0.0 AS resid
+           round(t.trend + sign(t.trend) * 1e-9, 4) + 0.0 AS trend,
+           round(c.seasonal + sign(c.seasonal) * 1e-9, 4) + 0.0 AS seasonal,
+           round((t.value - t.trend - c.seasonal)
+                 + sign(t.value - t.trend - c.seasonal) * 1e-9, 4) + 0.0 AS resid
     FROM t JOIN c ON t.user_id = c.user_id AND t.phase = c.phase
     """,
     category="timeseries",
@@ -98,9 +99,9 @@ def stat_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "ts", "value",
-        rnd(F.col("trend")).alias("trend"),
-        rnd(F.col("seasonal")).alias("seasonal"),
-        rnd(F.col("resid")).alias("resid"),
+        rnd_nudged(F.col("trend")).alias("trend"),
+        rnd_nudged(F.col("seasonal")).alias("seasonal"),
+        rnd_nudged(F.col("resid")).alias("resid"),
     )
 
 

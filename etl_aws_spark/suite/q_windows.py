@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.operators import windows as ow
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd, rnd_nudged
 
 def _w():
     # lazy: building a WindowSpec needs an active SparkContext
@@ -113,7 +113,9 @@ def window_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_pct_change",
     oracle=f"""
     SELECT {_KEYS},
-           round(value / nullif(lag(value, 1) {_OVER}, 0.0) - 1.0, 6) + 0.0 AS pct_change
+           round((value / nullif(lag(value, 1) {_OVER}, 0.0) - 1.0)
+                 + sign(value / nullif(lag(value, 1) {_OVER}, 0.0) - 1.0) * 1e-9, 6)
+             + 0.0 AS pct_change
     FROM events
     """,
     category="window",
@@ -122,7 +124,12 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x/lag(x,1) - 1 per key (`eda.ipynb` cells 37-38)."""
     df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = ow.pct_change(df, "value", _w(), "pct_change")
-    return out.select("event_id", "user_id", "ts", rnd(F.col("pct_change"), 6).alias("pct_change"))
+    # nudged rounding: one sf0.1 row measured exactly on a 6-digit half
+    # boundary (engine rounding-semantics gap, SCALE.md §8)
+    return out.select(
+        "event_id", "user_id", "ts",
+        rnd_nudged(F.col("pct_change"), 6).alias("pct_change"),
+    )
 
 
 @query(
