@@ -601,3 +601,51 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(fit)).select(
         "rnk", "tok", "n", "zipf_slope"
     )
+
+
+@query(
+    "text_dedup_ngram_containment",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, sh AS (
+      SELECT DISTINCT doc_id AS id, unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
+      FROM corpus
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), live AS (
+      SELECT sh.id, sh.h FROM sh
+      JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) <= 50) f USING (h)
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM live a JOIN live b ON a.h = b.h AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), scored AS (
+      SELECT s.id_a, s.id_b, s.n_shared,
+             s.n_shared / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment,
+             s.n_shared / CAST(sa.sz + sb.sz - s.n_shared AS DOUBLE) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(containment, 6) + 0.0 AS containment,
+           round(jaccard, 6) + 0.0 AS jaccard
+    FROM scored WHERE containment >= 0.9
+    """,
+    category="text",
+)
+def text_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (near-superset detection): 3-gram
+    shingle containment >= 0.9 via a corpus-wide inverted index with a
+    df <= 50 stop-shingle cut — the quote-inclusion signal that symmetric
+    Jaccard and its length-bucket blocking structurally miss. On the test
+    corpus the planted exact dups surface at containment 1.0; the fan-out
+    bound Σ df² ≤ |shingles|·max_df is the documented scale contract."""
+    corpus = _corpus(spark, sf_dir)
+    out = dedup.ngram_containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.9, max_df=50
+    )
+    return out.select(
+        "id_a", "id_b", "n_shared",
+        rnd(F.col("containment"), 6).alias("containment"),
+        rnd(F.col("jaccard"), 6).alias("jaccard"),
+    )

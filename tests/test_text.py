@@ -100,3 +100,25 @@ def test_minhash_band_edges_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = minhash_band_edges(docs, "doc_id", "text", max_bucket=None)
     assert uncapped.count() == 8 * 7 // 2
+
+
+def test_containment_finds_superset_jaccard_misses(spark):
+    from etl_aws_spark.text import dedup
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long), (2, "completely different content " * 5)],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9, max_df=50
+    ).toPandas()
+    # the short doc is fully contained in the long one
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    assert r.containment == 1.0
+    # jaccard on the same pair is far below any dedup threshold — the
+    # reason this operator exists
+    assert r.jaccard < 0.2
