@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from etl_aws_spark.operators import aggregates as agg
 from etl_aws_spark.operators import windows as ow
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import rnd
+from etl_aws_spark.suite._util import rnd, rnd_nudged
 
 # deterministic null injection: the fixtures are null-free, so null-handling
 # operators knock out value on event_id % 7 == 0 (same rule in the oracles)
@@ -783,4 +783,59 @@ def agg_hdr_log_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("hi_value"),
         F.col("cum_n").cast("long").alias("cum_count"),
         F.col("total").cast("long").alias("total"),
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey, sum(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY x, o_custkey) AS i
+      FROM spend
+    ), g AS (
+      SELECT c_mktsegment,
+             count(*) AS n_customers,
+             (2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+               / (count(*) * sum(x)) AS gini
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(gini + sign(gini) * 1e-9, 6) + 0.0 AS gini
+    FROM g
+    """,
+    category="aggregate",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per market segment — the
+    inequality measure behind 'top-1% of customers' dashboards, computed
+    EXACTLY from the sorted-rank formula G = (2Σi·xᵢ − (n+1)Σx)/(nΣx)
+    (tie-invariant: permuting equal spends leaves Σi·xᵢ unchanged, so the
+    custkey tie-break is deterministic without affecting the value). One
+    narrow (segment, customer) aggregate, one rank window per segment,
+    one 5-row reduce; the fact table is scanned once."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    gini = (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * F.sum("x")) / (
+        n * F.sum("x")
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        n.cast("long").alias("n_customers"),
+        rnd_nudged(gini, 6).alias("gini"),
     )

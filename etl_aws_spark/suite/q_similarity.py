@@ -728,3 +728,74 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("adc_dist"), 6) + F.lit(0.0)).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@query(
+    "embedding_silhouette_simplified",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    vparts AS (
+      SELECT vec_id, label AS own_label, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), dists AS (
+      SELECT v.vec_id, v.own_label, c.label,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((v.val - c.val) * (v.val - c.val) ORDER BY v.i)),
+               (acc, x) -> acc + x)) AS d
+      FROM vparts v JOIN comp c ON v.i = c.i
+      GROUP BY v.vec_id, v.own_label, c.label
+    ), ab AS (
+      SELECT vec_id, own_label,
+             min(CASE WHEN label = own_label THEN d END) AS a,
+             min(CASE WHEN label <> own_label THEN d END) AS b
+      FROM dists GROUP BY vec_id, own_label
+    ), s AS (
+      SELECT own_label AS label, (b - a) / greatest(a, b) AS sil FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sil) + sign(avg(sil)) * 1e-9, 6) + 0.0 AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+    category="similarity",
+)
+def embedding_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label cell (a(i) = distance to own
+    centroid, b(i) = nearest other centroid; s = (b−a)/max(a,b)) — the
+    cluster-quality gauge for the IVF coarse quantizer the similarity
+    layer probes. Same relational shape as the PQ assignment: vector
+    components join the broadcast rounded-centroid components, distances
+    are ascending-index folds (sqrt is IEEE exact-rounded), so every a/b
+    — and the mean silhouettes, through the nudged bridge — replay
+    exactly. Cost: one |corpus|·|labels| fold aggregate; vectors never
+    shuffle whole."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = knn.label_centroid_components(emb, "label", "embedding")
+    vparts = emb.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cc = comp.select(F.col("label").alias("c_label"), "pos", F.col("val").alias("cw"))
+    terms = vparts.join(F.broadcast(cc), "pos").select(
+        "vec_id", "own_label", "c_label", "pos",
+        ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
+    )
+    dists = terms.groupBy("vec_id", "own_label", "c_label").agg(
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(pos, term))), "
+                "s -> s.term), cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ).alias("d")
+    )
+    ab = dists.groupBy("vec_id", "own_label").agg(
+        F.min(F.when(F.col("c_label") == F.col("own_label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("own_label"), F.col("d"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    return ab.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        rnd_nudged(F.avg(sil), 6).alias("mean_silhouette"),
+    )

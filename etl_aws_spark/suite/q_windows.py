@@ -664,3 +664,52 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("prev").over(frame).alias("_n"),
     )
     return out.filter(F.col("_n") == 21).drop("_n")
+
+
+@query(
+    "window_bollinger_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_KEYS}, value,
+             avg(value) {_OVER[:-1]} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mid,
+             stddev_samp(value) {_OVER[:-1]} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd,
+             count(value) {_OVER[:-1]} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           round(mid + sign(mid) * 1e-9, 4) + 0.0 AS bb_mid,
+           round((mid + 2 * sd) + sign(mid + 2 * sd) * 1e-9, 4) + 0.0 AS bb_upper,
+           round((mid - 2 * sd) + sign(mid - 2 * sd) * 1e-9, 4) + 0.0 AS bb_lower,
+           round(((value - (mid - 2 * sd)) / nullif(4 * sd, 0.0))
+                 + sign((value - (mid - 2 * sd)) / nullif(4 * sd, 0.0)) * 1e-9, 4)
+             + 0.0 AS pct_b
+    FROM b WHERE cnt >= 20
+    """,
+    category="window",
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row mean ± 2σ) with %B position — the classic
+    volatility envelope completing the reference's indicator family
+    beside RSI and MACD (`preprocessing.py` indicator block). One window
+    partitioning serves mean, σ, and the warm-up count; rows before the
+    full 20-sample window are excluded (warm-up, matching pandas
+    rolling(20).mean() semantics). Derived ratios use the nudged rounding
+    bridge — σ accumulation order differs across engines at ~1e-12."""
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = _w().rowsBetween(-19, 0)
+    b = df.select(
+        "event_id", "user_id", "ts", "value",
+        F.avg("value").over(w).alias("mid"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("cnt"),
+    ).filter(F.col("cnt") >= 20)
+    upper = F.col("mid") + 2 * F.col("sd")
+    lower = F.col("mid") - 2 * F.col("sd")
+    pct_b = (F.col("value") - lower) / F.nullif(4 * F.col("sd"), F.lit(0.0))
+    return b.select(
+        "event_id", "user_id", "ts", "value",
+        rnd_nudged(F.col("mid"), 4).alias("bb_mid"),
+        rnd_nudged(upper, 4).alias("bb_upper"),
+        rnd_nudged(lower, 4).alias("bb_lower"),
+        rnd_nudged(pct_b, 4).alias("pct_b"),
+    )
