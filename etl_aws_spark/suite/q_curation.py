@@ -544,3 +544,62 @@ def text_duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram slice is always non-degenerate."""
     docs = load(spark, sf_dir, "documents")
     return curation.duplicate_span_ratio(docs, "doc_id", "text", n=_SPAN_N)
+
+
+@query(
+    "curation_source_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT source, sum(n) AS t, count(*) AS n_langs FROM cnt GROUP BY source
+    ), h AS (
+      SELECT c.source, t.n_langs, t.t,
+             -sum((c.n / CAST(t.t AS DOUBLE))
+                  * ln(c.n / CAST(t.t AS DOUBLE)) / ln(2.0)) AS ent
+      FROM cnt c JOIN tot t USING (source)
+      GROUP BY c.source, t.n_langs, t.t
+    )
+    SELECT source,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(t AS BIGINT) AS n_docs,
+           round(ent + sign(ent) * 1e-9, 6) + 0.0 AS entropy_bits,
+           round((CASE WHEN n_langs > 1 THEN ent / (ln(n_langs) / ln(2.0)) ELSE 0.0 END)
+                 + sign(CASE WHEN n_langs > 1 THEN ent ELSE 0.0 END) * 1e-9, 6)
+             + 0.0 AS normalized
+    FROM h
+    """,
+    category="curation",
+)
+def curation_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source — the diversity gauge a
+    curation dashboard puts beside the domain-mix report: H = −Σ p·log₂p
+    over the per-source language distribution, plus the [0,1]-normalized
+    form H/log₂(k). Computed on the |sources|×|langs| contingency frame
+    (one narrow aggregate touches the corpus). Cross-engine ln() can
+    differ in the last ulp, so both entropies ride the nudged bridge."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    p = cnt.select(
+        "source", "n",
+        F.sum("n").over(w).alias("t"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+    ).withColumn("p", F.col("n") / F.col("t").cast("double"))
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    h = p.groupBy("source", "n_langs", "t").agg(
+        (-F.sum(F.col("p") * F.log(F.col("p")) / F.log(F.lit(2.0)))).alias("ent")
+    )
+    norm = F.when(
+        F.col("n_langs") > 1, F.col("ent") / (F.log(F.col("n_langs").cast("double")) / F.log(F.lit(2.0)))
+    ).otherwise(F.lit(0.0))
+    return h.select(
+        "source",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("t").cast("long").alias("n_docs"),
+        rnd_nudged(F.col("ent"), 6).alias("entropy_bits"),
+        rnd_nudged(norm, 6).alias("normalized"),
+    )

@@ -713,3 +713,44 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(lower, 4).alias("bb_lower"),
         rnd_nudged(pct_b, 4).alias("pct_b"),
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle=f"""
+    WITH r AS (
+      SELECT {_KEYS}, value,
+             max(value) {_OVER[:-1]} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+      FROM events
+    ), d AS (
+      SELECT event_id, user_id, ts, value, run_max,
+             value / run_max - 1.0 AS drawdown
+      FROM r
+    )
+    SELECT user_id,
+           round(min(drawdown) + sign(min(drawdown)) * 1e-9, 6) + 0.0 AS max_drawdown,
+           round(max(run_max), 4) + 0.0 AS peak_value,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM d GROUP BY user_id
+    """,
+    category="window",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the risk metric every portfolio
+    report carries beside volatility (reference domain: stock pipeline):
+    running peak via an unbounded-preceding max window (one partitioning,
+    no self-join), drawdown = value/peak − 1, reduced to the per-user
+    trough. Division by the running max is a single op on bit-identical
+    inputs; the trough min rides the nudged bridge."""
+    from pyspark.sql import Window
+
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    r = df.withColumn("run_max", F.max("value").over(w))
+    dd = F.col("value") / F.col("run_max") - 1.0
+    return r.withColumn("drawdown", dd).groupBy("user_id").agg(
+        rnd_nudged(F.min("drawdown"), 6).alias("max_drawdown"),
+        rnd(F.max("run_max"), 4).alias("peak_value"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
