@@ -211,3 +211,61 @@ def upsert_latest_state(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def cms_merge_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 32,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch count-min maintenance: each micro-batch aggregates its
+    OWN (depth, bucket) partial grid and merges it into the parquet state
+    by cell-wise addition — the mergeability that makes a CMS the right
+    streaming frequency sketch (state is depth·width longs FOREVER,
+    independent of stream length or key cardinality, and addition is
+    associative so ANY batch split converges to the batch-built grid —
+    the invariant the batch-parity oracle checks). The ingest side never
+    sees per-key state; exact counts exist only in the offline accuracy
+    harness (`operators/sketch.py`)."""
+    from etl_aws_spark.text import _dialect as D
+
+    def grid_of(df: DataFrame) -> DataFrame:
+        pos_exprs = [
+            F.expr(
+                "(%s) %% %d" % (D.hash60("concat('cms%d:', key)" % j, D.SPARK), width)
+            )
+            for j in range(depth)
+        ]
+        pairs = df.select(F.col(key_col).cast("string").alias("key")).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("depth"), p.alias("bucket"))
+                        for j, p in enumerate(pos_exprs)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.depth", "p.bucket")
+        return pairs.groupBy("depth", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("cell_n")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        g = grid_of(batch_df)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*g.columns)
+            g = (
+                g.unionByName(prev)
+                .groupBy("depth", "bucket")
+                .agg(F.sum("cell_n").cast("long").alias("cell_n"))
+            )
+        g.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

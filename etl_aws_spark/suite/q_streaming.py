@@ -450,3 +450,60 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n").cast("bigint").alias("n"),
         (F.round(F.col("sum_value"), 4) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+def _cms_grid_oracle() -> str:
+    from etl_aws_spark.text import _dialect as D
+
+    branches = " UNION ALL ".join(
+        f"SELECT ({D.hash60(f'''concat('cms{j}:', key)''', D.DUCK)}) % 32 AS bucket,"
+        f" {j} AS depth FROM k"
+        for j in range(4)
+    )
+    return f"""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) AS key FROM events
+    ), pairs AS (
+      {branches}
+    )
+    SELECT depth, bucket, count(*) AS cell_n
+    FROM pairs GROUP BY depth, bucket
+    """
+
+
+@query("streaming_sketch_count_min", oracle=_cms_grid_oracle(), category="streaming")
+def streaming_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained AS A STREAM (foreachBatch cell-wise
+    grid merge, several micro-batches forced via maxFilesPerTrigger): the
+    state is 4x32 longs forever, independent of stream length or key
+    cardinality, and grid addition is associative — so the final grid
+    must EQUAL the batch-built one regardless of batch boundaries, which
+    is exactly what the batch oracle value-checks. The streaming twin of
+    `sketch_count_min_freq`'s offline accuracy harness."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_cms")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+        ev.repartition(8).write.mode("overwrite").parquet(landing)
+    shutil.rmtree(state, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.cms_merge_stream(stream, state, "user_id", depth=4, width=32)
+    q.awaitTermination(300)
+    return spark.read.parquet(state).select(
+        F.col("depth").cast("int").alias("depth"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cell_n").cast("long").alias("cell_n"),
+    )

@@ -75,3 +75,40 @@ def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
         x = float(200 + i)
         acc = a * x + b * acc
         assert got2[datetime.datetime(2024, 1, 1, 10, i)] == pytest.approx(acc, rel=1e-12)
+
+
+def test_cms_stream_grid_is_batch_split_invariant(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F, types as T
+
+    from etl_aws_spark.streaming import ingest
+
+    landing = str(tmp_path / "landing")
+    spark.range(0, 900).select(
+        F.col("id").alias("event_id"), (F.col("id") % 37).alias("user_id")
+    ).repartition(9).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("user_id", T.LongType())]
+    )
+    grids = []
+    for files_per_trigger in (2, 9):
+        state = str(tmp_path / f"state_{files_per_trigger}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(landing)
+        )
+        q = ingest.cms_merge_stream(stream, state, "user_id", depth=4, width=16)
+        q.awaitTermination(120)
+        pdf = (
+            spark.read.parquet(state)
+            .toPandas()
+            .sort_values(["depth", "bucket"])
+            .reset_index(drop=True)
+        )
+        grids.append(pdf)
+    # cell-wise addition is associative: any micro-batch split converges
+    # to the same grid
+    assert grids[0].equals(grids[1])
+    assert grids[0].cell_n.sum() == 900 * 4
