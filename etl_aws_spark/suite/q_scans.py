@@ -278,7 +278,12 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the zero-shuffle property is exercised even at toy scale where Spark
     would otherwise broadcast. The oracle is the plain join — layout must
     never change results."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag by sf_dir AND application id: a concurrent process (parallel
+    # pytest + check.py) sharing the warehouse dir must never drop or
+    # overwrite a table this session is lazily reading
+    tag = hashlib.sha1(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     t_orders, t_items = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     from etl_aws_spark.sources import bucketed
 
