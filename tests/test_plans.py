@@ -234,3 +234,21 @@ def test_funnel_time_bound_single_exchange(spark, sf):
     # one shuffle: the per-user list collection; the stage chain is pure
     # array expressions and the final report is a 1-row aggregate
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    df = all_queries()["scan_parquet_partitioned"](spark, sf)
+    plan = _plan(df)
+    # the date-range predicate must reach the scan as PartitionFilters —
+    # pruning directories at planning time, not filtering rows after read
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters: [" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan
+    # and the actual partition count read is the 11-day slice, not the tree
+    n_parts = df.select("ano", "mes", "dia").distinct().count()
+    assert n_parts <= 11, n_parts
