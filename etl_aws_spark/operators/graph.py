@@ -160,12 +160,20 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
 
     Output: (id, degree, n_triangles, clustering) where clustering =
     2T / (deg·(deg−1)), NULL for degree < 2 (nullif, ANSI-safe).
+
+    ``pairs``, ``deg`` and ``oriented`` are each referenced by multiple
+    downstream legs (degree join ×2, wedge ×2 + closure, final join), so
+    they are ``localCheckpoint``-ed once — otherwise Catalyst re-derives
+    the caller's whole edge-build lineage (often an expensive self-join +
+    distinct) for every leg, ~25× at plan level.
     """
+    pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("s").alias("id"))
         .unionAll(pairs.select(F.col("d").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     ds = deg.select(F.col("id").alias("s"), F.col("degree").alias("_sdeg"))
     dd = deg.select(F.col("id").alias("d"), F.col("degree").alias("_ddeg"))
@@ -179,16 +187,17 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             F.when(forward, F.col("s")).otherwise(F.col("d")).alias("u"),
             F.when(forward, F.col("d")).otherwise(F.col("s")).alias("v"),
         )
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     wedges = e1.join(e2, "b")
     closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tris = wedges.join(closing, ["a", "c"])
+    # one pass over tris (explode, not a 3-way union of projections — a
+    # union would re-execute the wedge+closure joins once per corner)
     corners = (
-        tris.select(F.col("a").alias("id"))
-        .unionAll(tris.select(F.col("b").alias("id")))
-        .unionAll(tris.select(F.col("c").alias("id")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

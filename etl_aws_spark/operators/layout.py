@@ -53,13 +53,22 @@ def norm_sql(col: str, lo: int, hi: int, q_bits: int, dialect: str) -> str:
 
 def bounds(df: DataFrame, x_col: str, y_col: str) -> tuple[int, int, int, int]:
     """Domain bounds for normalization — four scalars (the bounded
-    model-state pattern; the oracle recomputes the identical values)."""
+    model-state pattern; the oracle recomputes the identical values).
+
+    Raises ``ValueError`` when the input has no rows with non-null keys —
+    min/max aggregates return NULL there, and a z-order layout of nothing
+    is a caller bug better surfaced than int(None)-crashed."""
     r = df.agg(
         F.min(F.col(x_col).cast("long")).alias("x_lo"),
         F.max(F.col(x_col).cast("long")).alias("x_hi"),
         F.min(F.col(y_col).cast("long")).alias("y_lo"),
         F.max(F.col(y_col).cast("long")).alias("y_hi"),
     ).first()
+    if r.x_lo is None or r.y_lo is None:
+        raise ValueError(
+            f"bounds({x_col!r}, {y_col!r}): input has no rows with "
+            "non-null key values; cannot derive a z-order domain"
+        )
     return int(r.x_lo), int(r.x_hi), int(r.y_lo), int(r.y_hi)
 
 

@@ -3,12 +3,73 @@
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+
+
+# --- atomic, replay-idempotent parquet state commits -----------------------
+#
+# foreachBatch is at-least-once: a retried micro-batch re-invokes the sink
+# with the SAME batch_id, and a crash mid-write must never corrupt the
+# committed state. Both state sinks below therefore commit through a
+# versioned-dir + symlink-flip protocol:
+#
+#   <state_path>.versions/v{batch_id}/   — each commit writes a FRESH dir
+#   <state_path>  -> symlink to the committed version dir
+#
+# The flip is os.replace() of a symlink — atomic on POSIX — so readers
+# (`spark.read.parquet(state_path)`) always see a complete grid: either the
+# old version or the new one, never a half-rewritten directory. The
+# committed batch_id is encoded in the version-dir name, so a replayed
+# batch (batch_id <= committed) is skipped instead of double-merged —
+# restoring the batch-split invariance that cell-wise CMS addition and
+# 'latest-by' upserts advertise, now including under retries.
+
+
+def _committed_batch_id(state_path: str) -> int | None:
+    """batch_id of the committed state version, or None if no state."""
+    if not os.path.islink(state_path):
+        return None
+    target = os.path.basename(os.readlink(state_path))
+    try:
+        return int(target[1:])
+    except ValueError:
+        return None
+
+
+def _commit_state(df: DataFrame, state_path: str, batch_id: int) -> None:
+    """Materialize df into a fresh version dir and atomically flip the
+    state symlink to it; GC all older versions after the flip."""
+    versions = state_path + ".versions"
+    dst = os.path.join(versions, "v%012d" % batch_id)
+    df.write.mode("overwrite").parquet(dst)
+    if os.path.lexists(state_path) and not os.path.islink(state_path):
+        # legacy plain-dir layout: replace it with the symlink protocol
+        shutil.rmtree(state_path, ignore_errors=True)
+    tmp = "%s.lnk.%d" % (state_path, batch_id)
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(dst, tmp)
+    os.replace(tmp, state_path)  # atomic pointer flip
+    keep = os.path.basename(dst)
+    for name in os.listdir(versions):
+        if name != keep:
+            shutil.rmtree(os.path.join(versions, name), ignore_errors=True)
+
+
+def reset_state(state_path: str) -> None:
+    """Remove a state symlink and its version store (test/rebuild hook).
+    shutil.rmtree refuses symlinks, so callers must use this instead."""
+    if os.path.islink(state_path):
+        os.unlink(state_path)
+    else:
+        shutil.rmtree(state_path, ignore_errors=True)
+    shutil.rmtree(state_path + ".versions", ignore_errors=True)
 
 
 def read_stream(
@@ -176,10 +237,10 @@ def upsert_latest_state(
     ``order_cols`` ordering, (2) unions the existing state, (3) re-collapses
     and atomically replaces the state. The batch-side collapse first means
     the expensive merge window only ever sees |keys| + |batch keys| rows,
-    never raw updates. The merged frame is `localCheckpoint`-ed before the
-    overwrite so the read of the old state is fully materialized before the
-    path is clobbered (reading lazily from a path being overwritten is the
-    classic self-join corruption). Deterministic under ANY batch split:
+    never raw updates. Commits go through the versioned-dir + symlink-flip
+    protocol (`_commit_state`): the merged frame writes to a FRESH version
+    dir (so the lazy read of the old state never races its own overwrite)
+    and replayed batch_ids are skipped. Deterministic under ANY batch split:
     'latest by (order_cols)' is associative, so replaying with different
     micro-batch boundaries converges to the same state — the invariant the
     checkpoint-restart test replays. At warehouse scale the same shape
@@ -201,11 +262,14 @@ def upsert_latest_state(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay of an already-merged batch
         merged = latest(batch_df)
         if os.path.exists(os.path.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*merged.columns)
             merged = latest(merged.unionByName(prev))
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+        _commit_state(merged, state_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint:
@@ -227,7 +291,9 @@ def cms_merge_stream(
     streaming frequency sketch (state is depth·width longs FOREVER,
     independent of stream length or key cardinality, and addition is
     associative so ANY batch split converges to the batch-built grid —
-    the invariant the batch-parity oracle checks). The ingest side never
+    the invariant the batch-parity oracle checks — and the symlink-flip
+    commit with a batch_id replay guard keeps it true under foreachBatch's
+    at-least-once retries and mid-write crashes). The ingest side never
     sees per-key state; exact counts exist only in the offline accuracy
     harness (`operators/sketch.py`)."""
     from etl_aws_spark.text import _dialect as D
@@ -255,6 +321,9 @@ def cms_merge_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay: this grid is already merged
         g = grid_of(batch_df)
         if os.path.exists(os.path.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
@@ -263,7 +332,7 @@ def cms_merge_stream(
                 .groupBy("depth", "bucket")
                 .agg(F.sum("cell_n").cast("long").alias("cell_n"))
             )
-        g.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+        _commit_state(g, state_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint:

@@ -290,14 +290,14 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(t_orders):
         bucketed.write_bucketed(
             load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-            t_orders, "o_orderkey", 8, sort_col="o_orderkey",
+            t_orders, "o_orderkey", 8, sort_col="o_orderkey", owned=True,
         )
     if not spark.catalog.tableExists(t_items):
         bucketed.write_bucketed(
             load(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
             ),
-            t_items, "l_orderkey", 8, sort_col="l_orderkey",
+            t_items, "l_orderkey", 8, sort_col="l_orderkey", owned=True,
         )
     joined = spark.table(t_orders).hint("merge").join(
         spark.table(t_items),

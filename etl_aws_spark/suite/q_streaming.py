@@ -488,7 +488,7 @@ def streaming_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         ev = load(spark, sf_dir, "events").select("event_id", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
-    shutil.rmtree(state, ignore_errors=True)
+    ingest.reset_state(state)  # state is a symlink; plain rmtree no-ops on it
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

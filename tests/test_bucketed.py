@@ -17,8 +17,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     items = spark.range(0, 6000).select(
         (F.col("id") % 2000).alias("k"), F.col("id").alias("item_id")
     )
-    bucketed.write_bucketed(orders, "t_orders_b", "k", 8, sort_col="k")
-    bucketed.write_bucketed(items, "t_items_b", "k", 8, sort_col="k")
+    bucketed.write_bucketed(orders, "t_orders_b", "k", 8, sort_col="k", owned=True)
+    bucketed.write_bucketed(items, "t_items_b", "k", 8, sort_col="k", owned=True)
     # force the sort-merge path: broadcast would sidestep bucketing (tiny
     # test tables) and its BroadcastExchange confuses the assertion
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

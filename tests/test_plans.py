@@ -227,6 +227,20 @@ def test_triangle_join_is_not_nested_loop(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_triangle_plan_does_not_rederive_edge_build(spark, sf):
+    """triangle_stats checkpoints pairs/deg/oriented once; without that,
+    Catalyst replays the caller's lineitem self-join for every leg (~97
+    exchanges). The checkpointed plan needs only the wedge/closure/corner
+    shuffles."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["graph_triangle_clustering"](spark, sf))
+    assert plan.count("Exchange hashpartitioning") <= 8, plan
+    # the expensive self-join source must not appear in the final plan at
+    # all — it ran once at checkpoint time
+    assert "lineitem" not in plan, plan
+
+
 def test_funnel_time_bound_single_exchange(spark, sf):
     from etl_aws_spark.registry import all_queries
 

@@ -112,3 +112,62 @@ def test_cms_stream_grid_is_batch_split_invariant(spark, tmp_path):
     # to the same grid
     assert grids[0].equals(grids[1])
     assert grids[0].cell_n.sum() == 900 * 4
+
+
+def test_cms_state_commit_is_replay_idempotent_and_atomic(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying already-merged batch_ids
+    (here: wiping the checkpoint and re-running the identical stream) must
+    NOT double-add the grid, and the state must be a symlink-flipped
+    version dir so a crash mid-commit can never truncate it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F, types as T
+
+    from etl_aws_spark.streaming import ingest
+
+    landing = str(tmp_path / "landing")
+    spark.range(0, 300).select(
+        F.col("id").alias("event_id"), (F.col("id") % 11).alias("user_id")
+    ).repartition(6).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("user_id", T.LongType())]
+    )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(landing)
+        )
+        q = ingest.cms_merge_stream(
+            stream, state, "user_id", depth=4, width=16, checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    grid1 = (
+        spark.read.parquet(state).toPandas()
+        .sort_values(["depth", "bucket"]).reset_index(drop=True)
+    )
+    assert grid1.cell_n.sum() == 300 * 4
+    # committed state is the symlink protocol, batch_id recoverable
+    assert os.path.islink(state)
+    assert ingest._committed_batch_id(state) is not None
+
+    # wipe the checkpoint: the re-run replays every batch with the same
+    # batch_ids from 0 — the guard must skip all of them
+    shutil.rmtree(ckpt)
+    run()
+    grid2 = (
+        spark.read.parquet(state).toPandas()
+        .sort_values(["depth", "bucket"]).reset_index(drop=True)
+    )
+    assert grid1.equals(grid2), "replayed batches were double-merged"
+
+    # reset_state clears both the link and the version store
+    ingest.reset_state(state)
+    assert not os.path.lexists(state)
+    assert not os.path.exists(state + ".versions")
