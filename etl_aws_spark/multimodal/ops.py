@@ -284,6 +284,15 @@ def extract_features(df: DataFrame) -> DataFrame:
                 return w, h, 3, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
             except ValueError:
                 pass
+        if payload[:2] == b"\xff\xd8":
+            try:
+                from etl_aws_spark.multimodal.jpeg import decode_jpeg_gray8
+
+                img = decode_jpeg_gray8(payload)
+                h, w = img.shape[0], img.shape[1]
+                return w, h, 1, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
+            except ValueError:
+                pass
         if pil_decode is not None:  # pragma: no cover
             try:
                 return pil_decode(payload)

@@ -215,6 +215,83 @@ def multimodal_feature_extract_png(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL transform-domain-compressed image corpus: one
+    baseline grayscale JPEG per document (multimodal/jpeg.py — DCT +
+    Annex-K quantization + Huffman). Pixels are CONSTANT per 8x8 block
+    at even offsets from 128, which survives the lossy pipeline
+    bit-exactly (DC-only blocks, quantizer step 16 divides 8·(v−128)
+    exactly), so the closed-form pixel oracle checks the true decode."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.jpeg import encode_jpeg_gray8
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 19, 6 + (did * 7) % 17
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                v = 128 + 2 * (((did * 5 + (x // 8) * 3 + (y // 8) * 7) % 121) - 60)
+                payloads.append(encode_jpeg_gray8(v.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id bigint, payload binary")
+
+
+@query(
+    "multimodal_feature_extract_jpeg",
+    # closed-form pixel oracle over the per-block-constant generator: the
+    # DCT→quantize→Huffman→decode pipeline is exact for this corpus (see
+    # _jpeg_corpus), so mean_intensity replays analytically. Compressed
+    # n_bytes is not closed-form and is excluded (the BMP twin covers the
+    # byte-size contract).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 6 + doc_id % 19 AS w, 6 + (doc_id * 7) % 17 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM(128 + 2 * (((d.doc_id*5 + (x.x//8)*3 + (y.y//8)*7) % 121) - 60)) AS s
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 24)) AS x) x ON x.x < d.w
+      JOIN (SELECT unnest(generate_series(0, 22)) AS y) y ON y.y < d.h
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT doc_id AS asset_id, 'image/jpeg' AS mime,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           1 AS n_channels,
+           round(CAST(s AS DOUBLE) / (w*h*255.0), 6) + 0.0 AS mean_intensity
+    FROM px
+    """,
+    category="multimodal",
+)
+def multimodal_feature_extract_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction with a REAL decode of the TRANSFORM-domain
+    compressed format a 100 TB multimodal corpus is actually made of:
+    baseline sequential JPEG (multimodal/jpeg.py — JFIF/DQT/DHT parse,
+    Huffman entropy decode with DC prediction and byte-unstuffing,
+    dequantize, inverse zigzag, 8x8 IDCT; pure numpy/stdlib per the public
+    T.81 spec). The corpus round-trips exactly by construction, so the
+    oracle recomputes mean intensity analytically — checking the actual
+    decode, not a stub replay; the AC/runs path is covered by error-bound
+    property tests (tests/test_multimodal.py). Completes the format
+    triple: BMP (raw) → PNG (lossless) → JPEG (lossy DCT)."""
+    media = ops.attach_media_metadata(
+        _jpeg_corpus(spark, sf_dir), "doc_id", "payload", mime="image/jpeg"
+    )
+    out = ops.extract_features(media)
+    return out.select(
+        "asset_id", "mime", "width", "height", "n_channels",
+        (F.round(F.col("mean_intensity"), 6) + F.lit(0.0)).alias("mean_intensity"),
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

@@ -130,3 +130,99 @@ def test_audio_features_match_numpy(spark):
         r = out.loc[aid]
         assert r.n_samples == n and r.peak == peak and r.n_zero_crossings == zc
         assert abs(r.rms - rms) < 1e-12
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Per-8x8-block-constant images at even offsets from 128 survive the
+    lossy pipeline bit-exactly (DC-only blocks; quantizer step 16 divides
+    8*(v-128) with no remainder) — the invariant the registered query's
+    closed-form oracle relies on."""
+    import numpy as np
+
+    from etl_aws_spark.multimodal.jpeg import decode_jpeg_gray8, encode_jpeg_gray8
+
+    rng = np.random.RandomState(11)
+    for _ in range(6):
+        w, h = int(rng.randint(5, 33)), int(rng.randint(5, 33))
+        bw, bh = -(-w // 8), -(-h // 8)
+        blocks = 128 + 2 * rng.randint(-60, 61, size=(bh, bw))
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+        dec = decode_jpeg_gray8(encode_jpeg_gray8(img))
+        assert dec.shape == (h, w)
+        assert np.array_equal(dec, img)
+
+
+def test_jpeg_ac_path_smooth_image_small_error():
+    """Smooth gradients produce rich AC runs/magnitudes (ZRL, EOB, byte
+    stuffing); a Huffman or zigzag bug yields garbage, not a small error.
+    Annex-K quantization on smooth content stays within a few levels."""
+    import numpy as np
+
+    from etl_aws_spark.multimodal.jpeg import decode_jpeg_gray8, encode_jpeg_gray8
+
+    x = np.arange(48)
+    img = (
+        (np.sin(x / 5.0)[:, None] * np.cos(x / 7.0)[None, :]) * 100 + 128
+    ).astype(np.uint8)
+    dec = decode_jpeg_gray8(encode_jpeg_gray8(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_jpeg_random_image_error_within_quantization_bound():
+    """Arbitrary (worst-case) content: per-pixel error is bounded by the
+    IDCT image of half-a-quantizer-step per coefficient plus rounding —
+    the quantization-theoretic ceiling, format machinery exercised on
+    maximal-entropy AC streams."""
+    import numpy as np
+
+    from etl_aws_spark.multimodal.jpeg import (
+        QTABLE,
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    cu = np.ones(8)
+    cu[0] = 1 / np.sqrt(2)
+    bound = (np.outer(cu, cu) / 4 * (QTABLE / 2.0)).sum() + 1
+    rng = np.random.RandomState(23)
+    for _ in range(4):
+        w, h = int(rng.randint(5, 41)), int(rng.randint(5, 41))
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        dec = decode_jpeg_gray8(encode_jpeg_gray8(img))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= bound
+
+
+def test_jpeg_decoder_rejects_non_baseline_and_truncation():
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_aws_spark.multimodal.jpeg import decode_jpeg_gray8, encode_jpeg_gray8
+
+    img = np.full((16, 16), 130, np.uint8)
+    payload = encode_jpeg_gray8(img)
+    for bad in (b"hello", b"\xff\xd8\xff\xe0junk", payload[:40], payload[:-20][:60]):
+        with _pytest.raises(ValueError):
+            decode_jpeg_gray8(bad)
+    # progressive SOF2 marker must be refused, not mis-decoded
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray8(prog)
+
+
+def test_jpeg_query_dispatch_uses_real_decode(spark):
+    """extract_features must route JPEG payloads to the real decoder (1
+    channel, exact block mean), not the stub."""
+    import numpy as np
+
+    from etl_aws_spark.multimodal import ops
+    from etl_aws_spark.multimodal.jpeg import encode_jpeg_gray8
+
+    img = np.full((8, 8), 128 + 40, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_gray8(img)))], "doc_id long, payload binary"
+    )
+    media = ops.attach_media_metadata(df, "doc_id", "payload", mime="image/jpeg")
+    row = ops.extract_features(media).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (8, 8, 1)
+    assert abs(row.mean_intensity - 168 / 255.0) < 1e-9
