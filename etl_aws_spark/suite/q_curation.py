@@ -179,6 +179,66 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", rnd(F.col("quality"), 6).alias("quality"), "n_tokens")
 
 
+def _budget_bpe_oracle() -> str:
+    from etl_aws_spark.text import bpe
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {D.tokens('text', D.DUCK)} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             {bpe.doc_token_count_sql('text', bpe.DUCK)} AS n_tokens_bpe
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_tokens_bpe,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> CASE WHEN t IN ({_STOP_IN}) THEN 1 ELSE 0 END))
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_token_ratio,
+             n_punct / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM t
+    ), q AS (
+      SELECT doc_id, n_tokens_bpe,
+             0.25 * least(n_tokens / 100.0, 1.0)
+             + 0.25 * least(stopword_ratio * 5.0, 1.0)
+             + 0.25 * uniq_token_ratio
+             + 0.25 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality
+      FROM m
+    ), c AS (
+      SELECT doc_id, quality, n_tokens_bpe,
+             sum(n_tokens_bpe) OVER (ORDER BY quality DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q
+    )
+    SELECT doc_id, round(quality, 6) + 0.0 AS quality, n_tokens_bpe
+    FROM c WHERE cum <= 30000
+    """
+
+
+@query("curation_token_budget_bpe", oracle=_budget_bpe_oracle(), category="curation")
+def curation_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection counted in TOKENIZER tokens (text/bpe.py)
+    instead of whitespace tokens — what a real pretraining mix actually
+    budgets. Quality score and BPE count are both pure expressions over
+    ONE documents scan (no join between the scorer and the tokenizer);
+    the cut runs the same scalable two-phase bucket form as
+    `curation_token_budget`, row-identical to the oracle's global
+    cumsum by monotone bucketing."""
+    docs = load(spark, sf_dir, "documents")
+    from etl_aws_spark.text import bpe
+
+    scored = analysis.quality_score(docs, "text").select(
+        "doc_id",
+        F.col("quality_score").alias("quality"),
+        F.expr(bpe.doc_token_count_sql("text", bpe.SPARK)).alias("n_tokens_bpe"),
+    )
+    out = curation.token_budget_select(
+        scored, "doc_id", "quality", "n_tokens_bpe", budget=30_000
+    )
+    return out.select(
+        "doc_id", rnd(F.col("quality"), 6).alias("quality"), "n_tokens_bpe"
+    )
+
+
 def _pipeline_oracle() -> str:
     from etl_aws_spark.suite.q_text import _minhash_bands_sql
 

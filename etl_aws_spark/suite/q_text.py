@@ -17,6 +17,7 @@ from etl_aws_spark.registry import load, query
 from etl_aws_spark.suite._util import rnd
 from etl_aws_spark.text import _dialect as D
 from etl_aws_spark.text import analysis, dedup
+from etl_aws_spark.text import bpe as bpe_mod
 
 _CORPUS_SQL = """
     corpus AS (
@@ -317,6 +318,28 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish pre-token counts."""
     out = analysis.token_counts(load(spark, sf_dir, "documents"), "text")
     return out.select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+def _bpe_count_oracle() -> str:
+    from etl_aws_spark.text import bpe
+
+    return f"""
+    SELECT doc_id, {bpe.doc_token_count_sql('text', bpe.DUCK)} AS n_tokens_bpe
+    FROM documents
+    """
+
+
+@query("text_token_count_bpe", oracle=_bpe_count_oracle(), category="text")
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-faithful token counts: the GPT-2-style BPE apply step
+    (pre-token regex split, then pair fusion in merge-rank order) run
+    entirely as JVM string expressions — a word wraps to one-symbol-per-
+    bracket form and each merge is one replace('<a><b>'→'<ab>'), so the
+    whole tokenizer stays inside whole-stage codegen with no shuffle and
+    no Python (text/bpe.py; the mapInPandas twin covers production-size
+    merge tables). The oracle replays the identical chain in DuckDB;
+    equivalence to the textbook min-rank merge loop is property-tested."""
+    return bpe_mod.bpe_token_count(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

