@@ -407,6 +407,7 @@ def kmeans_iterate(
     k: int = 8,
     iters: int = 2,
     round_digits: int = 4,
+    k_threshold: int = 256,
 ) -> DataFrame:
     """Lloyd's k-means for ``iters`` fixed iterations — the from-scratch
     build of the IVF coarse quantizer that :func:`ivf_topk` assumes (its
@@ -432,6 +433,77 @@ def kmeans_iterate(
     Returns the long-form result: (cluster, n_members, pos, val) — one row
     per final-centroid component, n_members from the final assignment.
     """
+    cents, final_assign = _kmeans_fit(
+        embeddings, id_col, vec_col, dim, k, iters, round_digits, k_threshold
+    )
+    counts = final_assign.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    comp_rows = []
+    for c, vec in enumerate(cents):
+        for pos, val in enumerate(vec):
+            comp_rows.append((c, pos, float(val)))
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(comp_rows, "cluster int, pos int, val double")
+    return (
+        cent_df.join(
+            counts.select(F.col("_cluster").cast("int").alias("cluster"), "n_members"),
+            "cluster",
+            "left",
+        )
+        .select(
+            "cluster",
+            F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+            "pos",
+            "val",
+        )
+    )
+
+
+def kmeans_assignment(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 4,
+    k_threshold: int = 256,
+) -> DataFrame:
+    """Final per-vector cluster assignment of :func:`kmeans_iterate`'s fit
+    — the cell key a semantic-dedup pipeline blocks on. Same deterministic
+    fit (same init, fold order, per-iteration rounding), exposed as
+    (id_col, vec_col, cluster): a pure expression over one corpus scan, no
+    join, so downstream blocking consumes it as a derived column."""
+    _cents, final_assign = _kmeans_fit(
+        embeddings, id_col, vec_col, dim, k, iters, round_digits, k_threshold
+    )
+    return final_assign.select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        F.col("_cluster").cast("int").alias("cluster"),
+    )
+
+
+def _kmeans_fit(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int,
+    round_digits: int,
+    k_threshold: int = 256,
+):
+    """Shared Lloyd's loop: returns (final centroid lists, final
+    assignment frame (_id, _v, _cluster)).
+
+    Assignment has two bit-identical physical forms, switched on
+    ``k_threshold`` (SCALE.md §semantic-dedup): for k ≤ threshold the
+    centroids embed as plan-time LITERALS (zero joins, but plan size grows
+    O(k·dim) expression nodes); beyond it they attach as a BROADCAST
+    centroid table (k rows per vector + one map-side-combined min-struct
+    aggregate — the `similarity_topk_ivf` shape, plan size O(1) in k).
+    Both evaluate the identical ascending-index fold with the identical
+    (dist, cluster) tie order, so the fit is invariant to the switch."""
     rdig = round_digits
 
     def _collect_cents(df: DataFrame) -> list[list[float]]:
@@ -448,7 +520,7 @@ def kmeans_iterate(
     )
     cents = _collect_cents(init)
 
-    def _assign(cent_lits: list[list[float]]) -> DataFrame:
+    def _assign_literal(cent_lits: list[list[float]]) -> DataFrame:
         structs = []
         for j, c in enumerate(cent_lits):
             arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in c) + ")"
@@ -464,6 +536,33 @@ def kmeans_iterate(
             F.col(vec_col).alias("_v"),
             F.expr(argmin).alias("_cluster"),
         )
+
+    def _assign_broadcast(cent_lits: list[list[float]]) -> DataFrame:
+        # all centroids as ONE broadcast row (k·dim doubles) attached via
+        # the house 1-row crossJoin pattern: no per-vector fan-out, no
+        # shuffle, plan size O(1) in k
+        spark = embeddings.sparkSession
+        cent_df = spark.createDataFrame(
+            [([[float(v) for v in c] for c in cent_lits],)],
+            "_cents array<array<double>>",
+        )
+        dist = (
+            f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+            f"acc + (cast(element_at(_v, i) as double) - element_at(cv, i)) * "
+            f"(cast(element_at(_v, i) as double) - element_at(cv, i)))"
+        )
+        # transform-with-index + array_min == the literal path's struct
+        # array argmin: same fold, same (dist, cluster) tie order
+        argmin = f"array_min(transform(_cents, (cv, j) -> struct({dist} as d, j as c))).c"
+        return (
+            embeddings.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .crossJoin(F.broadcast(cent_df))
+            .select("_id", "_v", F.expr(argmin).alias("_cluster"))
+        )
+
+    _assign = _assign_literal if k <= k_threshold else _assign_broadcast
 
     for _ in range(iters):
         assigned = _assign(cents)
@@ -486,27 +585,7 @@ def kmeans_iterate(
         # oracle, which replays the same rule via the left join)
         cents = [got.get(c, cents[c]) for c in range(k)]
 
-    final_assign = _assign(cents)
-    counts = final_assign.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    comp_rows = []
-    for c, vec in enumerate(cents):
-        for pos, val in enumerate(vec):
-            comp_rows.append((c, pos, float(val)))
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(comp_rows, "cluster int, pos int, val double")
-    return (
-        cent_df.join(
-            counts.select(F.col("_cluster").cast("int").alias("cluster"), "n_members"),
-            "cluster",
-            "left",
-        )
-        .select(
-            "cluster",
-            F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
-            "pos",
-            "val",
-        )
-    )
+    return cents, _assign(cents)
 
 
 def cosine_dedup_pairs(

@@ -799,3 +799,101 @@ def embedding_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         rnd_nudged(F.avg(sil), 6).alias("mean_silhouette"),
     )
+
+
+@query(
+    "pipeline_semantic_dedup",
+    # full-composition oracle: replay the 2-iteration k-means fit (same
+    # CTE machinery as embedding_kmeans_iterate), the within-cell rounded
+    # cosine pairs, a recursive-CTE reachability closure for the TRUE
+    # components, and the keep-best ranking — a completely different
+    # algorithm stack that must agree row-for-row.
+    oracle=f"""
+    WITH RECURSIVE c0 AS (
+      SELECT CAST(vec_id AS INT) AS c,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS v
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),{','.join(_duck_km_iter(n + 1, f'c{n}') for n in range(_KM_ITERS))},
+    cells AS (
+      SELECT vec_id, embedding, c AS cluster FROM (
+        SELECT e.vec_id, e.embedding, p.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_km_dist('e.embedding', 'p.v')} ASC, p.c ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN c{_KM_ITERS} p
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 >= 0.25
+    ),
+    sym AS (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION SELECT dst AS u, src AS v FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM cells
+      UNION
+      SELECT s.u AS id, reach.r FROM reach JOIN sym s ON s.v = reach.id
+    ),
+    cc AS (SELECT id AS vec_id, min(r) AS component_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.vec_id, c.cluster, cc.component_id,
+             row_number() OVER (
+               PARTITION BY cc.component_id
+               ORDER BY round(sqrt({_duck_dot('c.embedding', 'c.embedding')}), 6) DESC,
+                        c.vec_id ASC
+             ) AS rn
+      FROM cells c JOIN cc USING (vec_id)
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, component_id,
+           CAST(rn = 1 AS INT) AS is_survivor
+    FROM ranked
+    """,
+    category="similarity",
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped end-to-end semantic dedup — the embedding-space
+    twin of `pipeline_corpus_refined`: (1) k-means cells from the
+    deterministic 2-iteration fit (similarity/knn.py kmeans_assignment —
+    assignment is a pure fold-expression over one scan, centroids are
+    bounded driver state), (2) within-cell rounded-cosine pairs ≥ 0.25
+    (Σ|cell|² candidate work, never N²), (3) distributed connected-
+    component closure over the pair graph (operators/graph.py — pairs
+    only link within a cell, so components never span cells), (4)
+    keep-best survivor per component (highest rounded L2 norm, id
+    tie-break). Output labels every vector with its cell, its dup
+    component, and whether it survives the dedup cut. Cell-size skew is
+    the scale knob — see SCALE.md §semantic-dedup."""
+    from etl_aws_spark.operators import graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = knn.kmeans_assignment(
+        emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
+    )
+    pairs = knn.cosine_dedup_pairs(
+        cells, "vec_id", "embedding", _DIM, block_col="cluster", threshold=0.25
+    )
+    comp = graph.connected_components(
+        cells.select("vec_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    )
+    norm = F.expr(
+        f"round(sqrt({knn._fold_dot('embedding', 'embedding', _DIM)}), 6) + 0.0"
+    )
+    labeled = cells.select("vec_id", "cluster", norm.alias("_norm")).join(comp, "vec_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("_norm"), F.asc("vec_id")
+    )
+    return labeled.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "component_id",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )

@@ -178,3 +178,29 @@ def test_kmeans_iterate_partition_and_determinism(spark, emb):
     pdt = out.sort_values(["cluster", "pos"]).reset_index(drop=True)
     pdt2 = again.sort_values(["cluster", "pos"]).reset_index(drop=True)
     assert pdt.equals(pdt2)
+
+
+def test_kmeans_literal_and_broadcast_assignment_agree(spark):
+    """The k_threshold switch changes the PHYSICAL assignment form only:
+    plan-time centroid literals vs one broadcast centroid row + HOF
+    argmin. Same fold, same tie order -> identical fit output."""
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.similarity import knn
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    lit = knn.kmeans_iterate(
+        emb, "vec_id", "embedding", 64, k=8, iters=2, k_threshold=256
+    )
+    bc = knn.kmeans_iterate(
+        emb, "vec_id", "embedding", 64, k=8, iters=2, k_threshold=0
+    )
+    key = ["cluster", "pos"]
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, bc.collect()))
+    assert a == b
+    # the broadcast path's assignment frame carries no join shuffle
+    asg = knn.kmeans_assignment(
+        emb, "vec_id", "embedding", 64, k=8, iters=2, k_threshold=0
+    )
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
