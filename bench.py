@@ -30,6 +30,15 @@ HEADLINE = [
     "text_dedup_near_minhash",  # HOF signatures + LSH banding
     "text_fingerprint",       # posexplode + sliding window min
     "similarity_topk_cosine", # vector fold + per-query rank
+    # r6 additions — the four most expensive registry queries, so the
+    # heavy iterative/graph/compressed-ANN layer is regression-guarded
+    # too (VERDICT r5 #3). Totals are NOT comparable to r1-r5 BENCH
+    # files; compare per-query or on the original 13 (BASELINE.md r6
+    # note).
+    "text_dedup_connected_components",  # iterative CC closure rounds
+    "text_dedup_keep_best",   # CC + survivor ranking composition
+    "graph_triangle_clustering",  # self-join graph + wedge closure
+    "similarity_topk_pq_adc",  # PQ train+encode+ADC search in one plan
 ]
 
 

@@ -663,3 +663,99 @@ def curation_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(F.col("ent"), 6).alias("entropy_bits"),
         rnd_nudged(norm, 6).alias("normalized"),
     )
+
+
+def _seq_pack_oracle() -> str:
+    from etl_aws_spark.text import bpe
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             {bpe.doc_token_count_sql('text', bpe.DUCK)} AS n
+      FROM documents
+    ), nz AS (SELECT * FROM t WHERE n > 0),
+    s AS (
+      SELECT doc_id, shard, n,
+             sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+      FROM nz
+    ), b AS (
+      SELECT doc_id, shard, n, CAST(st AS BIGINT) AS st,
+             CAST(st // 512 AS BIGINT) AS lo,
+             CAST((st + n - 1) // 512 AS BIGINT) AS hi
+      FROM s
+    ), e AS (
+      SELECT doc_id, shard, n, st, lo, hi,
+             unnest(generate_series(lo, hi)) AS seq_id
+      FROM b
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(st - seq_id * 512, 0) AS BIGINT) AS tok_start,
+           CAST(least(st + n, seq_id * 512 + 512)
+                - greatest(st, seq_id * 512) AS BIGINT) AS n_tokens_in_seq,
+           CAST(hi > lo AS INT) AS is_split
+    FROM e
+    """
+
+
+@query("curation_sequence_pack", oracle=_seq_pack_oracle(), category="curation")
+def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing of the corpus into 512-token training
+    sequences, counted in BPE tokens (text/bpe.py): documents concatenate
+    in (shard, doc_id) order and cut at sequence boundaries — documents
+    crossing a cut are split, nothing is padded. The running offset is a
+    window cumsum PARTITIONED by shard (the per-output-shard pack real
+    pipelines run — parallel, one narrow shuffle), and each document
+    explodes to the sequences it overlaps with pure rowwise arithmetic
+    (text/curation.py sequence_pack). The oracle replays the identical
+    shard order, cumsum, and interval intersection."""
+    from etl_aws_spark.text import bpe
+
+    return curation.sequence_pack(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        bpe.doc_token_count_sql("text", bpe.SPARK),
+        seq_len=512,
+        n_shards=8,
+    )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), e AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(
+               0, CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 40 AS BIGINT) AS tok_start,
+           CAST(least(50, n - chunk_idx * 40) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+             list_slice(toks, CAST(chunk_idx * 40 + 1 AS BIGINT),
+                        CAST(chunk_idx * 40 + least(50, n - chunk_idx * 40) AS BIGINT)),
+             ' ')) AS chunk_digest
+    FROM e
+    """,
+    category="curation",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-style chunking: 50-token windows with 10-token overlap
+    (stride 40), one row per chunk with token span + md5 digest of the
+    re-joined chunk text. Pure projection — tokenize once, explode chunk
+    starts to rows, slice per row (the explode-then-slice order sidesteps
+    the CollapseProject re-tokenize trap); no shuffle anywhere. The ASCII
+    corpus makes the Spark byte-level md5 equal DuckDB's char-level md5."""
+    return curation.chunk_overlap(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=50, overlap=10,
+    )

@@ -672,3 +672,60 @@ def text_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("containment"), 6).alias("containment"),
         rnd(F.col("jaccard"), 6).alias("jaccard"),
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({D.tokens('text', D.DUCK)}, x -> x <> '') AS toks
+      FROM documents
+    ), big AS (
+      SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t)
+    ), uni AS (
+      SELECT w, count(*) AS c1 FROM (
+        SELECT unnest(toks) AS w FROM t
+      ) GROUP BY w
+    ), voc AS (SELECT count(*) AS v FROM uni),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    lp AS (
+      SELECT big.doc_id, big.pos,
+             round(ln(CAST(bc.c2 + 1 AS DOUBLE) / CAST(uni.c1 + voc.v AS DOUBLE)), 6)
+               + 0.0 AS lpv
+      FROM big
+      JOIN bc USING (w1, w2)
+      JOIN uni ON uni.w = big.w1
+      CROSS JOIN voc
+    ), per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(lpv ORDER BY pos)),
+                         (acc, x) -> acc + x) AS s
+      FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round((per.s / per.n_bigrams)
+                 + sign(per.s / per.n_bigrams) * 1e-9, 6) + 0.0 AS avg_logp
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+    """,
+    category="text",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram LM scoring (the CCNet-shaped
+    quality signal): P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), documents scored
+    by mean log-prob. The 'model' is two aggregates joined back on their
+    natural keys — no collected state, no UDF. Per-bigram log-probs are
+    pre-rounded and summed in position order (sort-collect-fold), so the
+    mean is engine-exact; the final rounding uses the house half-boundary
+    nudge."""
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    out = analysis.bigram_lm_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bigrams", rnd_nudged(F.col("avg_logp"), 6).alias("avg_logp")
+    )

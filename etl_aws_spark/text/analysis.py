@@ -146,3 +146,78 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
             "quality_score": score,
         }
     )
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet-shaped
+    quality signal: train add-one-smoothed bigram probabilities on the
+    corpus itself, then score every document by mean log-probability
+    (low = out-of-distribution / garbled text; reference analogue: none —
+    LLM-pipeline extension tier).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) with V = |vocabulary|.
+
+    Scale shape: the model IS two aggregates — unigram instance counts
+    and bigram counts — joined back to the exploded bigram stream on
+    their natural keys (token-scale shuffles of short strings; no model
+    ever collects anywhere, unlike a perplexity UDF with a broadcast LM).
+    Determinism: each bigram's log-prob is rounded to 6 digits, then
+    summed per document in POSITION order via the house
+    sort-collect-fold, so the float total is engine-exact regardless of
+    shuffle order; ln's 1-ulp engine variance is absorbed by the
+    pre-round.
+
+    Output: (id, n_bigrams, avg_logp) — avg_logp NULL for docs with
+    fewer than two tokens.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"filter({D.tokens(text_col, D.SPARK)}, t -> t <> '')"
+        ).alias("_toks"),
+    )
+    big = toks.select(
+        "_id",
+        F.expr(
+            "posexplode(zip_with(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+            "slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+            "(a, b) -> struct(a as w1, b as w2)))"
+        ).alias("pos", "bg"),
+    ).select("_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = toks.select(F.explode("_toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("_V"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            "pos",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c2") + 1).cast("double")
+                        / (F.col("c1") + F.col("_V")).cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(pos, _lp))), "
+            "s -> s._lp), cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("_sum"),
+    )
+    all_docs = df.select(F.col(id_col).alias("_id"))
+    return all_docs.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        (F.col("_sum") / F.col("n_bigrams")).alias("avg_logp"),
+    )

@@ -229,3 +229,132 @@ def duplicate_span_ratio(
             + F.lit(0.0)
         ).alias("dup_ratio"),
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    tokens_expr: str,
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a fixed order
+    and cut every ``seq_len`` tokens — documents crossing a cut are SPLIT
+    across training sequences (the standard pretraining pack; no padding
+    waste, unlike bin-packing). ``tokens_expr`` is a SQL expression giving
+    the document's token count (whitespace or BPE — caller's choice).
+
+    Scale shape: real pipelines pack per output shard, so the global
+    order is (shard, doc) — the running token offset is a window cumsum
+    PARTITIONED by shard (parallel, one narrow (shard, id, n_tok)
+    shuffle), never a single global window. Each document then explodes
+    to one row per sequence it overlaps via `sequence(lo, hi)` — pure
+    rowwise arithmetic. Sequence ids are (shard, seq_in_shard); total
+    output rows = n_docs + n_boundary_crossings.
+
+    Output: (id, shard, seq_id, tok_start, n_tokens_in_seq, is_split)
+    where tok_start is the document's offset within the sequence.
+    Zero-token documents are dropped (they occupy no sequence).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.expr(tokens_expr).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    w = Window.partitionBy("shard").orderBy("_id")
+    spans = base.select(
+        "_id",
+        "shard",
+        "_n",
+        (F.sum("_n").over(w) - F.col("_n")).alias("_start"),
+    )
+    bounded = spans.select(
+        "_id",
+        "shard",
+        "_start",
+        "_n",
+        F.floor(F.col("_start") / seq_len).alias("_lo"),
+        F.floor((F.col("_start") + F.col("_n") - 1) / seq_len).alias("_hi"),
+    )
+    out = bounded.select(
+        "_id", "shard", "_start", "_n", "_lo", "_hi",
+        F.explode(F.expr("sequence(_lo, _hi)")).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    return out.select(
+        F.col("_id").alias(id_col),
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.greatest(F.col("_start") - seq_start, F.lit(0)).cast("long").alias("tok_start"),
+        (
+            F.least(F.col("_start") + F.col("_n"), seq_start + seq_len)
+            - F.greatest(F.col("_start"), seq_start)
+        ).cast("long").alias("n_tokens_in_seq"),
+        (F.col("_hi") > F.col("_lo")).cast("int").alias("is_split"),
+    )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Retrieval-style document chunking: whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks (stride = chunk - overlap). One row per chunk with its token
+    span and an md5 digest of the re-joined chunk text (scalar output;
+    the chunk text itself stays derivable).
+
+    Rowwise only — tokenize once, explode the chunk-start sequence to
+    rows, slice per row. No shuffle anywhere: chunking is a projection.
+    The explode-to-rows-then-slice order sidesteps the CollapseProject
+    re-inlining trap (a transform() lambda over starts would re-tokenize
+    per chunk).
+
+    Chunk count for n tokens: 1 + ceil(max(0, n - chunk) / stride) —
+    every token is covered, the last chunk may be short, and an
+    empty/whitespace doc yields zero chunks.
+    """
+    from etl_aws_spark.text import _dialect as D
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(D.tokens(text_col, D.SPARK)).alias("_toks"),
+    ).select(
+        "_id",
+        "_toks",
+        F.expr("size(filter(_toks, t -> t <> ''))").alias("_n"),
+    ).filter(F.col("_n") > 0).select(
+        "_id",
+        F.expr("filter(_toks, t -> t <> '')").alias("_toks"),
+        "_n",
+    )
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("_n") - chunk_tokens, F.lit(0)) / F.lit(stride)
+    )
+    rows = toks.select(
+        "_id", "_toks", "_n",
+        F.explode(F.expr(
+            f"sequence(0, cast(ceil(greatest(_n - {chunk_tokens}, 0) / {stride}) as int))"
+        )).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * stride).cast("int")
+    ln = F.least(F.lit(chunk_tokens), F.col("_n") - start).cast("int")
+    chunk_text = F.expr(
+        f"array_join(slice(_toks, chunk_idx * {stride} + 1, "
+        f"least({chunk_tokens}, _n - chunk_idx * {stride})), ' ')"
+    )
+    return rows.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("tok_start"),
+        ln.cast("long").alias("n_chunk_tokens"),
+        F.md5(chunk_text).alias("chunk_digest"),
+    )

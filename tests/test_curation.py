@@ -131,3 +131,76 @@ def test_duplicate_span_ratio_detects_copied_span(spark):
     import pandas as pd
 
     assert pd.isna(out.loc[3, "dup_ratio"])
+
+
+def test_sequence_pack_conservation_and_splits(spark):
+    """Packing must conserve every token exactly once, keep per-sequence
+    totals <= seq_len (== seq_len for all but each shard's last), and
+    mark boundary-crossers."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.text import curation
+
+    rows = [(i, "w " * (5 + (i * 7) % 23)) for i in range(40)] + [(40, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ntok = "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''))"
+    out = curation.sequence_pack(df, "doc_id", ntok, seq_len=16, n_shards=4).toPandas()
+    # conservation: per-doc slices sum to the doc's token count
+    per_doc = out.groupby("doc_id").n_tokens_in_seq.sum().to_dict()
+    for i in range(40):
+        assert per_doc[i] == 5 + (i * 7) % 23, i
+    assert 40 not in per_doc  # empty doc occupies nothing
+    # sequence budgets: every (shard, seq) holds exactly seq_len tokens
+    # except the final sequence of each shard
+    totals = out.groupby(["shard", "seq_id"]).n_tokens_in_seq.sum()
+    last = out.groupby("shard").seq_id.max().to_dict()
+    for (shard, seq), tot in totals.items():
+        if seq < last[shard]:
+            assert tot == 16, (shard, seq, tot)
+        else:
+            assert tot <= 16
+    # is_split flags exactly the docs appearing in >1 sequence
+    counts = out.groupby("doc_id").seq_id.nunique()
+    flagged = out.groupby("doc_id").is_split.max()
+    for did in counts.index:
+        assert (counts[did] > 1) == bool(flagged[did]), did
+
+
+def test_chunk_overlap_covers_all_tokens_with_stride(spark):
+    from etl_aws_spark.text import curation
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(117))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = curation.chunk_overlap(df, "doc_id", "text", chunk_tokens=50, overlap=10)
+    pdf = out.toPandas().sort_values(["doc_id", "chunk_idx"])
+    d1 = pdf[pdf.doc_id == 1]
+    # stride 40: starts 0,40,80 -> lens 50,50,37; every token covered
+    assert list(d1.tok_start) == [0, 40, 80]
+    assert list(d1.n_chunk_tokens) == [50, 50, 37]
+    d2 = pdf[pdf.doc_id == 2]
+    assert list(d2.tok_start) == [0] and list(d2.n_chunk_tokens) == [2]
+    assert (pdf.doc_id == 3).sum() == 0  # empty doc -> no chunks
+
+
+def test_bigram_lm_score_matches_hand_computation(spark):
+    """Tiny corpus where the smoothed bigram probabilities are computable
+    by hand; scorer must reproduce them exactly."""
+    import math
+
+    from etl_aws_spark.text import analysis
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in analysis.bigram_lm_score(df, "doc_id", "text").collect()}
+    # corpus: tokens a,b,a,b,a,b,c -> c1: a=3, b=3, c=1; V=3
+    # bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1
+    p_ab = round(math.log(4 / 6), 6)
+    p_ba = round(math.log(2 / 6), 6)
+    assert out[1][0] == 3
+    assert abs(out[1][1] - (2 * p_ab + p_ba) / 3) < 1e-9
+    assert out[2][0] == 1 and abs(out[2][1] - p_ab) < 1e-9
+    assert out[3][0] == 0 and out[3][1] is None
