@@ -286,11 +286,12 @@ def extract_features(df: DataFrame) -> DataFrame:
                 pass
         if payload[:2] == b"\xff\xd8":
             try:
-                from etl_aws_spark.multimodal.jpeg import decode_jpeg_gray8
+                from etl_aws_spark.multimodal.jpeg import decode_jpeg
 
-                img = decode_jpeg_gray8(payload)
+                img = decode_jpeg(payload)  # (H, W) gray or (H, W, 3) RGB
                 h, w = img.shape[0], img.shape[1]
-                return w, h, 1, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
+                ch = 1 if img.ndim == 2 else img.shape[2]
+                return w, h, ch, float(int(img.sum(dtype="int64"))) / (img.size * 255.0)
             except ValueError:
                 pass
         if pil_decode is not None:  # pragma: no cover

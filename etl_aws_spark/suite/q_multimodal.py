@@ -292,6 +292,100 @@ def multimodal_feature_extract_jpeg(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _jpeg_color_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color twin of _jpeg_corpus: per-8x8-block-constant YCbCr planes
+    with Y at even offsets from 128 (luma DC step 16 divides 8·(Y−128))
+    and Cb/Cr at multiples of 17 from 128 (chroma DC step 17 divides
+    8·(C−128)) — every component's DC quantization is exact, so the
+    interleaved 3-component decode reproduces the planes bit-for-bit and
+    the YCbCr→RGB rounding is closed-form. The value ranges are chosen so
+    no RGB channel clips and no rounding input lands on an exact .5
+    (asserted by tests), keeping numpy's half-even and SQL's half-away
+    rounding identical."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.jpeg import encode_jpeg_color
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 19, 6 + (did * 7) % 17
+                bw, bh = -(-w // 8), -(-h // 8)
+                ycc = np.zeros((h, w, 3), np.uint8)
+                for by in range(bh):
+                    for bx in range(bw):
+                        y = 128 + 2 * (((did * 5 + bx * 3 + by * 7) % 41) - 20)
+                        k = ((did * 3 + bx + by * 2) % 5) - 2
+                        m = ((did * 11 + bx * 5 + by * 3) % 5) - 2
+                        ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            y, 128 + 17 * k, 128 + 17 * m,
+                        )
+                payloads.append(encode_jpeg_color(ycc, from_ycbcr=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id bigint, payload binary")
+
+
+@query(
+    "multimodal_feature_extract_jpeg_color",
+    # closed-form COLOR pixel oracle: per-block Y/Cb/Cr constants decode
+    # exactly (both DC quantizers divide evenly), and the YCbCr->RGB
+    # conversion replays with the identical double arithmetic and
+    # rounding (no .5 inputs in the domain). Mean over all three RGB
+    # channels.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 6 + doc_id % 19 AS w, 6 + (doc_id * 7) % 17 AS h
+      FROM documents
+    ), blk AS (
+      SELECT d.doc_id, d.w, d.h,
+             least(8 * (bx.bx + 1), d.w) - 8 * bx.bx AS nx,
+             least(8 * (by.by + 1), d.h) - 8 * by.by AS ny,
+             CAST(128 + 2 * (((d.doc_id*5 + bx.bx*3 + by.by*7) % 41) - 20) AS DOUBLE) AS y,
+             17.0 * (((d.doc_id*3 + bx.bx + by.by*2) % 5) - 2) AS cbd,
+             17.0 * (((d.doc_id*11 + bx.bx*5 + by.by*3) % 5) - 2) AS crd
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 2)) AS bx) bx ON bx.bx * 8 < d.w
+      JOIN (SELECT unnest(generate_series(0, 2)) AS by) by ON by.by * 8 < d.h
+    ), px AS (
+      SELECT doc_id, w, h,
+             SUM((round(y + 1.402 * crd)
+                  + round((y - 0.344136286 * cbd) - 0.714136286 * crd)
+                  + round(y + 1.772 * cbd)) * nx * ny) AS s
+      FROM blk GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id, 'image/jpeg' AS mime,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           3 AS n_channels,
+           round(CAST(s AS DOUBLE) / (w*h*3*255.0), 6) + 0.0 AS mean_intensity
+    FROM px
+    """,
+    category="multimodal",
+)
+def multimodal_feature_extract_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG real decode: baseline YCbCr 4:4:4 with interleaved
+    Y-Cb-Cr MCUs, per-component DC predictors, and the Annex-K chroma
+    quant/Huffman tables (multimodal/jpeg.py encode_jpeg_color /
+    decode_jpeg) — the multi-component entropy layout real camera output
+    uses (minus subsampling). The corpus decodes bit-exactly by
+    construction, so the oracle recomputes the RGB means analytically —
+    a value-hash check on the full color pipeline including the
+    YCbCr→RGB conversion rounding."""
+    media = ops.attach_media_metadata(
+        _jpeg_color_corpus(spark, sf_dir), "doc_id", "payload", mime="image/jpeg"
+    )
+    out = ops.extract_features(media)
+    return out.select(
+        "asset_id", "mime", "width", "height", "n_channels",
+        (F.round(F.col("mean_intensity"), 6) + F.lit(0.0)).alias("mean_intensity"),
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

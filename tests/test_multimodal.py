@@ -226,3 +226,85 @@ def test_jpeg_query_dispatch_uses_real_decode(spark):
     row = ops.extract_features(media).collect()[0]
     assert (row.width, row.height, row.n_channels) == (8, 8, 1)
     assert abs(row.mean_intensity - 168 / 255.0) < 1e-9
+
+
+def test_jpeg_color_neutral_and_ycbcr_exact_roundtrip():
+    """Color path: (1) neutral-chroma RGB content round-trips exactly
+    through the full RGB->YCbCr->encode->decode->RGB pipeline; (2) the
+    oracle-corpus YCbCr planes (Y even offsets, chroma multiples of 17)
+    decode bit-exactly, with no value near a .5 rounding boundary and no
+    clipping — the invariants the color query's oracle relies on."""
+    import numpy as np
+
+    from etl_aws_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(17)
+    blocks = 128 + 2 * rng.randint(-60, 61, size=(3, 4))
+    g = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:20, :28].astype(np.uint8)
+    rgb = np.stack([g, g, g], -1)
+    assert np.array_equal(decode_jpeg(encode_jpeg_color(rgb)), rgb)
+
+    for did in (0, 7, 41, 123):
+        w, h = 6 + did % 19, 6 + (did * 7) % 17
+        bw, bh = -(-w // 8), -(-h // 8)
+        ycc = np.zeros((h, w, 3), np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                y = 128 + 2 * (((did * 5 + bx * 3 + by * 7) % 41) - 20)
+                k = ((did * 3 + bx + by * 2) % 5) - 2
+                m = ((did * 11 + bx * 5 + by * 3) % 5) - 2
+                ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    y, 128 + 17 * k, 128 + 17 * m,
+                )
+        yf = ycc[..., 0].astype(np.float64)
+        cbd = ycc[..., 1].astype(np.float64) - 128.0
+        crd = ycc[..., 2].astype(np.float64) - 128.0
+        exp = np.stack(
+            [
+                yf + 1.402 * crd,
+                (yf - 0.344136286 * cbd) - 0.714136286 * crd,
+                yf + 1.772 * cbd,
+            ],
+            -1,
+        )
+        assert exp.min() > 0.0 and exp.max() < 255.0
+        assert np.abs(exp - np.floor(exp) - 0.5).min() > 1e-9
+        dec = decode_jpeg(encode_jpeg_color(ycc, from_ycbcr=True))
+        assert np.array_equal(dec, np.round(exp).astype(np.uint8)), did
+
+
+def test_jpeg_color_smooth_error_bounded():
+    import numpy as np
+
+    from etl_aws_spark.multimodal.jpeg import decode_jpeg, encode_jpeg_color
+
+    x = np.arange(40)
+    r = (np.sin(x / 6.0)[:, None] * np.ones(40)[None, :]) * 60 + 128
+    g = (np.cos(x / 9.0)[None, :] * np.ones(40)[:, None]) * 60 + 128
+    b = np.full((40, 40), 90.0)
+    rgb = np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(rgb))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 30 and err.mean() < 6
+
+
+def test_jpeg_gray_entry_rejects_color(spark):
+    import numpy as np
+
+    from etl_aws_spark.multimodal import ops
+    from etl_aws_spark.multimodal.jpeg import decode_jpeg_gray8, encode_jpeg_color
+    import pytest as _pytest
+
+    rgb = np.full((8, 8, 3), 140, np.uint8)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray8(encode_jpeg_color(rgb))
+    # dispatch reports 3 channels for color payloads
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_color(rgb)))], "doc_id long, payload binary"
+    )
+    media = ops.attach_media_metadata(df, "doc_id", "payload", mime="image/jpeg")
+    row = ops.extract_features(media).collect()[0]
+    assert row.n_channels == 3 and (row.width, row.height) == (8, 8)
