@@ -266,3 +266,42 @@ def test_partitioned_scan_prunes_partitions(spark, sf):
     # and the actual partition count read is the 11-day slice, not the tree
     n_parts = df.select("ano", "mes", "dia").distinct().count()
     assert n_parts <= 11, n_parts
+
+
+def test_bpe_token_count_is_shuffle_free(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_token_count_bpe"](spark, sf))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_overlap_is_pure_projection(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_chunk_overlap"](spark, sf))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sequence_pack_single_shard_window_exchange(spark, sf):
+    """The running offset must be ONE per-shard window shuffle of narrow
+    (id, shard, n) rows — never a global single-partition window."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["curation_sequence_pack"](spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bigram_lm_model_tables_join_no_cartesian(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_bigram_lm_score"](spark, sf))
+    assert "CartesianProduct" not in plan
+    # model tables attach as HASH joins on their natural keys; the only
+    # nested-loop is the sanctioned 1-row vocabulary scalar attach
+    # (broadcast of a SinglePartition count aggregate)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" in plan  # the 1-row vocab build
