@@ -729,3 +729,58 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", rnd_nudged(F.col("avg_logp"), 6).alias("avg_logp")
     )
+
+
+def _bpe_train_oracle(n_merges: int = 12) -> str:
+    pre = bpe_mod.PRETOKEN_RE
+    parts = [f"""
+    w0 AS MATERIALIZED (
+      SELECT cnt, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM (
+        SELECT lower(w) AS w, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(text, '{pre}')) AS w FROM documents
+        ) WHERE regexp_full_match(w, '[A-Za-z]+') GROUP BY lower(w)
+      )
+    )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT sym[i] AS a, sym[i + 1] AS b, sum(cnt) AS c
+      FROM (
+        SELECT cnt, sym, unnest(generate_series(1, len(sym) - 1)) AS i
+        FROM (SELECT cnt, regexp_extract_all(s, '[^<>]+') AS sym FROM w{r - 1})
+      ) GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT w.cnt,
+             replace(w.s, '<' || m.a || '><' || m.b || '>',
+                     '<' || m.a || m.b || '>') AS s
+      FROM w{r - 1} w CROSS JOIN m{r} m
+    )""")
+    finals = "\n      UNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, a, b, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+@query("tokenizer_train_bpe", oracle=_bpe_train_oracle(12), category="text")
+def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING on the corpus (Sennrich 2016) — the
+    learning half of the tokenizer whose apply half is
+    `text_token_count_bpe`. The corpus collapses once to the word-type
+    frequency table (narrow shuffle, localCheckpoint-ed); each of 12
+    rounds is one map-side-combined weighted pair aggregate plus a
+    one-row argmax collect (bounded model state, the kmeans pattern), and
+    the learned merge applies as a single literal replace on the wrapped
+    representation. Ties break lexicographically, no data-dependent early
+    stop — so the oracle replays ALL 12 training rounds in unrolled SQL,
+    argmax and merge application included, making tokenizer training
+    itself a value-hash-checked query."""
+    merges = bpe_mod.train_merges(
+        load(spark, sf_dir, "documents"), "text", n_merges=12
+    )
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, a string, b string, pair_count bigint"
+    )

@@ -158,3 +158,83 @@ def bpe_token_count_pandas(df: DataFrame, id_col: str, text_col: str) -> DataFra
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} bigint, n_tokens_bpe bigint"
     )
+
+
+# --- BPE merge-table TRAINING (the learning half of the tokenizer) --------
+
+
+def train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 12,
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from the corpus — the training half that
+    :data:`MERGES` (and any production tokenizer) comes from. Classic
+    Sennrich 2016 algorithm on the word-frequency table: repeatedly count
+    weighted adjacent symbol pairs and fuse the most frequent one.
+
+    Scale shape is the textbook distributed form: the corpus collapses
+    ONCE to the word-TYPE frequency table (one narrow (word, count)
+    shuffle — at 100 TB this is ~10M rows however big the corpus), which
+    is localCheckpoint-ed; each round is then one map-side-combined pair
+    aggregate over that small frame plus a ONE-ROW argmax collect (the
+    bounded-model-state pattern — driver traffic is one (a, b, count)
+    triple per round). The evolving segmentation rides the same
+    bracket-wrapped string representation as the apply step, so each
+    learned merge is applied with one literal replace — no re-tokenize.
+
+    Determinism: ties on pair count break lexicographically on (a, b) in
+    both engines. Fixed n_merges, no data-dependent early stop, so an
+    unrolled SQL oracle can replay training exactly.
+
+    Returns [(a, b, weighted_count), ...] in learned rank order.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all({text_col}, "
+                    f"'{PRETOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
+                )
+            ).alias("w")
+        )
+        .filter(F.expr("w rlike '^[A-Za-z]+$'"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.expr("regexp_replace(w, '(.)', '<$1>')").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    cur = words
+    for _ in range(n_merges):
+        pairs = (
+            cur.select(
+                "cnt", F.expr("regexp_extract_all(s, '[^<>]+', 0)").alias("_sym")
+            )
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(_sym, 1, greatest(size(_sym) - 1, 0)), "
+                        "slice(_sym, 2, greatest(size(_sym) - 1, 0)), "
+                        "(x, y) -> struct(x as a, y as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+        cur = cur.select(
+            "cnt",
+            F.expr(f"replace(s, '<{a}><{b}>', '<{a}{b}>')").alias("s"),
+        ).localCheckpoint(eager=True)
+    return merges

@@ -195,3 +195,42 @@ def test_bpe_counts_on_documents_fixture(spark):
         (F.col("n_tokens_bpe") <= 0) | (F.col("n_tokens_bpe") > F.col("n_chars"))
     ).count()
     assert bad == 0
+
+
+def test_bpe_train_merges_hand_fixture(spark):
+    """Tiny corpus where the weighted pair argmax sequence is computable
+    by hand: 'the'x3 + 'tea'x2 -> first merges (h,e) vs (t,h) tie? counts:
+    (t,h)=3, (h,e)=3, (t,e)=2, (e,a)=2 -> lexicographic tie-break picks
+    (h,e); then (t,he)=3."""
+    from etl_aws_spark.text import bpe
+
+    df = spark.createDataFrame(
+        [(1, "the the the tea tea")], "doc_id long, text string"
+    )
+    m = bpe.train_merges(df, "text", n_merges=3)
+    assert m[0] == ("h", "e", 3)
+    assert m[1] == ("t", "he", 3)
+    assert m[2] == ("e", "a", 2)
+
+
+def test_bpe_trained_table_is_well_formed_and_applies(spark):
+    """Merges learned from the real fixture must satisfy the same
+    well-formedness property as the static table (operands are chars or
+    earlier products), so the rank-order replace chain applies them
+    exactly like the min-rank loop."""
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.text import bpe
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    learned = bpe.train_merges(docs, "text", n_merges=10)
+    assert len(learned) == 10
+    produced = set()
+    for a, b, c in learned:
+        for operand in (a, b):
+            assert len(operand) == 1 or operand in produced, (a, b)
+        produced.add(a + b)
+        assert c >= 1
+    # counts are non-increasing is NOT guaranteed by BPE (merging can
+    # create new frequent pairs), but the first merge must be the global
+    # max weighted bigram — sanity: it involves single chars only
+    assert len(learned[0][0]) == 1 and len(learned[0][1]) == 1
