@@ -759,3 +759,68 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_tokens=50, overlap=10,
     )
+
+
+def _remove_spans_oracle() -> str:
+    from etl_aws_spark.suite.q_text import _CORPUS_SQL
+
+    span = "array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')"
+    return f"""
+    WITH {_CORPUS_SQL}, t AS (
+      SELECT doc_id,
+             list_filter({D.tokens('text', D.DUCK)}, x -> x <> '') AS toks
+      FROM corpus
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(len(toks) // 20 AS INT) AS nf
+      FROM t
+    ), sp AS (
+      SELECT doc_id, i AS idx, {D.hash60(span, D.DUCK)} AS h
+      FROM (SELECT doc_id, toks, nf,
+                   unnest(generate_series(0, nf - 1)) AS i
+            FROM b WHERE nf > 0)
+    ), ranked AS (
+      SELECT doc_id, idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      FROM sp
+    ), k AS (
+      SELECT doc_id,
+             list(idx ORDER BY idx) FILTER (WHERE rn = 1) AS kept
+      FROM ranked GROUP BY doc_id
+    ), f AS (
+      SELECT b.doc_id, b.toks, b.n, b.nf,
+             coalesce(k.kept, CAST([] AS BIGINT[])) AS kept
+      FROM b LEFT JOIN k USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nf AS BIGINT) AS n_spans,
+           CAST(nf - len(kept) AS BIGINT) AS n_spans_removed,
+           CAST(len(kept) * 20 + (n - nf * 20) AS BIGINT) AS n_tokens_clean,
+           md5(coalesce(array_to_string(list_concat(
+             list_transform(kept, i -> {span}),
+             CASE WHEN n > nf * 20
+                  THEN [array_to_string(list_slice(toks, nf * 20 + 1, n), ' ')]
+                  ELSE CAST([] AS VARCHAR[]) END), ' '), '')) AS clean_digest
+    FROM f
+    """
+
+
+@query("text_remove_duplicate_spans", oracle=_remove_spans_oracle(), category="curation")
+def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-document DEDUP ACTION (Lee et al. ACL 2022) on the
+    duplicate-injected corpus: every 20-word block occurring more than
+    once corpus-wide is cut from all but its first (min doc, idx)
+    occurrence, and the cleaned text reassembles from survivors + tail
+    (text/curation.py remove_duplicate_spans). Complements the
+    `text_duplicate_span_ratio` MEASUREMENT with the removal itself —
+    injected full-copy documents lose all their spans to the originals
+    and collapse to their tails. Shuffles carry (doc, idx, hash) scalars;
+    text is only touched doc-locally. The oracle replays the hash,
+    first-occurrence ranking, and reassembly exactly — clean_digest
+    value-checks the rebuilt text."""
+    from etl_aws_spark.suite.q_text import _corpus
+
+    return curation.remove_duplicate_spans(
+        _corpus(spark, sf_dir), "doc_id", "text", span_words=20
+    )

@@ -358,3 +358,81 @@ def chunk_overlap(
         ln.cast("long").alias("n_chunk_tokens"),
         F.md5(chunk_text).alias("chunk_digest"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 20
+) -> DataFrame:
+    """Exact sub-document DEDUP ACTION (Lee et al. ACL 2022, the removal
+    step whose measurement twin is :func:`duplicate_span_ratio`): split
+    each document into non-overlapping ``span_words``-word blocks, find
+    blocks whose text occurs more than once in the corpus, and KEEP ONLY
+    THE FIRST occurrence (min (doc, idx)) — every later copy is cut from
+    its document. The cleaned text is reassembled from surviving blocks
+    plus the sub-block tail (always kept).
+
+    Scale shape: span hashes explode to (doc, idx, h) 60-bit rows — text
+    never enters a shuffle; first-occurrence selection is one h-keyed
+    min-struct aggregate joined back on h; reassembly happens doc-locally
+    from the kept-index list (one (doc) aggregate + one id-keyed join to
+    the original scan), so the expensive strings are only ever touched in
+    their own scan/projection tasks.
+
+    Output: (doc_id, n_tokens, n_spans, n_spans_removed, n_tokens_clean,
+    clean_digest) — clean_digest = md5 of the space-rejoined cleaned
+    text.
+    """
+    from etl_aws_spark.text import _dialect as D
+
+    L = span_words
+    toks_e = f"filter({D.tokens(text_col, D.SPARK)}, t -> t <> '')"
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(toks_e).alias("_toks"),
+    ).select(
+        "doc_id", "_toks", F.expr("size(_toks)").alias("_n"),
+        F.expr(f"floor(size(_toks) / {L})").cast("int").alias("_nf"),
+    )
+    spans = base.filter(F.col("_nf") > 0).select(
+        "doc_id", "_toks",
+        F.explode(F.expr("sequence(0, _nf - 1)")).alias("idx"),
+    ).select(
+        "doc_id", "idx",
+        F.expr(
+            f"{D.hash60(f'array_join(slice(_toks, idx * {L} + 1, {L}), chr(32))', D.SPARK)}"
+        ).alias("h"),
+    )
+    first = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_first"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    kept = (
+        spans.join(first, "h")
+        .filter(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("idx") == F.col("_first.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(idx))").alias("_kept"))
+    )
+    out = base.join(kept, "doc_id", "left").select(
+        "doc_id", "_toks", "_n", "_nf",
+        F.coalesce(F.col("_kept"), F.expr("array()")).alias("_kept"),
+    )
+    pieces = (
+        f"concat(transform(_kept, i -> array_join(slice(_toks, i * {L} + 1, {L}), ' ')), "
+        f"CASE WHEN _n > _nf * {L} "
+        f"THEN array(array_join(slice(_toks, _nf * {L} + 1, _n - _nf * {L}), ' ')) "
+        f"ELSE array() END)"
+    )
+    return out.select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_nf").cast("long").alias("n_spans"),
+        (F.col("_nf") - F.expr("size(_kept)")).cast("long").alias("n_spans_removed"),
+        (
+            F.expr("aggregate(_kept, cast(0 as bigint), (acc, i) -> acc + cast(%d as bigint))" % L)
+            + F.col("_n") - F.col("_nf") * L
+        ).cast("long").alias("n_tokens_clean"),
+        F.md5(F.expr(f"array_join({pieces}, ' ')")).alias("clean_digest"),
+    )

@@ -204,3 +204,44 @@ def test_bigram_lm_score_matches_hand_computation(spark):
     assert abs(out[1][1] - (2 * p_ab + p_ba) / 3) < 1e-9
     assert out[2][0] == 1 and abs(out[2][1] - p_ab) < 1e-9
     assert out[3][0] == 0 and out[3][1] is None
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """A full copy of a document must lose every shared block to the
+    lower-id original and collapse to its tail; the original keeps all
+    its text. Within-doc repeats of a block are cut too."""
+    import hashlib
+
+    from etl_aws_spark.text import curation
+
+    blockA = " ".join(f"a{i}" for i in range(4))
+    blockB = " ".join(f"b{i}" for i in range(4))
+    tail = "t0 t1"
+    rows = [
+        (1, f"{blockA} {blockB} {tail}"),      # original: 2 spans + tail
+        (2, f"{blockA} {blockB} {tail}"),      # full copy -> loses both spans
+        (3, f"{blockB} {blockA}"),             # reordered: both spans dup'd
+        (4, f"{blockA} {blockA}"),             # within-doc repeat: 2nd cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in curation.remove_duplicate_spans(
+            df, "doc_id", "text", span_words=4
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    r1 = out[1]
+    assert (r1.n_spans, r1.n_spans_removed) == (2, 0)
+    assert r1.clean_digest == md5(f"{blockA} {blockB} {tail}")
+    r2 = out[2]
+    assert (r2.n_spans, r2.n_spans_removed) == (2, 2)
+    assert r2.n_tokens_clean == 2 and r2.clean_digest == md5(tail)
+    r3 = out[3]
+    assert (r3.n_spans, r3.n_spans_removed) == (2, 2)
+    assert r3.clean_digest == md5("")
+    r4 = out[4]
+    # doc 4's first blockA occurrence is NOT the corpus-first (doc 1 is),
+    # so both of its spans are cut
+    assert (r4.n_spans, r4.n_spans_removed) == (2, 2)
+    assert r4.n_tokens_clean == 0
