@@ -897,3 +897,78 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
     )
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_duck_cos('e.embedding', 'q.qvec')} AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.qlabel
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           CAST(neighbor_label AS INT) AS neighbor_label,
+           round(cos, 6) + 0.0 AS cos
+    FROM ranked WHERE rank <= 5
+    """,
+    category="similarity",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive/embedding training: for each
+    anchor (vec_id < 20), the 5 most-similar vectors with a DIFFERENT
+    label — maximally confusable negatives, the standard selection that
+    makes contrastive batches informative (easy random negatives teach
+    nothing). Same scale shape as `similarity_topk_cosine`: anchors
+    broadcast, corpus never shuffles, label mismatch filters before the
+    rank window; cosine is the shared exact fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("label").alias("_qlabel"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("_cvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_cn"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("_qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                F.expr(knn._fold_dot("_cvec", "_qvec", _DIM))
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("_cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            (F.round("_cos", 6) + F.lit(0.0)).alias("cos"),
+        )
+    )
