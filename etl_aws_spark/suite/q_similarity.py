@@ -972,3 +972,98 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("_cos", 6) + F.lit(0.0)).alias("cos"),
         )
     )
+
+
+def _duck_dot_d(a: str, b: str, d: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _duck_cos_d(a: str, b: str, d: int) -> str:
+    return (
+        f"({_duck_dot_d(a, b, d)}) / "
+        f"(sqrt({_duck_dot_d(a, a, d)}) * sqrt({_duck_dot_d(b, b, d)}))"
+    )
+
+
+def _matryoshka_oracle(dims=(16, 32, 64), k: int = 10) -> str:
+    per_dim = []
+    for d in dims:
+        per_dim.append(f"""
+    r{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_cos_d('e.embedding', 'q.qvec', d)} DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rnk <= {k}
+    ),
+    h{d} AS (
+      SELECT {d} AS dim, t.query_id,
+             sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM r{max(dims)} t LEFT JOIN r{d} r
+        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+      GROUP BY t.query_id
+    )""")
+    finals = "\n      UNION ALL\n".join(
+        f"SELECT dim, query_id, n_hits FROM h{d}" for d in dims
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 10
+    ),{','.join(per_dim)}
+    SELECT CAST(dim AS INT) AS dim, query_id,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST({k} AS BIGINT) AS n_true,
+           round(n_hits / {k}.0, 6) + 0.0 AS recall
+    FROM ({finals})
+    """
+
+
+@query("similarity_matryoshka_recall", oracle=_matryoshka_oracle(), category="similarity")
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (nested-dimension) embedding evaluation: top-10 recall
+    when cosine uses only the first 16 / 32 / 64 components, against the
+    full-dim truth — the accuracy/cost curve that decides how far MRL
+    embeddings can be truncated in production (64-dim row = 4x the
+    storage and fold work of 16-dim). Reuses the brute top-k shape per
+    dimension (queries broadcast, corpus never shuffles); the 64-dim leg
+    doubles as the self-check (recall exactly 1.0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    k, dims = 10, (16, 32, 64)
+    truth = knn.brute_topk(emb, q, "vec_id", "embedding", max(dims), k).select(
+        "query_id", F.col("neighbor_id").alias("_tn")
+    )
+    outs = []
+    for d in dims:
+        approx = knn.brute_topk(emb, q, "vec_id", "embedding", d, k).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        marked = truth.join(
+            F.broadcast(approx),
+            (truth["query_id"] == approx["query_id"])
+            & (truth["_tn"] == approx["neighbor_id"]),
+            "left",
+        ).select(truth["query_id"], "_hit")
+        outs.append(
+            marked.groupBy("query_id").agg(
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits")
+            ).select(F.lit(d).cast("int").alias("dim"), "query_id", "n_hits")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "dim", "query_id", "n_hits",
+        F.lit(k).cast("bigint").alias("n_true"),
+        (F.round(F.col("n_hits") / k, 6) + F.lit(0.0)).alias("recall"),
+    )
