@@ -507,3 +507,66 @@ def streaming_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("cell_n").cast("long").alias("cell_n"),
     )
+
+
+@query(
+    "streaming_corpus_dedup_state",
+    # batch parity oracle: the streamed keep-first state must equal exact
+    # dedup over the whole corpus in one shot — min doc_id per normalized
+    # text digest
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS hh
+      FROM documents
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, hh AS text_digest
+    FROM h GROUP BY hh
+    """,
+    category="streaming",
+)
+def streaming_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus building: documents stream in (multi-batch
+    AvailableNow) and foreachBatch maintains the keep-first exact-dedup
+    state — one surviving doc_id per normalized-text digest. Reuses
+    `upsert_latest_state` unchanged: keep-first(min doc_id) is
+    latest-by(-doc_id), which is associative, so the state is independent
+    of how the corpus was split into micro-batches — and the versioned
+    symlink-flip commit (streaming/ingest.py) makes it exact under
+    at-least-once retries. The oracle is the ONE-SHOT batch dedup over
+    the full corpus: stream/batch parity, value-hashed. This is the
+    streaming twin of `text_dedup_exact` — what a production pipeline
+    runs as each crawl drop lands, without rescanning the corpus."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_corpus_dedup")
+    landing, state_p, ckpt = (
+        os.path.join(root, "landing"),
+        os.path.join(root, "state"),
+        os.path.join(root, "ckpt"),
+    )
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(8).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    if not os.path.exists(os.path.join(state_p, "_SUCCESS")):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(landing)
+        ).select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+            ).alias("text_digest"),
+            (-F.col("doc_id")).alias("_neg_id"),
+        )
+        q = ingest.upsert_latest_state(
+            stream, state_p, keys=["text_digest"], order_cols=["_neg_id"],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(300)
+    st = spark.read.parquet(state_p)
+    return st.select(F.col("doc_id").cast("long").alias("doc_id"), "text_digest")
