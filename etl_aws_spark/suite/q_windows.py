@@ -754,3 +754,54 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("run_max"), 4).alias("peak_value"),
         F.count(F.lit(1)).cast("long").alias("n_points"),
     )
+
+
+@query(
+    "window_rolling_distinct_users",
+    # oracle: naive day-range join + grouped DISTINCT count — a completely
+    # different evaluation strategy that must agree row-for-row
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ), days AS (SELECT DISTINCT event_type, day FROM g)
+    SELECT x.event_type, x.day,
+           CAST(count(DISTINCT g.user_id) AS BIGINT) AS n_users_7d
+    FROM days x JOIN g ON g.event_type = x.event_type
+      AND g.day BETWEEN x.day - INTERVAL 6 DAY AND x.day
+    GROUP BY x.event_type, x.day
+    """,
+    category="window",
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT user count per event type (the rolling-DAU
+    metric). Spark forbids COUNT(DISTINCT) OVER a window, so the engine
+    uses the canonical workaround: dedup to the (type, day, user) grid,
+    collapse each day to its user set, then
+    ``size(array_distinct(flatten(collect_list(sets))))`` over a
+    6-day-preceding RANGE frame. The day-grid pre-dedup bounds per-frame
+    state at |distinct users in the horizon| — ∝ the 7-day window, not
+    the stream — and everything rides ONE (event_type) partitioning. The
+    oracle evaluates the same metric by naive range join + grouped
+    distinct count."""
+    from pyspark.sql import Window
+
+    grid = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    daily = grid.groupBy("event_type", "day").agg(
+        F.collect_set("user_id").alias("_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("day").cast("timestamp_ltz")))
+        .rangeBetween(-6 * 86400 * 1000000, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("_users").over(w)))
+        ).cast("bigint").alias("n_users_7d"),
+    )
