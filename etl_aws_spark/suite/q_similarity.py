@@ -815,7 +815,9 @@ def embedding_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFra
       FROM embeddings WHERE vec_id < {_KM_K}
     ),{','.join(_duck_km_iter(n + 1, f'c{n}') for n in range(_KM_ITERS))},
     cells AS (
-      SELECT vec_id, embedding, c AS cluster FROM (
+      SELECT vec_id, embedding, c AS cluster,
+             {_duck_bucket('embedding', 4)} AS bucket
+      FROM (
         SELECT e.vec_id, e.embedding, p.c,
                row_number() OVER (
                  PARTITION BY e.vec_id
@@ -827,7 +829,8 @@ def embedding_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFra
     pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
       FROM cells a JOIN cells b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ON a.cluster = b.cluster AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
       WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 >= 0.25
     ),
     sym AS (
@@ -866,16 +869,31 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only link within a cell, so components never span cells), (4)
     keep-best survivor per component (highest rounded L2 norm, id
     tie-break). Output labels every vector with its cell, its dup
-    component, and whether it survives the dedup cut. Cell-size skew is
-    the scale knob — see SCALE.md §semantic-dedup."""
+    component, and whether it survives the dedup cut.
+
+    The blocking key is (cluster, 4-plane sign-bit LSH bucket), not the
+    cluster alone: with FIXED k the per-cell population grows ~N/k and
+    the candidate pair count Sigma|cell|^2 grows QUADRATICALLY (measured
+    at 10x data, SCALE.md 7e) — the LSH sub-split bounds fan-in at
+    2^planes sub-blocks per cell, trading the usual sign-bit recall
+    (high-cosine pairs agree on most sign bits) for ~16x fewer
+    candidates at this corpus. Production additionally raises k with
+    corpus size; the oracle mirrors the composite key exactly."""
     from etl_aws_spark.operators import graph
 
     emb = load(spark, sf_dir, "embeddings")
     cells = knn.kmeans_assignment(
         emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
+    ).withColumn(
+        "_cellblk",
+        F.concat_ws(
+            ":",
+            F.col("cluster"),
+            knn.lsh_bucket_col("embedding", _DIM, 4),
+        ),
     )
     pairs = knn.cosine_dedup_pairs(
-        cells, "vec_id", "embedding", _DIM, block_col="cluster", threshold=0.25
+        cells, "vec_id", "embedding", _DIM, block_col="_cellblk", threshold=0.25
     )
     comp = graph.connected_components(
         cells.select("vec_id"),
