@@ -553,3 +553,86 @@ def showcase_waiting_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "segment_rfm_quartiles",
+    # ntile(4) is deterministic only under a TOTAL order — every ORDER BY
+    # carries c_custkey as the unconditional tie-break on both engines.
+    oracle="""
+    WITH ref AS (
+      SELECT max(o_orderdate) AS t_ref FROM orders
+    ), rfm AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(o_orderdate), (SELECT t_ref FROM ref))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) + 0.0 AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days DESC, c_custkey)
+                AS INT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency ASC, c_custkey)
+                AS INT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary ASC, c_custkey)
+                AS INT) AS m_score
+    FROM rfm
+    """,
+    category="showcase",
+)
+def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (total spend),
+    each scored into quartiles by ntile(4) — the classic marketing
+    segmentation data product. Score 4 = best (most recent / most
+    frequent / highest spend).
+
+    Scale shape: the fact table reduces to ONE |customers|-sized frame
+    first; the three global ntile windows (single-partition by nature)
+    run on that reduced dimension-scale frame only — the same
+    'aggregate before you sort globally' posture as
+    `curation_token_budget`. Monetary is rounded BEFORE scoring so the
+    quartile assignment itself can never straddle a float-jitter tie."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    t_ref = orders.agg(F.max("o_orderdate").alias("t_ref"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(t_ref))
+        .select(
+            "c_custkey",
+            F.datediff(F.to_date("t_ref"), F.to_date("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "c_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
+        .cast("int")
+        .alias("m_score"),
+    )

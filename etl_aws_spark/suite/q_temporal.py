@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.operators import temporal_joins as tj
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd, rnd_nudged
 
 # sparse "fundamentals updates": every 17th event is a reference row
 _RIGHT_FILTER = "event_id % 17 = 0"
@@ -563,4 +563,189 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("completion_rate"),
+    )
+
+
+_ATTR_WINDOW_US = 7 * 86400 * 1000000  # 7-day lookback
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_id AS t_id, epoch_us(ts) AS t_us,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ), cand AS (
+      SELECT p.p_id, p.value, t.channel,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_us DESC, t.t_id DESC) AS rk,
+             count(*) OVER (PARTITION BY p.p_id) AS n
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_us < p.p_us AND t.t_us >= p.p_us - {_ATTR_WINDOW_US}
+    ), weighted AS (
+      SELECT channel, value,
+             CASE WHEN rk = 1 THEN 1.0 ELSE 0.0 END AS w_last,
+             1.0 / n AS w_linear,
+             power(2.0, CAST(1 - rk AS DOUBLE))
+               / (2.0 - power(2.0, CAST(1 - n AS DOUBLE))) AS w_decay
+      FROM cand
+    ), attributed AS (
+      SELECT channel,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             round(sum(value * w_last), 4) + 0.0 AS rev_last,
+             round(sum(value * w_linear), 4) + 0.0 AS rev_linear,
+             round(sum(value * w_decay), 4) + 0.0 AS rev_decay
+      FROM weighted GROUP BY channel
+    ), direct AS (
+      SELECT 'direct' AS channel,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             round(sum(value), 4) + 0.0 AS rev_last,
+             round(sum(value), 4) + 0.0 AS rev_linear,
+             round(sum(value), 4) + 0.0 AS rev_decay
+      FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM t WHERE t.user_id = p.user_id
+          AND t.t_us < p.p_us AND t.t_us >= p.p_us - {_ATTR_WINDOW_US})
+      HAVING count(*) > 0
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM direct
+    """,
+    category="temporal",
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase's revenue is
+    credited to the user's view/click touches in the prior 7 days under
+    THREE models at once — last-touch (full credit to the latest touch),
+    linear (1/n each), and position-decay (weight halves per step away
+    from the conversion, normalized by the exact geometric total
+    2 − 2^(1−n)). Purchases with no in-window touch report as 'direct'.
+
+    The decay weight is a power of two with an INTEGER exponent — IEEE-
+    exact on both engines, no transcendental in the hash path (the same
+    trick as `agg_time_decay_score`). Scale shape: the touch join is a
+    user_id EQUI-join with a residual µs range filter (never a range-only
+    theta join), so it shuffles on user_id once; the per-purchase rank
+    windows ride the same partitioning, and everything after the weighted
+    projection is a 5-channel aggregate. Reference analogue: none —
+    extension tier (event analytics over the events fixture)."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        _epoch_micros("ts").alias("p_us"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        _epoch_micros("ts").alias("t_us"),
+        F.col("event_type").alias("channel"),
+    )
+    in_window = (F.col("t_us") < F.col("p_us")) & (
+        F.col("t_us") >= F.col("p_us") - F.lit(_ATTR_WINDOW_US)
+    )
+    cand = p.join(t, "user_id").where(in_window)
+    wr = Window.partitionBy("p_id").orderBy(F.desc("t_us"), F.desc("t_id"))
+    wn = Window.partitionBy("p_id")
+    weighted = cand.select(
+        "channel",
+        "value",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "channel",
+        "value",
+        F.when(F.col("rk") == 1, 1.0).otherwise(0.0).alias("w_last"),
+        (F.lit(1.0) / F.col("n")).alias("w_linear"),
+        (
+            F.pow(F.lit(2.0), (F.lit(1) - F.col("rk")).cast("double"))
+            / (F.lit(2.0) - F.pow(F.lit(2.0), (F.lit(1) - F.col("n")).cast("double")))
+        ).alias("w_decay"),
+    )
+    attributed = weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        rnd(F.sum(F.col("value") * F.col("w_last"))).alias("rev_last"),
+        rnd(F.sum(F.col("value") * F.col("w_linear"))).alias("rev_linear"),
+        rnd(F.sum(F.col("value") * F.col("w_decay"))).alias("rev_decay"),
+    )
+    touched = cand.select("p_id").distinct()
+    direct = (
+        p.join(touched, "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            rnd(F.sum("value")).alias("rev_last"),
+            rnd(F.sum("value")).alias("rev_linear"),
+            rnd(F.sum("value")).alias("rev_decay"),
+        )
+        .where(F.col("n_touches") > 0)
+        .select(F.lit("direct").alias("channel"), "n_touches", "rev_last", "rev_linear", "rev_decay")
+    )
+    return attributed.unionByName(direct)
+
+
+_GAP_THRESHOLD_US = 3600 * 1000000  # 1-hour SLA
+
+
+@query(
+    "timeseries_gap_report",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_intervals,
+           CAST(count(*) FILTER (WHERE gap_us > {_GAP_THRESHOLD_US})
+                AS BIGINT) AS n_gaps_over_1h,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(coalesce(sum(gap_us)
+                  FILTER (WHERE gap_us > {_GAP_THRESHOLD_US}), 0)
+                AS BIGINT) AS downtime_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6
+                 + sign(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6)
+                   * 1e-9, 4) + 0.0 AS mean_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+    category="temporal",
+)
+def timeseries_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series gap/SLA report: inter-arrival gaps from one lag window
+    per user, then counts and durations of gaps over the 1-hour threshold
+    plus the max and mean inter-arrival — the monitoring query behind
+    'did this feed stall'. Exact integer-µs arithmetic end to end (the
+    mean's integer-sum/count division is bit-identical cross-engine);
+    one user_id shuffle serves both the window and the rollup."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _epoch_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    over = F.col("gap_us") > _GAP_THRESHOLD_US
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("long").alias("n_intervals"),
+        F.count(F.when(over, 1)).cast("long").alias("n_gaps_over_1h"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.coalesce(F.sum(F.when(over, F.col("gap_us"))), F.lit(0))
+        .cast("long")
+        .alias("downtime_us"),
+        # exact int64 sum, ONE double division, reported in SECONDS: at µs
+        # magnitude (~4e10) the 1e-9 half-boundary nudge is below one ulp,
+        # so the bridge only works after rescaling to O(1e4)
+        rnd_nudged(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1e6)
+        ).alias("mean_gap_s"),
     )

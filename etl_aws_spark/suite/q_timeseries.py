@@ -460,3 +460,86 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.sum("o").cast("long").alias("n_obs"),
     )
+
+
+@query(
+    "stat_welch_t_test",
+    # weekend test: Spark dayofweek() is 1=Sun..7=Sat; DuckDB dayofweek()
+    # is 0=Sun..6=Sat — constants differ, predicate is identical.
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS grp, value
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT grp, count(*) AS n, avg(value) AS mean, var_samp(value) AS v
+      FROM g GROUP BY grp
+    ), wide AS (
+      SELECT
+        max(CASE WHEN grp = 'weekend' THEN n END) AS n1,
+        max(CASE WHEN grp = 'weekend' THEN mean END) AS m1,
+        max(CASE WHEN grp = 'weekend' THEN v END) AS v1,
+        max(CASE WHEN grp = 'weekday' THEN n END) AS n2,
+        max(CASE WHEN grp = 'weekday' THEN mean END) AS m2,
+        max(CASE WHEN grp = 'weekday' THEN v END) AS v2
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekend,
+           CAST(n2 AS BIGINT) AS n_weekday,
+           round(m1, 4) + 0.0 AS mean_weekend,
+           round(m2, 4) + 0.0 AS mean_weekday,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) + 0.0 AS t_stat,
+           round(power(v1 / n1 + v2 / n2, 2)
+                 / (power(v1 / n1, 2) / (n1 - 1)
+                    + power(v2 / n2, 2) / (n2 - 1)), 4) + 0.0 AS dof
+    FROM wide
+    """,
+    category="timeseries",
+)
+def stat_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (weekend vs weekday
+    purchase values): t statistic and Welch–Satterthwaite degrees of
+    freedom, completing the hypothesis-test family beside KS and chi².
+    ONE conditional aggregate produces both groups' (n, mean, var_samp)
+    — the fact table is scanned once, never split into two jobs — and
+    the statistic is a pure 1-row expression after a pivot to wide.
+    Both engines aggregate in different orders, so every derived double
+    crosses the rounding bridge."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), "weekend")
+        .otherwise("weekday")
+        .alias("grp"),
+        "value",
+    )
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda col, grp: F.max(F.when(F.col("grp") == grp, F.col(col)))  # noqa: E731
+    wide = m.agg(
+        pick("n", "weekend").alias("n1"),
+        pick("mean", "weekend").alias("m1"),
+        pick("v", "weekend").alias("v1"),
+        pick("n", "weekday").alias("n2"),
+        pick("mean", "weekday").alias("m2"),
+        pick("v", "weekday").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return wide.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        rnd(F.col("m1")).alias("mean_weekend"),
+        rnd(F.col("m2")).alias("mean_weekday"),
+        (F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6) + F.lit(0.0)).alias(
+            "t_stat"
+        ),
+        rnd(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            )
+        ).alias("dof"),
+    )
