@@ -146,3 +146,87 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         "clustering",
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM b
+    ), item AS (
+      SELECT l_partkey, count(*) AS n_item FROM b GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, count(*) AS n_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           round(n_ab / n.n_orders, 8) + 0.0 AS support,
+           round(n_ab / CAST(ia.n_item AS DOUBLE), 6) + 0.0 AS confidence_ab,
+           round(n_ab * n.n_orders / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 4)
+             + 0.0 AS lift
+    FROM pair
+    JOIN item ia ON pair.part_a = ia.l_partkey
+    JOIN item ib ON pair.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+    category="graph",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) for
+    part pairs co-purchased in ≥2 orders — the Apriori 2-itemset data
+    product behind 'customers also bought'. Scale shape: the basket
+    self-join is an ORDERKEY equi-join whose fan-out is bounded by
+    lines-per-order² (a schema constant), the min-support HAVING cut
+    runs inside the pair aggregate BEFORE any further join, and the
+    item-frequency joins attach to the (already tiny) surviving rule
+    set; the order-count scalar rides a 1-row broadcast. Nothing in the
+    plan is ever |parts|² — the classic a-priori pruning argument,
+    relationally."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, c = li.alias("a"), li.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            rnd(F.col("n_ab") / F.col("n_orders"), 8).alias("support"),
+            rnd(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias("confidence_ab"),
+            rnd(
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
