@@ -1085,3 +1085,84 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).cast("bigint").alias("n_true"),
         (F.round(F.col("n_hits") / k, 6) + F.lit(0.0)).alias("recall"),
     )
+
+
+_PCA_ITERS = 6
+
+
+def _duck_pca_iter(t: int, prev: str) -> str:
+    """One unrolled power-iteration round, mirroring similarity/pca.py
+    top_component exactly: the matrix-vector product and the norm
+    accumulate in FIXED-POINT int64 (1e-14 grid — exact and summation-
+    order-independent on both engines), the normalized iterate crosses
+    the usual nudged-8 bridge."""
+    return f"""
+    w{t} AS (
+      SELECT c.i AS pos,
+             CAST(sum(CAST(round(c.cv * v.val * 1e14) AS BIGINT)) AS DOUBLE)
+               / 1e14 AS w
+      FROM cmat c JOIN {prev} v ON c.j = v.pos GROUP BY c.i
+    ), nrm{t} AS (
+      SELECT sqrt(CAST(sum(CAST(round(w * w * 1e14) AS BIGINT)) AS DOUBLE)
+                  / 1e14) AS nm
+      FROM w{t}
+    ), v{t} AS (
+      SELECT pos, round(w / nm + sign(w / nm) * 1e-9, 8) + 0.0 AS val
+      FROM w{t} CROSS JOIN nrm{t}
+    )"""
+
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, s.i - 1 AS i, CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings
+    ), mu AS (
+      SELECT i, sum(x) AS sx FROM ex GROUP BY i
+    ), g AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS gij
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ), cmat AS (
+      SELECT g.i, g.j,
+             round(g.gij / nn.nv - (ma.sx / nn.nv) * (mb.sx / nn.nv)
+                   + sign(g.gij / nn.nv - (ma.sx / nn.nv) * (mb.sx / nn.nv))
+                     * 1e-9, 8) + 0.0 AS cv
+      FROM g CROSS JOIN nn
+      JOIN mu ma ON g.i = ma.i
+      JOIN mu mb ON g.j = mb.i
+    ), v0 AS (
+      SELECT DISTINCT i AS pos, 0.125 AS val FROM cmat
+    ),{','.join(_duck_pca_iter(n + 1, f'v{n}') for n in range(_PCA_ITERS))},
+    lam AS (
+      SELECT round(CAST(sum(CAST(round(c.cv * vi.val * vj.val * 1e12)
+                              AS BIGINT)) AS DOUBLE) / 1e12, 6) + 0.0
+               AS eigenvalue
+      FROM cmat c
+      JOIN v{_PCA_ITERS} vi ON c.i = vi.pos
+      JOIN v{_PCA_ITERS} vj ON c.j = vj.pos
+    )
+    SELECT CAST(v.pos AS INT) AS pos, v.val AS loading, lam.eigenvalue
+    FROM v{_PCA_ITERS} v CROSS JOIN lam
+    """,
+    category="similarity",
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — distributed PCA
+    in the one-scan shape: each Arrow batch collapses to a d×d partial
+    Gram + per-dim sums (`similarity/pca.py gram_components`), so the
+    shuffle carries O(partitions·d²) scalars however large the corpus;
+    the covariance (nudge-rounded at 8 so both engines iterate on
+    IDENTICAL values) then drives {_PCA_ITERS} rounds of relational
+    power iteration on the d²-row frame, never re-touching the corpus.
+    Output: (pos, loading, eigenvalue) with the Rayleigh-quotient
+    eigenvalue — the PCA-whitening/compression artifact for embedding
+    pipelines. The oracle replays every round in unrolled CTEs, so the
+    driver gate checks the actual iteration arithmetic."""
+    from etl_aws_spark.similarity import pca
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca.top_component(emb, "embedding", _DIM, iters=_PCA_ITERS)

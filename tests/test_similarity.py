@@ -204,3 +204,32 @@ def test_kmeans_literal_and_broadcast_assignment_agree(spark):
     )
     plan = asg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pca_power_iteration_converges(spark):
+    """The top component from 6 power-iteration rounds must satisfy the
+    eigen-equation approximately: residual ||C v - lambda v|| well below
+    |lambda|, unit-norm loading, positive leading eigenvalue."""
+    import numpy as np
+
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.similarity import pca
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pca.top_component(emb, "embedding", 64, iters=6).collect()
+    assert len(out) == 64
+    lam = out[0]["eigenvalue"]
+    assert lam > 0
+    v = np.zeros(64)
+    for r in out:
+        v[r["pos"]] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    # rebuild the covariance the same way and check the residual
+    cmat = pca.covariance_matrix(
+        pca.gram_components(emb, "embedding", 64)
+    ).collect()
+    C = np.zeros((64, 64))
+    for r in cmat:
+        C[r["i"], r["j"]] = r["cv"]
+    resid = np.linalg.norm(C @ v - lam * v)
+    assert resid < 0.2 * abs(lam), (resid, lam)
