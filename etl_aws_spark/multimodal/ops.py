@@ -440,3 +440,66 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         "asset_id bigint, n_samples bigint, sample_rate bigint, duration_ms double, "
         "rms double, peak bigint, n_zero_crossings bigint",
     )
+
+
+def encode_y4m_420(frames, fps: str = "25:1") -> bytes:
+    """Encode a sequence of planar 4:2:0 frames as a YUV4MPEG2 (.y4m)
+    stream — the uncompressed video interchange container (public spec;
+    the mjpegtools/ffmpeg `yuv4mpeg` format): one ASCII stream header
+    ``YUV4MPEG2 W<w> H<h> F<fps> Ip A1:1 C420jpeg``, then per frame a
+    ``FRAME`` line followed by raw Y (w·h), Cb and Cr (w/2·h/2) planes.
+    ``frames`` is a list of (Y, Cb, Cr) uint8 arrays."""
+    import numpy as np
+
+    y0, cb0, cr0 = frames[0]
+    h, w = y0.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C420jpeg\n".encode("ascii")]
+    for y, cb, cr in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, dtype=np.uint8).tobytes())
+        out.append(np.asarray(cb, dtype=np.uint8).tobytes())
+        out.append(np.asarray(cr, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m_420(payload: bytes):
+    """Decode a YUV4MPEG2 4:2:0 stream: parse the stream header's W/H/C
+    tags, then walk FRAME sections into (Y, Cb, Cr) uint8 planes.
+    Returns (width, height, [(Y, Cb, Cr), ...]). Pure numpy/bytes — the
+    real-decode video tier beside BMP/PNG/JPEG (images) and WAV (audio)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C") and not tok.startswith("C420"):
+            raise ValueError(f"unsupported chroma mode {tok}")
+    if not w or not h or w % 2 or h % 2:
+        raise ValueError("bad Y4M geometry")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("expected FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(payload[pos : pos + ysz], dtype=np.uint8).reshape(h, w)
+        pos += ysz
+        cb = np.frombuffer(payload[pos : pos + csz], dtype=np.uint8).reshape(
+            h // 2, w // 2
+        )
+        pos += csz
+        cr = np.frombuffer(payload[pos : pos + csz], dtype=np.uint8).reshape(
+            h // 2, w // 2
+        )
+        pos += csz
+        frames.append((y, cb, cr))
+    return w, h, frames

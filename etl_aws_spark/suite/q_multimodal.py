@@ -481,3 +481,157 @@ def multimodal_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round("rms", 6) + F.lit(0.0)).alias("rms"),
         "peak", "n_zero_crossings",
     )
+
+
+def _y4m_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL decodable video corpus: one uncompressed
+    YUV4MPEG2 4:2:0 stream per document — geometry and per-plane pixel
+    values closed-form in (doc_id, frame, x, y), so the SQL oracle can
+    recompute every sampled frame's statistics analytically."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.ops import encode_y4m_420
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + (did % 5) * 2, 6 + (did % 3) * 2
+                nf = 2 + did % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                u = np.arange(w // 2)[None, :]
+                v = np.arange(h // 2)[:, None]
+                frames = []
+                for f in range(nf):
+                    yp = (did * 31 + f * 29 + x * 7 + y * 3) % 256
+                    cb = (did * 17 + f * 5 + u * 11 + v * 13) % 256
+                    cr = (did * 23 + f * 7 + u * 3 + v * 19) % 256
+                    frames.append(
+                        (yp.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
+                    )
+                payloads.append(encode_y4m_420(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id bigint, payload binary")
+
+
+@query(
+    "multimodal_video_y4m_frames",
+    # closed-form per-frame oracle over the same generated pixel functions;
+    # every sum is exact integer arithmetic, the means cross the nudged
+    # bridge after ONE division of exact ints.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 3) * 2 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT d.*, f.fi AS frame_idx
+      FROM d, unnest(generate_series(0, CAST(d.nf - 1 AS BIGINT))) AS f(fi)
+      WHERE f.fi % 2 = 0
+    ), ysum AS (
+      SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+             sum((fr.doc_id*31 + fr.frame_idx*29 + x.x*7 + y.y*3) % 256) AS s,
+             min((fr.doc_id*31 + fr.frame_idx*29 + x.x*7 + y.y*3) % 256) AS mn,
+             max((fr.doc_id*31 + fr.frame_idx*29 + x.x*7 + y.y*3) % 256) AS mx
+      FROM fr
+      JOIN (SELECT unnest(generate_series(0, 17)) AS x) x ON x.x < fr.w
+      JOIN (SELECT unnest(generate_series(0, 11)) AS y) y ON y.y < fr.h
+      GROUP BY 1, 2, 3, 4
+    ), csum AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             sum((fr.doc_id*17 + fr.frame_idx*5 + u.u*11 + v.v*13) % 256) AS sb,
+             sum((fr.doc_id*23 + fr.frame_idx*7 + u.u*3 + v.v*19) % 256) AS sr
+      FROM fr
+      JOIN (SELECT unnest(generate_series(0, 8)) AS u) u ON u.u < fr.w // 2
+      JOIN (SELECT unnest(generate_series(0, 5)) AS v) v ON v.v < fr.h // 2
+      GROUP BY 1, 2
+    )
+    SELECT y.doc_id AS asset_id,
+           CAST(y.frame_idx AS INT) AS frame_idx,
+           CAST(y.w AS INT) AS width, CAST(y.h AS INT) AS height,
+           CAST(y.s AS BIGINT) AS y_sum,
+           CAST(y.mn AS INT) AS y_min, CAST(y.mx AS INT) AS y_max,
+           round(CAST(y.s AS DOUBLE) / (y.w * y.h)
+                 + sign(CAST(y.s AS DOUBLE) / (y.w * y.h)) * 1e-9, 6) + 0.0
+             AS y_mean,
+           round(CAST(c.sb AS DOUBLE) / ((y.w // 2) * (y.h // 2))
+                 + sign(CAST(c.sb AS DOUBLE)) * 1e-9, 6) + 0.0 AS cb_mean,
+           round(CAST(c.sr AS DOUBLE) / ((y.w // 2) * (y.h // 2))
+                 + sign(CAST(c.sr AS DOUBLE)) * 1e-9, 6) + 0.0 AS cr_mean
+    FROM ysum y JOIN csum c
+      ON y.doc_id = c.doc_id AND y.frame_idx = c.frame_idx
+    """,
+    category="multimodal",
+)
+def multimodal_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode + frame sampling: the corpus is
+    uncompressed YUV4MPEG2 4:2:0 streams (multimodal/ops.py
+    decode_y4m_420 — ASCII stream header, FRAME markers, planar
+    Y/Cb/Cr), every 2nd frame is sampled, and per sampled frame the
+    exact luma sum/min/max and per-plane means are emitted. This is the
+    video tier of the real-decode family (BMP/PNG/JPEG images, WAV
+    audio): the Arrow-batched mapInPandas is one pass per asset, rows
+    expand per sampled frame (the UDTF shape of
+    `multimodal_frame_sample`), and the closed-form oracle recomputes
+    every statistic analytically — the decoder cannot fake it. At
+    100 TB the same plumbing carries a C-backed codec: partitioning is
+    by asset, batch size bounds executor memory, and frame stride cuts
+    decode work before any shuffle."""
+    corpus = _y4m_corpus(spark, sf_dir)
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.ops import decode_y4m_420
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m_420(bytes(payload))
+                for fi in range(0, len(frames), 2):
+                    y, cb, cr = frames[fi]
+                    ys = int(y.astype(np.int64).sum())
+                    rows.append(
+                        {
+                            "asset_id": int(did),
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "y_sum": ys,
+                            "y_min": int(y.min()),
+                            "y_max": int(y.max()),
+                            "y_mean": ys / (w * h),
+                            "cb_mean": float(cb.astype(np.int64).sum())
+                            / ((w // 2) * (h // 2)),
+                            "cr_mean": float(cr.astype(np.int64).sum())
+                            / ((w // 2) * (h // 2)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "width", "height", "y_sum",
+                    "y_min", "y_max", "y_mean", "cb_mean", "cr_mean",
+                ],
+            )
+
+    out = corpus.mapInPandas(
+        extract,
+        "asset_id bigint, frame_idx int, width int, height int, "
+        "y_sum bigint, y_min int, y_max int, "
+        "y_mean double, cb_mean double, cr_mean double",
+    )
+    nudge = lambda c: F.round(c + F.signum(c) * F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        "asset_id", "frame_idx", "width", "height", "y_sum", "y_min", "y_max",
+        nudge(F.col("y_mean")).alias("y_mean"),
+        nudge(F.col("cb_mean")).alias("cb_mean"),
+        nudge(F.col("cr_mean")).alias("cr_mean"),
+    )

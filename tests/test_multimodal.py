@@ -308,3 +308,27 @@ def test_jpeg_gray_entry_rejects_color(spark):
     media = ops.attach_media_metadata(df, "doc_id", "payload", mime="image/jpeg")
     row = ops.extract_features(media).collect()[0]
     assert row.n_channels == 3 and (row.width, row.height) == (8, 8)
+
+
+def test_y4m_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+
+    from etl_aws_spark.multimodal.ops import decode_y4m_420, encode_y4m_420
+
+    frames = [
+        (
+            ((np.arange(48).reshape(6, 8) * 5 + f) % 256).astype(np.uint8),
+            np.full((3, 4), 100 + f, np.uint8),
+            np.full((3, 4), 200 - f, np.uint8),
+        )
+        for f in range(4)
+    ]
+    w, h, out = decode_y4m_420(encode_y4m_420(frames))
+    assert (w, h, len(out)) == (8, 6, 4)
+    for (ey, ecb, ecr), (dy, dcb, dcr) in zip(frames, out):
+        assert (ey == dy).all() and (ecb == dcb).all() and (ecr == dcr).all()
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m_420(b"RIFF1234\n")
+    with pytest.raises(ValueError, match="unsupported chroma"):
+        decode_y4m_420(b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C444\nFRAME\n")
