@@ -640,3 +640,33 @@ def cosine_dedup_pairs(
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def jl_sign(p: int, j: int) -> float:
+    """±1 Rademacher entry of the JL projection matrix, derived from the
+    same md5 stream as :func:`hyperplanes` (sign of the plane weight), so
+    both engines rebuild the identical matrix from nothing."""
+    h = int.from_bytes(hashlib.md5(f"plane{p}:{j}".encode()).digest()[:8], "big")
+    return 1.0 if (h / 2**63 - 1.0) > 0 else -1.0
+
+
+def jl_project(df: DataFrame, id_col: str, vec_col: str, dim: int, out_dim: int) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` components:
+    y_p = Σ_j s_pj·x_j with s the deterministic ±1 Rademacher matrix
+    (the 1/√k scale is dropped — cosine is scale-invariant). Pure
+    sequential-fold expressions (same order as ``_fold_dot``), plan-time
+    literal sign rows — no join, no shuffle, full codegen; the corpus is
+    read once and each row shrinks dim→out_dim before any downstream
+    distance work."""
+    comps = []
+    for p in range(out_dim):
+        arr = "array(" + ", ".join(
+            f"cast({jl_sign(p, j)!r} as double)" for j in range(dim)
+        ) + ")"
+        comps.append(
+            F.expr(
+                f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+                f"acc + cast(element_at({vec_col}, i) as double) * element_at({arr}, i))"
+            )
+        )
+    return df.select(F.col(id_col), F.array(*comps).alias(vec_col))

@@ -1166,3 +1166,113 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load(spark, sf_dir, "embeddings")
     return pca.top_component(emb, "embedding", _DIM, iters=_PCA_ITERS)
+
+
+def _duck_jl_proj(vec: str, out_dim: int) -> str:
+    """DuckDB mirror of knn.jl_project: identical ±1 sign rows, identical
+    sequential fold order, so each projected component is bit-exact."""
+    comps = []
+    for p in range(out_dim):
+        arr = "[" + ", ".join(repr(knn.jl_sign(p, j)) for j in range(_DIM)) + "]"
+        comps.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_DIM} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i])), (acc, x) -> acc + x)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def _jl_oracle(dims=(16, 32), k: int = 10) -> str:
+    per_dim = []
+    for d in dims:
+        per_dim.append(f"""
+    p{d} AS (
+      SELECT vec_id, {_duck_jl_proj('embedding', d)} AS pvec FROM embeddings
+    ),
+    r{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cos_d('e.pvec', 'q.pvec', d)} DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM p{d} e CROSS JOIN (SELECT * FROM p{d} WHERE vec_id < 10) q
+      ) WHERE rnk <= {k}
+    ),
+    h{d} AS (
+      SELECT {d} AS proj_dim, t.query_id,
+             sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM truth t LEFT JOIN r{d} r
+        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+      GROUP BY t.query_id
+    )""")
+    finals = "\n      UNION ALL\n".join(
+        f"SELECT proj_dim, query_id, n_hits FROM h{d}" for d in dims
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 10
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_cos_d('e.embedding', 'q.qvec', _DIM)} DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rnk <= {k}
+    ),{','.join(per_dim)}
+    SELECT CAST(proj_dim AS INT) AS proj_dim, query_id,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST({k} AS BIGINT) AS n_true,
+           round(n_hits / {k}.0, 6) + 0.0 AS recall
+    FROM ({finals})
+    """
+
+
+@query("similarity_jl_projection_recall", oracle=_jl_oracle(), category="similarity")
+def similarity_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction, measured: top-10
+    cosine recall after projecting 64-dim embeddings to 16 / 32 Rademacher
+    components vs the full-dim truth — the data-independent cousin of the
+    matryoshka truncation curve (JL works on ANY embedding model, needs
+    no training, and the ±1 matrix rebuilds from md5 on every engine).
+    The projection is a plan-time literal expression (no join/shuffle,
+    codegen-resident — `knn.jl_project`), so at 100 TB each corpus row
+    shrinks 4× before any distance work; the recall harness reuses the
+    brute-top-k broadcast shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    k, dims = 10, (16, 32)
+    truth = knn.brute_topk(emb, q, "vec_id", "embedding", _DIM, k).select(
+        "query_id", F.col("neighbor_id").alias("_tn")
+    )
+    outs = []
+    for d in dims:
+        proj = knn.jl_project(emb, "vec_id", "embedding", _DIM, d)
+        pq = proj.filter(F.col("vec_id") < 10)
+        approx = knn.brute_topk(proj, pq, "vec_id", "embedding", d, k).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        marked = truth.join(
+            F.broadcast(approx),
+            (truth["query_id"] == approx["query_id"])
+            & (truth["_tn"] == approx["neighbor_id"]),
+            "left",
+        ).select(truth["query_id"], "_hit")
+        outs.append(
+            marked.groupBy("query_id")
+            .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"))
+            .select(F.lit(d).cast("int").alias("proj_dim"), "query_id", "n_hits")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "proj_dim", "query_id", "n_hits",
+        F.lit(k).cast("bigint").alias("n_true"),
+        (F.round(F.col("n_hits") / k, 6) + F.lit(0.0)).alias("recall"),
+    )
