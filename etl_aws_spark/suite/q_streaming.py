@@ -570,3 +570,78 @@ def streaming_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     st = spark.read.parquet(state_p)
     return st.select(F.col("doc_id").cast("long").alias("doc_id"), "text_digest")
+
+
+@query(
+    "streaming_ewma_stateful",
+    # batch oracle: the identical adjust=False recurrence replayed as a
+    # per-row prefix fold (the window_ewm_macd pattern) — the stream's
+    # carried (accumulator, count) state must land on the same numbers.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pre,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n
+      FROM events
+    )
+    SELECT user_id AS key, ts, value,
+           round(list_reduce(pre, (acc, x) -> 2.0/13.0*x + 11.0/13.0*acc), 4)
+             + 0.0 AS ewma,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+    category="streaming",
+)
+def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (streaming/stateful.py ewma_stateful): per-key incremental EWMA whose
+    state is TWO numbers (accumulator + count) per key forever — each
+    micro-batch folds only its own rows, O(new), where the reference
+    recomputes the whole window from a 10-day re-read every run
+    (glue.py:183-195). The driver hash-checks every emitted row against
+    the batch prefix-fold replay: stream/batch parity for the
+    arbitrary-state API, the strongest check a custom stateful op can
+    get. The landing set is written as one file so the single
+    AvailableNow batch folds each key's series in event order; in
+    production the same operator rides watermarked event-time order and
+    the seeded recurrence makes any batch split land on identical
+    numbers."""
+    from etl_aws_spark.streaming import stateful
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_ewma")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+        # single file -> single AvailableNow micro-batch -> deterministic
+        # in-batch event-time sort (ts is unique per user in the fixtures)
+        ev.repartition(1).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(landing)
+    out = stateful.ewma_stateful(stream, "user_id", "ts", "value", span=12)
+    name = f"ewma_stateful_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "key",
+        "ts",
+        "value",
+        (F.round(F.col("ewma"), 4) + F.lit(0.0)).alias("ewma"),
+        "n",
+    )
