@@ -784,3 +784,131 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, a string, b string, pair_count bigint"
     )
+
+
+_RAKE_STOPS = ("a", "the")
+
+
+@query(
+    "text_keyword_rake",
+    # the full RAKE replay: stop-split islands -> per-doc word freq/degree
+    # -> phrase score = sum(deg(w)/freq(w)) -> top phrase per doc. Every
+    # count is exact integer arithmetic; only the final score crosses the
+    # rounding bridge.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.w AS word, u.pos,
+             CASE WHEN u.w IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS is_stop
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents
+      ) u
+    ), isl AS (
+      SELECT doc_id, word, pos, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+      FROM toks
+    ), pw AS (
+      SELECT doc_id, phrase_id, word, pos FROM isl WHERE is_stop = 0
+    ), plen AS (
+      SELECT doc_id, phrase_id, count(*) AS plen,
+             string_agg(word, ' ' ORDER BY pos) AS phrase
+      FROM pw GROUP BY doc_id, phrase_id
+    ), wstat AS (
+      SELECT pw.doc_id, pw.word,
+             count(*) AS freq,
+             sum(plen.plen) AS deg
+      FROM pw JOIN plen USING (doc_id, phrase_id)
+      GROUP BY pw.doc_id, pw.word
+    ), pscore AS (
+      SELECT pw.doc_id, pw.phrase_id,
+             round(sum(CAST(w.deg AS DOUBLE) / w.freq)
+                   + sign(sum(CAST(w.deg AS DOUBLE) / w.freq)) * 1e-9, 6)
+               + 0.0 AS score
+      FROM pw JOIN wstat w ON pw.doc_id = w.doc_id AND pw.word = w.word
+      GROUP BY pw.doc_id, pw.phrase_id
+    )
+    SELECT doc_id, phrase AS keyphrase,
+           CAST(plen AS BIGINT) AS n_words, score
+    FROM (
+      SELECT p.doc_id, l.phrase, l.plen, p.score,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.score DESC, l.phrase ASC) AS rk
+      FROM pscore p JOIN plen l USING (doc_id, phrase_id)
+    ) WHERE rk = 1
+    """,
+    category="text",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free runs, each scored by Σ degree(w)/freq(w) over
+    its words (degree = total length of the doc's phrases containing w),
+    top phrase per document. All per-doc: one doc_id-keyed window pass
+    builds the phrase islands (lag-free cumsum over stop flags), then
+    word and phrase aggregates ride the same partitioning — the shuffle
+    carries (doc, phrase, word) scalar rows only, never re-reading text.
+    Scores are exact-integer ratios summed per phrase; the one derived
+    double crosses the nudged bridge. Duplicate-word scoring (freq > 1
+    inside a phrase counts each occurrence) matches the published
+    formulation; the oracle replays the identical pipeline."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(F.col("word").isin(*_RAKE_STOPS), 1).otherwise(0).alias("is_stop"),
+    )
+    w_isl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = (
+        toks.withColumn("phrase_id", F.sum("is_stop").over(w_isl))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "word", "pos")
+    )
+    plen = pw.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "word"))
+            ).getField("word"),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        pw.join(plen.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    score_raw = F.sum(F.col("deg").cast("double") / F.col("freq"))
+    pscore = (
+        pw.join(wstat, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            (
+                F.round(score_raw + F.signum(score_raw) * F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("score")
+        )
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        pscore.join(plen, ["doc_id", "phrase_id"])
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("keyphrase"),
+            F.col("plen").cast("long").alias("n_words"),
+            "score",
+        )
+    )
