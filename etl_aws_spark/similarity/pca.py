@@ -79,8 +79,8 @@ def covariance_matrix(components: DataFrame) -> DataFrame:
         - (F.col("sa") / F.col("nv")) * (F.col("sb") / F.col("nv"))
     )
     return (
-        gram.join(sa, "i")
-        .join(sb, "j")
+        gram.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
         .crossJoin(F.broadcast(nv))
         .select("i", "j", _nudged(raw_cv, 8).alias("cv"))
     )

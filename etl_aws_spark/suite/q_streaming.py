@@ -645,3 +645,125 @@ def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("ewma"), 4) + F.lit(0.0)).alias("ewma"),
         "n",
     )
+
+
+@query(
+    "streaming_topk_state",
+    # batch-parity oracle: the per-user top-3 purchase values with
+    # (value DESC, event_id ASC) ranking — the stream's maintained state
+    # must land on exactly these rows.
+    oracle="""
+    SELECT user_id, CAST(rk AS INT) AS rank, value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rk <= 3
+    """,
+    category="streaming",
+)
+def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k as STREAMING STATE via ``applyInPandasWithState``:
+    each user's three highest purchase values ride a flattened
+    (v1,e1,v2,e2,v3,e3) GroupState that every micro-batch merges into —
+    O(k) state per key forever, and the merge (sort the union of carried
+    state and batch rows, keep 3) is associative, so ANY batch split
+    lands on identical final state. ``maxFilesPerTrigger=2`` over a
+    4-file landing forces multiple micro-batches, so the state genuinely
+    carries across triggers (pinned in tests/test_streaming_stateful.py);
+    append-mode emits each batch's running top-k and rank values only
+    improve over time, so the max per (user, rank) is the final state.
+    (Spark 4's ``transformWithStateInPandas`` is the successor API for
+    this exact shape; it needs the protobuf wheel, absent in this
+    container — the GroupState form is semantically identical here.)"""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        cur = []
+        if state.exists:
+            vals = state.get
+            for v, e in zip(*[iter(vals)] * 2):
+                if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                    cur.append((float(v), int(e)))
+        for pdf in pdfs:
+            cur.extend(
+                (float(v), int(e)) for v, e in zip(pdf["value"], pdf["event_id"])
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:3]
+        flat = []
+        for v, e in cur:
+            flat.extend((v, e))
+        while len(flat) < 6:
+            flat.append(None)
+        state.update(tuple(flat))
+        (uid,) = key_tuple
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([int(uid)] * len(cur), dtype="int64"),
+                "rank": pd.Series(range(1, len(cur) + 1), dtype="int32"),
+                "value": pd.Series([v for v, _ in cur], dtype=float),
+            }
+        )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_topk")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+        )
+        ev.repartition(4).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(landing)
+    )
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, rank int, value double",
+            stateStructType=(
+                "v1 double, e1 bigint, v2 double, e2 bigint, v3 double, e3 bigint"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"topk_state_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode emits each key's running top-k once per batch it appears
+    # in; ranks only improve as data accumulates, so max per (user, rank)
+    # IS the final state
+    snap = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "rank").orderBy(F.desc("value"))
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "rank", "value")
+    )

@@ -749,3 +749,68 @@ def timeseries_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1e6)
         ).alias("mean_gap_s"),
     )
+
+
+@query(
+    "events_path_trigrams_topk",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY {EVENTS_ORDER_SQL}) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY {EVENTS_ORDER_SQL}) AS p2
+      FROM events
+    ), tri AS (
+      SELECT p2 AS step1, p1 AS step2, event_type AS step3, count(*) AS n
+      FROM o WHERE p2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM tri
+    )
+    SELECT step1, step2, step3, CAST(n AS BIGINT) AS n,
+           round(n / tot.t, 6) + 0.0 AS share
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, step1, step2, step3)
+               AS rk
+      FROM tri
+    ) r CROSS JOIN tot
+    WHERE rk <= 20
+    """,
+    category="temporal",
+)
+def events_path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys (event-type trigrams) with their
+    corpus share — the path-mining rollup behind Sankey 'top flows'
+    views, extending the first-order `events_markov_transitions` to
+    third order. One user_id window pass emits both lags, the trigram
+    aggregate reduces to ≤|types|³ cells (125 here) BEFORE the global
+    top-20 rank, and the rank window therefore runs on a dimension-sized
+    frame — the aggregate-before-global-sort posture again. Full
+    (count, lexicographic) tie-break keeps the cut deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("step3"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.lag("event_type", 2).over(w).alias("step1"),
+    )
+    tri = (
+        o.filter(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.agg(F.sum("n").cast("double").alias("t"))
+    wr = Window.orderBy(F.desc("n"), "step1", "step2", "step3")
+    return (
+        tri.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "step1", "step2", "step3",
+            F.col("n").cast("long").alias("n"),
+            rnd(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+    )

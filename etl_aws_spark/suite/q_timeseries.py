@@ -543,3 +543,274 @@ def stat_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dof"),
     )
+
+
+@query(
+    "stat_mann_whitney_u",
+    # histogram formulation: U from value-level counts + cumulative
+    # windows; integer-exact until the final z division. Weekend constants
+    # differ per engine (Spark dayofweek 1=Sun..7=Sat, DuckDB 0=Sun..6).
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_a,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ), h AS (
+      SELECT value,
+             sum(is_a) AS na_v,
+             sum(1 - is_a) AS nb_v,
+             count(*) AS t_v
+      FROM g GROUP BY value
+    ), c AS (
+      SELECT value, na_v, nb_v, t_v,
+             coalesce(sum(nb_v) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb_lt
+      FROM h
+    ), tot AS (
+      SELECT sum(na_v) AS na, sum(nb_v) AS nb,
+             sum(na_v) + sum(nb_v) AS n,
+             sum(t_v * t_v * t_v - t_v) AS ties
+      FROM h
+    ), u AS (
+      SELECT sum(na_v * (cumb_lt + 0.5 * nb_v)) AS u_a FROM c
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_weekend,
+           CAST(tot.nb AS BIGINT) AS n_weekday,
+           round(u.u_a, 4) + 0.0 AS u_stat,
+           round((u.u_a - tot.na * tot.nb / 2.0)
+                 / sqrt(tot.na * tot.nb / 12.0
+                        * ((tot.n + 1.0) - CAST(tot.ties AS DOUBLE)
+                           / (tot.n * (tot.n - 1.0)))), 6) + 0.0 AS z_score
+    FROM u CROSS JOIN tot
+    """,
+    category="timeseries",
+)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank test (weekend vs weekday purchase values) in
+    the HISTOGRAM formulation — the rank-based twin of
+    `stat_welch_t_test` for non-normal data. Instead of ranking N rows
+    (a global sort), values pre-aggregate to per-value (count_A,
+    count_B) cells and U = Σ n_A(v)·(cum_B(<v) + ½·n_B(v)) — identical
+    to the average-rank definition, but the shuffle and the cumulative
+    window run over |distinct values| cells (prices have 2 decimals:
+    bounded domain), not rows. Tie-corrected normal approximation for
+    the z-score; everything is exact integer arithmetic until the final
+    two divisions."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_a"),
+        "value",
+    )
+    h = g.groupBy("value").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb_v"),
+        F.count(F.lit(1)).alias("t_v"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn("cumb_lt", F.coalesce(F.sum("nb_v").over(w), F.lit(0)))
+    tot = h.agg(
+        F.sum("na_v").alias("na"),
+        F.sum("nb_v").alias("nb"),
+        (F.sum("na_v") + F.sum("nb_v")).alias("n"),
+        F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")).alias("ties"),
+    )
+    u = c.agg(
+        F.sum(F.col("na_v") * (F.col("cumb_lt") + 0.5 * F.col("nb_v"))).alias("u_a")
+    )
+    z = (F.col("u_a") - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
+        F.col("na") * F.col("nb") / 12.0
+        * (
+            (F.col("n") + 1.0)
+            - F.col("ties").cast("double") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        F.col("na").cast("long").alias("n_weekend"),
+        F.col("nb").cast("long").alias("n_weekday"),
+        rnd(F.col("u_a")).alias("u_stat"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )
+
+
+@query(
+    "stat_theilsen_slope_per_group",
+    # exact pairwise-median replay: both engines build the identical slope
+    # list (same (i, j) enumeration, exact µs integer time deltas), sort,
+    # and take the exact median (middle element / mean of middles).
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(epoch_us(ts) ORDER BY ts, event_id) AS tt,
+             list(value ORDER BY ts, event_id) AS vv,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), sl AS (
+      SELECT user_id, n,
+             list_sort(flatten(list_transform(range(1, CAST(n AS INT)),
+               i -> list_transform(range(i + 1, CAST(n AS INT) + 1),
+                 j -> (vv[j] - vv[i]) * 86400000000.0 / (tt[j] - tt[i])))))
+               AS slopes
+      FROM s WHERE n >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           round(CASE WHEN len(slopes) % 2 = 1
+                      THEN slopes[len(slopes) // 2 + 1]
+                      ELSE (slopes[len(slopes) // 2]
+                            + slopes[len(slopes) // 2 + 1]) / 2.0 END
+                 + sign(CASE WHEN len(slopes) % 2 = 1
+                      THEN slopes[len(slopes) // 2 + 1]
+                      ELSE (slopes[len(slopes) // 2]
+                            + slopes[len(slopes) // 2 + 1]) / 2.0 END) * 1e-9,
+                 6) + 0.0 AS slope_per_day
+    FROM sl
+    """,
+    category="timeseries",
+)
+def stat_theilsen_slope_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    slopes (value/day) of each user's purchase history — the
+    outlier-immune twin of `stat_linear_trend_per_group` (one wild price
+    breaks OLS; Theil–Sen tolerates ~29% corruption). Execution is the
+    `clean_hampel_filter` posture: ONE user_id shuffle collects each
+    series, and the O(n²) pairwise slopes + exact median run INSIDE the
+    row as HOF array expressions — no second shuffle, no UDF. The
+    documented tradeoff: per-series cardinality is bounded (it is a
+    per-user purchase history); for unbounded series Theil–Sen itself
+    is the wrong estimator (use repeated-median or sampling). Exact µs
+    integer time deltas; the median crosses the nudged bridge."""
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = (
+        ev.select(
+            "user_id",
+            F.struct(
+                _epoch_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list("p")).alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            "n",
+            F.expr("transform(ps, x -> x.t)").alias("tt"),
+            F.expr("transform(ps, x -> x.v)").alias("vv"),
+        )
+    )
+    slopes = (
+        "array_sort(flatten(transform(sequence(1, cast(n as int) - 1), "
+        "i -> transform(sequence(i + 1, cast(n as int)), "
+        "j -> (element_at(vv, j) - element_at(vv, i)) * 86400000000.0D "
+        "/ (element_at(tt, j) - element_at(tt, i))))))"
+    )
+    med = (
+        f"CASE WHEN size({slopes}) % 2 = 1 "
+        f"THEN element_at({slopes}, cast(size({slopes}) div 2 + 1 as int)) "
+        f"ELSE (element_at({slopes}, cast(size({slopes}) div 2 as int)) "
+        f"+ element_at({slopes}, cast(size({slopes}) div 2 + 1 as int))) / 2.0D END"
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            F.round(F.expr(med) + F.signum(F.expr(med)) * F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("slope_per_day"),
+    )
+
+
+# exact binary fractions: the Holt fold is pure add/multiply chains with
+# identical op order on both engines -> bit-exact accumulators
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.25
+
+
+@query(
+    "window_holt_linear_forecast",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vv,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+      HAVING count(*) >= 2
+    ), f AS (
+      SELECT user_id, n,
+             list_reduce(
+               list_prepend(
+                 [CAST(vv[1] AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(vv[2:], v -> [CAST(v AS DOUBLE),
+                                              CAST(0.0 AS DOUBLE)])),
+               (acc, x) -> [
+                 {_HOLT_ALPHA} * x[1]
+                   + (1.0 - {_HOLT_ALPHA}) * (acc[1] + acc[2]),
+                 {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1]
+                   + (1.0 - {_HOLT_ALPHA}) * (acc[1] + acc[2])) - acc[1])
+                   + (1.0 - {_HOLT_BETA}) * acc[2]
+               ]
+             ) AS lb
+      FROM s
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           round(lb[1], 4) + 0.0 AS level,
+           round(lb[2], 4) + 0.0 AS trend,
+           round(lb[1] + lb[2], 4) + 0.0 AS forecast_next
+    FROM f
+    """,
+    category="timeseries",
+)
+def window_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per
+    series, with the one-step-ahead forecast — the trend-aware upgrade
+    of the EWMA family (EWMA lags any trending series; Holt tracks it).
+    α=1/2, β=1/4 are exact binary fractions and the recurrence runs as
+    ONE sequential HOF fold over each user's collected series with an
+    array<double> [level, trend] accumulator — JVM-side, no Python, one
+    user_id shuffle — mirrored op-for-op by the oracle's list_reduce, so
+    the accumulators are bit-exact across engines (same IEEE op chain).
+    Initialization: level = first value, trend = 0."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(p)), x -> x.v)").alias("vv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    fold = (
+        f"aggregate(slice(vv, 2, size(vv) - 1), "
+        f"array(element_at(vv, 1), cast(0.0 as double)), "
+        f"(acc, x) -> array("
+        f"{a}D * x + (1.0D - {a}D) * (element_at(acc, 1) + element_at(acc, 2)), "
+        f"{b}D * (({a}D * x + (1.0D - {a}D) * (element_at(acc, 1) + element_at(acc, 2)))"
+        f" - element_at(acc, 1)) + (1.0D - {b}D) * element_at(acc, 2)))"
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_obs"),
+        rnd(F.expr(f"element_at({fold}, 1)")).alias("level"),
+        rnd(F.expr(f"element_at({fold}, 2)")).alias("trend"),
+        rnd(
+            F.expr(f"element_at({fold}, 1)") + F.expr(f"element_at({fold}, 2)")
+        ).alias("forecast_next"),
+    )

@@ -171,3 +171,32 @@ def test_cms_state_commit_is_replay_idempotent_and_atomic(spark, tmp_path):
     ingest.reset_state(state)
     assert not os.path.lexists(state)
     assert not os.path.exists(state + ".versions")
+
+
+def test_transform_with_state_topk_carries_across_batches(spark, tmp_path):
+    """transformWithStateInPandas top-k: with maxFilesPerTrigger=1 the
+    stream runs multiple micro-batches, and the final per-key state must
+    equal the batch top-3 — i.e. state genuinely carries between
+    triggers (an append-mode emit per batch can only IMPROVE ranks)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.suite.q_streaming import streaming_topk_state
+
+    out = streaming_topk_state(spark, "/root/testdata/sf0.001").toPandas()
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+        .toPandas()
+    )
+    exp_rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        for rk, (_, r) in enumerate(g.iterrows(), 1):
+            exp_rows.append((uid, rk, r["value"]))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "rank", "value"])
+    got = out.sort_values(["user_id", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"user_id": "int64", "rank": "int64"}),
+                                  exp.astype({"user_id": "int64", "rank": "int64"}))
