@@ -233,3 +233,20 @@ def test_pca_power_iteration_converges(spark):
         C[r["i"], r["j"]] = r["cv"]
     resid = np.linalg.norm(C @ v - lam * v)
     assert resid < 0.2 * abs(lam), (resid, lam)
+
+
+def test_pca_partitioning_invariant(spark):
+    """The fixed-point iteration makes the result independent of physical
+    partitioning: wildly different partition counts must produce
+    IDENTICAL loadings and eigenvalue (bit-for-bit, not just close)."""
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.similarity import pca
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(
+        map(tuple, pca.top_component(emb.repartition(3), "embedding", 64, iters=4).collect())
+    )
+    b = sorted(
+        map(tuple, pca.top_component(emb.repartition(17), "embedding", 64, iters=4).collect())
+    )
+    assert a == b
