@@ -230,3 +230,113 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS s, c.l_partkey AS d
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), sym AS (
+      SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e
+    ), deg AS (
+      SELECT u, count(*) AS dg FROM sym GROUP BY u
+    ), wedge AS (
+      SELECT a.v AS x, b.v AS y, count(*) AS common
+      FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT w.x, w.y, w.common, da.dg AS dx, db.dg AS dy
+      FROM wedge w
+      JOIN deg da ON w.x = da.u
+      JOIN deg db ON w.y = db.u
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = w.x AND e.d = w.y)
+    )
+    SELECT part_a, part_b, n_common, jaccard
+    FROM (
+      SELECT x AS part_a, y AS part_b,
+             CAST(common AS BIGINT) AS n_common,
+             round(common / CAST(dx + dy - common AS DOUBLE), 6) + 0.0
+               AS jaccard,
+             row_number() OVER (
+               ORDER BY round(common / CAST(dx + dy - common AS DOUBLE), 6)
+                          DESC, x, y) AS rk
+      FROM cand
+    ) WHERE rk <= 20
+    """,
+    category="graph",
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard on the repeat-co-purchase
+    graph (edges = part pairs bought together in ≥2 orders): for every
+    NON-adjacent pair sharing at least one neighbor, score
+    |N(a)∩N(b)| / |N(a)∪N(b)| and keep the top 20 — the classic
+    'products likely to be bought together next' recommender signal.
+    Common-neighbor counting is ONE wedge self-join keyed on the shared
+    middle vertex (fan-out Σdeg² of the SPARSE min-support graph, not
+    the raw co-purchase graph — the same a-priori cut as
+    `basket_association_rules` keeps degrees small); adjacency is
+    removed by an anti-join on the edge list, and the global top-20
+    ranks a frame already reduced to candidate pairs. Ranking on the
+    ROUNDED score keeps the cut engine-deterministic."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, c = li.alias("a"), li.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("c.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("s", "d")
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("s").alias("u"), F.col("d").alias("v")).unionAll(
+        e.select(F.col("d").alias("u"), F.col("s").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    wa, wb = sym.alias("wa"), sym.alias("wb")
+    wedge = (
+        wa.join(
+            wb,
+            (F.col("wa.u") == F.col("wb.u")) & (F.col("wa.v") < F.col("wb.v")),
+        )
+        .groupBy(F.col("wa.v").alias("x"), F.col("wb.v").alias("y"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = (
+        wedge.join(
+            e,
+            (wedge["x"] == e["s"]) & (wedge["y"] == e["d"]),
+            "left_anti",
+        )
+        .join(deg.select(F.col("u").alias("x"), F.col("dg").alias("dx")), "x")
+        .join(deg.select(F.col("u").alias("y"), F.col("dg").alias("dy")), "y")
+    )
+    scored = cand.select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        F.col("common").cast("long").alias("n_common"),
+        rnd(
+            F.col("common") / (F.col("dx") + F.col("dy") - F.col("common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    w = Window.orderBy(F.desc("jaccard"), "part_a", "part_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("part_a", "part_b", "n_common", "jaccard")
+    )
