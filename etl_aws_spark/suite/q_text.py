@@ -912,3 +912,70 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@query(
+    "text_hashing_trick_vectorize",
+    # identical md5-derived dims/signs on both engines (_dialect.hash60);
+    # counts are exact integers, so only the final normalize crosses the
+    # nudged bridge.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({D.tokens('text', D.DUCK)}) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             {D.hash60("concat('fh:', t)", D.DUCK)} % 64 AS pos,
+             CASE WHEN ({D.hash60("concat('fh:', t)", D.DUCK)} // 64) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ), cells AS (
+      SELECT doc_id, pos, sum(sgn) AS c
+      FROM hashed GROUP BY doc_id, pos
+      HAVING sum(sgn) <> 0
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(c * c)) AS nm FROM cells GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(c.pos AS INT) AS pos,
+           round(c.c / nrm.nm + sign(c.c / nrm.nm) * 1e-9, 6) + 0.0 AS val
+    FROM cells c JOIN nrm USING (doc_id)
+    """,
+    category="text",
+)
+def text_hashing_trick_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ('hashing trick', Weinberger 2009 / VW) document
+    vectorizer: every token hashes to one of 64 dimensions with an
+    md5-derived ±1 sign, signed counts accumulate per cell, and the
+    vector is L2-normalized — text becomes an embedding with NO model,
+    no vocabulary build, no second pass. This is the bridge between the
+    text layer and the vector layer: the output rides the same sparse
+    (doc, pos, val) scalar shape as `embedding_label_centroids`, ready
+    for the cosine/LSH dedup family. One explode + two keyed aggregates;
+    the hash is the shared `_dialect.hash60` both engines replay
+    bit-for-bit; state per doc is ≤64 cells however long the text."""
+    docs = load(spark, sf_dir, "documents")
+    h = D.hash60("concat('fh:', t)", D.SPARK)
+    hashed = docs.select(
+        "doc_id",
+        F.explode(F.expr(D.tokens("text", D.SPARK))).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(f"{h} % 64").alias("pos"),
+        F.expr(
+            f"CASE WHEN ({h} div 64) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    cells = (
+        hashed.groupBy("doc_id", "pos")
+        .agg(F.sum("sgn").alias("c"))
+        .filter(F.col("c") != 0)
+    )
+    nrm = cells.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nm")
+    )
+    val = F.col("c") / F.col("nm")
+    return cells.join(nrm, "doc_id").select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        (F.round(val + F.signum(val) * F.lit(1e-9), 6) + F.lit(0.0)).alias("val"),
+    )
