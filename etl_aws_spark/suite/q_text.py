@@ -979,3 +979,88 @@ def text_hashing_trick_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         (F.round(val + F.signum(val) * F.lit(1e-9), 6) + F.lit(0.0)).alias("val"),
     )
+
+
+_FH_CELLS_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest({D.tokens('text', D.DUCK)}) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             {D.hash60("concat('fh:', t)", D.DUCK)} % 64 AS pos,
+             CASE WHEN ({D.hash60("concat('fh:', t)", D.DUCK)} // 64) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ), rawcells AS (
+      SELECT doc_id, pos, sum(sgn) AS c
+      FROM hashed GROUP BY doc_id, pos
+      HAVING sum(sgn) <> 0
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(c * c)) AS nm FROM rawcells GROUP BY doc_id
+    ), cells AS (
+      SELECT r.doc_id, r.pos,
+             round(r.c / nrm.nm + sign(r.c / nrm.nm) * 1e-9, 6) + 0.0 AS val
+      FROM rawcells r JOIN nrm USING (doc_id)
+    )
+"""
+
+
+def _fh_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized feature-hash cells (doc_id, pos, val) — the Spark twin
+    of `_FH_CELLS_SQL`; components rounded so downstream dot products
+    start from engine-identical values."""
+    return text_hashing_trick_vectorize(spark, sf_dir)
+
+
+@query(
+    "text_hashed_nearest_docs",
+    oracle=f"""
+    WITH {_FH_CELLS_SQL}
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos
+    FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             round(sum(q.val * c.val), 6) + 0.0 AS cos,
+             row_number() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY round(sum(q.val * c.val), 6) DESC, c.doc_id ASC
+             ) AS rnk
+      FROM cells q JOIN cells c
+        ON q.pos = c.pos AND q.doc_id <> c.doc_id
+      WHERE q.doc_id < 5
+      GROUP BY q.doc_id, c.doc_id
+    ) WHERE rnk <= 5
+    """,
+    category="text",
+)
+def text_hashed_nearest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic search: top-5 nearest documents per query doc
+    by cosine over the feature-hashed vectors — executed in the SPARSE
+    inverted-index form: cells join on the DIMENSION (a 64-key posting
+    list), partial products aggregate per pair, and since the vectors
+    are pre-normalized the dot IS the cosine. No dense 64-wide arrays
+    ever materialize and pairs sharing no dimension are never generated
+    — the same posting-list shape a production sparse-retrieval engine
+    (BM25/SPLADE) uses. The query side is 5 docs, so the dimension join
+    broadcasts it. Ranking on the rounded score keeps the cut
+    deterministic (both engines round the summed products identically
+    because cells are engine-identical rounded values)."""
+    from pyspark.sql import Window
+
+    cells = _fh_cells(spark, sf_dir)
+    q = cells.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("pos").alias("pos"),
+        F.col("val").alias("qval"),
+    )
+    pair = (
+        cells.join(F.broadcast(q), "pos")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg((F.round(F.sum(F.col("qval") * F.col("val")), 6) + F.lit(0.0)).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pair.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rank"), "cos")
+    )
