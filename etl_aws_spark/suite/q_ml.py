@@ -608,3 +608,136 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", class_col="lang", tokens_col="_toks"
     )
     return out.select("doc_id", "lang", "pred", "score")
+
+
+_LR_ITERS, _LR_RATE = 5, 0.5
+# fixed-point grid for the gradient sums: term ≤ ~1.1 ⇒ |Σ| ≤ N·1.1e9,
+# exact in int64 up to ~8e6 rows (sf1 and below; see SCALE.md §7f)
+_LR_GRID = 1e9
+
+
+def _duck_lr_iter(t: int) -> str:
+    """One unrolled gradient-descent round: margins from the previous
+    weight row, rational fast-sigmoid probabilities, FIXED-POINT int64
+    gradient sums, nudged-8 weight update — op-for-op the Spark loop."""
+    return f"""
+    g{t} AS (
+      SELECT
+        CAST(sum(CAST(round((0.5 + (w.w0 + w.w1*f.x1 + w.w2*f.x2)
+              / (2.0*(1.0 + abs(w.w0 + w.w1*f.x1 + w.w2*f.x2))) - f.y)
+              * {_LR_GRID}) AS BIGINT)) AS DOUBLE) / {_LR_GRID} AS g0,
+        CAST(sum(CAST(round((0.5 + (w.w0 + w.w1*f.x1 + w.w2*f.x2)
+              / (2.0*(1.0 + abs(w.w0 + w.w1*f.x1 + w.w2*f.x2))) - f.y)
+              * f.x1 * {_LR_GRID}) AS BIGINT)) AS DOUBLE) / {_LR_GRID} AS g1,
+        CAST(sum(CAST(round((0.5 + (w.w0 + w.w1*f.x1 + w.w2*f.x2)
+              / (2.0*(1.0 + abs(w.w0 + w.w1*f.x1 + w.w2*f.x2))) - f.y)
+              * f.x2 * {_LR_GRID}) AS BIGINT)) AS DOUBLE) / {_LR_GRID} AS g2
+      FROM feat f CROSS JOIN w{t - 1} w
+    ), w{t} AS (
+      SELECT
+        round(w.w0 - {_LR_RATE} * g.g0 / n.nv
+              + sign(w.w0 - {_LR_RATE} * g.g0 / n.nv) * 1e-9, 8) + 0.0 AS w0,
+        round(w.w1 - {_LR_RATE} * g.g1 / n.nv
+              + sign(w.w1 - {_LR_RATE} * g.g1 / n.nv) * 1e-9, 8) + 0.0 AS w1,
+        round(w.w2 - {_LR_RATE} * g.g2 / n.nv
+              + sign(w.w2 - {_LR_RATE} * g.g2 / n.nv) * 1e-9, 8) + 0.0 AS w2
+      FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn n
+    )"""
+
+
+@query(
+    "model_logreg_gradient_descent",
+    oracle=f"""
+    WITH feat AS (
+      SELECT o_totalprice / 500000.0 AS x1,
+             month(o_orderdate) / 12.0 AS x2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nv FROM feat
+    ), w0 AS (
+      SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2
+    ),{','.join(_duck_lr_iter(t) for t in range(1, _LR_ITERS + 1))},
+    acc AS (
+      SELECT sum(CASE WHEN (CASE WHEN w.w0 + w.w1*f.x1 + w.w2*f.x2 > 0
+                                 THEN 1.0 ELSE 0.0 END) = f.y
+                      THEN 1 ELSE 0 END) AS n_correct
+      FROM feat f CROSS JOIN w{_LR_ITERS} w
+    )
+    SELECT 'w0' AS metric, w0 AS value FROM w{_LR_ITERS}
+    UNION ALL SELECT 'w1', w1 FROM w{_LR_ITERS}
+    UNION ALL SELECT 'w2', w2 FROM w{_LR_ITERS}
+    UNION ALL SELECT 'accuracy',
+      round(acc.n_correct / nn.nv, 6) + 0.0 FROM acc CROSS JOIN nn
+    UNION ALL SELECT 'n_rows', nn.nv FROM nn
+    """,
+    category="ml",
+)
+def model_logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained FROM SCRATCH by distributed batch
+    gradient descent ({_LR_ITERS} fixed rounds, lr {_LR_RATE}) — the
+    linear-model complement of the tree family, with every numerical
+    trick the engine-parity layer has proven out: (1) the sigmoid is the
+    RATIONAL fast-sigmoid 0.5 + m/(2(1+|m|)) — division/abs only, so
+    both engines compute bit-identical probabilities where libm exp()
+    would drift in the last ulp; (2) gradient sums accumulate in
+    FIXED-POINT int64 (1e9 grid — exact to ~8e6 rows, SCALE.md §7f), so
+    the distributed sum is summation-order-independent; (3) weights
+    cross the nudged-8 bridge each round. Each iteration is ONE
+    map-side-combined aggregate over the feature scan; weights are
+    3 driver-side doubles (bounded model state, the kmeans pattern).
+    Output: final weights, training accuracy (decision boundary m > 0 —
+    pure comparison, no transcendental), row count."""
+    orders = load(spark, sf_dir, "orders")
+    feat = orders.select(
+        (F.col("o_totalprice") / 500000.0).alias("x1"),
+        (F.month("o_orderdate") / 12.0).alias("x2"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=True)
+    n = float(feat.count())
+    w = [0.0, 0.0, 0.0]
+    grid = _LR_GRID
+
+    def margin_expr():
+        return f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2)"
+
+    for _ in range(_LR_ITERS):
+        m = margin_expr()
+        p = f"(0.5 + {m} / (2.0 * (1.0 + abs({m}))))"
+        gs = feat.agg(
+            *[
+                (
+                    F.sum(
+                        F.round(F.expr(f"({p} - y) {mul}") * F.lit(grid)).cast("long")
+                    ).cast("double")
+                    / F.lit(grid)
+                ).alias(f"g{j}")
+                for j, mul in enumerate(["* 1.0", "* x1", "* x2"])
+            ]
+        ).first()
+        new_w = []
+        for j in range(3):
+            raw = w[j] - _LR_RATE * gs[f"g{j}"] / n
+            nudged = round(raw + (1e-9 if raw > 0 else -1e-9 if raw < 0 else 0.0), 8)
+            new_w.append(nudged + 0.0)
+        w = new_w
+    m = margin_expr()
+    acc_row = feat.agg(
+        F.sum(
+            F.when(
+                (F.expr(m) > 0).cast("double") == F.col("y"), 1
+            ).otherwise(0)
+        ).alias("n_correct")
+    ).first()
+    acc = round(acc_row["n_correct"] / n, 6) + 0.0
+    rows = [
+        ("w0", w[0]),
+        ("w1", w[1]),
+        ("w2", w[2]),
+        ("accuracy", acc),
+        ("n_rows", n),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
