@@ -340,3 +340,86 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") <= 20)
         .select("part_a", "part_b", "n_common", "jaccard")
     )
+
+
+_BFS_HOPS = 3
+
+
+def _duck_bfs_round(t: int) -> str:
+    return f"""
+    r{t} AS (
+      SELECT id, min(hops) AS hops FROM (
+        SELECT id, hops FROM r{t - 1}
+        UNION ALL
+        SELECT s.v AS id, r.hops + 1 AS hops
+        FROM r{t - 1} r JOIN sym s ON r.id = s.u
+      ) GROUP BY id
+    )"""
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS s, c.l_partkey AS d
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), sym AS (
+      SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e
+    ), r0 AS (
+      SELECT min(u) AS id, 0 AS hops FROM sym
+    ),{','.join(_duck_bfs_round(t) for t in range(1, _BFS_HOPS + 1))}
+    SELECT CAST(id AS BIGINT) AS p_partkey, CAST(hops AS INT) AS hops
+    FROM r{_BFS_HOPS}
+    """,
+    category="graph",
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS ({_BFS_HOPS} rounds) from the lowest-numbered vertex of
+    the repeat-co-purchase graph: every reached part with its minimum
+    hop count — the bounded-depth reachability primitive behind 'related
+    products within N steps' and blast-radius queries. Each round is ONE
+    frontier-edge equi-join + a min aggregate on (id, hops) scalar rows
+    (`localCheckpoint` keeps per-round lineage flat — the
+    connected-components pattern); fixed depth keeps the oracle an exact
+    unrolled-CTE replay. Hop counts are exact integers — no rounding
+    bridge anywhere."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, c = li.alias("a"), li.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("c.l_partkey").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("s", "d")
+    )
+    sym = (
+        e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionAll(e.select(F.col("d").alias("u"), F.col("s").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    src = sym.agg(F.min("u").alias("id")).select("id", F.lit(0).alias("hops"))
+    dist = src.localCheckpoint(eager=True)
+    for _ in range(_BFS_HOPS):
+        expanded = (
+            dist.join(sym, dist["id"] == sym["u"])
+            .select(F.col("v").alias("id"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("id").cast("long").alias("p_partkey"),
+        F.col("hops").cast("int").alias("hops"),
+    )
