@@ -1276,3 +1276,116 @@ def similarity_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(k).cast("bigint").alias("n_true"),
         (F.round(F.col("n_hits") / k, 6) + F.lit(0.0)).alias("recall"),
     )
+
+
+@query(
+    "similarity_ivf_index_pruned_search",
+    # identical semantics (and oracle) to similarity_topk_ivf — what
+    # changes is the PHYSICAL read path: the index is at rest, partitioned
+    # by cell, and the probed cells arrive as literal partition filters.
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), qc AS (
+      SELECT q.query_id, q.qvec, c.label,
+             {_duck_cos('q.qvec', 'c.centroid')} AS ccos
+      FROM q CROSS JOIN cents c
+    ), probes AS (
+      SELECT query_id, qvec, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label ASC) AS pr
+        FROM qc
+      ) WHERE pr <= 2
+    ), scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_duck_cos('e.embedding', 'p.qvec')} AS cos
+      FROM embeddings e JOIN probes p ON e.label = p.label
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cos, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def similarity_ivf_index_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a PERSISTED index with real partition pruning —
+    the vector-database layout story: the corpus is written ONCE as a
+    parquet tree partitioned by coarse cell (`label=N/` directories, the
+    Hive layout every table format understands), and each search reads
+    ONLY the probed cells — the probe set (≤ queries × n_probe cell ids,
+    bounded driver state) becomes a literal IN filter that Spark turns
+    into `PartitionFilters` at the scan, so unprobed cells are never
+    opened, let alone scanned (pinned in tests/test_plans.py). Semantics
+    — and the oracle — are identical to `similarity_topk_ivf`; what this
+    query adds is the index-at-rest physical plan: at 100 TB the shuffle
+    paid at write time is amortized over every subsequent search, the
+    same argument as `sink_bucketed_join_noshuffle`."""
+    import hashlib as _hl
+    import os as _os
+
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    index = _os.path.join("/tmp/etl_aws_spark_cache", tag, "ivf_index")
+    if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
+        emb.write.mode("overwrite").partitionBy("label").parquet(index)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = knn.label_centroids(emb, "label", "embedding", _DIM)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "_qvec",
+        "_qn",
+        "label",
+        (
+            F.expr(knn._fold_dot("_qvec", "centroid", _DIM))
+            / (
+                F.col("_qn")
+                * F.expr(f"sqrt({knn._fold_dot('centroid', 'centroid', _DIM)})")
+            )
+        ).alias("_ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("label"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= 2)
+        .select("query_id", "_qvec", "_qn", "label")
+        .localCheckpoint(eager=True)
+    )
+    probe_labels = sorted({r["label"] for r in probes.select("label").collect()})
+    pruned = spark.read.parquet(index).filter(F.col("label").isin(probe_labels))
+    corpus = pruned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("_cvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_cn"),
+    )
+    scored = corpus.join(F.broadcast(probes), "label").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(knn._fold_dot("_cvec", "_qvec", _DIM))
+            / (F.col("_cn") * F.col("_qn"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

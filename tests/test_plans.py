@@ -305,3 +305,17 @@ def test_bigram_lm_model_tables_join_no_cartesian(spark, sf):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" in plan  # the 1-row vocab build
+
+
+def test_ivf_index_search_prunes_cells(spark, sf):
+    """The persisted-IVF search must read ONLY the probed cells: the
+    literal probe-label filter reaches the index scan as PartitionFilters
+    and unprobed label= directories are never listed in the scan."""
+    import re
+
+    from etl_aws_spark.registry import all_queries
+
+    df = all_queries()["similarity_ivf_index_pruned_search"](spark, sf)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "label" in m.group(1), plan
