@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import rnd
+from etl_aws_spark.suite._util import rnd, rnd_nudged
 
 
 @query(
@@ -635,4 +635,205 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
         .cast("int")
         .alias("m_score"),
+    )
+
+
+@query(
+    "showcase_forecast_revenue_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) + 0.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    category="showcase",
+)
+def showcase_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the forecast-revenue-change query every engine
+    benches first: a pure scan-filter-aggregate whose entire predicate
+    (date range, discount band, quantity cap) must PUSH DOWN to the
+    parquet scan and whose aggregate is one map-side-combined partial —
+    zero joins, at most one 1-row exchange. The simplest possible query
+    is also the purest pushdown test."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2) + F.lit(0.0)).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@query(
+    "showcase_market_share_q8",
+    oracle="""
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                          ELSE 0 END) / sum(volume), 6) + 0.0 AS mkt_share,
+           round(sum(volume), 2) + 0.0 AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+    category="showcase",
+)
+def showcase_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7's share of the
+    ECONOMY-part volume sold into ASIA customers, per order year — the
+    deepest dimension chain in the suite (lineitem → orders → customer →
+    nation → region on the demand side, supplier → nation on the supply
+    side, part on the product side: 7 joins). Every dimension is
+    broadcast; the fact table is scanned once and never re-shuffled —
+    Catalyst orders the chain itself. The share is a conditional-sum
+    ratio in ONE aggregate (no second pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    cn = nat.alias("cn")
+    sn = nat.alias("sn")
+    vol = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(reg), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter((F.col("r_name") == "ASIA") & (F.col("p_type") == "ECONOMY"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    return vol.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        rnd(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+        (F.round(F.sum("volume"), 2) + F.lit(0.0)).alias("total_volume"),
+    )
+
+
+@query(
+    "showcase_returned_items_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount))
+                 + sign(sum(l.l_extendedprice * (1 - l.l_discount))) * 1e-9,
+                 2) + 0.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount))
+                   + sign(sum(l.l_extendedprice * (1 - l.l_discount))) * 1e-9,
+                   2) + 0.0 DESC, c.c_custkey
+    LIMIT 20
+    """,
+    category="showcase",
+)
+def showcase_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    generated the most lost revenue from returned lines in one quarter.
+    The quarter predicate prunes orders BEFORE the fact join, the
+    returnflag filter prunes lineitem at its scan, nation broadcasts,
+    and the top-20 ranks the already customer-sized aggregate on the
+    ROUNDED revenue (engine-deterministic cut, c_custkey tie-break)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rnd_nudged(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "showcase_customer_distribution_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    category="showcase",
+)
+def showcase_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N qualifying orders — INCLUDING the
+    zero-order customers, which forces the LEFT join with the filter in
+    the JOIN CONDITION (an ON-clause predicate, not a WHERE — the
+    classic Q13 trap: a WHERE would silently drop the zero bucket). Two
+    aggregates: per-customer counts, then the histogram over counts —
+    the second runs on a |customers|-sized frame."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
     )
