@@ -355,3 +355,62 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.zorder_bucket_stats(
         li, "l_partkey", "l_suppkey", q_bits=8, prefix_bits=4, box=(256, 511, 16, 31)
     )
+
+
+@query(
+    "maintain_compact_retention",
+    # content parity for the SURVIVING slice + the compaction invariant
+    # (exactly one file per retained day)
+    oracle="""
+    SELECT CAST(day(ts) AS BIGINT) AS dia,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 4) + 0.0 AS sum_value,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events
+    WHERE day(ts) <= 15
+    GROUP BY day(ts)
+    """,
+    category="sink",
+)
+def maintain_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance janitor: RETENTION (drop partitions past the
+    15-day cutoff) + COMPACTION (rewrite each surviving day's many small
+    files into one) over a daily-partitioned landing tree — the
+    OPTIMIZE + retention job every lake runs nightly. The fragmented
+    landing is written once (8 files per day: the small-files problem
+    the reference's per-day Lambda appends would create); the
+    maintenance pass reads ONLY retained days (the `dia <= 15` predicate
+    prunes partitions at the scan), repartitions per day to one file,
+    and rewrites. Verification is content parity per day (count + value
+    volume vs the source) plus the compaction invariant — the read-back
+    counts DISTINCT input files per partition and must find exactly 1
+    (where the fragmented tree has 8). At 100 TB the same job runs per
+    partition incrementally; a table format makes the swap atomic."""
+    frag = _cache_dir(sf_dir, "events_fragmented")
+    compacted = _cache_dir(sf_dir, "events_compacted")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", F.dayofmonth("ts").alias("dia")
+    )
+    if not _done(frag):
+        ev.repartition(8).write.mode("overwrite").partitionBy("dia").parquet(frag)
+    if not _done(compacted):
+        retained = (
+            spark.read.parquet(frag)
+            .filter(F.col("dia") <= 15)
+            .repartition("dia")
+            .sortWithinPartitions("dia", "event_id")
+        )
+        (
+            retained.write.mode("overwrite")
+            .partitionBy("dia")
+            .option("maxRecordsPerFile", 0)
+            .parquet(compacted)
+        )
+    # input_file_name() is non-deterministic for Catalyst: project it to a
+    # column first, then aggregate the materialized value
+    back = spark.read.parquet(compacted).withColumn("_f", F.input_file_name())
+    return back.groupBy(F.col("dia").cast("long").alias("dia")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        F.countDistinct("_f").cast("long").alias("n_files"),
+    )
