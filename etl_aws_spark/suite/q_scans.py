@@ -414,3 +414,92 @@ def maintain_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
         F.countDistinct("_f").cast("long").alias("n_files"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) + 0.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    category="scan",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip — the second columnar format beside
+    parquet (bundled with Spark; the Hive-ecosystem default). Events are
+    written once as ORC with the same predicate-pushdown/column-pruning
+    contract as the parquet scans (ORC readers serve min/max stripe
+    stats the same way), then the read-back aggregate must reproduce
+    the source numbers exactly — format fidelity for timestamps and
+    doubles included, which is precisely what a format swap usually
+    breaks."""
+    root = _cache_dir(sf_dir, "events_orc")
+    if not _done(root):
+        load(spark, sf_dir, "events").write.mode("overwrite").orc(root)
+    ev = spark.read.orc(root)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "scan_binary_files",
+    # the BMP corpus is closed-form in doc_id (the multimodal fixture
+    # generator), so size and count replay analytically: header 54 bytes +
+    # 4-byte-padded stride x height
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(54 + ((w*3 + 3)//4)*4 * h) AS BIGINT) AS total_bytes,
+           CAST(min(54 + ((w*3 + 3)//4)*4 * h) AS BIGINT) AS min_bytes,
+           CAST(max(54 + ((w*3 + 3)//4)*4 * h) AS BIGINT) AS max_bytes
+    FROM d
+    """,
+    category="scan",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — THE multimodal ingest format: a directory of
+    raw media files read as (path, modificationTime, length, content)
+    rows. A 64-asset BMP corpus (the deterministic multimodal fixture
+    function) is written to disk as individual .bmp files once; the
+    binaryFile scan reads them back and the byte accounting must match
+    the closed-form size formula — proving content fidelity without
+    trusting the writer. At 100 TB this is the entry point that feeds
+    `multimodal_feature_extract_*`: Spark parallelizes over files, and
+    `pathGlobFilter`/`recursiveFileLookup` prune at listing time."""
+    import numpy as np
+
+    root = _cache_dir(sf_dir, "binary_assets")
+    if not _done(root):
+        from etl_aws_spark.multimodal.ops import encode_bmp24
+
+        os.makedirs(root, exist_ok=True)
+        for did in range(64):
+            w, h = 4 + did % 13, 4 + (did * 7) % 11
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            v = ((did * 31 + x * 7 + y * 3 + c * 11) % 256).astype(np.uint8)
+            with open(os.path.join(root, f"asset_{did:04d}.bmp"), "wb") as f:
+                f.write(encode_bmp24(v))
+        with open(os.path.join(root, "_SUCCESS"), "w"):
+            pass
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(root)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.min("length").cast("long").alias("min_bytes"),
+        F.max("length").cast("long").alias("max_bytes"),
+    )
