@@ -503,3 +503,76 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("length").cast("long").alias("min_bytes"),
         F.max("length").cast("long").alias("max_bytes"),
     )
+
+
+@query(
+    "scan_csv_corrupt_permissive",
+    # every 41st data line is replaced by a malformed row; the oracle
+    # counts both populations analytically from the clean source
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE event_id % 41 <> 0) AS BIGINT)
+             AS n_parsed,
+           CAST(count(*) FILTER (WHERE event_id % 41 = 0) AS BIGINT)
+             AS n_corrupt,
+           round(sum(value) FILTER (WHERE event_id % 41 <> 0), 4) + 0.0
+             AS sum_value_parsed
+    FROM events
+    """,
+    category="scan",
+)
+def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerant CSV ingest — the messy-feed reality check:
+    a landing file where every 41st row is malformed (wrong column count,
+    non-numeric junk) is read under PERMISSIVE mode with an explicit
+    schema + `columnNameOfCorruptRecord`, so bad lines land in the
+    `_corrupt` column instead of killing the job (FAILFAST) or silently
+    vanishing (DROPMALFORMED — the dangerous default people reach for).
+    The query reports parsed/corrupt counts and the parsed value volume;
+    the oracle derives all three from the clean source and the injection
+    rule, so the scan must neither drop good rows nor swallow bad ones.
+    At 100 TB the `_corrupt` rows route to a quarantine sink for replay."""
+    import shutil
+
+    path = _cache_dir(sf_dir, "csv_corrupt")
+    if not _done(path):
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        line = F.when(
+            F.col("event_id") % 41 == 0,
+            F.concat_ws(",", F.lit("garbage"), F.lit("###")),
+        ).otherwise(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("value").cast("decimal(20,10)").cast("string"),
+            )
+        )
+        ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # PERMISSIVE requires the corrupt column to be materialized before
+    # aggregating (Spark refuses corrupt-only filters on a lazy scan)
+    df = df.cache()
+    return df.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).cast("long").alias("n_parsed"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1))
+        .cast("long")
+        .alias("n_corrupt"),
+        (
+            F.round(F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 4)
+            + F.lit(0.0)
+        ).alias("sum_value_parsed"),
+    )
