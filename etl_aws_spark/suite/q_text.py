@@ -1070,10 +1070,13 @@ def text_hashed_nearest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dedup_incremental_minhash",
     oracle=f"""
     WITH corpus AS (SELECT * FROM documents), {_minhash_bands_sql()},
-    hist AS (SELECT bk, doc_id FROM bands WHERE doc_id % 7 <> 3),
+    hist AS (
+      SELECT bk, min(doc_id) AS bucket_min
+      FROM bands WHERE doc_id % 7 <> 3 GROUP BY bk
+    ),
     newb AS (SELECT bk, doc_id FROM bands WHERE doc_id % 7 = 3),
     hit AS (
-      SELECT n.doc_id, min(h.doc_id) AS dup_of
+      SELECT n.doc_id, min(h.bucket_min) AS dup_of
       FROM newb n JOIN hist h USING (bk)
       GROUP BY n.doc_id
     )
@@ -1115,19 +1118,28 @@ def text_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         F.explode(F.array(*[F.col(f"bk{b}") for b in range(bands)])).alias("bk"),
     )
     tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
-    index = _os.path.join("/tmp/etl_aws_spark_cache", tag, "minhash_band_index")
+    index = _os.path.join("/tmp/etl_aws_spark_cache", tag, "minhash_band_index2")
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
-        exploded.filter(F.col("doc_id") % 7 != 3).write.mode("overwrite").parquet(
-            index
+        # the index stores the per-bucket MINIMUM, not raw postings: the
+        # probe's aggregate (min over shared buckets) distributes over the
+        # per-bucket min, so reduced state is lossless here — and it makes
+        # the probe join 1:1 per bucket. With raw postings, degenerate
+        # buckets (many near-identical docs) blow the join up quadratically
+        # — measured 34.7x wall at 10x data before this reduction, 
+        # linear after (BASELINE.md r6 third-wave row).
+        (
+            exploded.filter(F.col("doc_id") % 7 != 3)
+            .groupBy("bk")
+            .agg(F.min("doc_id").alias("bucket_min"))
+            .write.mode("overwrite")
+            .parquet(index)
         )
     newb = exploded.filter(F.col("doc_id") % 7 == 3)
-    hist = spark.read.parquet(index).select(
-        "bk", F.col("doc_id").alias("_hist_id")
-    )
+    hist = spark.read.parquet(index)
     hit = (
         newb.join(hist, "bk")
         .groupBy("doc_id")
-        .agg(F.min("_hist_id").alias("dup_of"))
+        .agg(F.min("bucket_min").alias("dup_of"))
     )
     return (
         newb.select("doc_id")
