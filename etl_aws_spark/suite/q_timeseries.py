@@ -814,3 +814,63 @@ def window_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"element_at({fold}, 1)") + F.expr(f"element_at({fold}, 2)")
         ).alias("forecast_next"),
     )
+
+
+_OHLC_BAR_US = 6 * 3600 * 1000000  # 6-hour bars
+
+
+@query(
+    "window_ohlc_resample",
+    # open/close pick values by a zero-padded (epoch-µs, event_id) string
+    # key — lexicographic order == numeric order, and a SCALAR key is what
+    # both engines' arg_min/min_by accept
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id,
+             epoch_us(ts) // {_OHLC_BAR_US} AS bar,
+             value,
+             printf('%020d%012d', epoch_us(ts), event_id) AS ord
+      FROM events
+    )
+    SELECT user_id,
+           CAST(bar AS BIGINT) AS bar,
+           arg_min(value, ord) AS open,
+           round(max(value), 4) + 0.0 AS high,
+           round(min(value), 4) + 0.0 AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           round(sum(value), 4) + 0.0 AS volume
+    FROM t GROUP BY user_id, bar
+    """,
+    category="timeseries",
+)
+def window_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resampling (6-hour bars per series): open/close
+    via `min_by`/`max_by` on a composite event-order key, high/low/count/
+    volume as plain aggregates — the market-data product the reference's
+    daily scrape feeds (`webscrapping.py` history rows), produced in ONE
+    hash aggregate with map-side combine: no window, no sort, no second
+    pass. At 100 TB this is the canonical pre-aggregation that turns tick
+    streams into queryable bars; the (user, bar) keying makes it
+    embarrassingly parallel."""
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    us = _epoch_micros("ts")
+    t = ev.select(
+        "user_id",
+        # exact bucketing: subtract the remainder FIRST — the division of
+        # an exact multiple is exact in double, where us/BAR could round
+        # up across a bucket boundary from one ulp below it
+        ((us - us % _OHLC_BAR_US) / _OHLC_BAR_US).cast("long").alias("bar"),
+        "value",
+        F.format_string("%020d%012d", us, F.col("event_id")).alias("ord"),
+    )
+    return t.groupBy("user_id", "bar").agg(
+        F.min_by("value", "ord").alias("open"),
+        rnd(F.max("value")).alias("high"),
+        rnd(F.min("value")).alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        rnd(F.sum("value")).alias("volume"),
+    )
