@@ -140,3 +140,68 @@ def incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_custkey", "n_orders", rnd(F.col("spend"), 2).alias("total_spend")
     )
+
+
+@query(
+    "join_fact_scd2_asof",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), seg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ch WHERE prev IS NULL OR event_type <> prev
+    ), dim AS (
+      SELECT user_id, event_type AS dim_state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM seg
+    ), facts AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           d.dim_state, d.valid_from
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    category="changedata",
+)
+def join_fact_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: every purchase fact joins the SCD2
+    version that was VALID AT ITS TIMESTAMP — the temporal-correctness
+    join behind 'what was the customer's segment when they bought', and
+    the #1 source of silent feature leakage when done wrong (joining
+    `is_current` instead backfills today's state into history). The SCD2
+    history comes from the same run-length build as
+    `merge_scd2_history`; the lookup is a user_id EQUI-join with the
+    validity range as a residual filter — correct at scale because
+    versions-per-key is bounded by the key's change count, never a
+    range-only theta join. Each fact matches EXACTLY one version by
+    construction (ranges partition the timeline), which the row count
+    proves."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    dim = cd.scd2_from_log(
+        ev, key="user_id", attr="event_type", ts_col="ts", order_tail=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("dim_state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return (
+        facts.join(dim, "user_id")
+        .where(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "value", "dim_state", "valid_from")
+    )
