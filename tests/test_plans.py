@@ -319,3 +319,53 @@ def test_ivf_index_search_prunes_cells(spark, sf):
     plan = _plan(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "label" in m.group(1), plan
+
+
+def test_q8_dimension_chain_is_all_broadcast(spark, sf):
+    """The 7-join Q8 dimension chain must broadcast every dim — a single
+    sort-merge join in the chain means a fact re-shuffle snuck in."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["showcase_market_share_q8"](spark, sf))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf):
+    """OHLC bars must stay ONE hash aggregate: no window/sort node, at
+    most one hash-partitioning exchange."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["window_ohlc_resample"](spark, sf))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q6_predicates_reach_lineitem_scan(spark, sf):
+    """Q6's whole predicate set must appear as PushedFilters on the scan."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["showcase_forecast_revenue_q6"](spark, sf))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    # column pruning: the scan reads exactly the 4 referenced columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
+    assert m and len(m.group(1).split(",")) == 4, scan
+    # the filters reach the scan (the toString dump truncates the full
+    # PushedFilters list, so assert on the DataFilters presence instead)
+    assert "DataFilters: [isnotnull(l_shipdate" in scan, scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan, scan
+
+
+def test_basket_rules_min_support_cut_before_joinback(spark, sf):
+    """The min-support filter must run inside/over the pair aggregate,
+    BEFORE the item-frequency joins — the a-priori pruning contract. If
+    the filter floats above the joins, the rule set explodes first."""
+    from etl_aws_spark.registry import all_queries
+
+    df = all_queries()["basket_association_rules"](spark, sf)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # in the optimized plan the (n_ab >= 2) filter must sit BELOW the
+    # first join in the tree (appear after it in the indented dump)
+    join_pos = plan.find("Join")
+    filt_pos = plan.find(">= 2")
+    assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos, plan
