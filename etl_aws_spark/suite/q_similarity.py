@@ -1389,3 +1389,70 @@ def similarity_ivf_index_pruned_search(spark: SparkSession, sf_dir: str) -> Data
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "embedding_outlier_score",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, s.i - 1 AS i, CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), st AS (
+      SELECT i,
+             round(avg(x), 6) + 0.0 AS mu,
+             round(stddev_samp(x), 6) + 0.0 AS sd
+      FROM ex GROUP BY i
+    ), sc AS (
+      SELECT ex.vec_id,
+             round(sum(power((ex.x - st.mu) / st.sd, 2)), 4) + 0.0 AS score
+      FROM ex JOIN st USING (i)
+      GROUP BY ex.vec_id
+    )
+    SELECT vec_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT)
+             AS rank
+    FROM sc
+    ORDER BY score DESC, vec_id
+    LIMIT 20
+    """,
+    category="similarity",
+)
+def embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus outlier detection: per-dimension standardized
+    squared norm (diagonal Mahalanobis) — the embedding-QA gauge that
+    catches corrupt vectors, wrong-model rows, and non-normalized
+    batches before they poison ANN indexes or dedup thresholds. The
+    per-dim (mean, std) table is d rows of bounded state computed in one
+    posexplode aggregate and broadcast back; scores are one (vec, dim)
+    join-aggregate; the top-20 ranks the |corpus|-row score frame on the
+    ROUNDED score. Statistics are rounded to 6 BEFORE standardization so
+    both engines score from identical inputs."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    st = ex.groupBy("i").agg(
+        (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mu"),
+        (F.round(F.stddev_samp("x"), 6) + F.lit(0.0)).alias("sd"),
+    )
+    sc = (
+        ex.join(F.broadcast(st), "i")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.pow((F.col("x") - F.col("mu")) / F.col("sd"), 2)), 4
+                )
+                + F.lit(0.0)
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
