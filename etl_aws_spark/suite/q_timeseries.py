@@ -874,3 +874,110 @@ def window_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
         rnd(F.sum("value")).alias("volume"),
     )
+
+
+@query(
+    "stat_kaplan_meier_survival",
+    # the survival product is a SEQUENTIAL fold over ascending event times
+    # — pure multiplies of (1 - d/n) rational terms, mirrored op-for-op by
+    # list_reduce, so the curve is bit-identical before the final round.
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS nxt
+      FROM orders
+    ), mx AS (
+      SELECT max(o_orderdate) AS tmax FROM orders
+    ), obs AS (
+      SELECT date_diff('day', o_orderdate, nxt) AS t, 1 AS ev
+      FROM o WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT date_diff('day', o_orderdate, mx.tmax) AS t, 0 AS ev
+      FROM o CROSS JOIN mx WHERE o.nxt IS NULL
+    ), cells AS (
+      SELECT t, sum(ev) AS d, count(*) AS c FROM obs GROUP BY t
+    ), risk AS (
+      SELECT t, d, c,
+             sum(c) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM cells
+    ), pre AS (
+      SELECT t, d, c, n_risk,
+             list(1.0 - CAST(d AS DOUBLE) / n_risk)
+               OVER (ORDER BY t ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS fac
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c - d AS BIGINT) AS n_censored,
+           round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fac),
+                             (acc, x) -> acc * x), 6) + 0.0 AS survival
+    FROM pre
+    """,
+    category="timeseries",
+)
+def stat_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for customer reorder behavior — the
+    churn/retention estimator: observations are the day-gaps between a
+    customer's consecutive orders (events) plus the right-CENSORED gap
+    from each last order to the corpus end (what naive 'average gap'
+    analyses silently drop, biasing churn low). Per distinct duration:
+    at-risk counts from ONE reverse cumulative window over the ~hundreds
+    of distinct day values (never the raw orders), and S(t) =
+    Π(1 − dᵢ/nᵢ) as a sequential HOF product fold per row (the MACD
+    prefix-list pattern) — multiplies of exact rationals, bit-identical
+    across engines. The fact table is shuffled once on custkey for the
+    gap window; everything after is |distinct durations|-sized."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("tmax"))
+    events = o.filter(F.col("nxt").isNotNull()).select(
+        F.datediff(F.to_date("nxt"), F.to_date("o_orderdate")).alias("t"),
+        F.lit(1).alias("ev"),
+    )
+    censored = (
+        o.filter(F.col("nxt").isNull())
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.to_date("tmax"), F.to_date("o_orderdate")).alias("t"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    cells = events.unionByName(censored).groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_risk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = cells.withColumn("n_risk", F.sum("c").over(w_risk))
+    w_fac = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = risk.withColumn(
+        "fac",
+        F.collect_list(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+        ).over(w_fac),
+    )
+    surv = (
+        "aggregate(fac, cast(1.0 as double), (acc, x) -> acc * x)"
+    )
+    return pre.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        (F.col("c") - F.col("d")).cast("long").alias("n_censored"),
+        (F.round(F.expr(surv), 6) + F.lit(0.0)).alias("survival"),
+    )
