@@ -981,3 +981,150 @@ def stat_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") - F.col("d")).cast("long").alias("n_censored"),
         (F.round(F.expr(surv), 6) + F.lit(0.0)).alias("survival"),
     )
+
+
+@query(
+    "stat_mutual_information",
+    # ln() differs in the last ulp across libms — every log term is
+    # nudge-rounded at 8 BEFORE the weighted sum (the
+    # curation_source_entropy bridge), so both engines sum identical
+    # addends.
+    oracle="""
+    WITH cont AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM cont
+    ), marg_a AS (
+      SELECT event_type, sum(n) AS na FROM cont GROUP BY event_type
+    ), marg_b AS (
+      SELECT dow, sum(n) AS nb FROM cont GROUP BY dow
+    ), terms AS (
+      SELECT c.n / tot.t
+             * round(ln(c.n * tot.t / (ma.na * CAST(mb.nb AS DOUBLE)))
+                     + sign(ln(c.n * tot.t / (ma.na * CAST(mb.nb AS DOUBLE))))
+                       * 1e-9, 8) AS term
+      FROM cont c
+      JOIN marg_a ma USING (event_type)
+      JOIN marg_b mb USING (dow)
+      CROSS JOIN tot
+    )
+    SELECT round(sum(term), 6) + 0.0 AS mutual_information,
+           CAST((SELECT count(*) FROM cont) AS BIGINT) AS n_cells
+    FROM terms
+    """,
+    category="timeseries",
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; day-of-week) from the contingency
+    counts — the effect-SIZE companion to `stat_chi2_independence` (chi²
+    says whether dependence exists; MI says how many bits of it). One
+    contingency aggregate (|types|·7 cells), marginals as two tiny
+    rollups joined back, and the Σ p·ln(p/(pq)) sum runs over the
+    bounded cell frame — the raw table is scanned once. Each ln term
+    crosses the nudged-8 bridge before summation (libm ulp differences),
+    the same closure as `curation_source_entropy`. Note: Spark
+    dayofweek() is 1=Sun..7=Sat vs DuckDB 0..6 — a constant relabel,
+    which MI is invariant to."""
+    ev = load(spark, sf_dir, "events")
+    cont = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cont.agg(F.sum("n").cast("double").alias("t"))
+    ma = cont.groupBy("event_type").agg(F.sum("n").alias("na"))
+    mb = cont.groupBy("dow").agg(F.sum("n").alias("nb"))
+    ratio = F.col("n") * F.col("t") / (F.col("na") * F.col("nb").cast("double"))
+    log_term = F.round(
+        F.log(ratio) + F.signum(F.log(ratio)) * F.lit(1e-9), 8
+    )
+    terms = (
+        cont.join(F.broadcast(ma), "event_type")
+        .join(F.broadcast(mb), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("n") / F.col("t") * log_term).alias("term"))
+    )
+    n_cells = cont.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    return terms.agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("mutual_information")
+    ).crossJoin(F.broadcast(n_cells))
+
+
+_DID_CUTOFF = "2024-01-16"
+
+
+@query(
+    "stat_diff_in_diff",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN ts >= TIMESTAMP '{_DID_CUTOFF}' THEN 1 ELSE 0 END
+               AS post,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT treated, post, avg(value) AS mean_value, count(*) AS n
+      FROM g GROUP BY treated, post
+    ), wide AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean_value END) AS t_pre,
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean_value END) AS t_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean_value END) AS c_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean_value END) AS c_post,
+        CAST(sum(n) AS BIGINT) AS n_obs
+      FROM m
+    )
+    SELECT round(t_pre, 4) + 0.0 AS treated_pre,
+           round(t_post, 4) + 0.0 AS treated_post,
+           round(c_pre, 4) + 0.0 AS control_pre,
+           round(c_post, 4) + 0.0 AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) + 0.0 AS did_estimate,
+           n_obs
+    FROM wide
+    """,
+    category="timeseries",
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse of
+    observational experiment readouts: treated cohort (even user_id —
+    the synthetic exposure flag) vs control, purchase-value means before
+    and after the {_DID_CUTOFF} cutoff, DiD = (ΔTreated) − (ΔControl).
+    ONE conditional aggregate produces all four cell means (the Welch
+    pattern: the fact table is never split into per-cell jobs), then a
+    1-row pivot expression — at any scale this is a single
+    map-side-combined pass."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit(_DID_CUTOFF).cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        "value",
+    )
+    m = g.groupBy("treated", "post").agg(
+        F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n")
+    )
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_value"))
+    )
+    wide = m.agg(
+        pick(1, 0).alias("t_pre"),
+        pick(1, 1).alias("t_post"),
+        pick(0, 0).alias("c_pre"),
+        pick(0, 1).alias("c_post"),
+        F.sum("n").cast("long").alias("n_obs"),
+    )
+    return wide.select(
+        rnd(F.col("t_pre")).alias("treated_pre"),
+        rnd(F.col("t_post")).alias("treated_post"),
+        rnd(F.col("c_pre")).alias("control_pre"),
+        rnd(F.col("c_post")).alias("control_post"),
+        (
+            F.round(
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("did_estimate"),
+        "n_obs",
+    )
