@@ -1128,3 +1128,80 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_estimate"),
         "n_obs",
     )
+
+
+@query(
+    "stat_cusum_changepoint",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {EVENTS_ORDER_SQL}) AS pos
+      FROM events
+    ), c AS (
+      SELECT user_id, event_id, pos,
+             round(sum(value - mu) OVER (PARTITION BY user_id
+                 ORDER BY {EVENTS_ORDER_SQL}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + sign(sum(value - mu) OVER (PARTITION BY user_id
+                     ORDER BY {EVENTS_ORDER_SQL}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   * 1e-9, 6) + 0.0 AS s
+      FROM b
+    )
+    SELECT user_id,
+           round(max(s) - min(s), 6) + 0.0 AS cusum_range,
+           CAST(arg_max(pos, printf('%030.6f-%012d', s - (SELECT min(s2.s)
+                  FROM c s2 WHERE s2.user_id = c.user_id), 999999999999 - pos))
+                AS BIGINT) AS changepoint_pos,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM c GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: the cumulative sum of
+    mean-deviations S_i peaks where the level shifts — the monitoring
+    primitive behind 'when did this metric change'. Output: the CUSUM
+    range (max−min, the shift magnitude signal) and the position of the
+    maximum deviation (earliest position on exact ties). One user_id
+    window partitioning serves the mean, the running sum, and the
+    position index; each S_i crosses the nudged-6 bridge BEFORE the
+    argmax so the peak choice is engine-deterministic. The argmax key is
+    a zero-padded string of (shifted-positive S, inverted pos) — scalar,
+    lexicographic == (S desc, pos asc), both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(wp).alias("mu"),
+        F.row_number().over(wo).alias("pos"),
+    )
+    s_raw = F.sum(F.col("value") - F.col("mu")).over(wr)
+    c = b.select(
+        "user_id",
+        "pos",
+        (F.round(s_raw + F.signum(s_raw) * F.lit(1e-9), 6) + F.lit(0.0)).alias("s"),
+    )
+    smin = c.groupBy("user_id").agg(F.min("s").alias("smin"))
+    keyed = c.join(F.broadcast(smin), "user_id").select(
+        "user_id",
+        "pos",
+        "s",
+        F.format_string(
+            "%030.6f-%012d", F.col("s") - F.col("smin"), F.lit(999999999999) - F.col("pos")
+        ).alias("ord"),
+    )
+    return keyed.groupBy("user_id").agg(
+        (F.round(F.max("s") - F.min("s"), 6) + F.lit(0.0)).alias("cusum_range"),
+        F.max_by("pos", "ord").cast("long").alias("changepoint_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
