@@ -1151,3 +1151,66 @@ def text_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
         )
     )
+
+
+@query(
+    "text_dedup_scorecard",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    eh AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS hh
+      FROM corpus
+    ), exact_flags AS (
+      SELECT doc_id,
+             CAST(doc_id <> min(doc_id) OVER (PARTITION BY hh) AS INT)
+               AS is_dup,
+             min(doc_id) OVER (PARTITION BY hh) AS canon
+      FROM eh
+    ),
+    bmin AS (SELECT bk, min(doc_id) AS bm FROM bands GROUP BY bk),
+    mh_flags AS (
+      SELECT b.doc_id, min(bm) AS canon,
+             CAST(b.doc_id <> min(bm) AS INT) AS is_dup
+      FROM bands b JOIN bmin USING (bk) GROUP BY b.doc_id
+    )
+    SELECT 'exact' AS method,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
+           round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS dup_rate
+    FROM exact_flags
+    UNION ALL
+    SELECT 'minhash_lsh',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(is_dup) AS BIGINT),
+           CAST(count(DISTINCT canon) AS BIGINT),
+           round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) + 0.0
+    FROM mh_flags
+    """,
+    category="text",
+)
+def text_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method scorecard: exact-hash and MinHash/LSH run over the
+    SAME corpus and report side-by-side (docs, dups flagged, clusters,
+    dup rate) — the comparison table a data-curation run publishes
+    before anyone picks thresholds, and the sanity invariant that
+    near-dup ⊇ exact-dup (MinHash's rate must be ≥ exact's: identical
+    texts share all bands). Both methods reduce to per-doc flags before
+    the 2-row rollup, so the added cost over running either method alone
+    is two tiny aggregates; full replay on the oracle side."""
+    corpus = _corpus(spark, sf_dir)
+
+    def summarize(flags: DataFrame, method: str) -> DataFrame:
+        return flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dups"),
+            F.countDistinct("canonical_id").cast("long").alias("n_clusters"),
+            rnd(
+                F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        ).select(F.lit(method).alias("method"), "n_docs", "n_dups", "n_clusters", "dup_rate")
+
+    exact = summarize(dedup.exact_dedup(corpus, "doc_id", "text"), "exact")
+    mh = summarize(dedup.minhash_lsh_dedup(corpus, "doc_id", "text"), "minhash_lsh")
+    return exact.unionByName(mh)
