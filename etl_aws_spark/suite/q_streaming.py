@@ -767,3 +767,83 @@ def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "rank", "value")
     )
+
+
+@query(
+    "streaming_watermark_late_drop",
+    # batch oracle: run-1 rows all count; run-2 stragglers (re-delivered
+    # day<10 rows with fresh ids) are beyond the checkpoint-persisted
+    # watermark (~day 30 - 1h), so ONLY the original corpus contributes
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    category="streaming",
+)
+def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics pinned end-to-end across RESTARTS:
+    run 1 processes the full corpus (watermark advances to max(ts) − 1h
+    and is committed to the checkpoint); a straggler file re-delivering
+    every day<10 row with FRESH event_ids (so dedup can't save them —
+    only the watermark can) lands after; run 2 resumes from the same
+    checkpoint, reads only the new file, and must DROP every straggler:
+    their day-windows closed weeks before the restored watermark, so the
+    emitted daily counts equal the original corpus exactly. This is the
+    contract that BOUNDS streaming state at 100 TB (without the drop,
+    every day-window lives forever) and the recovery-correctness story
+    (the watermark survives restarts via the checkpoint) in one query.
+    Emitted updates append to a parquet log via foreachBatch; the final
+    count per window is the max over its emissions."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_late2")
+    landing = os.path.join(root, "landing")
+    updates = os.path.join(root, "updates")
+    ckpt = os.path.join(root, "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_catchup():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+        def emit(batch_df, batch_id):
+            batch_df.select(
+                F.col("w.start").alias("day"), "n_events"
+            ).write.mode("append").parquet(updates)
+
+        q = (
+            agg.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+        ev.coalesce(1).write.mode("overwrite").parquet(landing)
+        run_catchup()  # run 1: corpus; watermark committed to checkpoint
+        late = ev.filter(F.dayofmonth("ts") < 10).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"), "ts", "value"
+        )
+        late.coalesce(1).write.mode("append").parquet(landing)
+        run_catchup()  # run 2: stragglers only — all beyond the watermark
+        with open(os.path.join(root, "_DONE"), "w"):
+            pass
+    snap = spark.read.parquet(updates)
+    return snap.groupBy("day").agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
