@@ -873,3 +873,158 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
         .agg(F.sum(F.bit_count(F.expr("va ^ vb"))).cast("long").alias("hamming"))
     )
     return ham.filter(F.col("hamming") <= 3)
+
+
+@query(
+    "pipeline_multimodal_curation",
+    # full-composition oracle: closed-form pixel features + the dHash
+    # band/pair replay + the keep/canonical decision, end to end
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM((d.doc_id*31 + x.x*7 + y.y*3 + c.c*11) % 256) AS s
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 16)) AS x) x ON x.x < d.w
+      JOIN (SELECT unnest(generate_series(0, 14)) AS y) y ON y.y < d.h
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+      GROUP BY d.doc_id, d.w, d.h
+    ), samp AS (
+      SELECT d.doc_id, d.w, d.h, gy.gy, gx.gx,
+             (d.doc_id*31 + ((gx.gx*d.w)//9)*7 + ((gy.gy*d.h)//8)*3 + 11) % 256
+               AS v
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gy
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx) gx
+    ), bits AS (
+      SELECT a.doc_id, a.w, a.h, (a.gy * 8 + a.gx) AS k,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM samp a JOIN samp b
+        ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+      WHERE a.gx < 8
+    ), bands AS (
+      SELECT doc_id, w, h, k // 16 AS band_idx,
+             CAST(sum(bit << CAST(k % 16 AS INT)) AS BIGINT) AS band_val
+      FROM bits GROUP BY doc_id, w, h, k // 16
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.band_idx = ba.band_idx
+      GROUP BY c.id_a, c.id_b
+      HAVING sum(bit_count(xor(ba.band_val, bb.band_val))) <= 8
+    ), canon AS (
+      SELECT id_b AS doc_id, min(id_a) AS canonical_id FROM ham GROUP BY id_b
+    )
+    SELECT px.doc_id AS asset_id,
+           CAST(px.w AS INT) AS width, CAST(px.h AS INT) AS height,
+           round(CAST(px.s AS DOUBLE) / (px.w*px.h*3*255.0), 6) + 0.0
+             AS mean_intensity,
+           coalesce(canon.canonical_id, px.doc_id) AS canonical_id,
+           CAST(canon.doc_id IS NOT NULL AS INT) AS is_dup
+    FROM px LEFT JOIN canon ON px.doc_id = canon.doc_id
+    """,
+    category="multimodal",
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal curation — the image-corpus twin of
+    `pipeline_corpus_refined`: one pass over the asset corpus (a) REALLY
+    decodes every BMP and emits typed features (dims, mean intensity)
+    AND the dHash bands from the SAME decode, (b) blocks band-mates into
+    candidate pairs and keeps perceptual near-dups (Hamming ≤ 8), and
+    (c) stamps each asset with its survivor decision — keep-first
+    canonical (smallest matching id) and an is_dup flag. The decode runs
+    ONCE per asset for both features and prints (the thing a naive
+    two-job pipeline pays twice for); everything after the Arrow stage
+    is scalar-column relational work. Full-composition oracle from the
+    closed-form pixel function."""
+    corpus = _bmp_corpus(spark, sf_dir)
+
+    def analyze(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_aws_spark.multimodal.ops import decode_bmp24
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_bmp24(bytes(payload))
+                h, w, _ = arr.shape
+                mean_i = float(arr.astype(np.int64).sum()) / (w * h * 3 * 255.0)
+                g = arr[:, :, 1].astype(np.int64)
+                gy = (np.arange(8) * h) // 8
+                gx = (np.arange(9) * w) // 9
+                grid = g[np.ix_(gy, gx)]
+                bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64).reshape(-1)
+                for b in range(4):
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "w": w,
+                            "h": h,
+                            "mean_i": mean_i,
+                            "band_idx": b,
+                            "band_val": int(
+                                (bits[b * 16 : (b + 1) * 16] << np.arange(16)).sum()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "w", "h", "mean_i", "band_idx", "band_val"],
+            )
+
+    analyzed = corpus.mapInPandas(
+        analyze,
+        "doc_id bigint, w int, h int, mean_i double, band_idx int, band_val bigint",
+    ).localCheckpoint(eager=True)
+    assets = analyzed.groupBy("doc_id", "w", "h").agg(
+        F.first("mean_i").alias("mean_i")
+    )
+    a, b = analyzed.alias("a"), analyzed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ba = analyzed.select(
+        F.col("doc_id").alias("id_a"), F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("va"),
+    )
+    bb = analyzed.select(
+        F.col("doc_id").alias("id_b"), F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("vb"),
+    )
+    ham = (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "bi"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.bit_count(F.expr("va ^ vb"))).alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )
+    canon = ham.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("canonical_id")
+    )
+    return assets.join(canon, "doc_id", "left").select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("w").cast("int").alias("width"),
+        F.col("h").cast("int").alias("height"),
+        (F.round(F.col("mean_i"), 6) + F.lit(0.0)).alias("mean_intensity"),
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),
+    )
