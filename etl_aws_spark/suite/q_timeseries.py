@@ -1205,3 +1205,84 @@ def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("pos", "ord").cast("long").alias("changepoint_pos"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
+
+
+@query(
+    "stat_runs_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, value,
+             CASE WHEN value > avg(value) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS above,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {EVENTS_ORDER_SQL}) AS pos
+      FROM events
+    ), runs AS (
+      SELECT user_id,
+             sum(CASE WHEN prev IS NULL OR above <> prev THEN 1 ELSE 0 END)
+               AS n_runs,
+             sum(above) AS n1,
+             count(*) - sum(above) AS n2
+      FROM (
+        SELECT user_id, above,
+               lag(above) OVER (PARTITION BY user_id ORDER BY pos) AS prev
+        FROM s
+      ) GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           round((n_runs - (2.0*n1*n2 / (n1+n2) + 1))
+                 / sqrt(2.0*n1*n2 * (2.0*n1*n2 - n1 - n2)
+                        / ((n1+n2)*(n1+n2)*(n1+n2-1.0))), 6) + 0.0 AS z_score
+    FROM runs
+    """,
+    category="timeseries",
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per series — the randomness check that
+    completes the nonparametric family (KS, Mann-Whitney, chi²): values
+    binarize against the series mean, runs count by lag-breaks, and the
+    z-score comes from the exact run-count moments. Everything up to the
+    final z is INTEGER arithmetic on one user_id window partitioning —
+    the same single-Exchange shape as `window_streak_runs`, upgraded
+    from description to inference."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.when(F.col("value") > F.avg("value").over(wp), 1)
+        .otherwise(0)
+        .alias("above"),
+        F.row_number().over(wo).alias("pos"),
+    )
+    lagged = s.select(
+        "user_id",
+        "above",
+        F.lag("above").over(Window.partitionBy("user_id").orderBy("pos")).alias("prev"),
+    )
+    runs = lagged.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("above") != F.col("prev")), 1)
+            .otherwise(0)
+        ).alias("n_runs"),
+        F.sum("above").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("n_runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return runs.select(
+        "user_id",
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        (F.round((r - mu) / F.sqrt(var), 6) + F.lit(0.0)).alias("z_score"),
+    )
