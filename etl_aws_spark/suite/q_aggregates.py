@@ -882,3 +882,44 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_users"),
         F.count(F.lit(1)).cast("long").alias("n_segments"),
     )
+
+
+@query(
+    "agg_seasonal_index_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT month(o_orderdate) AS mon,
+             sum(o_totalprice) AS rev,
+             count(*) AS n
+      FROM orders GROUP BY month(o_orderdate)
+    ), tot AS (
+      SELECT sum(rev) / sum(n) AS overall_avg FROM m
+    )
+    SELECT CAST(mon AS INT) AS mon,
+           CAST(n AS BIGINT) AS n_orders,
+           round(rev, 2) + 0.0 AS revenue,
+           round((rev / n) / tot.overall_avg, 6) + 0.0 AS seasonal_index
+    FROM m CROSS JOIN tot
+    """,
+    category="aggregate",
+)
+def agg_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index (avg order value per month ÷ overall avg) —
+    the demand-planning normalizer behind deseasonalized forecasts and
+    'is December really bigger' questions. One 12-cell aggregate plus a
+    1-row broadcast of the overall mean; the index is a ratio of two
+    exact-sum-derived means, so a single rounding at the end suffices."""
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").alias("mon")).agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    tot = m.agg((F.sum("rev") / F.sum("n")).alias("overall_avg"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("mon").cast("int").alias("mon"),
+        F.col("n").cast("long").alias("n_orders"),
+        (F.round(F.col("rev"), 2) + F.lit(0.0)).alias("revenue"),
+        (
+            F.round((F.col("rev") / F.col("n")) / F.col("overall_avg"), 6)
+            + F.lit(0.0)
+        ).alias("seasonal_index"),
+    )
