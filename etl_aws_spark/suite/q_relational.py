@@ -572,3 +572,62 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.bloom_prefilter_report(
         fact, "o_custkey", dim, "c_custkey", m_bits=1024, n_hashes=2
     )
+
+
+@query(
+    "join_null_safe_keys",
+    # deterministic null injection: every 13th event loses its user_id;
+    # the oracle mirrors both join semantics over the same frames
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS k,
+             value
+      FROM events
+    ), d AS (
+      SELECT DISTINCT CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END
+               AS k
+      FROM events
+    )
+    SELECT
+      CAST((SELECT count(*) FROM e JOIN d ON e.k = d.k) AS BIGINT)
+        AS n_plain_eq,
+      CAST((SELECT count(*) FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k)
+           AS BIGINT) AS n_null_safe,
+      CAST((SELECT count(*) FROM e WHERE k IS NULL) AS BIGINT)
+        AS n_null_left
+    """,
+    category="relational",
+)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe join semantics, demonstrated side by side: with nulls
+    injected into both sides' keys, the plain equi-join silently DROPS
+    every null-keyed row (`NULL = NULL` is not true — the classic silent
+    data-loss bug in identity-resolution pipelines), while the
+    null-safe operator (`<=>` / IS NOT DISTINCT FROM) matches the null
+    bucket. The output pins all three counts, so the difference — every
+    null-keyed left row — is explicit. Spark plans `<=>` as a normal
+    hash join on a null-safe key, so there is no performance cliff; the
+    caveat at 100 TB is SKEW: the null bucket is one key and may need
+    the salting treatment (`join_skew_salted_replicated`) if nulls
+    dominate."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    d = ev.select(
+        F.when(F.col("user_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    ).distinct()
+    n_plain = e.join(d, e["k"] == d["k"]).count()
+    n_safe = e.join(d, e["k"].eqNullSafe(d["k"])).count()
+    n_null_left = e.filter(F.col("k").isNull()).count()
+    return spark.createDataFrame(
+        [(n_plain, n_safe, n_null_left)],
+        "n_plain_eq bigint, n_null_safe bigint, n_null_left bigint",
+    )
