@@ -576,3 +576,72 @@ def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("sum_value_parsed"),
     )
+
+
+@query(
+    "scan_csv_quoted_multiline",
+    # the crafted text embeds commas, double quotes, and newlines derived
+    # deterministically from each doc; round-trip digests must survive
+    oracle="""
+    WITH crafted AS (
+      SELECT doc_id,
+             concat('say "', substr(text, 1, 20), '", then,', chr(10),
+                    substr(text, 21, 20)) AS payload
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(payload)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(payload)) AS BIGINT) AS n_distinct
+    FROM crafted
+    """,
+    category="scan",
+)
+def scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV QUOTING torture round trip: every row's payload embeds the
+    three things that break naive CSV pipelines — field separators,
+    double quotes, and EMBEDDED NEWLINES — written with standard RFC-4180
+    quoting (quote doubling) and read back with `multiLine=true`. The
+    read-back must preserve every byte: row count, total characters, and
+    distinct content digests all hash-check against the crafted source.
+    At 100 TB the caveat is real and documented: multiLine CSV is NOT
+    splittable (a record can span chunk boundaries), so each file is one
+    task — keep quoted-CSV landing files small, or land parquet/JSONL
+    instead; this query is the correctness half of that tradeoff."""
+    path = _cache_dir(sf_dir, "csv_quoted_multiline")
+    crafted_expr = F.concat(
+        F.lit('say "'),
+        F.substring("text", 1, 20),
+        F.lit('", then,\n'),
+        F.substring("text", 21, 20),
+    )
+    if not _done(path):
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", crafted_expr.alias("payload")
+        )
+        (
+            docs.write.mode("overwrite")
+            .option("quoteAll", True)
+            .option("escape", '"')
+            # the WRITER trims whitespace by default — byte fidelity off
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(path, header=True)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("payload")).cast("long").alias("total_chars"),
+        F.countDistinct(F.md5("payload")).cast("long").alias("n_distinct"),
+    )
