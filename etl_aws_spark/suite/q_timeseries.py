@@ -1286,3 +1286,69 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("long").alias("n_below"),
         (F.round((r - mu) / F.sqrt(var), 6) + F.lit(0.0)).alias("z_score"),
     )
+
+
+@query(
+    "forecast_seasonal_naive_backtest",
+    # MAPE/sMAPE over the last-20 holdout, forecast = value 5 steps back
+    # (the fixture's seasonal period, matching stat_seasonal_decompose)
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, value,
+             lag(value, 5) OVER (PARTITION BY user_id
+                                 ORDER BY {EVENTS_ORDER_SQL}) AS fc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {EVENTS_ORDER_SQL}) AS pos,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), holdout AS (
+      SELECT user_id, value, fc FROM s
+      WHERE pos > n - 20 AND fc IS NOT NULL AND value <> 0
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(abs(value - fc) / abs(value)), 6) + 0.0 AS mape,
+           round(avg(2.0 * abs(value - fc) / (abs(value) + abs(fc))), 6)
+             + 0.0 AS smape,
+           round(avg(abs(value - fc)), 4) + 0.0 AS mae
+    FROM holdout GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    model must beat (and the honest eval the reference's notebook-only
+    metrics never persisted): the forecast for each point is the value
+    one season (5 steps) earlier, scored on the last-20 holdout per
+    series with MAPE, sMAPE, and MAE. One lag + position window on a
+    single user_id partitioning, then a per-series aggregate — the
+    entire backtest is two narrow passes, embarrassingly parallel over
+    series. Error ratios are per-row exact divisions of identical
+    doubles; only the averaged metrics cross the rounding bridge."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 5).over(wo).alias("fc"),
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    holdout = s.filter(
+        (F.col("pos") > F.col("n") - 20)
+        & F.col("fc").isNotNull()
+        & (F.col("value") != 0)
+    )
+    err = F.abs(F.col("value") - F.col("fc"))
+    return holdout.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        (F.round(F.avg(err / F.abs("value")), 6) + F.lit(0.0)).alias("mape"),
+        (
+            F.round(F.avg(2.0 * err / (F.abs("value") + F.abs("fc"))), 6)
+            + F.lit(0.0)
+        ).alias("smape"),
+        (F.round(F.avg(err), 4) + F.lit(0.0)).alias("mae"),
+    )
