@@ -837,3 +837,82 @@ def showcase_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> Data
     return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
     )
+
+
+@query(
+    "showcase_cohort_ltv_curve",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), aged AS (
+      SELECT f.cohort,
+             (year(o.o_orderdate) - year(f.cohort)) * 12
+               + (month(o.o_orderdate) - month(f.cohort)) AS age_months,
+             o.o_totalprice
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ), cells AS (
+      SELECT cohort, age_months,
+             sum(o_totalprice) AS rev
+      FROM aged GROUP BY cohort, age_months
+    ), sizes AS (
+      SELECT cohort, count(*) AS n_customers FROM first_order GROUP BY cohort
+    )
+    SELECT CAST(c.cohort AS TIMESTAMP) AS cohort,
+           CAST(c.age_months AS INT) AS age_months,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           round(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age_months
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.n_customers
+                 + sign(sum(c.rev) OVER (PARTITION BY c.cohort
+                     ORDER BY c.age_months ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) / s.n_customers) * 1e-9, 4) + 0.0
+             AS cum_ltv_per_customer
+    FROM cells c JOIN sizes s USING (cohort)
+    """,
+    category="showcase",
+)
+def showcase_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per customer by signup
+    cohort (first-order month) and account age — the unit-economics
+    chart behind every 'payback period' decision, and the REVENUE twin
+    of `events_cohort_retention`'s activity grid. The fact table reduces
+    to the (cohort, age) cell grid before the cumulative window, so the
+    running sum rides a frame of ~cohorts×ages rows; cohort sizes join
+    from the per-customer first-order frame; per-customer normalization
+    divides exact sums once at the end."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    aged = orders.join(first_order, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).alias("age_months"),
+        "o_totalprice",
+    )
+    cells = aged.groupBy("cohort", "age_months").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    sizes = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age_months").cast("int").alias("age_months"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            rnd_nudged(
+                F.sum("rev").over(w) / F.col("n_customers"), 4
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
