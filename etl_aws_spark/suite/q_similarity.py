@@ -1456,3 +1456,98 @@ def embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy(F.desc("score"), F.asc("vec_id"))
     )
+
+
+@query(
+    "embedding_ivf_incremental_add",
+    oracle=f"""
+    WITH hist AS (
+      SELECT * FROM embeddings WHERE vec_id % 9 <> 4
+    ), parts AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM hist CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+    ), comp AS (
+      SELECT label, i, round(avg(val), 4) + 0.0 AS val FROM parts GROUP BY label, i
+    ), cents AS (
+      SELECT label, list(val ORDER BY i) AS centroid FROM comp GROUP BY label
+    ), newv AS (
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 9 = 4
+    ), scored AS (
+      SELECT n.vec_id, c.label,
+             {_duck_cos('n.embedding', 'c.centroid')} AS ccos
+      FROM newv n CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, label ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ), old_counts AS (
+      SELECT label AS cell, count(*) AS n_old FROM hist GROUP BY label
+    ), add_counts AS (
+      SELECT cell, count(*) AS n_added FROM assigned GROUP BY cell
+    )
+    SELECT o.cell,
+           CAST(o.n_old AS BIGINT) AS n_old,
+           CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+           CAST(o.n_old + coalesce(a.n_added, 0) AS BIGINT) AS n_total
+    FROM old_counts o LEFT JOIN add_counts a USING (cell)
+    """,
+    category="similarity",
+)
+def embedding_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: a new vector batch (ids shifted +1e6) joins
+    the index WITHOUT re-clustering — each new vector scores the frozen
+    coarse centroids (computed from the historical corpus only, rounded
+    = the index artifact) and lands in its nearest cell; output is the
+    per-cell occupancy report (old / added / total), the signal an index
+    operator watches for cell imbalance before scheduling the next full
+    re-train. This is the write path every vector database runs between
+    rebuilds: assignment is a broadcast-centroid argmin — the new batch
+    never shuffles, history is never re-read beyond the one centroid
+    pass (and in production the centroids are already stored). The
+    drift monitor (`embedding_centroid_drift`) decides WHEN to re-train;
+    this query is the cheap path UNTIL then."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 9 != 4)
+    newv = emb.filter(F.col("vec_id") % 9 == 4).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    cents = knn.label_centroids(hist, "label", "embedding", _DIM)
+    q = newv.select(
+        "vec_id",
+        F.col("embedding").alias("_qvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_qn"),
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        (
+            F.expr(knn._fold_dot("_qvec", "centroid", _DIM))
+            / (
+                F.col("_qn")
+                * F.expr(f"sqrt({knn._fold_dot('centroid', 'centroid', _DIM)})")
+            )
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    old_counts = hist.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    add_counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_added"))
+    return old_counts.join(add_counts, "cell", "left").select(
+        "cell",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        (F.col("n_old") + F.coalesce("n_added", F.lit(0)))
+        .cast("long")
+        .alias("n_total"),
+    )
