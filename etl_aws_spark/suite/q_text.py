@@ -1214,3 +1214,88 @@ def text_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = summarize(dedup.exact_dedup(corpus, "doc_id", "text"), "exact")
     mh = summarize(dedup.minhash_lsh_dedup(corpus, "doc_id", "text"), "minhash_lsh")
     return exact.unionByName(mh)
+
+
+@query(
+    "text_collocations_pmi",
+    # PMI = ln(n_ab·N / (n_a·n_b)); each ln crosses the nudged-8 bridge
+    # before ranking (libm ulp drift), rank on the rounded score
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.w AS word, u.pos FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents
+      ) u
+    ), bi AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS n_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), uni AS (
+      SELECT word, count(*) AS n FROM toks GROUP BY word
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni
+    ), scored AS (
+      SELECT bi.w1, bi.w2, bi.n_ab,
+             round(ln(bi.n_ab * tot.t / (ua.n * CAST(ub.n AS DOUBLE)))
+                   + sign(ln(bi.n_ab * tot.t / (ua.n * CAST(ub.n AS DOUBLE))))
+                     * 1e-9, 8) + 0.0 AS pmi
+      FROM bi
+      JOIN uni ua ON bi.w1 = ua.word
+      JOIN uni ub ON bi.w2 = ub.word
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, pmi
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+    category="text",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent word
+    pairs occurring ≥5 times, scored ln(P(ab)/(P(a)P(b))) — the classic
+    signal for multiword expressions ('new york'-style units) that
+    tokenizer vocabularies and stop-phrase lists are built from. One
+    positional self-join per doc builds bigrams (the `text_bigram_lm`
+    shape), unigram counts join back by word, and the top-20 ranks the
+    already count-thresholded pair frame on the nudge-rounded score —
+    raw text is tokenized exactly once."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    a, b = toks.alias("a"), toks.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").cast("double").alias("t"))
+    ua = uni.select(F.col("word").alias("w1"), F.col("n").alias("na"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("n").alias("nb"))
+    ratio = F.col("n_ab") * F.col("t") / (F.col("na") * F.col("nb").cast("double"))
+    pmi = F.round(F.log(ratio) + F.signum(F.log(ratio)) * F.lit(1e-9), 8) + F.lit(0.0)
+    scored = (
+        bi.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("w1", "w2", F.col("n_ab").cast("long").alias("n_ab"), "pmi")
+    )
