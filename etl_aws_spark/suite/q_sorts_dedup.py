@@ -158,3 +158,65 @@ def dedup_names_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")), "inner"
     ).withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
     return pairs.filter(F.col("dist") <= 1).select("id_a", "id_b", "name_a", "name_b", "dist")
+
+
+@query(
+    "sample_weighted_reservoir",
+    # Efraimidis-Spirakis A-Res keys: key = ln(u)/w with u an md5-uniform
+    # in (0,1) — deterministic, RNG-free, identical on both engines; the
+    # top-k by key is a weighted-without-replacement sample. ln crosses
+    # the nudged-8 bridge before the rank.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+             (('0x' || substr(md5(concat('wr:', CAST(doc_id AS VARCHAR))),
+                              1, 15))::BIGINT + 1) / 1152921504606846977.0
+               AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, wt,
+             round(ln(u) / wt + sign(ln(u) / wt) * 1e-9, 8) + 0.0 AS k
+      FROM w
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS weight, k AS sample_key
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= 25
+    """,
+    category="sample",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement, deterministic and
+    distributed — the Efraimidis-Spirakis reservoir (key = u^(1/w),
+    computed in the equivalent ln(u)/w order): each doc draws its
+    'uniform' from md5 of its id (RNG-free — identical on every engine,
+    every run, every partitioning), keys fold per-row, and the top-25 by
+    key IS a probability-∝-weight sample (longer docs here, weight =
+    n_chars — the quality-weighted corpus draw a curation pipeline
+    runs). At 100 TB this is one scan + a top-k — the keys are mergeable
+    (max-heap per partition, AQE's TakeOrdered), no global shuffle of
+    the corpus; contrast `sample_rows`/`sample_stratified_by_source`
+    which are unweighted."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = "cast(conv(substr(md5(concat('wr:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    u = F.expr(f"({h} + 1) / 1152921504606846977.0")
+    wt = F.col("n_chars").cast("double")
+    k_raw = F.log(u) / wt
+    keyed = docs.select(
+        "doc_id",
+        wt.alias("wt"),
+        (F.round(k_raw + F.signum(k_raw) * F.lit(1e-9), 8) + F.lit(0.0)).alias("k"),
+    )
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select(
+            "doc_id",
+            F.col("wt").cast("long").alias("weight"),
+            F.col("k").alias("sample_key"),
+        )
+    )
