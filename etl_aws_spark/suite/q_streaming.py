@@ -847,3 +847,158 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     return snap.groupBy("day").agg(
         F.max("n_events").cast("long").alias("n_events")
     )
+
+
+@query(
+    "streaming_scd2_maintenance",
+    # batch-parity oracle: the stream-maintained version table must equal
+    # the one-shot SCD2 build over the full change log
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), seg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ch WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM seg
+    """,
+    category="streaming",
+)
+def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history MAINTAINED AS A STREAM — the warehouse
+    operation `merge_scd2_history` runs nightly, done incrementally per
+    micro-batch: each batch run-length-compresses ITS OWN change rows,
+    then merges against the persisted version table — a user's open
+    version either EXTENDS (batch starts with the same attribute: the
+    batch's first segment inherits the open version's valid_from),
+    CLOSES (attribute changed: valid_to = the batch's first change), or
+    passes through untouched (user absent from the batch). State commits
+    ride the atomic symlink protocol with the batch-id replay guard
+    (exactly-once under retries), and the landing is three
+    event-time-ordered files with maxFilesPerTrigger=1, so the merge
+    logic genuinely exercises version extension and closure across
+    batch boundaries. The final table must equal the one-shot batch
+    build row-for-row — stream/batch parity for dimension maintenance.
+    Per batch the work is O(batch + affected versions), never a history
+    re-read."""
+    from etl_aws_spark.operators import changedata as cd
+    from etl_aws_spark.streaming import ingest as ing
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_scd2")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    if not os.path.exists(os.path.join(root, "_READY")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        for lo, hi in ((1, 10), (11, 20), (21, 31)):
+            chunk = ev.filter(F.dayofmonth("ts").between(lo, hi))
+            chunk.coalesce(1).write.mode("append").parquet(landing)
+        with open(os.path.join(root, "_READY"), "w"):
+            pass
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def merge(batch_df, batch_id):
+        done = ing._committed_batch_id(state)
+        if done is not None and batch_id <= done:
+            return
+        bseg = cd.scd2_from_log(
+            batch_df, key="user_id", attr="event_type", ts_col="ts",
+            order_tail=["event_id"],
+        ).select("user_id", "event_type", "valid_from", "valid_to")
+        if os.path.lexists(state):
+            prev = spark.read.parquet(state).select(
+                "user_id", "event_type", "valid_from", "valid_to"
+            )
+        else:
+            prev = spark.createDataFrame(
+                [],
+                "user_id long, event_type string, valid_from timestamp, "
+                "valid_to timestamp",
+            )
+        open_prev = prev.filter(F.col("valid_to").isNull())
+        closed_prev = prev.filter(F.col("valid_to").isNotNull())
+        firsts = (
+            bseg.groupBy("user_id")
+            .agg(F.min("valid_from").alias("first_from"))
+            .join(bseg, "user_id")
+            .filter(F.col("valid_from") == F.col("first_from"))
+            .select("user_id", F.col("event_type").alias("first_attr"), "first_from")
+        )
+        op = open_prev.join(firsts, "user_id", "left")
+        # case A (user absent): keep open; case C (attr changed): close at
+        # the batch's first change; case B (continuation): drop — the
+        # batch's first segment inherits this version's valid_from below
+        kept_open = op.filter(
+            F.col("first_from").isNull()
+            | (F.col("first_attr") != F.col("event_type"))
+        ).select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.when(F.col("first_from").isNotNull(), F.col("first_from")).alias(
+                "valid_to"
+            ),
+        )
+        cont = op.filter(
+            F.col("first_from").isNotNull()
+            & (F.col("first_attr") == F.col("event_type"))
+        ).select(
+            "user_id",
+            F.col("valid_from").alias("inherit_from"),
+            F.col("first_from").alias("first_from"),
+        )
+        bseg_adj = (
+            bseg.join(cont, "user_id", "left")
+            .select(
+                "user_id",
+                "event_type",
+                F.when(
+                    F.col("inherit_from").isNotNull()
+                    & (F.col("valid_from") == F.col("first_from")),
+                    F.col("inherit_from"),
+                )
+                .otherwise(F.col("valid_from"))
+                .alias("valid_from"),
+                "valid_to",
+            )
+        )
+        new_state = closed_prev.unionByName(kept_open).unionByName(bseg_adj)
+        ing._commit_state(new_state, state, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(state)
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
