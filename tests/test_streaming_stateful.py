@@ -200,3 +200,33 @@ def test_transform_with_state_topk_carries_across_batches(spark, tmp_path):
     exp = exp.sort_values(["user_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"user_id": "int64", "rank": "int64"}),
                                   exp.astype({"user_id": "int64", "rank": "int64"}))
+
+
+def test_scd2_stream_replay_is_idempotent(spark, tmp_path):
+    """Wiping the checkpoint and re-running the SCD2 maintenance stream
+    replays every batch with the same batch_ids — the state's replay
+    guard must skip them all, leaving the version table unchanged."""
+    import os
+    import shutil
+
+    from etl_aws_spark.suite.q_streaming import streaming_scd2_maintenance
+
+    sf = "/root/testdata/sf0.001"
+    first = (
+        streaming_scd2_maintenance(spark, sf)
+        .toPandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    import hashlib
+
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:10]
+    ckpt = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_scd2", "ckpt")
+    shutil.rmtree(ckpt)
+    second = (
+        streaming_scd2_maintenance(spark, sf)
+        .toPandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    assert first.equals(second), "replayed batches mutated the version table"
