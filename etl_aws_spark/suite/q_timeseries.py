@@ -1352,3 +1352,81 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
         ).alias("smape"),
         (F.round(F.avg(err), 4) + F.lit(0.0)).alias("mae"),
     )
+
+
+@query(
+    "stat_population_stability_index",
+    # PSI over 10 fixed bins of the first-half value domain; counts are
+    # exact integers, Laplace-smoothed shares, each ln nudge-rounded at 8
+    # before the weighted sum
+    oracle="""
+    WITH halves AS (
+      SELECT event_type, value,
+             CASE WHEN dayofmonth(ts) <= 15 THEN 0 ELSE 1 END AS half
+      FROM events
+    ), binned AS (
+      SELECT event_type, half,
+             least(greatest(CAST(floor(value / 10.0) AS INT), 0), 9) AS bin
+      FROM halves
+    ), cells AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+             CAST(sum(n_cur) AS DOUBLE) AS t_cur
+      FROM cells GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type,
+             ((c.n_ref + 0.5) / (t.t_ref + 5.0)
+              - (c.n_cur + 0.5) / (t.t_cur + 5.0))
+             * round(ln(((c.n_ref + 0.5) / (t.t_ref + 5.0))
+                        / ((c.n_cur + 0.5) / (t.t_cur + 5.0)))
+                     + sign(ln(((c.n_ref + 0.5) / (t.t_ref + 5.0))
+                               / ((c.n_cur + 0.5) / (t.t_cur + 5.0)))) * 1e-9,
+                     8) AS term
+      FROM cells c JOIN tot t USING (event_type)
+    )
+    SELECT event_type, round(sum(term), 6) + 0.0 AS psi
+    FROM terms GROUP BY event_type
+    """,
+    category="timeseries",
+)
+def stat_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per segment — THE production ML drift
+    monitor (PSI > 0.2 = retrain alarm): first-half vs second-half value
+    distributions over 10 fixed bins, PSI = Σ(p−q)·ln(p/q) with Laplace
+    smoothing (+0.5/bin) so empty bins never divide by zero. Fixed bins
+    — not quantile bins — keep the whole computation ONE conditional
+    aggregate over (segment, bin) cells with exact integer counts; each
+    ln term crosses the nudged bridge pre-sum. At 100 TB the cell frame
+    is |segments|·10 rows regardless of corpus size, and the reference
+    shares are computed once and broadcast in a real deployment."""
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10.0).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    lg = F.round(F.log(p / q) + F.signum(F.log(p / q)) * F.lit(1e-9), 8)
+    terms = cells.join(F.broadcast(tot), "event_type").select(
+        "event_type", ((p - q) * lg).alias("term")
+    )
+    return terms.groupBy("event_type").agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("psi")
+    )
