@@ -805,3 +805,56 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             F.array_distinct(F.flatten(F.collect_list("_users").over(w)))
         ).cast("bigint").alias("n_users_7d"),
     )
+
+
+@query(
+    "window_rolling_quantile",
+    # Spark replays quantile_cont's linear interpolation exactly on the
+    # sorted in-frame array: h = (n-1)*q, lo = floor(h), interpolate
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(CAST(quantile_cont(value, 0.9) OVER (
+                   PARTITION BY user_id ORDER BY {{order_sql}}
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 + sign(CAST(quantile_cont(value, 0.9) OVER (
+                   PARTITION BY user_id ORDER BY {{order_sql}}
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE))
+                   * 1e-9, 4) + 0.0 AS rolling_p90
+    FROM events
+    """.format(order_sql="ts, event_id"),
+    category="window",
+)
+def window_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact p90 (20-row frame) per series — the latency-SLO /
+    tail-risk monitor that rolling means hide. The `clean_hampel_filter`
+    execution shape: the window frame's values collect into a per-row
+    array, sort exactly, and interpolate at h = (n−1)·0.9 — no
+    approximation, no second shuffle, one window partitioning. Exact
+    small-frame sorts are the right call because the frame is 20 rows by
+    construction; for unbounded frames the answer is a sketch
+    (`agg_approx_quantiles_error`), not a bigger sort."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    h = (n - 1).cast("double") * F.lit(0.9)
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    q = (
+        F.element_at(arr, lo + 1) * (F.lit(1.0) - frac)
+        + F.element_at(arr, F.least(lo + 2, n)) * frac
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.round(q + F.signum(q) * F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "rolling_p90"
+        ),
+    )
