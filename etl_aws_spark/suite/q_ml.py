@@ -741,3 +741,93 @@ def model_logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame
         ("n_rows", n),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@query(
+    "model_logreg_calibration",
+    # reuses the unrolled gradient-descent replay (same fixed-point
+    # grid, same rational sigmoid), then bins the final probabilities
+    oracle=f"""
+    WITH feat AS (
+      SELECT o_totalprice / 500000.0 AS x1,
+             month(o_orderdate) / 12.0 AS x2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nv FROM feat
+    ), w0 AS (
+      SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2
+    ),{','.join(_duck_lr_iter(t) for t in range(1, _LR_ITERS + 1))},
+    probs AS (
+      SELECT f.y,
+             0.5 + (w.w0 + w.w1*f.x1 + w.w2*f.x2)
+               / (2.0*(1.0 + abs(w.w0 + w.w1*f.x1 + w.w2*f.x2))) AS p
+      FROM feat f CROSS JOIN w{_LR_ITERS} w
+    )
+    SELECT CAST(least(greatest(CAST(floor(p * 10.0) AS INT), 0), 9) AS INT)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) + 0.0 AS mean_pred,
+           round(avg(y), 6) + 0.0 AS actual_rate
+    FROM probs
+    GROUP BY least(greatest(CAST(floor(p * 10.0) AS INT), 0), 9)
+    """,
+    category="ml",
+)
+def model_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability curve for the from-scratch logistic
+    regression — the evaluation beyond accuracy: final-round
+    probabilities bin into deciles and each bin reports predicted-vs-
+    actual rates (a calibrated model sits on the diagonal; the gap is
+    what Platt scaling would fix). Training replays the identical
+    fixed-point gradient descent (`model_logreg_gradient_descent`), so
+    probabilities are bit-exact cross-engine BEFORE binning — bin
+    boundaries can never disagree. The curve itself is one 10-cell
+    aggregate over the scored scan."""
+    orders = load(spark, sf_dir, "orders")
+    feat = orders.select(
+        (F.col("o_totalprice") / 500000.0).alias("x1"),
+        (F.month("o_orderdate") / 12.0).alias("x2"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=True)
+    n = float(feat.count())
+    w = [0.0, 0.0, 0.0]
+    grid = _LR_GRID
+    for _ in range(_LR_ITERS):
+        m = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2)"
+        p = f"(0.5 + {m} / (2.0 * (1.0 + abs({m}))))"
+        gs = feat.agg(
+            *[
+                (
+                    F.sum(
+                        F.round(F.expr(f"({p} - y) {mul}") * F.lit(grid)).cast("long")
+                    ).cast("double")
+                    / F.lit(grid)
+                ).alias(f"g{j}")
+                for j, mul in enumerate(["* 1.0", "* x1", "* x2"])
+            ]
+        ).first()
+        new_w = []
+        for j in range(3):
+            raw = w[j] - _LR_RATE * gs[f"g{j}"] / n
+            nudged = round(raw + (1e-9 if raw > 0 else -1e-9 if raw < 0 else 0.0), 8)
+            new_w.append(nudged + 0.0)
+        w = new_w
+    m = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2)"
+    p = f"(0.5 + {m} / (2.0 * (1.0 + abs({m}))))"
+    probs = feat.select(F.expr(p).alias("p"), "y")
+    binned = probs.select(
+        F.least(
+            F.greatest(F.floor(F.col("p") * 10.0).cast("int"), F.lit(0)), F.lit(9)
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(F.avg("p"), 6) + F.lit(0.0)).alias("mean_pred"),
+        (F.round(F.avg("y"), 6) + F.lit(0.0)).alias("actual_rate"),
+    )
