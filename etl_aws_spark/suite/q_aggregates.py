@@ -923,3 +923,79 @@ def agg_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("seasonal_index"),
     )
+
+
+_BOOT_B = 20  # deterministic half-subsample replicates
+
+
+@query(
+    "stat_bootstrap_ci_subsample",
+    # replicate b keeps rows where md5(id:b) lands in the lower half of
+    # the 60-bit hash space — a deterministic ~n/2 subsample per b; the
+    # replicate means' order statistics give the CI, RNG-free
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b,
+             avg(value) AS m
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+      WHERE event_type = 'purchase'
+        AND ('0x' || substr(md5(concat('bs', CAST(b.b AS VARCHAR), ':',
+                                        CAST(event_id AS VARCHAR))), 1, 15))::BIGINT
+            < 576460752303423488
+      GROUP BY b.b
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS rk FROM reps
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           round((SELECT avg(value) FROM events WHERE event_type = 'purchase'),
+                 4) + 0.0 AS point_estimate,
+           round((SELECT m FROM ranked WHERE rk = 2), 4) + 0.0 AS ci_low,
+           round((SELECT m FROM ranked WHERE rk = {_BOOT_B} - 1), 4) + 0.0
+             AS ci_high
+    """,
+    category="aggregate",
+)
+def stat_bootstrap_ci_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling confidence interval WITHOUT an RNG: {_BOOT_B} half-
+    subsample replicates, each membership decided by an md5 hash of
+    (replicate, row-id) — deterministic across engines, runs, and
+    partitionings, which is what makes a distributed bootstrap
+    REPRODUCIBLE (seeded per-partition RNGs are not, once partitioning
+    changes). The replicate means' 2nd/19th order statistics bound the
+    subsampling CI for the mean purchase value. Execution is ONE
+    conditional pass: the replicate dimension is a {_BOOT_B}-row
+    broadcast, membership is a per-(row, b) hash test, and everything
+    reduces map-side — the corpus is scanned once, never materialized
+    ×B. (Half-subsampling, not with-replacement bootstrap — the
+    deterministic-hash form of m-out-of-n; CI widths differ from the
+    classic bootstrap by the known √(m/n) factor.)"""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    reps_dim = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    h = (
+        "cast(conv(substr(md5(concat('bs', cast(b as string), ':', "
+        "cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    reps = (
+        ev.crossJoin(F.broadcast(reps_dim))
+        .filter(F.expr(h) < F.lit(576460752303423488))
+        .groupBy("b")
+        .agg(F.avg("value").alias("m"))
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.withColumn("rk", F.row_number().over(Window.orderBy("m")))
+    point = ev.agg((F.round(F.avg("value"), 4) + F.lit(0.0)).alias("point_estimate"))
+    lo = ranked.filter(F.col("rk") == 2).select(
+        (F.round(F.col("m"), 4) + F.lit(0.0)).alias("ci_low")
+    )
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
+        (F.round(F.col("m"), 4) + F.lit(0.0)).alias("ci_high")
+    )
+    return (
+        spark.range(1)
+        .select(F.lit(_BOOT_B).cast("long").alias("n_replicates"))
+        .crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
