@@ -916,3 +916,66 @@ def showcase_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@query(
+    "showcase_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount))
+                   + sign(sum(l_extendedprice * (1 - l_discount))) * 1e-9, 2)
+               + 0.0 AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(revenue) OVER () AS cum_share
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(revenue), 2) + 0.0 AS class_revenue
+    FROM classed GROUP BY abc_class
+    """,
+    category="showcase",
+)
+def showcase_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the 80/15/5 Pareto cut): parts rank
+    by revenue, the running share assigns A (first 80%), B (to 95%), C
+    (tail), and the rollup reports class sizes and revenue — the
+    supply-chain prioritization every ops team runs. Scale posture: the
+    fact table reduces to the |parts| revenue frame FIRST; the global
+    cumulative window runs on that reduced frame (aggregate-before-
+    global-sort); per-part revenue is nudge-rounded BEFORE ranking so
+    the class boundary — a cumulative comparison — can never straddle a
+    float flip."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    raw_rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = li.groupBy("l_partkey").agg(rnd_nudged(raw_rev, 2).alias("revenue"))
+    w_cum = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.withColumn(
+        "cum_share", F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.round(F.sum("revenue"), 2) + F.lit(0.0)).alias("class_revenue"),
+    )
