@@ -645,3 +645,93 @@ def scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).cast("long").alias("total_chars"),
         F.countDistinct(F.md5("payload")).cast("long").alias("n_distinct"),
     )
+
+
+@query(
+    "sink_nested_sessions_roundtrip",
+    # the nested file's content is checked through per-session scalar
+    # digests: event counts, value sums, and an order-sensitive md5 chain
+    # over the struct array — any field loss, reorder, or type drift in
+    # the nested round trip breaks the hash
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_part('epoch', ts)
+                       - lag(date_part('epoch', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 3600
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS s
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) + 0.0 AS sum_value,
+           md5(string_agg(concat(CAST(event_id AS VARCHAR), '@',
+                                 CAST(epoch_us(ts) AS VARCHAR)), '|'
+                          ORDER BY ts, event_id)) AS event_chain_digest
+    FROM sess GROUP BY user_id, session_id
+    """,
+    category="sink",
+)
+def sink_nested_sessions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-TYPE parquet round trip: sessionized events pack into one
+    row per session with an ``array<struct<event_id, ts, value>>``
+    payload (the session-replay export shape every product-analytics
+    warehouse ships), write to parquet, read back, and verify through
+    per-session scalar digests — including an ORDER-SENSITIVE md5 chain
+    over the struct array, so a dropped field, a reordered element, or
+    a timestamp precision loss in the nested encoding all break the
+    hash. Parquet stores the array as repeated groups with its own
+    def/rep levels — this is the fidelity test for that machinery; the
+    registry's no-complex-outputs rule is honored by digesting the
+    nested column into scalars AFTER the round trip."""
+    from etl_aws_spark.operators import temporal_joins as tj
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    root = _cache_dir(sf_dir, "nested_sessions")
+    if not _done(root):
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+        sess = tj.sessionize(
+            ev, "user_id", "ts", gap_seconds=3600, order_tail=["event_id"]
+        )
+        nested = (
+            sess.select(
+                "user_id",
+                "session_id",
+                F.struct("ts", "event_id", "value").alias("e"),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.array_sort(F.collect_list("e")).alias("events"))
+        )
+        nested.write.mode("overwrite").parquet(root)
+    back = spark.read.parquet(root)
+    ex = back.select(
+        "user_id", "session_id", F.explode("events").alias("e")
+    ).select(
+        "user_id",
+        "session_id",
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ts").alias("ts"),
+        F.col("e.value").alias("value"),
+    )
+    chain = F.md5(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id))), "
+                "s -> concat(cast(s.event_id as string), '@', "
+                "cast(unix_micros(cast(s.ts as timestamp_ltz)) as string)))"
+            ),
+            "|",
+        )
+    )
+    return ex.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        chain.alias("event_chain_digest"),
+    )
