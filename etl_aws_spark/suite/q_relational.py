@@ -631,3 +631,84 @@ def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_plain, n_safe, n_null_left)],
         "n_plain_eq bigint, n_null_safe bigint, n_null_left bigint",
     )
+
+
+@query(
+    "scalar_json_map_explode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, 'k' AS key,
+             CAST(json_extract(props, '$.k') AS INT) AS val
+      FROM events
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS total,
+           CAST(min(val) AS BIGINT) AS min_val,
+           CAST(max(val) AS BIGINT) AS max_val
+    FROM m GROUP BY key
+    """,
+    category="relational",
+)
+def scalar_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed semi-structured handling: props parses to
+    ``map<string,int>`` (the open-schema form for payloads whose keys
+    aren't known at write time — where `scalar_json_extract`'s struct
+    needs them declared), the map EXPLODES to (key, value) rows, and
+    per-key stats aggregate — the schema-on-read path for telemetry
+    property bags. One from_json pass, one explode Generate, one
+    aggregate; at scale the map form trades columnar pushdown (structs
+    prune, maps don't) for schema freedom — both forms now exist so the
+    tradeoff is explicit."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        F.explode(
+            F.from_json("props", "map<string,int>")
+        ).alias("key", "val"),
+    )
+    return m.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("total"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+    )
+
+
+@query(
+    "union_schema_evolution",
+    # old batch (events first half) lacks `value`; new batch has it. The
+    # evolved union back-fills NULL — counts and sums must match the
+    # oracle's conditional replay
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN dayofmonth(ts) > 15 THEN value END) AS BIGINT)
+             AS n_with_value,
+           round(sum(CASE WHEN dayofmonth(ts) > 15 THEN value END), 4) + 0.0
+             AS sum_new_value
+    FROM events
+    """,
+    category="relational",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution UNION (`unionByName(allowMissingColumns=True)`):
+    the old batch predates the `value` column, the new batch carries it,
+    and the union back-fills NULL for the old rows by NAME — where
+    positional `union` would silently misalign columns (the classic
+    append-job corruption). Counts of present values and the new-batch
+    sum pin the back-fill behavior; the same mechanism is what makes
+    `scan_parquet_schema_merge` work at the file level — this is the
+    DataFrame-level half."""
+    ev = load(spark, sf_dir, "events")
+    old_batch = ev.filter(F.dayofmonth("ts") <= 15).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    new_batch = ev.filter(F.dayofmonth("ts") > 15).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    evolved = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return evolved.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value").cast("long").alias("n_with_value"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_new_value"),
+    )
