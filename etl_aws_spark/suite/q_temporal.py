@@ -814,3 +814,101 @@ def events_path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "events_attribution_window_sweep",
+    # the sweep shares ONE candidate join at the widest window: a
+    # (purchase, touch) pair within 1d is also within 3d and 7d, so
+    # conditional sums produce every bound from the same candidates
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ), cand AS (
+      SELECT p.p_id, p.value,
+             min(p.p_us - t.t_us) AS nearest_us
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000
+      GROUP BY p.p_id, p.value
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_purch,
+             sum(value) AS rev_total
+      FROM p
+    )
+    SELECT w.days AS window_days,
+           CAST(count(CASE WHEN c.nearest_us <= w.days * 86400000000
+                           THEN 1 END) AS BIGINT) AS n_attributed,
+           round(count(CASE WHEN c.nearest_us <= w.days * 86400000000
+                            THEN 1 END) / tot.n_purch, 6) + 0.0
+             AS attributed_rate,
+           round(coalesce(sum(CASE WHEN c.nearest_us <= w.days * 86400000000
+                                   THEN c.value END), 0.0), 4) + 0.0
+             AS attributed_revenue
+    FROM (SELECT unnest([1, 3, 7]) AS days) w
+    CROSS JOIN tot
+    LEFT JOIN cand c ON true
+    GROUP BY w.days, tot.n_purch
+    """,
+    category="temporal",
+)
+def events_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window SENSITIVITY sweep (1 / 3 / 7 days): how many
+    purchases — and how much revenue — get credited to a prior touch
+    under each lookback, the knob analysis that decides the window
+    BEFORE `events_attribution_multitouch` locks it in (the recall-curve
+    harness pattern, applied to attribution). ONE candidate join at the
+    WIDEST window serves every bound: each purchase keeps only its
+    NEAREST-touch age, and per-window attribution is a conditional count
+    over that |purchases|-sized frame — three windows cost one join,
+    not three."""
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        _epoch_micros("ts").alias("p_us"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", _epoch_micros("ts").alias("t_us")
+    )
+    widest = 7 * 86400000000
+    cand = (
+        p.join(t, "user_id")
+        .where(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - F.lit(widest))
+        )
+        .groupBy("p_id", "value")
+        .agg(F.min(F.col("p_us") - F.col("t_us")).alias("nearest_us"))
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n_purch"),
+        F.sum("value").alias("rev_total"),
+    )
+    windows = spark.createDataFrame([(1,), (3,), (7,)], "days int")
+    within = F.col("nearest_us") <= F.col("days").cast("long") * 86400000000
+    return (
+        windows.crossJoin(F.broadcast(tot))
+        .join(cand, F.lit(True), "left")
+        .groupBy(F.col("days").alias("window_days"), "n_purch")
+        .agg(
+            F.count(F.when(within, 1)).cast("long").alias("n_attributed"),
+            (
+                F.round(F.count(F.when(within, 1)) / F.col("n_purch"), 6)
+                + F.lit(0.0)
+            ).alias("attributed_rate"),
+            (
+                F.round(
+                    F.coalesce(F.sum(F.when(within, F.col("value"))), F.lit(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("attributed_revenue"),
+        )
+        .select("window_days", "n_attributed", "attributed_rate", "attributed_revenue")
+    )
