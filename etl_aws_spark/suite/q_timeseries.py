@@ -1430,3 +1430,48 @@ def stat_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFra
     return terms.groupBy("event_type").agg(
         (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("psi")
     )
+
+
+@query(
+    "stat_durbin_watson",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS m,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY {EVENTS_ORDER_SQL}) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           round(sum((value - prev) * (value - prev))
+                 / sum((value - m) * (value - m)), 6) + 0.0 AS dw_stat,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM l WHERE prev IS NOT NULL GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic per series (Σ(Δx)²/Σ(x−x̄)², mean-model
+    residuals): the autocorrelation diagnostic read directly — DW ≈ 2
+    means no serial correlation, → 0 positive, → 4 negative —
+    completing the serial-dependence toolkit beside ADF (unit root),
+    Ljung-Box (joint lags), and the ACF. One lag window + per-series
+    aggregate on a single user_id partitioning; the ratio of two sums of
+    identical doubles crosses one rounding at the end."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(wp).alias("m"),
+        F.lag("value").over(wo).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    d2 = F.sum((F.col("value") - F.col("prev")) * (F.col("value") - F.col("prev")))
+    s2 = F.sum((F.col("value") - F.col("m")) * (F.col("value") - F.col("m")))
+    return l.groupBy("user_id").agg(
+        (F.round(d2 / s2, 6) + F.lit(0.0)).alias("dw_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
