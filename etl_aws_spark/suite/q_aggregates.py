@@ -999,3 +999,73 @@ def stat_bootstrap_ci_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
     )
+
+
+# Benford expected first-digit shares log10(1+1/d), pre-computed to 10
+# decimals so NO transcendental runs in either engine's hash path
+_BENFORD = (
+    0.3010299957, 0.1760912591, 0.1249387366, 0.0969100130, 0.0791812460,
+    0.0669467896, 0.0579919470, 0.0511525224, 0.0457574906,
+)
+
+
+@query(
+    "stat_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), cells AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells
+    ), exp AS (
+      SELECT unnest(generate_series(1, 9)) AS d,
+             unnest([{', '.join(repr(v) for v in _BENFORD)}]) AS p
+    )
+    SELECT e.d AS first_digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           round(coalesce(c.n, 0) / tot.t, 6) + 0.0 AS observed_share,
+           round(e.p, 6) + 0.0 AS benford_share,
+           round(power(coalesce(c.n, 0) - e.p * tot.t, 2) / (e.p * tot.t), 6)
+             + 0.0 AS chi2_term
+    FROM exp e LEFT JOIN cells c ON e.d = c.d CROSS JOIN tot
+    """,
+    category="aggregate",
+)
+def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    screen for fabricated or manipulated amounts (natural multiplicative
+    data follows log10(1+1/d); fabricated numbers rarely do). First
+    digits come from integer truncation + string head (no logs at
+    runtime — the expected shares are pre-computed literals), the digit
+    histogram is a 9-cell aggregate, and per-digit chi² terms quantify
+    the deviation. The fixture's uniform-ish prices will NOT follow
+    Benford — which is exactly what the audit should report for
+    synthetic data; the machinery, not the verdict, is the product."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    cells = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").cast("double").alias("t"))
+    exp = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD)], "d int, p double"
+    )
+    j = exp.join(cells, "d", "left").crossJoin(F.broadcast(tot))
+    n = F.coalesce("n", F.lit(0))
+    return j.select(
+        F.col("d").alias("first_digit"),
+        n.cast("long").alias("n"),
+        (F.round(n / F.col("t"), 6) + F.lit(0.0)).alias("observed_share"),
+        (F.round(F.col("p"), 6) + F.lit(0.0)).alias("benford_share"),
+        (
+            F.round(
+                F.pow(n - F.col("p") * F.col("t"), 2) / (F.col("p") * F.col("t")), 6
+            )
+            + F.lit(0.0)
+        ).alias("chi2_term"),
+    )
