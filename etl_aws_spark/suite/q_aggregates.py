@@ -1024,7 +1024,7 @@ _BENFORD = (
       SELECT unnest(generate_series(1, 9)) AS d,
              unnest([{', '.join(repr(v) for v in _BENFORD)}]) AS p
     )
-    SELECT e.d AS first_digit,
+    SELECT CAST(e.d AS INT) AS first_digit,
            CAST(coalesce(c.n, 0) AS BIGINT) AS n,
            round(coalesce(c.n, 0) / tot.t, 6) + 0.0 AS observed_share,
            round(e.p, 6) + 0.0 AS benford_share,
