@@ -912,3 +912,60 @@ def events_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("window_days", "n_attributed", "attributed_rate", "attributed_revenue")
     )
+
+
+@query(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events
+      GROUP BY user_id
+    ), daily AS (
+      SELECT date_trunc('day', e.ts) AS day, e.user_id,
+             CASE WHEN date_trunc('day', e.ts) = f.first_day
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(sum(1 - is_new) AS BIGINT) AS n_returning,
+           round(sum(1 - is_new) / CAST(count(*) AS DOUBLE), 6) + 0.0
+             AS returning_share
+    FROM daily GROUP BY day
+    """,
+    category="temporal",
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users — the growth-accounting split
+    every product dashboard leads with: each user's first-seen day comes
+    from one min-aggregate, the (day, user) activity grid reduces the
+    fact table BEFORE labeling, and the daily rollup counts both
+    populations plus the returning share. Two keyed aggregates + one
+    broadcastable first-seen join; at 100 TB the first-seen table is the
+    |users| dimension that incremental pipelines maintain as state
+    (`incremental_state_merge`'s shape) instead of re-deriving."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .join(F.broadcast(first_seen), "user_id")
+        .select(
+            "day",
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0).alias("is_new"),
+        )
+    )
+    return daily.groupBy("day").agg(
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("n_returning"),
+        (
+            F.round(
+                F.sum(F.lit(1) - F.col("is_new")) / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("returning_share"),
+    )
