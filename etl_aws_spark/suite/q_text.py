@@ -1299,3 +1299,49 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("w1", "w2", F.col("n_ab").cast("long").alias("n_ab"), "pmi")
     )
+
+
+@query(
+    "text_dedup_cluster_size_dist",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    bmin AS (SELECT bk, min(doc_id) AS bm FROM bands GROUP BY bk),
+    canon AS (
+      SELECT b.doc_id, min(bm) AS canonical_id
+      FROM bands b JOIN bmin USING (bk) GROUP BY b.doc_id
+    ), sizes AS (
+      SELECT canonical_id, count(*) AS cluster_size
+      FROM canon GROUP BY canonical_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+    category="text",
+)
+def text_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution of the MinHash dedup — the
+    histogram a curation run publishes before deleting anything: how
+    many singletons, pairs, triples…, total docs per size class, and the
+    removable count (size−1 per cluster) that forecasts the corpus
+    shrinkage. Two tiny aggregates past the existing canonicalization;
+    the size histogram also feeds capacity planning for the closure step
+    (CC rounds scale with the largest cluster's diameter)."""
+    out = dedup.minhash_lsh_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    sizes = out.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
