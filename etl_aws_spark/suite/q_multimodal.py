@@ -11,6 +11,101 @@ from etl_aws_spark.multimodal import ops
 from etl_aws_spark.registry import load, query
 
 
+def _sig_pair_table(
+    sigs: DataFrame,
+    class_cols: list,
+    band_cols: list,
+    max_hamming: int,
+) -> DataFrame:
+    """Signature-level qualifying near-dup pairs — the scale core of the
+    perceptual dedup family (r7). A near-dup-heavy corpus saturates its
+    signature space (docs per distinct signature grows with N), so the
+    band-blocking self-join runs over DISTINCT signatures only: the frame
+    is bounded by hash diversity, not corpus size, and doc-level pairs are
+    recovered later by expansion joins. Hamming is a single XOR-popcount
+    projection over the packed band columns (no explode / pair groupBy).
+    Band values < 0 are sentinels for "band absent in this class" and are
+    skipped for blocking; within a class every signature has the same band
+    layout so sentinel XOR contributes 0 to the distance. Returns
+    class_cols + a_<band>* + b_<band>* + hamming with (a_*) < (b_*)
+    lexicographically."""
+    key = list(class_cols) + list(band_cols)
+    reps = sigs.select(*key).distinct()
+    bands = reps.select(
+        *key, F.posexplode(F.array(*band_cols)).alias("bi", "bv")
+    ).filter(F.col("bv") >= 0)
+    a, b = bands.alias("a"), bands.alias("b")
+    sig_a = F.struct(*[F.col(f"a.{c}") for c in band_cols])
+    sig_b = F.struct(*[F.col(f"b.{c}") for c in band_cols])
+    cond = (
+        (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (sig_a < sig_b)
+    )
+    for c in class_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in class_cols],
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in band_cols],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in band_cols],
+        )
+        .distinct()
+    )
+    ham = None
+    for c in band_cols:
+        term = F.bit_count(F.expr(f"a_{c} ^ b_{c}"))
+        ham = term if ham is None else ham + term
+    return pairs.withColumn("hamming", ham.cast("long")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def _sig_neardup_pairs(
+    sigs: DataFrame,
+    class_cols: list,
+    band_cols: list,
+    max_hamming: int,
+) -> DataFrame:
+    """Doc-level near-dup pairs (id_a < id_b, hamming) from a one-row-per-
+    doc signature frame: qualifying signature pairs via _sig_pair_table
+    (bounded by signature diversity), then two expansion joins — O(1) work
+    per output row. Same-signature doc pairs short-circuit to hamming=0
+    through one equi-self-join on the full signature (they share every
+    band, so they are always candidates)."""
+    qual = _sig_pair_table(sigs, class_cols, band_cols, max_hamming)
+    da = sigs.select(
+        F.col("doc_id").alias("xa"),
+        *class_cols,
+        *[F.col(c).alias(f"a_{c}") for c in band_cols],
+    )
+    db = sigs.select(
+        F.col("doc_id").alias("xb"),
+        *class_cols,
+        *[F.col(c).alias(f"b_{c}") for c in band_cols],
+    )
+    cross = (
+        qual.join(da, list(class_cols) + [f"a_{c}" for c in band_cols])
+        .join(db, list(class_cols) + [f"b_{c}" for c in band_cols])
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "hamming",
+        )
+    )
+    s1, s2 = sigs.alias("s1"), sigs.alias("s2")
+    cond = F.col("s1.doc_id") < F.col("s2.doc_id")
+    for c in list(class_cols) + list(band_cols):
+        cond = cond & (F.col(f"s1.{c}") == F.col(f"s2.{c}"))
+    same = s1.join(s2, cond).select(
+        F.col("s1.doc_id").alias("id_a"),
+        F.col("s2.doc_id").alias("id_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    return cross.unionByName(same)
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
@@ -691,13 +786,24 @@ def multimodal_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     shifts). The 64 bits split into 4×16-bit BANDS — the simhash-style
     blocking key — and candidates are pairs agreeing on ≥1 band within
     the same (w, h) class; exact Hamming distance over the XOR popcounts
-    then keeps pairs ≤ 8 bits apart. Measured blocking fan-out at
-    sf0.1: ~198k candidate pairs from 5k images (vs 12.5M all-pairs).
-    No 64-bit packing anywhere, so DuckDB's signed-shift limit is never
-    touched."""
+    then keeps pairs ≤ 8 bits apart.
+
+    SCALE ARCHITECTURE (r7 — kills the measured 11.6× super-linear wall
+    at 10× data): a near-dup-heavy corpus SATURATES its signature space
+    (measured on this fixture: 1,882 distinct (w,h,sig) at 5k docs →
+    only 6,051 at 50k, up to 336 docs per identical signature), so all
+    band/Hamming compute runs over DISTINCT SIGNATURES — a frame whose
+    size is bounded by hash diversity, not corpus size. Hamming is one
+    XOR-popcount projection per signature pair (no explode, no pair
+    groupBy), and doc-level pairs come from a final expansion join —
+    O(1) work per output row, where the output (all near-dup pairs) is
+    what it is. Same-signature pairs short-circuit to hamming=0 via a
+    single equi-self-join. Output set is bit-identical to the band-
+    blocked pair semantics the oracle replays. No 64-bit packing
+    anywhere, so DuckDB's signed-shift limit is never touched."""
     corpus = _bmp_corpus(spark, sf_dir)
 
-    def bands_of(batches):
+    def sigs_of(batches):
         import numpy as np
         import pandas as pd
 
@@ -714,60 +820,32 @@ def multimodal_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
                 grid = g[np.ix_(gy, gx)]
                 bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64)
                 flat = bits.reshape(-1)  # k = gy*8 + gx
-                for b in range(4):
-                    val = int(
-                        (flat[b * 16 : (b + 1) * 16] << np.arange(16)).sum()
-                    )
-                    rows.append(
-                        {
-                            "doc_id": int(did),
-                            "w": w,
-                            "h": h,
-                            "band_idx": b,
-                            "band_val": val,
-                        }
-                    )
+                bv = [
+                    int((flat[b * 16 : (b + 1) * 16] << np.arange(16)).sum())
+                    for b in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "w": w,
+                        "h": h,
+                        "b0": bv[0],
+                        "b1": bv[1],
+                        "b2": bv[2],
+                        "b3": bv[3],
+                    }
+                )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "w", "h", "band_idx", "band_val"]
+                rows, columns=["doc_id", "w", "h", "b0", "b1", "b2", "b3"]
             )
 
-    bands = corpus.mapInPandas(
-        bands_of, "doc_id bigint, w int, h int, band_idx int, band_val bigint"
+    sigs = corpus.mapInPandas(
+        sigs_of,
+        "doc_id bigint, w int, h int, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
     ).localCheckpoint(eager=True)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
+    return _sig_neardup_pairs(
+        sigs, ["w", "h"], ["b0", "b1", "b2", "b3"], max_hamming=8
     )
-    ba = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band_idx").alias("bi"),
-        F.col("band_val").alias("va"),
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band_idx").alias("bi"),
-        F.col("band_val").alias("vb"),
-    )
-    ham = (
-        cand.join(ba, "id_a")
-        .join(bb, ["id_b", "bi"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(F.bit_count(F.expr("va ^ vb"))).cast("long").alias("hamming")
-        )
-    )
-    return ham.filter(F.col("hamming") <= 8)
 
 
 @query(
@@ -816,10 +894,16 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
     raw samples, so the print survives gain changes and codec noise).
     Frame energies are exact integer sums, prints split into 16-bit
     bands blocked within the same duration class, and exact Hamming
-    distance over XOR popcounts keeps pairs ≤ 3 bits apart. Measured
-    blocking: ~18k candidates from 5k clips at sf0.1 vs 12.5M all-pairs.
-    The oracle recomputes every sample, energy, bit, and pair from the
-    closed-form waveform."""
+    distance over XOR popcounts keeps pairs ≤ 3 bits apart.
+
+    SCALE ARCHITECTURE (r7, shared with the image twin): all band and
+    Hamming compute runs over DISTINCT fingerprints via
+    _sig_pair_table — bounded by print diversity, not corpus size —
+    and doc pairs come from expansion joins (O(1)/output row). The
+    duration class n fixes the band count (n ≤ 143 → 1 band, else 2),
+    so the absent second band is packed as a −1 sentinel: skipped for
+    blocking, XOR-zero for the distance. The oracle recomputes every
+    sample, energy, bit, and pair from the closed-form waveform."""
     corpus = _wav_corpus(spark, sf_dir)
 
     def prints_of(batches):
@@ -837,42 +921,19 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
                 nf = n // 8
                 e = (v[: nf * 8].reshape(nf, 8) ** 2).sum(axis=1)
                 bits = (e[:-1] > e[1:]).astype(np.int64)
+                bvs = [-1, -1]
                 for bi in range((len(bits) + 15) // 16):
                     chunk = bits[bi * 16 : (bi + 1) * 16]
-                    bv = int((chunk << np.arange(len(chunk))).sum())
-                    rows.append(
-                        {"doc_id": int(did), "n": n, "bi": bi, "bv": bv}
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "n", "bi", "bv"])
+                    bvs[bi] = int((chunk << np.arange(len(chunk))).sum())
+                rows.append(
+                    {"doc_id": int(did), "n": n, "v0": bvs[0], "v1": bvs[1]}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n", "v0", "v1"])
 
-    bands = corpus.mapInPandas(
-        prints_of, "doc_id bigint, n int, bi int, bv bigint"
+    sigs = corpus.mapInPandas(
+        prints_of, "doc_id bigint, n int, v0 bigint, v1 bigint"
     ).localCheckpoint(eager=True)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.n") == F.col("b.n"))
-            & (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    ba = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("bi").alias("bi"), F.col("bv").alias("va")
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("bi").alias("bi"), F.col("bv").alias("vb")
-    )
-    ham = (
-        cand.join(ba, "id_a")
-        .join(bb, ["id_b", "bi"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.bit_count(F.expr("va ^ vb"))).cast("long").alias("hamming"))
-    )
-    return ham.filter(F.col("hamming") <= 3)
+    return _sig_neardup_pairs(sigs, ["n"], ["v0", "v1"], max_hamming=3)
 
 
 @query(
@@ -943,7 +1004,18 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical (smallest matching id) and an is_dup flag. The decode runs
     ONCE per asset for both features and prints (the thing a naive
     two-job pipeline pays twice for); everything after the Arrow stage
-    is scalar-column relational work. Full-composition oracle from the
+    is scalar-column relational work.
+
+    SCALE ARCHITECTURE (r7 — the fix for the measured 11.6× super-
+    linear wall at 10× data): the output here is PER-ASSET, and the
+    keep-first canonical `min(partner id < my id)` DISTRIBUTES over
+    signature groups — so no doc-level pair set is ever materialized.
+    Qualifying signature pairs come from _sig_pair_table (bounded by
+    signature diversity, not corpus size); per-signature min-doc-ids
+    and neighbor-mins reduce to a tiny per-signature stats frame that
+    BROADCASTS back onto the assets. Total: one decode pass, one
+    groupBy(signature) shuffle, signature-sized joins, zero pair
+    expansion — linear end to end. Full-composition oracle from the
     closed-form pixel function."""
     corpus = _bmp_corpus(spark, sf_dir)
 
@@ -964,67 +1036,73 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gx = (np.arange(9) * w) // 9
                 grid = g[np.ix_(gy, gx)]
                 bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64).reshape(-1)
-                for b in range(4):
-                    rows.append(
-                        {
-                            "doc_id": int(did),
-                            "w": w,
-                            "h": h,
-                            "mean_i": mean_i,
-                            "band_idx": b,
-                            "band_val": int(
-                                (bits[b * 16 : (b + 1) * 16] << np.arange(16)).sum()
-                            ),
-                        }
-                    )
+                bv = [
+                    int((bits[b * 16 : (b + 1) * 16] << np.arange(16)).sum())
+                    for b in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "w": w,
+                        "h": h,
+                        "mean_i": mean_i,
+                        "b0": bv[0],
+                        "b1": bv[1],
+                        "b2": bv[2],
+                        "b3": bv[3],
+                    }
+                )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "w", "h", "mean_i", "band_idx", "band_val"],
+                columns=["doc_id", "w", "h", "mean_i", "b0", "b1", "b2", "b3"],
             )
 
-    analyzed = corpus.mapInPandas(
+    class_cols = ["w", "h"]
+    band_cols = ["b0", "b1", "b2", "b3"]
+    key = class_cols + band_cols
+    sigs = corpus.mapInPandas(
         analyze,
-        "doc_id bigint, w int, h int, mean_i double, band_idx int, band_val bigint",
+        "doc_id bigint, w int, h int, mean_i double, "
+        "b0 bigint, b1 bigint, b2 bigint, b3 bigint",
     ).localCheckpoint(eager=True)
-    assets = analyzed.groupBy("doc_id", "w", "h").agg(
-        F.first("mean_i").alias("mean_i")
+    qual = _sig_pair_table(sigs, class_cols, band_cols, max_hamming=8)
+    # per-signature smallest asset id — the only corpus-sized shuffle
+    sig_min = sigs.groupBy(*key).agg(F.min("doc_id").alias("mn1"))
+    # min over NEIGHBOR signatures' mn1, from both pair orientations
+    m_a = qual.join(
+        sig_min.select(
+            *class_cols,
+            *[F.col(c).alias(f"b_{c}") for c in band_cols],
+            "mn1",
+        ),
+        list(class_cols) + [f"b_{c}" for c in band_cols],
+    ).select(
+        *class_cols, *[F.col(f"a_{c}").alias(c) for c in band_cols], "mn1"
     )
-    a, b = analyzed.alias("a"), analyzed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    m_b = qual.join(
+        sig_min.select(
+            *class_cols,
+            *[F.col(c).alias(f"a_{c}") for c in band_cols],
+            "mn1",
+        ),
+        list(class_cols) + [f"a_{c}" for c in band_cols],
+    ).select(
+        *class_cols, *[F.col(f"b_{c}").alias(c) for c in band_cols], "mn1"
     )
-    ba = analyzed.select(
-        F.col("doc_id").alias("id_a"), F.col("band_idx").alias("bi"),
-        F.col("band_val").alias("va"),
+    nmin = (
+        m_a.unionByName(m_b).groupBy(*key).agg(F.min("mn1").alias("nmin"))
     )
-    bb = analyzed.select(
-        F.col("doc_id").alias("id_b"), F.col("band_idx").alias("bi"),
-        F.col("band_val").alias("vb"),
+    stats = sig_min.join(nmin, key, "left")
+    docs = sigs.join(F.broadcast(stats), key, "left")
+    cand = F.least(
+        F.when(F.col("mn1") < F.col("doc_id"), F.col("mn1")),
+        F.when(F.col("nmin") < F.col("doc_id"), F.col("nmin")),
     )
-    ham = (
-        cand.join(ba, "id_a")
-        .join(bb, ["id_b", "bi"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.bit_count(F.expr("va ^ vb"))).alias("hamming"))
-        .filter(F.col("hamming") <= 8)
-    )
-    canon = ham.groupBy(F.col("id_b").alias("doc_id")).agg(
-        F.min("id_a").alias("canonical_id")
-    )
-    return assets.join(canon, "doc_id", "left").select(
+    return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.col("w").cast("int").alias("width"),
         F.col("h").cast("int").alias("height"),
         (F.round(F.col("mean_i"), 6) + F.lit(0.0)).alias("mean_intensity"),
-        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
-        F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),
+        F.coalesce(cand, F.col("doc_id")).alias("canonical_id"),
+        cand.isNotNull().cast("int").alias("is_dup"),
     )
