@@ -1097,16 +1097,16 @@ def _duck_pca_iter(t: int, prev: str) -> str:
     order-independent on both engines), the normalized iterate crosses
     the usual nudged-8 bridge."""
     return f"""
-    w{t} AS (
+    w{t} AS MATERIALIZED (
       SELECT c.i AS pos,
              CAST(sum(CAST(round(c.cv * v.val * 1e14) AS BIGINT)) AS DOUBLE)
                / 1e14 AS w
       FROM cmat c JOIN {prev} v ON c.j = v.pos GROUP BY c.i
-    ), nrm{t} AS (
+    ), nrm{t} AS MATERIALIZED (
       SELECT sqrt(CAST(sum(CAST(round(w * w * 1e14) AS BIGINT)) AS DOUBLE)
                   / 1e14) AS nm
       FROM w{t}
-    ), v{t} AS (
+    ), v{t} AS MATERIALIZED (
       SELECT pos, round(w / nm + sign(w / nm) * 1e-9, 8) + 0.0 AS val
       FROM w{t} CROSS JOIN nrm{t}
     )"""
@@ -1115,18 +1115,18 @@ def _duck_pca_iter(t: int, prev: str) -> str:
 @query(
     "embedding_pca_power_iteration",
     oracle=f"""
-    WITH ex AS (
+    WITH ex AS MATERIALIZED (
       SELECT vec_id, s.i - 1 AS i, CAST(embedding[s.i] AS DOUBLE) AS x
       FROM embeddings
       CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
-    ), nn AS (
+    ), nn AS MATERIALIZED (
       SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings
-    ), mu AS (
+    ), mu AS MATERIALIZED (
       SELECT i, sum(x) AS sx FROM ex GROUP BY i
-    ), g AS (
+    ), g AS MATERIALIZED (
       SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS gij
       FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
-    ), cmat AS (
+    ), cmat AS MATERIALIZED (
       SELECT g.i, g.j,
              round(g.gij / nn.nv - (ma.sx / nn.nv) * (mb.sx / nn.nv)
                    + sign(g.gij / nn.nv - (ma.sx / nn.nv) * (mb.sx / nn.nv))
@@ -1134,7 +1134,7 @@ def _duck_pca_iter(t: int, prev: str) -> str:
       FROM g CROSS JOIN nn
       JOIN mu ma ON g.i = ma.i
       JOIN mu mb ON g.j = mb.i
-    ), v0 AS (
+    ), v0 AS MATERIALIZED (
       SELECT DISTINCT i AS pos, 0.125 AS val FROM cmat
     ),{','.join(_duck_pca_iter(n + 1, f'v{n}') for n in range(_PCA_ITERS))},
     lam AS (
