@@ -19,8 +19,12 @@ round (house pattern from `lsh_closure`).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -67,6 +71,7 @@ def connected_components(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
     ).localCheckpoint(eager=True)
     steps_done = 0
+    changed = 1
     while steps_done < max_rounds:
         cur = labels.select("_id", F.col("_lbl").alias("_old"), "_lbl")
         for _ in range(min(2, max_rounds - steps_done)):
@@ -96,6 +101,18 @@ def connected_components(
         labels = nxt.select("_id", "_lbl")
         if changed == 0:
             break
+    if changed != 0:
+        # labels still moved on the last super-round: the round budget is
+        # exhausted, not converged — components may carry split labels on
+        # graphs with diameter >> max_rounds. Surface it rather than
+        # silently returning a partial closure.
+        log.warning(
+            "connected_components: max_rounds=%d exhausted before "
+            "convergence (labels changed on the final super-round); "
+            "returned labels may split long-diameter components — raise "
+            "max_rounds.",
+            max_rounds,
+        )
     return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
 
 
@@ -169,19 +186,23 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     Output: (id, degree, n_triangles, clustering) where clustering =
     2T / (deg·(deg−1)), NULL for degree < 2 (nullif, ANSI-safe).
 
-    ``pairs``, ``deg`` and ``oriented`` are each referenced by multiple
-    downstream legs (degree join ×2, wedge ×2 + closure, final join), so
-    they are ``localCheckpoint``-ed once — otherwise Catalyst re-derives
-    the caller's whole edge-build lineage (often an expensive self-join +
-    distinct) for every leg, ~25× at plan level.
+    Materialization discipline (r8, the super-round lesson from
+    `connected_components`): only TWO localCheckpoints — ``pairs`` (its
+    caller-side build is usually an expensive self-join + distinct and
+    feeds both the degree aggregate and the orientation join) and
+    ``oriented`` (feeds the wedge ×2 + closure legs and the final degree
+    scan). Per-node degree is NOT a separate checkpointed frame: every
+    undirected edge appears exactly once in ``oriented``, so degree is
+    recoverable by an explode-count over the materialized edges — and
+    that count FUSES with the triangle-corner count into one tagged-union
+    groupBy, replacing the old deg-checkpoint + corners-groupBy + final
+    left-join with a single (id)-keyed aggregate.
     """
     pairs = pairs.localCheckpoint(eager=True)
     deg = (
-        pairs.select(F.col("s").alias("id"))
-        .unionAll(pairs.select(F.col("d").alias("id")))
+        pairs.select(F.explode(F.array("s", "d")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
     )
     ds = deg.select(F.col("id").alias("s"), F.col("degree").alias("_sdeg"))
     dd = deg.select(F.col("id").alias("d"), F.col("degree").alias("_ddeg"))
@@ -202,21 +223,32 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     wedges = e1.join(e2, "b")
     closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tris = wedges.join(closing, ["a", "c"])
-    # one pass over tris (explode, not a 3-way union of projections — a
-    # union would re-execute the wedge+closure joins once per corner)
-    corners = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    # one tagged union, one shuffle: edge occurrences count degree,
+    # triangle corners count triangles (explode, not 3-way unions of
+    # projections — a union per corner would re-run the wedge+closure
+    # joins three times)
+    contrib = oriented.select(
+        F.explode(F.array("u", "v")).alias("id"),
+        F.lit(1).alias("_e"),
+        F.lit(0).alias("_t"),
+    ).unionAll(
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("id"),
+            F.lit(0).alias("_e"),
+            F.lit(1).alias("_t"),
+        )
     )
-    return deg.join(corners, "id", "left").select(
+    stats = contrib.groupBy("id").agg(
+        F.sum("_e").alias("degree"), F.sum("_t").alias("n_triangles")
+    )
+    return stats.select(
         "id",
         F.col("degree").cast("long").alias("degree"),
-        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
         (
             F.round(
                 2.0
-                * F.coalesce("n_triangles", F.lit(0))
+                * F.col("n_triangles")
                 / F.nullif(
                     F.col("degree").cast("double") * (F.col("degree") - 1), F.lit(0.0)
                 ),

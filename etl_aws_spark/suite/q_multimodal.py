@@ -73,7 +73,11 @@ def _sig_neardup_pairs(
     (bounded by signature diversity), then two expansion joins — O(1) work
     per output row. Same-signature doc pairs short-circuit to hamming=0
     through one equi-self-join on the full signature (they share every
-    band, so they are always candidates)."""
+    band, so they are always candidates). Docs whose signature is ALL
+    sentinel (every band < 0: no content to hash, e.g. an audio clip too
+    short for one fingerprint frame) are excluded from that self-join —
+    they carry no perceptual evidence, matching the banded formulation
+    which emits no band rows for them and can never pair them."""
     qual = _sig_pair_table(sigs, class_cols, band_cols, max_hamming)
     da = sigs.select(
         F.col("doc_id").alias("xa"),
@@ -94,7 +98,8 @@ def _sig_neardup_pairs(
             "hamming",
         )
     )
-    s1, s2 = sigs.alias("s1"), sigs.alias("s2")
+    hashable = sigs.filter(F.greatest(*[F.col(c) for c in band_cols]) >= 0)
+    s1, s2 = hashable.alias("s1"), hashable.alias("s2")
     cond = F.col("s1.doc_id") < F.col("s2.doc_id")
     for c in list(class_cols) + list(band_cols):
         cond = cond & (F.col(f"s1.{c}") == F.col(f"s2.{c}"))
@@ -1093,7 +1098,12 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_a.unionByName(m_b).groupBy(*key).agg(F.min("mn1").alias("nmin"))
     )
     stats = sig_min.join(nmin, key, "left")
-    docs = sigs.join(F.broadcast(stats), key, "left")
+    # No broadcast hint here: |stats| = distinct signatures, which on a
+    # diverse corpus approaches N.  Both sides are already shuffled on the
+    # signature key (sig_min's groupBy), so the sort-merge join is
+    # shuffle-free on the stats side, and AQE will still promote to
+    # broadcast when the frame is measured small at runtime.
+    docs = sigs.join(stats, key, "left")
     cand = F.least(
         F.when(F.col("mn1") < F.col("doc_id"), F.col("mn1")),
         F.when(F.col("nmin") < F.col("doc_id"), F.col("nmin")),
