@@ -39,6 +39,7 @@ HEADLINE = [
     "text_dedup_keep_best",   # CC + survivor ranking composition
     "graph_triangle_clustering",  # self-join graph + wedge closure
     "similarity_topk_pq_adc",  # PQ train+encode+ADC search in one plan
+    "similarity_pq_index_adc_search",  # r8: ADC search-only leg vs persisted index
 ]
 
 

@@ -151,30 +151,27 @@ def encode(
     )
 
 
-def adc_topk(
-    df: DataFrame,
+def adc_search(
+    codes: DataFrame,
+    codebook: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     d_sub: int,
-    k_codes: int,
     topk: int = 10,
-    iters: int = 1,
-    round_digits: int = 4,
 ) -> DataFrame:
-    """Asymmetric-distance top-k in the compressed domain: queries keep
-    their raw vectors, the corpus is only its PQ codes. The per-query
-    distance table (|Q|·m·k rows — 640 here) is built once and broadcast;
-    each corpus vector's approximate distance is the ascending-``sub``
-    fold of its m table lookups. Returns
+    """The search-only ADC leg against an EXISTING index: ``codes``
+    is ``(_id, sub, code)`` (the compressed corpus, typically read from a
+    persisted parquet artifact), ``codebook`` is ``(sub, code, spos, cw)``
+    with already-rounded components. Exactly three shuffles: the per-query
+    distance-table aggregate (|Q|·m·k rows, then broadcast), the
+    per-(query, neighbor) ADC fold, and the top-k window — training cost
+    is zero, which is the point of persisting the index. Returns
     ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
-    parts, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
-    codes = assign_codes(parts, cb).select("_id", "sub", "code")
-
     qparts = subvector_parts(queries, id_col, vec_col, d_sub).withColumnRenamed(
         "_id", "query_id"
     )
-    qterms = qparts.join(F.broadcast(cb), ["sub", "spos"]).select(
+    qterms = qparts.join(F.broadcast(codebook), ["sub", "spos"]).select(
         "query_id", "sub", "code", "spos",
         ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
     )
@@ -193,3 +190,27 @@ def adc_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    k_codes: int,
+    topk: int = 10,
+    iters: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k in the compressed domain: queries keep
+    their raw vectors, the corpus is only its PQ codes. The per-query
+    distance table (|Q|·m·k rows — 640 here) is built once and broadcast;
+    each corpus vector's approximate distance is the ascending-``sub``
+    fold of its m table lookups. Trains in the same plan; for the
+    train-once / search-many shape, persist ``train_codebook`` +
+    ``assign_codes`` output and call :func:`adc_search`. Returns
+    ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
+    parts, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
+    codes = assign_codes(parts, cb).select("_id", "sub", "code")
+    return adc_search(codes, cb, queries, id_col, vec_col, d_sub, topk)

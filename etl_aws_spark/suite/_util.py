@@ -2,8 +2,33 @@
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_CACHE_ROOT = "/tmp/etl_aws_spark_cache"
+
+
+def cache_dir(sf_dir: str, layout: str) -> str:
+    """Cache path for a derived artifact of ``sf_dir``, keyed on the
+    directory name AND a content fingerprint (name/size/mtime of every
+    parquet file under it). If the driver regenerates the fixtures
+    in-place between rounds, the tag changes and stale artifacts are
+    abandoned rather than served (ADVICE r6: the bare-``sf_dir`` tag
+    could silently survive a data refresh)."""
+    h = hashlib.sha1(sf_dir.encode())
+    try:
+        for root, _dirs, files in sorted(os.walk(sf_dir)):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                st = os.stat(os.path.join(root, fname))
+                h.update(f"{root}/{fname}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    return os.path.join(_CACHE_ROOT, h.hexdigest()[:16], layout)
 
 # Ordering for the events table: ts is unique per user in the fixtures, but
 # event_id is appended as an unconditional tie-break so every windowed result

@@ -2,12 +2,12 @@
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_aws_spark.suite._util import cache_dir as _cache_dir
 from etl_aws_spark.registry import load, query
 from etl_aws_spark.sources import catalog, rest, writers
 
@@ -73,8 +73,8 @@ def catalog_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`MSCK REPAIR TABLE` + partition listing (`glue.py:241-287`), on a
     daily-partitioned events layout. Rows-only: one row per recovered
     partition (30 days in the fixtures)."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "events_catalog")
+    root = _cache_dir(sf_dir, "events_catalog")
+    tag = os.path.basename(os.path.dirname(root))
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
         writers.write_daily_partition(load(spark, sf_dir, "events"), root, "ts")
     table = f"events_cat_{tag}"

@@ -7,7 +7,6 @@ l_quantity/l_discount/l_tax, target l_extendedprice).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -15,7 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.ml import encoders, models
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, rnd
+from etl_aws_spark.suite._util import EVENTS_ORDER_SQL, cache_dir as _cache_dir, rnd
 
 _W_SQL = f"OVER (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL})"
 
@@ -531,8 +530,7 @@ def model_persist_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["l_orderkey", "l_linenumber"],
         max_iter=2,
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp/etl_aws_spark_cache", tag, "gbt_model")
+    path = _cache_dir(sf_dir, "gbt_model")
     reloaded = models.persist_pipeline(model, path)
     re_preds = reloaded.transform(li).select(
         "l_orderkey", "l_linenumber", F.col("yhat").alias("yhat2")

@@ -20,12 +20,7 @@ from pyspark.sql import types as T
 from etl_aws_spark.registry import load, query
 from etl_aws_spark.sources import readers, writers
 
-_CACHE_ROOT = "/tmp/etl_aws_spark_cache"
-
-
-def _cache_dir(sf_dir: str, layout: str) -> str:
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(_CACHE_ROOT, tag, layout)
+from etl_aws_spark.suite._util import cache_dir as _cache_dir
 
 
 def _done(path: str) -> bool:

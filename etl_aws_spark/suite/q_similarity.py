@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_aws_spark.registry import load, query
 from etl_aws_spark.similarity import knn, pq
-from etl_aws_spark.suite._util import rnd
+from etl_aws_spark.suite._util import cache_dir as _cache_dir, rnd
 
 _DIM = 64
 
@@ -731,6 +731,85 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_pq_index_adc_search",
+    # identical semantics (and oracle) to similarity_topk_pq_adc — what
+    # changes is the PHYSICAL shape: the codebook and codes are trained
+    # ONCE, persisted as parquet artifacts, and every search replays only
+    # the 3-shuffle ADC leg. The oracle must still replay the full
+    # train+encode pipeline, so the gate checks that the at-rest artifacts
+    # are byte-equivalent to a fresh train.
+    oracle=f"""
+    WITH {_DUCK_PQ}, qp AS (
+      SELECT id AS query_id, sub, spos, val FROM pparts WHERE id < 5
+    ), dt AS (
+      SELECT q.query_id, q.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((q.val - c.cw) * (q.val - c.cw) ORDER BY q.spos)),
+               (acc, x) -> acc + x) AS ddist
+      FROM qp q JOIN cb1 c ON q.sub = c.sub AND q.spos = c.spos
+      GROUP BY q.query_id, q.sub, c.code
+    ), scored AS (
+      SELECT d.query_id, e.id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(d.ddist ORDER BY e.sub)), (acc, x) -> acc + x) AS adc
+      FROM enc e JOIN dt d ON e.sub = d.sub AND e.code = d.code
+      GROUP BY d.query_id, e.id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) + 0.0 AS adc_dist, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def similarity_pq_index_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search against a PERSISTED PQ index — the train-once /
+    search-many shape that makes PQ pay at 100 TB: `similarity_topk_pq_adc`
+    replays codebook training and corpus encoding inside every search plan
+    (13 shuffles); here both artifacts are written ONCE — `codebook/`
+    (m·k·d_sub rounded components, ~1 KiB) and `codes/` (8 bytes per
+    vector, the only corpus-sized artifact) — and each subsequent search
+    is the pure 3-shuffle ADC leg: build the |Q|·m·k distance table,
+    broadcast it over a scan of the codes parquet, rank. The training
+    shuffle is amortized over every search, the same argument as
+    `similarity_ivf_index_pruned_search` and `sink_bucketed_join_noshuffle`.
+    Determinism: the persisted codebook stores the already-rounded
+    components (the rounded codebook IS the index artifact), so a search
+    against the parquet read-back is bit-identical to the full replay."""
+    import os as _os
+
+    from etl_aws_spark.suite._util import cache_dir as _cdir
+
+    emb = load(spark, sf_dir, "embeddings")
+    index = _cdir(sf_dir, "pq_index")
+    cb_path, codes_path = _os.path.join(index, "codebook"), _os.path.join(index, "codes")
+    if not _os.path.exists(_os.path.join(codes_path, "_SUCCESS")):
+        parts, cb = pq.train_codebook(
+            emb, "vec_id", "embedding", d_sub=_PQ_DSUB, k=_PQ_K, iters=1
+        )
+        cb.write.mode("overwrite").parquet(cb_path)
+        cb_at_rest = spark.read.parquet(cb_path)
+        pq.assign_codes(parts, cb_at_rest).select("_id", "sub", "code").write.mode(
+            "overwrite"
+        ).parquet(codes_path)
+
+    codebook = spark.read.parquet(cb_path)
+    codes = spark.read.parquet(codes_path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq.adc_search(
+        codes, codebook, queries, "vec_id", "embedding", d_sub=_PQ_DSUB, topk=10
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round(F.col("adc_dist"), 6) + F.lit(0.0)).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
     "embedding_silhouette_simplified",
     oracle=f"""
     WITH {_DUCK_CENTROIDS},
@@ -1324,14 +1403,12 @@ def similarity_ivf_index_pruned_search(spark: SparkSession, sf_dir: str) -> Data
     query adds is the index-at-rest physical plan: at 100 TB the shuffle
     paid at write time is amortized over every subsequent search, the
     same argument as `sink_bucketed_join_noshuffle`."""
-    import hashlib as _hl
     import os as _os
 
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
-    index = _os.path.join("/tmp/etl_aws_spark_cache", tag, "ivf_index")
+    index = _cache_dir(sf_dir, "ivf_index")
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         emb.write.mode("overwrite").partitionBy("label").parquet(index)
 

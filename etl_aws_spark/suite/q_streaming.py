@@ -4,7 +4,6 @@ SQL-expressible; invariants are pinned in tests/test_streaming.py)."""
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 
@@ -15,6 +14,7 @@ from pyspark.sql import types as T
 from etl_aws_spark.registry import load, query
 from etl_aws_spark.sources import writers
 from etl_aws_spark.streaming import ingest
+from etl_aws_spark.suite._util import cache_dir as _cache_dir
 
 
 @query("streaming_ingest_dedup", oracle=None, category="streaming")
@@ -24,8 +24,7 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined, AvailableNow trigger (the Lambda daily batch, `lambda_function
     .py:21-101`, as an incremental catch-up run). Returns the refined
     read-back: one row per unique event_id."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream")
+    root = _cache_dir(sf_dir, "stream")
     landing, refined_p, ckpt = (
         os.path.join(root, "landing"),
         os.path.join(root, "refined"),
@@ -96,8 +95,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization fixed in r4. The oracle recomputes sessions in batch SQL
     under session_window's own boundary rule, so the driver hash-checks
     stream/batch parity for stateful session merging."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_sw")
+    root = _cache_dir(sf_dir, "stream_sw")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -146,8 +144,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 h, the attribution pattern): watermarks on both sides bound the state
     buffers; the driver hash-checks the emitted matches against the batch
     range join — stream/batch parity for the hardest stateful operator."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_ssj")
+    root = _cache_dir(sf_dir, "stream_ssj")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -224,8 +221,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream/batch parity, the strongest invariant a streaming operator can
     offer. Complete output mode to a memory sink; the landing tree is the
     deterministic parquet snapshot of `events`."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_wc")
+    root = _cache_dir(sf_dir, "stream_wc")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -279,8 +275,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     store needed for the static side), then a watermarked tumbling-day
     aggregation rolls up per segment. The oracle is the batch join+group
     over the same inputs — stream/batch parity, value-hashed."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_enrich")
+    root = _cache_dir(sf_dir, "stream_enrich")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -343,8 +338,7 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of how the stream was split into batches — which is exactly
     what the batch-SQL oracle checks: the streamed state must equal the
     one-shot window over the whole history."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_upsert")
+    root = _cache_dir(sf_dir, "stream_upsert")
     landing, state_p, ckpt = (
         os.path.join(root, "landing"),
         os.path.join(root, "state"),
@@ -414,8 +408,7 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     pandas, incrementalized with watermark-bounded state. The oracle
     replays Spark's overlap assignment via the two aligned window starts
     per event — stream/batch parity, value-hashed."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_swc")
+    root = _cache_dir(sf_dir, "stream_swc")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -480,8 +473,7 @@ def streaming_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     must EQUAL the batch-built one regardless of batch boundaries, which
     is exactly what the batch oracle value-checks. The streaming twin of
     `sketch_count_min_freq`'s offline accuracy harness."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_cms")
+    root = _cache_dir(sf_dir, "stream_cms")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
@@ -537,8 +529,7 @@ def streaming_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus: stream/batch parity, value-hashed. This is the
     streaming twin of `text_dedup_exact` — what a production pipeline
     runs as each crawl drop lands, without rescanning the corpus."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_corpus_dedup")
+    root = _cache_dir(sf_dir, "stream_corpus_dedup")
     landing, state_p, ckpt = (
         os.path.join(root, "landing"),
         os.path.join(root, "state"),
@@ -611,8 +602,7 @@ def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers."""
     from etl_aws_spark.streaming import stateful
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_ewma")
+    root = _cache_dir(sf_dir, "stream_ewma")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -711,8 +701,7 @@ def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_topk")
+    root = _cache_dir(sf_dir, "stream_topk")
     landing = os.path.join(root, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
@@ -796,8 +785,7 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     (the watermark survives restarts via the checkpoint) in one query.
     Emitted updates append to a parquet log via foreachBatch; the final
     count per window is the max over its emissions."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_late2")
+    root = _cache_dir(sf_dir, "stream_late2")
     landing = os.path.join(root, "landing")
     updates = os.path.join(root, "updates")
     ckpt = os.path.join(root, "ckpt")
@@ -890,8 +878,7 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_aws_spark.operators import changedata as cd
     from etl_aws_spark.streaming import ingest as ing
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_scd2")
+    root = _cache_dir(sf_dir, "stream_scd2")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
     ckpt = os.path.join(root, "ckpt")

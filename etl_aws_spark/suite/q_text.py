@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import rnd
+from etl_aws_spark.suite._util import cache_dir as _cache_dir, rnd
 from etl_aws_spark.text import _dialect as D
 from etl_aws_spark.text import analysis, dedup
 from etl_aws_spark.text import bpe as bpe_mod
@@ -1100,7 +1100,6 @@ def text_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     history reports the minimum matching historical id. Same md5/
     permutation math as `text_dedup_near_minhash`, so the oracle replays
     the full index build + probe exactly."""
-    import hashlib as _hl
     import os as _os
 
     docs = load(spark, sf_dir, "documents")
@@ -1117,8 +1116,7 @@ def text_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id",
         F.explode(F.array(*[F.col(f"bk{b}") for b in range(bands)])).alias("bk"),
     )
-    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
-    index = _os.path.join("/tmp/etl_aws_spark_cache", tag, "minhash_band_index2")
+    index = _cache_dir(sf_dir, "minhash_band_index2")
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         # the index stores the per-bucket MINIMUM, not raw postings: the
         # probe's aggregate (min over shared buckets) distributes over the
