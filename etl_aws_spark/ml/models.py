@@ -837,6 +837,156 @@ def gbt_halving_search_temporal(
             val.unpersist()
 
 
+def stump_boost_importances(
+    df: DataFrame,
+    features: dict,
+    target: str,
+    rounds: int = 5,
+    lr: float = 0.5,
+    n_bins: int = 16,
+    scale: float = 1e4,
+) -> DataFrame:
+    """Impurity-gain feature importances from DECLARATIVE histogram
+    gradient boosting with depth-1 trees (stumps) — the replayable twin of
+    Spark ML's ``GBTRegressor.featureImportances`` (ranking plots,
+    `src/model/metrics_visualizer.py:501-530`).
+
+    This is the real distributed-GBDT training shape (LightGBM/XGBoost
+    histogram mode): per boosting round, ONE map-side-combined aggregate
+    builds a ``(feature, bin)`` histogram of residual sums/counts
+    (|features|·n_bins rows — bounded model state, like the k-means
+    centroid collect), the best variance-reduction split is picked on the
+    driver, and the residual update is a pure column expression. Nothing
+    corpus-sized ever reaches the driver; per round the cluster does one
+    scan + one tiny shuffle, at any corpus size.
+
+    Determinism bridge (FIXTURES.md §C / SCALE.md §8): the target is
+    quantized to fixed-point int64 (``floor(y·scale + 0.5)``) so every
+    residual sum is an ORDER-INDEPENDENT integer; gains and leaf values
+    are derived from those exact sums through a fixed IEEE expression —
+    ``(S_L²/n_L + S_R²/n_R) − S²/n`` and ``floor(lr·(S/n) + 0.5)`` — that
+    the SQL oracle replays verbatim, so split choices, residuals, and
+    importances are bit-identical across engines. Bins are fixed-width
+    over the global [min, max] (boundary IEEE arithmetic shared the same
+    way).
+
+    ``features`` maps feature name -> numeric Column expression. Returns
+    (feature, importance, rank): importance is the per-feature sum of
+    chosen-split gains normalized to total gain (round 4), rank by
+    (importance desc, feature asc) — same schema as
+    :func:`gbt_feature_importances`.
+    """
+    import math
+
+    names = list(features)
+    feat_cols = [
+        (F.col(e) if isinstance(e, str) else e).cast("double").alias(n)
+        for n, e in features.items()
+    ]
+    base = df.select(
+        *feat_cols,
+        F.floor(F.col(target).cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("_yfp"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_yfp").alias("_sy"),
+        *[F.min(n).alias(f"_mn_{n}") for n in names],
+        *[F.max(n).alias(f"_mx_{n}") for n in names],
+    ).collect()[0]
+    n_tot, s_y = stats["_n"], stats["_sy"]
+    base_fp = math.floor(float(s_y) / float(n_tot) + 0.5)
+
+    bin_cols = {}
+    for n in names:
+        mn, mx = float(stats[f"_mn_{n}"]), float(stats[f"_mx_{n}"])
+        if mx == mn:
+            bin_cols[n] = F.lit(0)
+        else:
+            w = (mx - mn) / float(n_bins)
+            bin_cols[n] = F.least(
+                F.lit(n_bins - 1),
+                F.greatest(F.lit(0), F.floor((F.col(n) - F.lit(mn)) / F.lit(w)).cast("int")),
+            )
+    frame = base.select(
+        *[bin_cols[n].cast("int").alias(f"_b_{n}") for n in names],
+        (F.col("_yfp") - F.lit(base_fp)).alias("_r"),
+    ).localCheckpoint(eager=True)
+
+    melted = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(n).alias("f"), F.col(f"_b_{n}").alias("bin"))
+                for n in names
+            ]
+        )
+    )
+    chosen = []  # (feature, bin, gain) per round, in round order
+    for _ in range(rounds):
+        hist = (
+            frame.select(melted.alias("m"), "_r")
+            .groupBy("m.f", "m.bin")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("_r").alias("s"))
+            .collect()
+        )
+        per_f = {}
+        for row in hist:
+            per_f.setdefault(row["f"], {})[row["bin"]] = (row["n"], row["s"])
+        best = None  # (-gain, feature, bin) minimized == (gain desc, f asc, bin asc)
+        for n in names:
+            bins = per_f.get(n, {})
+            nt = sum(v[0] for v in bins.values())
+            st = sum(v[1] for v in bins.values())
+            nl = sl = 0
+            for b in range(n_bins - 1):
+                cnt, sm = bins.get(b, (0, 0))
+                nl += cnt
+                sl += sm
+                nr, sr = nt - nl, st - sl
+                if nl == 0 or nr == 0:
+                    continue
+                sld, srd, std = float(sl), float(sr), float(st)
+                gain = (sld * sld / float(nl) + srd * srd / float(nr)) - (
+                    std * std / float(nt)
+                )
+                key = (-gain, n, b)
+                if best is None or key < best[0]:
+                    cl = math.floor(lr * (sld / float(nl)) + 0.5)
+                    cr = math.floor(lr * (srd / float(nr)) + 0.5)
+                    best = (key, gain, cl, cr)
+        if best is None:
+            break
+        (_neg, bf_feat, bb_bin), gain, cl, cr = best
+        chosen.append((bf_feat, bb_bin, gain))
+        frame = frame.withColumn(
+            "_r",
+            F.col("_r")
+            - F.when(F.col(f"_b_{bf_feat}") <= F.lit(bb_bin), F.lit(cl)).otherwise(
+                F.lit(cr)
+            ),
+        ).localCheckpoint(eager=True)
+
+    total = 0.0
+    for _f, _b, g in chosen:
+        total = total + g
+    imps = []
+    for n in names:
+        acc = 0.0
+        for f, _b, g in chosen:
+            if f == n:
+                acc = acc + g
+        imps.append((n, acc / total if total != 0.0 else 0.0))
+    spark = df.sparkSession
+    out = spark.createDataFrame(imps, "feature string, importance double")
+    w = Window.orderBy(F.desc("_imp"), F.asc("feature"))
+    return (
+        out.withColumn("_imp", F.round(F.col("importance"), 4) + F.lit(0.0))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("feature", F.col("_imp").alias("importance"), "rank")
+    )
+
+
 def gbt_feature_importances(model, spark: "SparkSession") -> DataFrame:
     """Ranked impurity-based feature importances of a fitted GBT pipeline —
     the data behind the reference's SHAP/importance ranking plots

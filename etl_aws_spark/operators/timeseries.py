@@ -406,11 +406,20 @@ def interpolate_cascade(
                 cand = known[max(0, lo - 2): lo + 2]
                 if len(cand) < 3:
                     cand = known[:3] if lo <= 1 else known[-3:]
-                sel = sorted(cand, key=lambda j: (abs(j - i), j))[:3]
-                xs = np.array(sorted(sel), dtype=float)
-                ys = x[np.array(sorted(sel))]
-                coef = np.polyfit(xs - xs[0], ys, 2)
-                x[i] = float(np.polyval(coef, i - xs[0]))
+                sel = sorted(sorted(cand, key=lambda j: (abs(j - i), j))[:3])
+                # closed-form Lagrange quadratic through the 3 points —
+                # an explicit IEEE expression (not np.polyfit's SVD
+                # least-squares) so the SQL oracle can replay the exact
+                # same arithmetic bit-for-bit; term order mirrored in the
+                # interp_polynomial_cascade oracle.
+                j0, j1, j2 = sel
+                t = float(i - j0)
+                d1, d2 = float(j1 - j0), float(j2 - j0)
+                y0, y1, y2 = float(x[j0]), float(x[j1]), float(x[j2])
+                l0 = ((t - d1) * (t - d2)) / ((0.0 - d1) * (0.0 - d2))
+                l1 = ((t - 0.0) * (t - d2)) / ((d1 - 0.0) * (d1 - d2))
+                l2 = ((t - 0.0) * (t - d1)) / ((d2 - 0.0) * (d2 - d1))
+                x[i] = y0 * l0 + y1 * l1 + y2 * l2
         pdf[value] = x
         # step 3: final per-ticker edge repair
         pdf[value] = pdf.groupby(ticker, sort=False)[value].ffill()

@@ -494,27 +494,141 @@ def model_gbt_halving_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank", "rung")
 
 
-@query("model_gbt_feature_importance", oracle=None, category="ml")
+def _duck_stump_round(m: int) -> str:
+    """One unrolled boosting-stump round: histogram → prefix-sum splits →
+    best pick → residual update. Mirrors models.stump_boost_importances'
+    driver arithmetic expression-for-expression."""
+    p = m - 1
+    return f"""
+    h{m} AS MATERIALIZED (
+      SELECT f, bin, count(*) AS n, sum(r) AS s FROM (
+        SELECT 'l_quantity' AS f, bq AS bin, r FROM r{p}
+        UNION ALL SELECT 'l_discount', bdc, r FROM r{p}
+        UNION ALL SELECT 'l_tax', btx, r FROM r{p}
+        UNION ALL SELECT 'l_returnflag', brf, r FROM r{p}
+      ) GROUP BY f, bin
+    ), sp{m} AS (
+      SELECT f, bin,
+             sum(n) OVER (PARTITION BY f ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             sum(s) OVER (PARTITION BY f ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+             sum(n) OVER (PARTITION BY f) AS nt,
+             sum(s) OVER (PARTITION BY f) AS stt
+      FROM h{m}
+    ), g{m} AS (
+      SELECT f, bin,
+             (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+              + CAST(stt - sl AS DOUBLE) * CAST(stt - sl AS DOUBLE)
+                / CAST(nt - nl AS DOUBLE))
+             - CAST(stt AS DOUBLE) * CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)
+               AS gain,
+             CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS cl,
+             CAST(floor(0.5 * (CAST(stt - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                  + 0.5) AS BIGINT) AS cr
+      FROM sp{m} WHERE bin < 15 AND nl > 0 AND nt - nl > 0
+    ), b{m} AS MATERIALIZED (
+      SELECT f, bin, gain, cl, cr FROM (
+        SELECT *, row_number() OVER (ORDER BY gain DESC, f ASC, bin ASC) AS rn
+        FROM g{m}
+      ) WHERE rn = 1
+    ), r{m} AS MATERIALIZED (
+      SELECT bq, bdc, btx, brf,
+             r - CASE WHEN (CASE b.f WHEN 'l_quantity' THEN bq
+                            WHEN 'l_discount' THEN bdc
+                            WHEN 'l_tax' THEN btx ELSE brf END) <= b.bin
+                      THEN b.cl ELSE b.cr END AS r
+      FROM r{p} CROSS JOIN b{m} b
+    )"""
+
+
+def _duck_bin(col: str, mn: str, mx: str) -> str:
+    return (
+        f"CASE WHEN {mx} = {mn} THEN 0 ELSE least(15, greatest(0, "
+        f"CAST(floor(({col} - {mn}) / (({mx} - {mn}) / 16.0)) AS INT))) END"
+    )
+
+
+@query(
+    "model_gbt_feature_importance",
+    # Full replay of the declarative histogram-stump boosting (promoted
+    # from rows-only in r8): fixed-point residuals make every histogram
+    # sum an exact integer, so split choices and gains are bit-identical
+    # and the 5 rounds unroll as CTEs.
+    oracle=f"""
+    WITH fit AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS dc,
+             CAST(l_tax AS DOUBLE) AS tx,
+             CASE l_returnflag WHEN 'A' THEN 0.0 WHEN 'N' THEN 1.0
+                  ELSE 2.0 END AS rf,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS yfp
+      FROM lineitem WHERE l_orderkey % 5 = 0
+    ), st AS (
+      SELECT count(*) AS n, sum(yfp) AS sy,
+             min(q) AS mnq, max(q) AS mxq, min(dc) AS mndc, max(dc) AS mxdc,
+             min(tx) AS mntx, max(tx) AS mxtx, min(rf) AS mnrf, max(rf) AS mxrf
+      FROM fit
+    ), r0 AS MATERIALIZED (
+      SELECT {_duck_bin('f.q', 'st.mnq', 'st.mxq')} AS bq,
+             {_duck_bin('f.dc', 'st.mndc', 'st.mxdc')} AS bdc,
+             {_duck_bin('f.tx', 'st.mntx', 'st.mxtx')} AS btx,
+             {_duck_bin('f.rf', 'st.mnrf', 'st.mxrf')} AS brf,
+             f.yfp - CAST(floor(CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE)
+                                + 0.5) AS BIGINT) AS r
+      FROM fit f CROSS JOIN st
+    ),{_duck_stump_round(1)},{_duck_stump_round(2)},{_duck_stump_round(3)},{_duck_stump_round(4)},{_duck_stump_round(5)}, tot AS (
+      SELECT ((((b1.gain + b2.gain) + b3.gain) + b4.gain) + b5.gain) AS t
+      FROM b1, b2, b3, b4, b5
+    ), imp AS (
+      SELECT n.f AS feature,
+             ((((CASE WHEN b1.f = n.f THEN b1.gain ELSE 0.0 END
+                + CASE WHEN b2.f = n.f THEN b2.gain ELSE 0.0 END)
+                + CASE WHEN b3.f = n.f THEN b3.gain ELSE 0.0 END)
+                + CASE WHEN b4.f = n.f THEN b4.gain ELSE 0.0 END)
+                + CASE WHEN b5.f = n.f THEN b5.gain ELSE 0.0 END) AS g
+      FROM (VALUES ('l_quantity'), ('l_discount'), ('l_tax'),
+                   ('l_returnflag')) n(f)
+      CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4 CROSS JOIN b5
+    )
+    SELECT feature, round(g / t, 4) + 0.0 AS importance,
+           CAST(row_number() OVER (ORDER BY round(g / t, 4) + 0.0 DESC,
+                feature ASC) AS INT) AS rank
+    FROM imp CROSS JOIN tot
+    """,
+    category="ml",
+)
 def model_gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranked GBT feature importances (`metrics_visualizer.py:501-530` SHAP
-    ranking, `model_evaluation.ipynb` cell 54 top-20) — fit on the
-    deterministic 20% hash-sample, then rank the impurity-based importance
-    of each feature incl. the indexed categorical. Rows-only: one row per
-    feature; dominance of the price-driving feature is pinned in
-    tests/test_ml.py."""
+    """Ranked boosted-tree feature importances (`metrics_visualizer.py:
+    501-530` SHAP ranking, `model_evaluation.ipynb` cell 54 top-20) — fit
+    on the deterministic 20% hash-sample, rank the impurity gain of each
+    feature incl. the categorical. r8: retrained on the DECLARATIVE
+    histogram-stump booster (models.stump_boost_importances — the
+    LightGBM-style histogram algorithm: one (feature, bin) aggregate per
+    round, bounded driver state, fixed-point residuals), which makes the
+    split-gain arithmetic engine-exact and promotes this query from
+    rows-only to a full value-hash oracle. The Spark-ML GBT path stays
+    covered by model_gbt_fit_predict."""
     li = load(spark, sf_dir, "lineitem")
     fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
-    _, model = models.gbt_fit_predict(
-        li,
-        features=["l_quantity", "l_discount", "l_tax"],
-        target="l_extendedprice",
-        keys=["l_orderkey", "l_linenumber"],
-        max_iter=5,
-        fit_df=fit_df,
-        categorical=["l_returnflag"],
+    flag_idx = (
+        F.when(F.col("l_returnflag") == "A", 0.0)
+        .when(F.col("l_returnflag") == "N", 1.0)
+        .otherwise(2.0)
     )
-    out = models.gbt_feature_importances(model, spark)
-    return out.select("feature", rnd(F.col("importance"), 4).alias("importance"), "rank")
+    return models.stump_boost_importances(
+        fit_df,
+        features={
+            "l_quantity": "l_quantity",
+            "l_discount": "l_discount",
+            "l_tax": "l_tax",
+            "l_returnflag": flag_idx,
+        },
+        target="l_extendedprice",
+        rounds=5,
+        lr=0.5,
+    )
 
 
 @query("model_persist_pickle", oracle=None, category="ml")

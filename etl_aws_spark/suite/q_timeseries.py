@@ -202,17 +202,110 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("r.col_a", "r.col_b", "r.corr")
 
 
-@query("interp_polynomial_cascade", oracle=None, category="timeseries")
+@query(
+    "interp_polynomial_cascade",
+    # Full replay of the cascade (promoted from rows-only in r8): null
+    # injection, hierarchy tags, gating counts, per-ticker ffill, the
+    # interior quadratic (closed-form Lagrange, the exact expression the
+    # grouped-map UDF evaluates — bit-identical doubles), then the
+    # ffill/bfill edge repair. The global-mean fallback is omitted: it can
+    # only fire for a ticker with zero observations whose nulls all sit at
+    # group edges, impossible under the every-7th-event injection.
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN user_id = 0 THEN 's_solo'
+                  ELSE 's' || CAST(user_id % 4 AS VARCHAR) END AS setor,
+             CASE WHEN user_id = 0 THEN 'i_solo'
+                  WHEN user_id % 5 = 0 THEN 'iu' || CAST(user_id AS VARCHAR)
+                  ELSE 'i' || CAST(user_id % 20 AS VARCHAR) END AS industria
+      FROM events
+    ), gi AS (
+      SELECT setor, industria, count(DISTINCT user_id) AS n_tic_ind
+      FROM ev GROUP BY setor, industria
+    ), gs AS (
+      SELECT setor, count(DISTINCT industria) AS n_ind_sec FROM ev GROUP BY setor
+    ), tagged AS (
+      SELECT ev.*, CASE WHEN gi.n_tic_ind > 1 THEN 'I' || ev.setor || ev.industria
+                        WHEN gs.n_ind_sec > 1 THEN 'S' || ev.setor
+                        ELSE 'G' END AS igrp
+      FROM ev JOIN gi USING (setor, industria) JOIN gs USING (setor)
+    ), f1 AS (
+      SELECT *, last_value(value IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+      FROM tagged
+    ), pos AS (
+      SELECT *, row_number() OVER (PARTITION BY igrp ORDER BY ts, event_id) AS p,
+             count(CASE WHEN v1 IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY igrp) AS nknown,
+             count(CASE WHEN v1 IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY igrp ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lo
+      FROM f1
+    ), known AS (
+      SELECT igrp, p, v1, row_number() OVER (PARTITION BY igrp ORDER BY p) AS k
+      FROM pos WHERE v1 IS NOT NULL
+    ), cand AS (
+      SELECT n.igrp, n.p, k.p AS jp, k.v1 AS jy
+      FROM pos n JOIN known k
+        ON n.igrp = k.igrp AND k.k BETWEEN n.lo - 1 AND n.lo + 2
+      WHERE n.v1 IS NULL AND n.nknown >= 3 AND n.lo >= 1 AND n.lo < n.nknown
+    ), sel AS (
+      SELECT igrp, p, jp, jy,
+             row_number() OVER (PARTITION BY igrp, p ORDER BY abs(jp - p), jp) AS r
+      FROM cand
+    ), tri AS (
+      SELECT igrp, p, jp, jy, row_number() OVER (PARTITION BY igrp, p ORDER BY jp) AS o
+      FROM sel WHERE r <= 3
+    ), fit AS (
+      SELECT igrp, p,
+             max(CASE WHEN o = 1 THEN jp END) AS j0,
+             max(CASE WHEN o = 1 THEN jy END) AS y0,
+             max(CASE WHEN o = 2 THEN jy END) AS y1,
+             max(CASE WHEN o = 2 THEN jp END) AS j1,
+             max(CASE WHEN o = 3 THEN jp END) AS j2,
+             max(CASE WHEN o = 3 THEN jy END) AS y2
+      FROM tri GROUP BY igrp, p
+    ), interp AS (
+      SELECT igrp, p,
+             (y0 * (((t - d1) * (t - d2)) / ((0.0 - d1) * (0.0 - d2)))
+              + y1 * (((t - 0.0) * (t - d2)) / ((d1 - 0.0) * (d1 - d2))))
+              + y2 * (((t - 0.0) * (t - d1)) / ((d2 - 0.0) * (d2 - d1))) AS vfit
+      FROM (SELECT *, CAST(p - j0 AS DOUBLE) AS t,
+                   CAST(j1 - j0 AS DOUBLE) AS d1,
+                   CAST(j2 - j0 AS DOUBLE) AS d2 FROM fit)
+    ), s2 AS (
+      SELECT pos.event_id, pos.user_id, pos.ts, pos.setor, pos.industria,
+             coalesce(pos.v1, i.vfit) AS x2
+      FROM pos LEFT JOIN interp i ON pos.igrp = i.igrp AND pos.p = i.p
+    ), f3 AS (
+      SELECT *, last_value(x2 IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
+      FROM s2
+    )
+    SELECT event_id, user_id, ts,
+           first_value(v3 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value,
+           setor, industria
+    FROM f3
+    """,
+    category="timeseries",
+)
 def interp_polynomial_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cascading quadratic interpolation (`preprocessing.py:61-180`), rows-only.
+    """Cascading quadratic interpolation (`preprocessing.py:61-180`).
 
     Fixture adaptation: nulls are injected deterministically (every 7th
     event) and a (setor, industria) hierarchy is derived from user_id so all
     three cascade rules fire: shared industries (rule 1), single-ticker
     industries in multi-industry sectors (rule 2), and one isolated
-    sector/industry pair (rule 3). Exact-pandas interpolation semantics are
-    pinned by unit tests (tests/test_timeseries.py); the driver records the
-    rows-only check declared in SURVEY §2.8.
+    sector/industry pair (rule 3). Promoted to an exact oracle in r8: the
+    interior quadratic is a closed-form Lagrange evaluation whose exact
+    expression tree is mirrored in the SQL, so repaired doubles are
+    bit-identical across engines (no rounding needed).
     """
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     holed = ev.withColumn(

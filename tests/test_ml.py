@@ -401,3 +401,22 @@ def test_naive_bayes_tie_breaks_lexicographically(spark):
     out = nb_train_score(docs, id_col="id", class_col="cls", tokens_col="toks")
     got = {r.id: r.pred for r in out.collect()}
     assert got == {1: "x", 2: "x"}
+
+
+def test_stump_boost_importances_signal(spark):
+    # y = 50*q + noise: the declarative histogram-stump booster must rank q
+    # first by a wide margin, importances sum to ~1, schema matches the
+    # Spark-ML path.
+    rng = np.random.RandomState(13)
+    rows = [
+        (i, float(q), float(rng.rand()), float(50.0 * q + rng.randn() * 0.1))
+        for i, q in enumerate(rng.uniform(0, 10, 500))
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, noise double, y double")
+    out = models.stump_boost_importances(
+        df, features={"q": "q", "noise": "noise"}, target="y", rounds=5, lr=0.5
+    ).toPandas()
+    assert list(out.columns) == ["feature", "importance", "rank"]
+    assert out.sort_values("rank").feature.iloc[0] == "q"
+    assert out[out.feature == "q"].importance.iloc[0] > 0.9
+    assert abs(out.importance.sum() - 1.0) < 1e-3
