@@ -29,6 +29,16 @@ from pyspark.sql.types import StructType
 # batch (batch_id <= committed) is skipped instead of double-merged —
 # restoring the batch-split invariance that cell-wise CMS addition and
 # 'latest-by' upserts advertise, now including under retries.
+#
+# LIFECYCLE COUPLING (r6 advice, made explicit): the state tree and the
+# streaming checkpoint are ONE unit — batch_ids are only monotonic within
+# a single checkpoint lineage. Deleting the checkpoint while keeping the
+# state resets batch_ids to 0, and the replay guard above would then skip
+# every fresh batch as "already committed"; keeping the checkpoint while
+# deleting the state silently drops the accumulated grid. Always drop or
+# keep <ckpt> and <state_path>(.versions) together — the suite's fixture
+# caches do this by rooting both under the same cache_dir(sf_dir, ...)
+# tree, which the content-fingerprinted tag abandons atomically.
 
 
 def _committed_batch_id(state_path: str) -> int | None:

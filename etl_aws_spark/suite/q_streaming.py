@@ -108,7 +108,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    name = f"sesswin_{tag}"
+    name = "sesswin_" + os.path.basename(os.path.dirname(root))
     stream = ingest.read_stream(spark, landing, schema)
     agg = ingest.session_window_stats(stream, "ts", "user_id", gap="1 hour")
     q = (
@@ -158,7 +158,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("event_type", T.StringType()),
         ]
     )
-    name = f"ssjoin_{tag}"
+    name = "ssjoin_" + os.path.basename(os.path.dirname(root))
     stream = ingest.read_stream(spark, landing, schema)
     clicks = stream.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts"), F.col("user_id").alias("key_u")
@@ -235,7 +235,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    name = f"wincounts_{tag}"
+    name = "wincounts_" + os.path.basename(os.path.dirname(root))
     stream = ingest.read_stream(spark, landing, schema)
     agg = ingest.windowed_counts(stream, "ts", "user_id", window="1 day", late="3 days")
     q = (
@@ -290,7 +290,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    name = f"enrich_{tag}"
+    name = "enrich_" + os.path.basename(os.path.dirname(root))
     stream = ingest.read_stream(spark, landing, schema)
     joined = stream.join(
         F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
@@ -422,7 +422,7 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
             T.StructField("value", T.DoubleType()),
         ]
     )
-    name = f"slidewin_{tag}"
+    name = "slidewin_" + os.path.basename(os.path.dirname(root))
     stream = ingest.read_stream(spark, landing, schema)
     agg = (
         stream.withWatermark("ts", "3 days")
@@ -619,7 +619,7 @@ def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = spark.readStream.schema(schema).parquet(landing)
     out = stateful.ewma_stateful(stream, "user_id", "ts", "value", span=12)
-    name = f"ewma_stateful_{tag}"
+    name = "ewma_stateful_" + os.path.basename(os.path.dirname(root))
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -735,7 +735,7 @@ def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"topk_state_{tag}"
+    name = "topk_state_" + os.path.basename(os.path.dirname(root))
     q = (
         out.writeStream.format("memory")
         .queryName(name)

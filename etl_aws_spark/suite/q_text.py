@@ -632,11 +632,11 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_CORPUS_SQL}, sh AS (
       SELECT DISTINCT doc_id AS id, unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
       FROM corpus
-    ), sizes AS (
-      SELECT id, count(*) AS sz FROM sh GROUP BY id
     ), live AS (
       SELECT sh.id, sh.h FROM sh
       JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) <= 50) f USING (h)
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM live GROUP BY id
     ), shared AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
       FROM live a JOIN live b ON a.h = b.h AND a.id < b.id

@@ -1548,9 +1548,13 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals): the autocorrelation diagnostic read directly — DW ≈ 2
     means no serial correlation, → 0 positive, → 4 negative —
     completing the serial-dependence toolkit beside ADF (unit root),
-    Ljung-Box (joint lags), and the ACF. One lag window + per-series
-    aggregate on a single user_id partitioning; the ratio of two sums of
-    identical doubles crosses one rounding at the end."""
+    Ljung-Box (joint lags), and the ACF. Convention: BOTH sums run over
+    t=2..n (each series' first observation is dropped by the lag filter,
+    so the denominator is Σ_{t>=2}(x_t−x̄)² with x̄ the FULL-series mean,
+    not the textbook all-n residual sum — a 1/n-order difference the
+    oracle replays identically). One lag window + per-series aggregate on
+    a single user_id partitioning; the ratio of two sums of identical
+    doubles crosses one rounding at the end."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")

@@ -336,9 +336,6 @@ def chunk_overlap(
         F.expr("filter(_toks, t -> t <> '')").alias("_toks"),
         "_n",
     )
-    n_chunks = F.lit(1) + F.ceil(
-        F.greatest(F.col("_n") - chunk_tokens, F.lit(0)) / F.lit(stride)
-    )
     rows = toks.select(
         "_id", "_toks", "_n",
         F.explode(F.expr(
