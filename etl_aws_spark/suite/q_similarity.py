@@ -809,6 +809,142 @@ def similarity_pq_index_adc_search(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _duck_pq_residual_chain() -> str:
+    """PQ train/encode CTE chain over CENTERED residual parts (rparts must
+    exist upstream). Same machinery as _DUCK_PQ with the source swapped;
+    key frames MATERIALIZED so the chained rounds don't re-derive."""
+    return f"""
+    cb0r AS (
+      SELECT sub, CAST(id AS INT) AS code, spos, round(val, 4) + 0.0 AS cw
+      FROM rparts WHERE id < {_PQ_K}
+    ), d0r AS (
+      SELECT p.id, p.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((p.val - c.cw) * (p.val - c.cw) ORDER BY p.spos)),
+               (acc, x) -> acc + x) AS dist
+      FROM rparts p JOIN cb0r c ON p.sub = c.sub AND p.spos = c.spos
+      GROUP BY p.id, p.sub, c.code
+    ), a0r AS (
+      SELECT id, sub, code FROM (
+        SELECT id, sub, code,
+               row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, code ASC) AS rn
+        FROM d0r
+      ) WHERE rn = 1
+    ), rmeansr AS (
+      SELECT a.sub, a.code, p.spos, round(avg(p.val), 4) + 0.0 AS cw_new
+      FROM a0r a JOIN rparts p ON a.id = p.id AND a.sub = p.sub
+      GROUP BY a.sub, a.code, p.spos
+    ), cb1r AS MATERIALIZED (
+      SELECT c.sub, c.code, c.spos, coalesce(r.cw_new, c.cw) AS cw
+      FROM cb0r c LEFT JOIN rmeansr r
+        ON c.sub = r.sub AND c.code = r.code AND c.spos = r.spos
+    ), dencr AS (
+      SELECT p.id, p.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((p.val - c.cw) * (p.val - c.cw) ORDER BY p.spos)),
+               (acc, x) -> acc + x) AS dist
+      FROM rparts p JOIN cb1r c ON p.sub = c.sub AND p.spos = c.spos
+      GROUP BY p.id, p.sub, c.code
+    ), encr AS MATERIALIZED (
+      SELECT e.id, e.sub, e.code, l.label FROM (
+        SELECT id, sub, code FROM (
+          SELECT id, sub, code,
+                 row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, code ASC) AS rn
+          FROM dencr
+        ) WHERE rn = 1
+      ) e JOIN (SELECT vec_id AS id, label FROM embeddings) l USING (id)
+    )"""
+
+
+@query(
+    "similarity_ivfpq_residual_adc",
+    # full replay: centroids (the coarse quantizer), centered residual
+    # parts, the PQ train/encode chain on residuals, L2 cell probing, the
+    # per-(query, cell) distance tables, and the in-cell ADC ranking.
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS}, rparts AS MATERIALIZED (
+      SELECT e.vec_id AS id, e.label,
+             CAST((s.i - 1) // {_PQ_DSUB} AS INT) AS sub,
+             CAST((s.i - 1) % {_PQ_DSUB} AS INT) AS spos,
+             CAST(e.embedding[s.i] AS DOUBLE) - c.val AS val
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+      JOIN comp c ON c.label = e.label AND c.i = s.i
+    ),{_duck_pq_residual_chain()}, qparts AS (
+      SELECT vec_id AS query_id, s.i,
+             CAST(embedding[s.i] AS DOUBLE) AS qv
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+      WHERE vec_id < 5
+    ), celld AS (
+      SELECT q.query_id, c.label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((q.qv - c.val) * (q.qv - c.val) ORDER BY q.i)),
+               (acc, x) -> acc + x) AS l2
+      FROM qparts q JOIN comp c ON c.i = q.i
+      GROUP BY q.query_id, c.label
+    ), probes AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id ORDER BY l2 ASC, label ASC) AS pr
+        FROM celld
+      ) WHERE pr <= 2
+    ), qr AS (
+      SELECT p.query_id, p.label,
+             CAST((q.i - 1) // {_PQ_DSUB} AS INT) AS sub,
+             CAST((q.i - 1) % {_PQ_DSUB} AS INT) AS spos,
+             q.qv - c.val AS val
+      FROM probes p
+      JOIN qparts q ON q.query_id = p.query_id
+      JOIN comp c ON c.label = p.label AND c.i = q.i
+    ), dt AS (
+      SELECT q.query_id, q.label, q.sub, c.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((q.val - c.cw) * (q.val - c.cw) ORDER BY q.spos)),
+               (acc, x) -> acc + x) AS ddist
+      FROM qr q JOIN cb1r c ON q.sub = c.sub AND q.spos = c.spos
+      GROUP BY q.query_id, q.label, q.sub, c.code
+    ), scored AS (
+      SELECT d.query_id, d.label, e.id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(d.ddist ORDER BY e.sub)), (acc, x) -> acc + x) AS adc
+      FROM encr e JOIN dt d ON e.label = d.label AND e.sub = d.sub AND e.code = d.code
+      GROUP BY d.query_id, d.label, e.id
+    ), ranked AS (
+      SELECT query_id, label, neighbor_id, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, label AS cell, neighbor_id,
+           round(adc, 6) + 0.0 AS adc_dist, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def similarity_ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-on-residuals ADC search (IVFADC, Jégou et al. TPAMI 2011
+    §IV) — the fifth ANN path, composing the coarse quantizer (per-label
+    centroids) with a product quantizer trained on CENTERED residuals:
+    probing prunes to 2 cells per query, and the in-cell scan is 8 bytes
+    per vector in the compressed domain. Residuals concentrate near zero
+    whichever cell a vector lives in, so one shared codebook quantizes
+    them far better than raw vectors — the architectural reason every
+    billion-vector ANN service ships this layout rather than flat ADC.
+    The oracle independently replays the whole composition; see
+    pq.ivfpq_residual_adc_topk for the shuffle discipline."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq.ivfpq_residual_adc_topk(
+        emb, queries, "vec_id", "embedding", "label",
+        dim=_DIM, d_sub=_PQ_DSUB, k_codes=_PQ_K, n_probe=2, topk=10,
+    )
+    return out.select(
+        "query_id", "cell", "neighbor_id",
+        (F.round(F.col("adc_dist"), 6) + F.lit(0.0)).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @query(
     "embedding_silhouette_simplified",
     oracle=f"""
