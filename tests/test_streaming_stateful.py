@@ -218,10 +218,9 @@ def test_scd2_stream_replay_is_idempotent(spark, tmp_path):
         .sort_values(["user_id", "valid_from"])
         .reset_index(drop=True)
     )
-    import hashlib
+    from etl_aws_spark.suite._util import cache_dir
 
-    tag = hashlib.sha1(sf.encode()).hexdigest()[:10]
-    ckpt = os.path.join("/tmp/etl_aws_spark_cache", tag, "stream_scd2", "ckpt")
+    ckpt = os.path.join(cache_dir(sf, "stream_scd2"), "ckpt")
     shutil.rmtree(ckpt)
     second = (
         streaming_scd2_maintenance(spark, sf)
