@@ -22,6 +22,16 @@ def _fold_dot(a: str, b: str, dim: int) -> str:
     )
 
 
+def _fold_l2(a: str, b: str, dim: int) -> str:
+    """Squared L2 distance as the same ascending-index left fold as
+    :func:`_fold_dot` — mirrored by the oracle's list fold."""
+    return (
+        f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+        f"acc + (cast(element_at({a}, i) as double) - cast(element_at({b}, i) as double))"
+        f" * (cast(element_at({a}, i) as double) - cast(element_at({b}, i) as double)))"
+    )
+
+
 def cosine_expr(a: str, b: str, dim: int) -> Column:
     """Cosine similarity of two array<float> columns, double-widened."""
     dot = _fold_dot(a, b, dim)

@@ -307,6 +307,79 @@ def ivfpq_residual_adc_topk(
     )
 
 
+def brute_l2_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth the IVFADC path
+    approximates (IVFADC minimizes L2 in the residual domain, so recall
+    must be judged against the L2 ranking, not cosine). Queries broadcast,
+    corpus never shuffles; the distance is the ascending-index
+    :func:`knn._fold_l2` fold, bit-identical to the oracle's list fold."""
+    from etl_aws_spark.similarity import knn
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(knn._fold_l2(vec_col, "_qvec", dim)).alias("l2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2", "rank")
+    )
+
+
+def ivfpq_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    d_sub: int,
+    k_codes: int,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Recall@k of :func:`ivfpq_residual_adc_topk` against the exact
+    :func:`brute_l2_topk` truth — measures BOTH approximation sources at
+    once (cell pruning can miss a cross-cell neighbor; PQ quantization can
+    reorder close ones), the accuracy half of the compression/probe knobs.
+    One row per query (n_hits, n_true, recall) plus the ROLLUP mean row.
+    Both sides are |queries|·k frames, so the join is trivial at any
+    corpus size."""
+    exact = brute_l2_topk(embeddings, queries, id_col, vec_col, dim, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivfpq_residual_adc_topk(
+        embeddings, queries, id_col, vec_col, label_col,
+        dim=dim, d_sub=d_sub, k_codes=k_codes, n_probe=n_probe, topk=k,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    marked = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+    return (
+        marked.rollup("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "n_true",
+            (F.col("n_hits") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
 def adc_topk(
     df: DataFrame,
     queries: DataFrame,

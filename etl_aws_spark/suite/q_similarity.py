@@ -856,13 +856,12 @@ def _duck_pq_residual_chain() -> str:
     )"""
 
 
-@query(
-    "similarity_ivfpq_residual_adc",
-    # full replay: centroids (the coarse quantizer), centered residual
-    # parts, the PQ train/encode chain on residuals, L2 cell probing, the
-    # per-(query, cell) distance tables, and the in-cell ADC ranking.
-    oracle=f"""
-    WITH {_DUCK_CENTROIDS}, rparts AS MATERIALIZED (
+def _duck_ivfpq_ranked() -> str:
+    """The full IVFADC replay chain (residual parts -> PQ train/encode ->
+    cell probing -> per-(query, cell) tables -> in-cell ADC `ranked`),
+    shared by the search oracle and the recall oracle. Assumes the
+    _DUCK_CENTROIDS CTEs are already in scope."""
+    return f"""rparts AS MATERIALIZED (
       SELECT e.vec_id AS id, e.label,
              CAST((s.i - 1) // {_PQ_DSUB} AS INT) AS sub,
              CAST((s.i - 1) % {_PQ_DSUB} AS INT) AS spos,
@@ -914,7 +913,16 @@ def _duck_pq_residual_chain() -> str:
              CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
       FROM scored
-    )
+    )"""
+
+
+@query(
+    "similarity_ivfpq_residual_adc",
+    # full replay: centroids (the coarse quantizer), centered residual
+    # parts, the PQ train/encode chain on residuals, L2 cell probing, the
+    # per-(query, cell) distance tables, and the in-cell ADC ranking.
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS}, {_duck_ivfpq_ranked()}
     SELECT query_id, label AS cell, neighbor_id,
            round(adc, 6) + 0.0 AS adc_dist, rank
     FROM ranked WHERE rank <= 10
@@ -942,6 +950,62 @@ def similarity_ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame
         "query_id", "cell", "neighbor_id",
         (F.round(F.col("adc_dist"), 6) + F.lit(0.0)).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "similarity_ivfpq_recall_at_k",
+    # truth is the exact squared-L2 ranking (what IVFADC approximates);
+    # the approx side replays the full IVFADC chain, so the recall
+    # fraction measures cell-pruning misses + PQ reordering together.
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS}, {_duck_ivfpq_ranked()}, approx AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM ranked WHERE rank <= 10
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, {_DIM} + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))),
+                     (acc, x) -> acc + x) ASC, e.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      ) WHERE rank <= 10
+    ), marked AS (
+      SELECT e.query_id, coalesce(a.hit, 0) AS hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           count(*) AS n_true,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) + 0.0 AS recall
+    FROM marked GROUP BY ROLLUP (query_id)
+    """,
+    category="similarity",
+)
+def similarity_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVFADC path against the exact squared-L2 baseline,
+    per query plus the rollup mean — quantifies BOTH approximation sources
+    (cell pruning and PQ quantization) for the fifth ANN path, completing
+    the measured-not-assumed recall discipline (`similarity_ann_recall_at_k`,
+    `similarity_ivf_recall_at_k`, `embedding_matryoshka_recall`). Identical
+    centroid/codebook artifacts and fold orders make the candidate sets —
+    and the fractions — engine-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq.ivfpq_recall_at_k(
+        emb, queries, "vec_id", "embedding", "label",
+        dim=_DIM, d_sub=_PQ_DSUB, k_codes=_PQ_K, k=10, n_probe=2,
+    )
+    return out.select(
+        "query_id",
+        "n_hits",
+        "n_true",
+        (F.round(F.col("recall"), 6) + F.lit(0.0)).alias("recall"),
     )
 
 
