@@ -1343,3 +1343,143 @@ def text_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_removable",
     )
+
+
+_BM25_QUERIES = [
+    (0, "spark join stream"),
+    (1, "window sort fast"),
+    (2, "customer query zeppelin"),  # one out-of-vocabulary term
+]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest({D.tokens('text', D.DUCK)}) AS t FROM documents
+      ) WHERE t <> ''
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), df AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), qt AS (
+      SELECT qid, unnest(string_split(terms, ' ')) AS t
+      FROM (VALUES {', '.join(f"({qid}, '{terms}')" for qid, terms in [(0, 'spark join stream'), (1, 'window sort fast'), (2, 'customer query zeppelin')])}) v(qid, terms)
+    ), ts AS (
+      SELECT q.qid, f.doc_id, q.t,
+             ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+             * (CAST(f.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(f.tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+                * (CAST(l.dl AS DOUBLE) / s.avgdl))) AS ts
+      FROM qt q
+      JOIN tf f ON f.t = q.t
+      JOIN dl l ON l.doc_id = f.doc_id
+      JOIN df d ON d.t = q.t
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT qid, doc_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ts ORDER BY t)), (acc, x) -> acc + x), 6) + 0.0 AS score
+      FROM ts GROUP BY qid, doc_id
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    category="text",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's
+    non-negative idf variant) — the lexical-search complement to the
+    hashed-cosine `text_hashed_nearest_docs`: three fixed term queries
+    (one with an out-of-vocabulary term, which must simply contribute
+    nothing) score against the corpus through the inverted-index shape —
+    the query terms prune the posting lists at the join, docs sharing no
+    query term are never touched, and the per-(query, doc) score is an
+    ascending-term left fold so the double summation is engine-exact.
+    Corpus statistics (tf, df, dl, N, avgdl) are exact integer aggregates;
+    ranking on the rounded score keeps the top-10 cut deterministic.
+    At 100 TB: posting lists shuffle as (term, doc, tf) scalars, the
+    query side is a literal frame, df/stats are broadcast — the standard
+    sparse-retrieval plan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(D.tokens("text", D.SPARK))).alias("t")
+    ).filter(F.col("t") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms.split()],
+        "qid long, t string",
+    )
+    k1, b = _BM25_K1, _BM25_B
+    ts = (
+        tf.join(F.broadcast(qt), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            "t",
+            (
+                F.log(
+                    1.0
+                    + ((F.col("n") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("ts"),
+        )
+    )
+    scored = ts.groupBy("qid", "doc_id").agg(
+        (
+            F.round(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(t, ts))), "
+                    "s -> s.ts), cast(0.0 as double), (acc, x) -> acc + x)"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            "doc_id",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
