@@ -113,3 +113,62 @@ def test_adc_matches_numpy_table_lookup(spark, emb):
         want = list(np.lexsort((pdf.vec_id.to_numpy(), dist))[:5])
         got = adc[adc.query_id == qid].sort_values("rank").neighbor_id.tolist()
         assert got == [int(pdf.vec_id.iloc[i]) for i in want]
+
+
+def test_adc_search_equals_adc_topk(spark, emb):
+    # the split search leg against a pre-trained index must reproduce the
+    # one-plan adc_topk ranking exactly (same codebook, same codes)
+    queries = emb.filter(F.col("vec_id") < 3)
+    parts, cb = pq.train_codebook(emb, "vec_id", "embedding", DSUB, K, iters=1)
+    codes = pq.assign_codes(parts, cb).select("_id", "sub", "code")
+    split = (
+        pq.adc_search(codes, cb, queries, "vec_id", "embedding", DSUB, topk=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    one = (
+        pq.adc_topk(emb, queries, "vec_id", "embedding", DSUB, K, topk=5, iters=1)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert split.neighbor_id.tolist() == one.neighbor_id.tolist()
+    np.testing.assert_array_equal(split.adc_dist.to_numpy(), one.adc_dist.to_numpy())
+
+
+@pytest.fixture(scope="module")
+def emb_lbl(spark, emb):
+    # cells = the planted cluster id: the ideal coarse quantizer
+    return emb.withColumn("label", (F.col("vec_id") % 10).cast("int"))
+
+
+def test_ivfpq_residual_adc_finds_cluster_neighbors(spark, emb_lbl):
+    queries = emb_lbl.filter(F.col("vec_id") < 3)
+    out = pq.ivfpq_residual_adc_topk(
+        emb_lbl, queries, "vec_id", "embedding", "label",
+        dim=DIM, d_sub=DSUB, k_codes=K, n_probe=1, topk=5,
+    ).toPandas()
+    for qid in range(3):
+        sub = out[out.query_id == qid]
+        assert len(sub) == 5
+        # with tight planted clusters and the true-cluster coarse
+        # quantizer, every neighbor comes from the query's own cluster
+        assert (sub.neighbor_id % 10 == qid % 10).all()
+        assert (sub.cell == qid % 10).all()
+        # the query itself is its own nearest compressed neighbor
+        assert sub.sort_values("rank").neighbor_id.iloc[0] == qid
+
+
+def test_ivfpq_recall_bounds_and_rollup(spark, emb_lbl):
+    queries = emb_lbl.filter(F.col("vec_id") < 3)
+    out = pq.ivfpq_recall_at_k(
+        emb_lbl, queries, "vec_id", "embedding", "label",
+        dim=DIM, d_sub=DSUB, k_codes=K, k=5, n_probe=2,
+    ).toPandas()
+    per_q = out[out.query_id.notna()]
+    total = out[out.query_id.isna()]
+    assert len(per_q) == 3 and len(total) == 1
+    assert (per_q.n_true == 5).all()
+    assert ((per_q.recall >= 0) & (per_q.recall <= 1)).all()
+    assert total.n_hits.iloc[0] == per_q.n_hits.sum()
+    # clustered fixture + true-cluster cells: the cell pruning itself
+    # loses nothing, but K=8-code PQ reorders the tightly-packed
+    # within-cluster neighbors — recall well above chance, not perfect
+    assert total.recall.iloc[0] >= 0.5

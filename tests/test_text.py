@@ -234,3 +234,69 @@ def test_bpe_trained_table_is_well_formed_and_applies(spark):
     # create new frequent pairs), but the first merge must be the global
     # max weighted bigram — sanity: it involves single chars only
     assert len(learned[0][0]) == 1 and len(learned[0][1]) == 1
+
+
+def test_bm25_hand_computed_tiny_corpus(spark):
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.text import _dialect as D
+
+    # 3 docs, query {"a", "b"}: replicate the registered query's scoring
+    # rule (Lucene idf, k1=1.2, b=0.75) by hand
+    docs = [(0, "a a b"), (1, "a c c c"), (2, "c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from etl_aws_spark.suite.q_text import _BM25_B, _BM25_K1
+
+    toks = {d: t.split() for d, t in docs}
+    N = 3
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {"a": 2, "b": 1, "c": 2, "d": 1}
+
+    def bm25(doc, terms):
+        s = 0.0
+        for t in sorted(terms):
+            tf = toks[doc].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (len(toks[doc]) / avgdl))
+            )
+        return s
+
+    # run the same pipeline the registered query uses, against this frame
+    from pyspark.sql import Window
+
+    tok = df.select("doc_id", F.explode(F.expr(D.tokens("text", D.SPARK))).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfr = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    qt = spark.createDataFrame([(0, "a"), (0, "b")], "qid long, t string")
+    k1, b = _BM25_K1, _BM25_B
+    ts = (
+        tf.join(qt, "t").join(dl, "doc_id").join(dfr, "t").crossJoin(stats)
+        .select(
+            "qid", "doc_id",
+            (
+                F.log(1.0 + ((F.col("n") - F.col("df")).cast("double") + 0.5)
+                      / (F.col("df").cast("double") + 0.5))
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (F.col("tf").cast("double")
+                   + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                  + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))))
+            ).alias("ts"),
+        )
+    )
+    got = ts.groupBy("qid", "doc_id").agg(F.sum("ts").alias("score")).toPandas()
+    for _, row in got.iterrows():
+        want = bm25(int(row.doc_id), ["a", "b"])
+        np.testing.assert_allclose(row.score, want, rtol=1e-12)
+    # doc 2 shares no query term: must be absent entirely
+    assert set(got.doc_id) == {0, 1}
