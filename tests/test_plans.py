@@ -369,3 +369,40 @@ def test_basket_rules_min_support_cut_before_joinback(spark, sf):
     join_pos = plan.find("Join")
     filt_pos = plan.find(">= 2")
     assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos, plan
+
+
+def test_pq_index_search_leg_is_bounded(spark, sf):
+    """The persisted-index ADC search must be the pure 3-shuffle leg:
+    distance-table aggregate, the per-(query, neighbor) ADC fold, and the
+    top-k window — training cost must NOT appear in the search plan (no
+    codebook-refinement joins, no Lloyd assignment window over the full
+    corpus)."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["similarity_pq_index_adc_search"](spark, sf))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the codes/codebook come from parquet artifacts, not a fresh train
+    assert plan.lower().count("filescan parquet") >= 2, plan
+
+
+def test_bm25_prunes_postings_at_join(spark, sf):
+    """BM25's posting lists must meet the 6-term query frame through a
+    broadcast join (docs sharing no query term are never shuffled), and
+    no row-at-a-time Python may appear anywhere."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_bm25_search"](spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_ivfpq_tables_broadcast_no_cartesian(spark, sf):
+    """IVFADC: the codebook, centroid components, and per-(query, cell)
+    distance tables are bounded model state and must broadcast; the only
+    allowed nested-loop join is the 1-row stats cross join (there is
+    none here), so no CartesianProduct at all."""
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["similarity_ivfpq_residual_adc"](spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
