@@ -218,10 +218,23 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # The wedge and closure joins are hinted shuffle-hash (r8): both sides
+    # are narrow (int, int) frames and an SMJ pays two full sorts per join
+    # for nothing — measured 5.4 -> 2.5 s at sf0.1 on identical output.
+    # Scale-safe, unlike a broadcast hint: the build side rides the same
+    # hash partitioning as the probe, so per-task build memory is
+    # |E|/shuffle_partitions · 16 B — controlled by the partition count
+    # that scales with the cluster — and the degree orientation already
+    # caps per-key fan-in at O(sqrt(|E|)), so no single hash key can
+    # concentrate a partition.
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c")).hint(
+        "shuffle_hash"
+    )
     wedges = e1.join(e2, "b")
-    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c")).hint(
+        "shuffle_hash"
+    )
     tris = wedges.join(closing, ["a", "c"])
     # one tagged union, one shuffle: edge occurrences count degree,
     # triangle corners count triangles (explode, not 3-way unions of
