@@ -68,11 +68,29 @@ def source_rest_api_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("catalog_msck_repair", oracle=None, category="source")
+@query(
+    "catalog_msck_repair",
+    # Exact oracle (promoted r8 from rows-only): SHOW PARTITIONS returns
+    # one `partition` string per recovered ano=/mes=/dia= directory, and
+    # the daily layout is derived 1:1 from the event timestamps — so the
+    # listing is exactly the distinct calendar days of `events` rendered
+    # in Hive partition-path syntax (unpadded ints, as the writer emits).
+    # A partition the repair failed to register fails rows_match; a
+    # mis-derived path component fails the value hash.
+    oracle="""
+    SELECT DISTINCT
+      'ano=' || CAST(date_part('year', ts) AS VARCHAR)
+      || '/mes=' || CAST(date_part('month', ts) AS VARCHAR)
+      || '/dia=' || CAST(date_part('day', ts) AS VARCHAR) AS "partition"
+    FROM events
+    """,
+    category="source",
+)
 def catalog_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`MSCK REPAIR TABLE` + partition listing (`glue.py:241-287`), on a
-    daily-partitioned events layout. Rows-only: one row per recovered
-    partition (30 days in the fixtures)."""
+    daily-partitioned events layout. One row per recovered partition
+    (30 days in the fixtures); value-hash-checked against the SQL replay
+    of the distinct event days since r8."""
     root = _cache_dir(sf_dir, "events_catalog")
     tag = os.path.basename(os.path.dirname(root))
     if not os.path.exists(os.path.join(root, "_SUCCESS")):

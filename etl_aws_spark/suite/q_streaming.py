@@ -17,7 +17,21 @@ from etl_aws_spark.streaming import ingest
 from etl_aws_spark.suite._util import cache_dir as _cache_dir
 
 
-@query("streaming_ingest_dedup", oracle=None, category="streaming")
+@query(
+    "streaming_ingest_dedup",
+    # Exact oracle (promoted r8 from rows-only): the landing tree is
+    # events ∪ a re-delivered 10% slice of itself, the stream dedups on
+    # event_id, and event_id is unique in the fixture — so the refined
+    # final state is exactly the events table projected to
+    # (event_id, user_id, day-of-month). Every column is integral, so no
+    # rounding bridge is needed; an UNDROPPED duplicate fails rows_match
+    # and a wrong merge partition fails the value hash on `dia`.
+    oracle="""
+    SELECT event_id, user_id, CAST(date_part('day', ts) AS INT) AS dia
+    FROM events
+    """,
+    category="streaming",
+)
 def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the daily-partitioned landing tree →
     watermarked stateful dedup → foreachBatch dynamic-partition merge into
