@@ -190,3 +190,77 @@ def bloom_prefilter_report(
             + F.lit(0.0)
         ).alias("fp_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the mergeable distinct-count sketch.
+# Registers are integer state (max leading-zero ranks of a shared 60-bit
+# hash), mergeable across partitions/segments with plain MAX; the estimate
+# is replayed exactly by the oracle because the harmonic-mean denominator
+# is folded in FIXED POINT (Σ 2^(50-M_j) as int64 — no float summation
+# order) and every float literal is e-notation (plain `0.7213` parses as
+# DECIMAL in both engines with different division rules; measured
+# 5th-decimal divergence). Safe for p ≤ 12: m·2^50 ≤ 2^62 < int64 max.
+
+def hll_hash_expr(key: str) -> str:
+    """Dialect-neutral argument for hash60: salted stringified key."""
+    return f"concat('hll:', cast({key} as string))"
+
+
+def hll_rho_expr(dialect: str, p: int = 8) -> str:
+    """Rank of the first set bit of the (60-p) post-index hash bits, capped
+    at 50 so the fixed-point weight 2^(50-ρ) stays integral. `bin()` emits
+    the minimal binary string in both engines (verified incl. bin(0)='0');
+    column ``h`` must hold the 60-bit hash."""
+    m = 1 << p
+    wbits = 60 - p
+    div = "div" if dialect == D.SPARK else "//"
+    return (
+        f"least(CASE WHEN h {div} {m} = 0 THEN {wbits + 1} "
+        f"ELSE {wbits + 1} - length(bin(h {div} {m})) END, 50)"
+    )
+
+
+def hll_est_expr(p: int = 8) -> str:
+    """Bias-corrected HLL estimate over columns ``s_fixed`` (int64 fixed-
+    point denominator) and ``v_zero`` (empty-register count) — identical
+    text for both engines: α_m·m²·2^50 / s_fixed, with the linear-counting
+    small-range branch below 2.5·m (α_m = 0.7213/(1+1.079/m), m ≥ 128)."""
+    m = 1 << p
+    num = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0)) * {m * m}.0e0 * 1125899906842624.0e0"
+    e_raw = f"{num} / cast(s_fixed as double)"
+    return (
+        f"CASE WHEN {e_raw} <= {int(2.5 * m)}.0e0 AND v_zero > 0 "
+        f"THEN {m}.0e0 * ln({m}.0e0 / cast(v_zero as double)) ELSE {e_raw} END"
+    )
+
+
+def hll_registers(df: DataFrame, key: str, group_cols: list[str], p: int = 8) -> DataFrame:
+    """(group_cols…, j, m_reg) HLL register rows — the mergeable state.
+    One narrow hash aggregate over the scan; map-side combine applies."""
+    m = 1 << p
+    h = D.hash60(hll_hash_expr(key), D.SPARK)
+    return (
+        df.selectExpr(*group_cols, f"{h} AS h")
+        .selectExpr(*group_cols, f"h % {m} AS j", f"{hll_rho_expr(D.SPARK, p)} AS rho")
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def hll_fold(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Fold register rows into one estimate row per group: columns
+    ``n_hit``, ``v_zero`` and unrounded ``est``. Register rows from any
+    number of segments may be unioned first — max-merge is lossless."""
+    m = 1 << p
+    gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    sk = gb.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.expr("sum(shiftleft(cast(1 as bigint), cast(50 - m_reg as int)))").alias("s_obs"),
+    )
+    return sk.selectExpr(
+        *group_cols,
+        "n_hit",
+        f"{m} - n_hit AS v_zero",
+        f"s_obs + ({m} - n_hit) * 1125899906842624 AS s_fixed",
+    ).selectExpr(*group_cols, "n_hit", "v_zero", f"{hll_est_expr(p)} AS est")

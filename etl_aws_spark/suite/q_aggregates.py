@@ -1069,3 +1069,187 @@ def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog from scratch (p=8, m=256 registers) — the canonical mergeable
+# distinct-count sketch, built declaratively so Spark and the DuckDB oracle
+# compute bit-identical state from the shared md5-based hash60. Completes the
+# sketch family next to the exact bitmap (`agg_bitmap_distinct_users`), the
+# count-min sketch (`streaming_sketch_count_min`) and approx quantiles.
+#
+# Determinism: every register is an integer (max of leading-zero ranks); the
+# harmonic-mean denominator Σ 2^-M_j is computed in FIXED POINT as
+# Σ 2^(50-M_j) int64 (max 256·2^50 = 2^58, no overflow, no float summation
+# order), and the float estimate is one shared-literal expression — the
+# e-notation literals force DOUBLE parsing in BOTH engines (plain `0.7213`
+# is DECIMAL in each with different division rules; measured 5th-decimal
+# divergence). The ln() in the small-range branch is the one transcendental;
+# rnd(4) bridges it (see determinism notes in SCALE.md §8).
+
+from etl_aws_spark.operators.sketch import (  # noqa: E402
+    hll_est_expr,
+    hll_fold,
+    hll_hash_expr,
+    hll_registers,
+    hll_rho_expr,
+)
+
+_HLL_EST = hll_est_expr(p=8)
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, j, m_reg) HLL register rows — the mergeable state."""
+    return hll_registers(load(spark, sf_dir, "events"), "user_id", ["event_type"], p=8)
+
+
+def _hll_oracle_regs() -> str:
+    from etl_aws_spark.text import _dialect as D
+
+    return f"""
+      hashed AS (SELECT event_type, {D.hash60(hll_hash_expr("user_id"), D.DUCK)} AS h FROM events),
+      reg AS (
+        SELECT event_type, h % 256 AS j, max({hll_rho_expr(D.DUCK, 8)}) AS m_reg
+        FROM hashed GROUP BY event_type, h % 256
+      )"""
+
+
+@query(
+    "agg_hll_distinct_users",
+    oracle=f"""
+    WITH {_hll_oracle_regs()},
+    sk AS (
+      SELECT event_type, count(*) AS n_hit,
+             sum((1::BIGINT << CAST(50 - m_reg AS INT))) AS s_obs
+      FROM reg GROUP BY event_type
+    ),
+    fx AS (
+      SELECT event_type, n_hit, 256 - n_hit AS v_zero,
+             s_obs + (256 - n_hit) * 1125899906842624 AS s_fixed
+      FROM sk
+    ),
+    est AS (SELECT event_type, n_hit, v_zero, {_HLL_EST} AS est FROM fx),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type,
+           CAST(n_hit AS INT) AS n_registers_hit,
+           CAST(v_zero AS INT) AS zero_registers,
+           round(est, 4) + 0.0 AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(100.0e0 * (est - exact_distinct) / exact_distinct, 4) + 0.0
+             AS rel_err_pct
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+    category="aggregate",
+)
+def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type, from scratch (p=8, m=256),
+    alongside the exact count and the measured relative error — accuracy
+    measured, not assumed (the estimate lands inside HLL's theoretical
+    1.04/√256 ≈ 6.5% band on both fixture regimes: the sf0.01 corpus
+    exercises the linear-counting branch, sf0.1 the raw harmonic branch).
+
+    Why it matters at 100 TB: the register table IS the aggregation state —
+    m=256 ints per group regardless of corpus size, mergeable across
+    partitions/days with plain max, so distinct-user reporting over a
+    petabyte event log costs one narrow groupBy plus O(m) per group,
+    where exact distinct re-shuffles every raw id (`agg_bitmap_distinct_
+    users` is the exact-but-id-space-bound alternative). Plan: two narrow
+    hash aggregates (register build, sketch fold) + one 5-row self-join
+    against the exact branch."""
+    est = hll_fold(_hll_registers(spark, sf_dir), ["event_type"], p=8)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_hit").cast("int").alias("n_registers_hit"),
+        F.col("v_zero").cast("int").alias("zero_registers"),
+        rnd(F.col("est"), 4).alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        rnd(
+            F.lit(100.0)
+            * (F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
+@query(
+    "agg_hll_union_sketch",
+    oracle=f"""
+    WITH {_hll_oracle_regs()},
+    merged AS (SELECT j, max(m_reg) AS m_reg FROM reg GROUP BY j),
+    sk AS (
+      SELECT count(*) AS n_hit,
+             sum((1::BIGINT << CAST(50 - m_reg AS INT))) AS s_obs
+      FROM merged
+    ),
+    fx AS (
+      SELECT n_hit, 256 - n_hit AS v_zero,
+             s_obs + (256 - n_hit) * 1125899906842624 AS s_fixed
+      FROM sk
+    ),
+    est AS (SELECT {_HLL_EST} AS est FROM fx),
+    ex AS (
+      SELECT count(DISTINCT user_id) AS exact_union,
+             (SELECT sum(d) FROM (
+                SELECT count(DISTINCT user_id) AS d FROM events
+                GROUP BY event_type)) AS sum_exact_parts
+      FROM events
+    )
+    SELECT round(est, 4) + 0.0 AS hll_union_estimate,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(sum_exact_parts AS BIGINT) AS sum_exact_parts,
+           round(cast(sum_exact_parts as double) / exact_union, 4) + 0.0
+             AS overlap_factor,
+           round(100.0e0 * (est - exact_union) / exact_union, 4) + 0.0
+             AS rel_err_pct
+    FROM est CROSS JOIN ex
+    """,
+    category="aggregate",
+)
+def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-union distinct count: the five per-event-type HLL sketches
+    merge into one by register-wise max — the lossless union operation that
+    makes HLL state reusable (count any union of pre-sketched segments
+    without touching raw ids). The fixture's event types share one user
+    universe, so the union estimate stays ≈ each part while the naive sum
+    of per-type exacts is 5× — `overlap_factor` reports exactly that
+    dedup headroom.
+
+    Why it matters at 100 TB: pre-sketched daily/segment registers are
+    O(m) each; any ad-hoc union (all of Q3, these 14 segments, …) folds
+    them with max — no re-scan, no raw-id shuffle. The estimate and its
+    measured error ride the same fixed-point + shared-literal bridge as
+    `agg_hll_distinct_users`."""
+    regs = _hll_registers(spark, sf_dir)
+    merged = regs.groupBy("j").agg(F.max("m_reg").alias("m_reg"))
+    est = hll_fold(merged, [], p=8).select("est")
+    ev = load(spark, sf_dir, "events")
+    exact_union = ev.agg(F.countDistinct("user_id").alias("exact_union"))
+    parts = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d"))
+    sum_parts = parts.agg(F.sum("d").alias("sum_exact_parts"))
+    return (
+        est.crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(sum_parts))
+        .select(
+            rnd(F.col("est"), 4).alias("hll_union_estimate"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("sum_exact_parts").cast("long").alias("sum_exact_parts"),
+            rnd(
+                F.col("sum_exact_parts").cast("double") / F.col("exact_union"), 4
+            ).alias("overlap_factor"),
+            rnd(
+                F.lit(100.0)
+                * (F.col("est") - F.col("exact_union"))
+                / F.col("exact_union"),
+                4,
+            ).alias("rel_err_pct"),
+        )
+    )

@@ -44,3 +44,49 @@ def test_bloom_more_bits_fewer_false_positives(spark):
     small = sketch.bloom_prefilter_report(fact, "k", dim, "k", m_bits=128, n_hashes=2).collect()[0]
     big = sketch.bloom_prefilter_report(fact, "k", dim, "k", m_bits=2048, n_hashes=2).collect()[0]
     assert big.n_false_positive < small.n_false_positive
+
+
+def test_hll_estimate_within_error_band(spark):
+    from etl_aws_spark.operators import sketch
+
+    # 5000 distinct keys, each seen 3x — estimate must land inside the
+    # theoretical 1.04/sqrt(256) ~ 6.5% band (loose 3-sigma: 20%)
+    df = spark.range(0, 15000).selectExpr("id % 5000 as k")
+    regs = sketch.hll_registers(df, "k", [], p=8)
+    est = sketch.hll_fold(regs, [], p=8).collect()[0]
+    assert abs(est.est - 5000) / 5000 < 0.20
+    # duplicates are invisible to the sketch: same registers for 1 copy
+    regs1 = sketch.hll_registers(
+        spark.range(0, 5000).selectExpr("id as k"), "k", [], p=8
+    )
+    assert regs.orderBy("j").collect() == regs1.orderBy("j").collect()
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from etl_aws_spark.operators import sketch
+
+    # 30 distinct << 2.5*m: the LC branch is near-exact (empty registers
+    # dominate), unlike the raw harmonic estimate at this range
+    df = spark.range(0, 30).selectExpr("id as k")
+    est = sketch.hll_fold(sketch.hll_registers(df, "k", [], p=8), [], p=8).collect()[0]
+    assert est.v_zero > 0
+    assert abs(est.est - 30) < 3
+
+
+def test_hll_union_merge_is_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.operators import sketch
+
+    # register-wise max over two halves == registers of the whole
+    lo = spark.range(0, 2000).selectExpr("id as k")
+    hi = spark.range(1500, 4000).selectExpr("id as k")  # overlapping halves
+    whole = lo.unionByName(hi)
+    merged = (
+        sketch.hll_registers(lo, "k", [], p=8)
+        .unionByName(sketch.hll_registers(hi, "k", [], p=8))
+        .groupBy("j")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    direct = sketch.hll_registers(whole, "k", [], p=8)
+    assert merged.orderBy("j").collect() == direct.orderBy("j").collect()
