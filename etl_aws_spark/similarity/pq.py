@@ -72,24 +72,43 @@ def init_codebook(parts: DataFrame, k: int, round_digits: int = 4) -> DataFrame:
     )
 
 
+def _packed(rows: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
+    """Pack scalar component rows back into a per-key DOUBLE array in
+    ascending ``spos`` order (one narrow aggregate; the value column is
+    the last non-key column)."""
+    val = [c for c in rows.columns if c not in key_cols and c != "spos"][-1]
+    return rows.groupBy(*key_cols).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(spos, {val}))), s -> s.{val})"
+        ).alias(out_col)
+    )
+
+
 def assign_codes(parts: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest codeword per (vector, subspace): broadcast the codebook,
     evaluate all k codewords (the inherent PQ N·dim·k product), fold the
     squared-diff terms in spos order, argmin with code-id tie-break.
-    Returns ``(_id, sub, code, dist)``."""
-    terms = parts.join(F.broadcast(codebook), ["sub", "spos"]).select(
-        "_id", "sub", "code", "spos",
-        ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
+    Returns ``(_id, sub, code, dist)``.
+
+    Physical shape: both sides are packed back into per-subspace DOUBLE
+    arrays so the N·k distance evaluations are ``zip_with`` folds over
+    8-element arrays instead of N·k·d_sub scalar rows through a
+    collect_list aggregate — ~d_sub× fewer shuffled rows, and the argmin
+    is a ``min(struct(dist, code))`` aggregate on the same key as the
+    packing shuffle, so Catalyst plans no second exchange. The fold is
+    the identical ascending-``spos`` left fold from 0.0 (``zip_with``
+    walks index order), so distances stay engine-exact."""
+    subvecs = _packed(parts, ["_id", "sub"], "subvec")
+    cwvecs = _packed(codebook, ["sub", "code"], "cwvec")
+    dists = subvecs.join(F.broadcast(cwvecs), "sub").select(
+        "_id", "sub", "code",
+        F.expr(
+            "aggregate(zip_with(subvec, cwvec, (a, b) -> (a - b) * (a - b)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("dist"),
     )
-    dists = terms.groupBy("_id", "sub", "code").agg(
-        _ordered_fold_sum("spos", "term").alias("dist")
-    )
-    w = Window.partitionBy("_id", "sub").orderBy(F.asc("dist"), F.asc("code"))
-    return (
-        dists.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    best = dists.groupBy("_id", "sub").agg(F.min(F.struct("dist", "code")).alias("_b"))
+    return best.select("_id", "sub", F.col("_b.code").alias("code"), F.col("_b.dist").alias("dist"))
 
 
 def refine_codebook(
@@ -400,5 +419,11 @@ def adc_topk(
     ``assign_codes`` output and call :func:`adc_search`. Returns
     ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
     parts, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
+    # The trained codebook (m·k·d_sub rows, ~1k) is referenced by BOTH the
+    # corpus-encoding leg and the query distance-table leg; without a
+    # lineage cut Spark replays the whole training subtree (itself a full
+    # corpus assignment) once per reference. Materializing the tiny frame
+    # costs one job and makes every downstream reference a scan.
+    cb = cb.localCheckpoint(eager=True)
     codes = assign_codes(parts, cb).select("_id", "sub", "code")
     return adc_search(codes, cb, queries, id_col, vec_col, d_sub, topk)
