@@ -47,23 +47,36 @@ def connected_components(
     because label(v) is always an id inside v's component, so its label
     is too.
 
-    Wall-clock shape (r7): materializations, not data volume, dominate
-    at bench scale — so the loop runs TWO propagation steps per
-    materialized "super-round" (one localCheckpoint + one convergence
-    probe per two steps), the symmetric edge list is checkpointed ONCE
-    (otherwise its whole candidate-pair lineage re-derives under every
-    round's join), and the super-round's starting label rides along as
-    an extra column so the probe is a scan of the already-materialized
-    3-column frame, not a join. Labels only ever decrease, so "no
-    change across a composite super-round" is equivalent to "no change
-    in any internal step" — the early exit is exact.
+    Wall-clock shape (r7, tightened r8): materializations, not data
+    volume, dominate at bench scale — so the loop runs TWO propagation
+    steps per materialized "super-round" (one localCheckpoint + one
+    convergence probe per two steps), the raw edge list is checkpointed
+    BEFORE symmetrization (the union's two legs would otherwise each
+    re-derive the whole candidate-pair lineage — the expensive
+    subtree; r8 change, ~0.5 s of the sym materialization), and the
+    super-round's starting label rides along as an extra column so the
+    probe is a scan of the already-materialized 3-column frame, not a
+    join. Labels only ever decrease, so "no change across a composite
+    super-round" is equivalent to "no change in any internal step" —
+    the early exit is exact.
 
     Returns (id_col, component_id).
     """
+    e0 = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .localCheckpoint(eager=True)
+    )
     sym = (
-        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
-        .filter(F.col("_u") != F.col("_v"))
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_s").alias("_u"), F.col("_d").alias("_v")),
+                    F.struct(F.col("_d").alias("_u"), F.col("_s").alias("_v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._u", "_e._v")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -90,7 +103,10 @@ def connected_components(
                 ),
             )
             steps_done += 1
-        # pointer-jump compression: label := label's label
+        # pointer-jump compression: label := label's label. (A second jump
+        # per super-round was measured r8: it trades one whole super-round
+        # for one extra join in EVERY round — a wash at bench scale, so
+        # one jump stays.)
         parent = cur.select(F.col("_id").alias("_pid"), F.col("_lbl").alias("_plbl"))
         nxt = (
             cur.join(parent, cur["_lbl"] == parent["_pid"], "left")
