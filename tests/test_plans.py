@@ -406,3 +406,25 @@ def test_ivfpq_tables_broadcast_no_cartesian(spark, sf):
     plan = _plan(all_queries()["similarity_ivfpq_residual_adc"](spark, sf))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_pq_assign_packs_arrays_single_exchange(spark, sf):
+    """The r8 PQ repack: distance evaluation must run as zip_with folds
+    over packed per-subspace arrays, and the argmin must ride the packing
+    shuffle's key — Catalyst must NOT plan a second exchange between the
+    subvector packing aggregate and the min(struct) argmin aggregate, and
+    no row_number window over the N·k candidate frame may remain."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.similarity import pq
+
+    emb = load(spark, sf, "embeddings")
+    parts = pq.subvector_parts(emb, "vec_id", "embedding", 8)
+    cb = pq.init_codebook(parts, 16)
+    plan = _plan(pq.assign_codes(parts, cb))
+    assert "zip_with" in plan, plan
+    # one exchange for packing the corpus side, one for the (tiny)
+    # codebook side; the argmin adds none
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" not in plan, plan
