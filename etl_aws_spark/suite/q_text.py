@@ -109,9 +109,14 @@ _MH_EST = "(" + " + ".join(
     "text_dedup_minhash_quality",
     oracle=f"""
     WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b USING (bk)
+      FROM bands_c a JOIN bands_c b USING (bk)
       WHERE a.doc_id < b.doc_id
     ),
     ts AS (SELECT doc_id, {D.distinct_tokens('text', D.DUCK)} AS tok_set FROM corpus),
@@ -139,8 +144,14 @@ def text_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) Jaccard-estimate quality over the LSH candidate pairs —
     the dedup-family analogue of `similarity_ann_recall_at_k`: est vs true
     Jaccard + absolute error per candidate pair, quantifying the
-    ``num_hashes`` accuracy knob."""
-    out = dedup.minhash_estimate_quality(_corpus(spark, sf_dir), "doc_id", "text")
+    ``num_hashes`` accuracy knob. Band buckets are capped at 50 members
+    (r8) — the same guard every sibling dedup query applies: an uncapped
+    hot band made the pair OUTPUT quadratic in bucket size (7.3M rows /
+    153 s at sf0.1; oversized buckets are exact-dup territory with no
+    estimator signal anyway)."""
+    out = dedup.minhash_estimate_quality(
+        _corpus(spark, sf_dir), "doc_id", "text", max_bucket=50
+    )
     return out.select(
         "id_a",
         "id_b",
