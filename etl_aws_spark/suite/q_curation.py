@@ -570,12 +570,20 @@ def curation_rebalance_to_uniform_mix(spark: SparkSession, sf_dir: str) -> DataF
 
 _SPAN_N = 8
 
+_SPAN_PARTS = " || ' ' || ".join(f"t[i + {j + 1}]" for j in range(_SPAN_N))
+
+# token array staged through a MATERIALIZED CTE column: inlining
+# D._shingle_array would re-split the document once per concatenation
+# term per span (the documented DuckDB list-lambda re-evaluation pitfall
+# — measured ~70 s at sf0.1 inlined vs seconds staged); hashes identical.
 _DUP_SPAN_SQL = f"""
-    WITH spans AS (
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, {D.tokens('text', D.DUCK)} AS t FROM documents
+    ), spans AS (
       SELECT doc_id,
-             unnest(list_transform({D._shingle_array('text', _SPAN_N, D.DUCK)},
-                                   s -> {D.hash60('s', D.DUCK)})) AS h
-      FROM documents
+             unnest(list_transform(range(0, len(t) - {_SPAN_N} + 1),
+                                   i -> {D.hash60(_SPAN_PARTS, D.DUCK)})) AS h
+      FROM tk
     ), freq AS (
       SELECT h, count(*) AS cnt FROM spans GROUP BY h
     ), per_doc AS (
