@@ -1449,16 +1449,30 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _duck_jl_proj(vec: str, out_dim: int) -> str:
     """DuckDB mirror of knn.jl_project: identical ±1 sign rows, identical
-    sequential fold order, so each projected component is bit-exact."""
+    sequential fold order, so each projected component is bit-exact. The
+    sign vectors are referenced as staged ``sgn`` CTE columns (``s{p}``,
+    see :func:`_jl_sign_cte`) — inlining the literal list made DuckDB
+    rebuild a 64-element list per fold TERM (the documented list-lambda
+    re-evaluation pitfall: ~77 s at sf0.1 inlined vs ~2 s staged)."""
     comps = []
     for p in range(out_dim):
-        arr = "[" + ", ".join(repr(knn.jl_sign(p, j)) for j in range(_DIM)) + "]"
         comps.append(
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(range(1, {_DIM} + 1), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i])), (acc, x) -> acc + x)"
+            f"i -> CAST({vec}[i] AS DOUBLE) * s{p}[i])), (acc, x) -> acc + x)"
         )
     return "[" + ", ".join(comps) + "]"
+
+
+def _jl_sign_cte(max_dim: int) -> str:
+    """One-row CTE with each JL sign vector as a column (s0..s{max_dim-1});
+    jl_sign depends only on (component, input position), so every
+    projection width shares the same prefix of vectors."""
+    cols = []
+    for p in range(max_dim):
+        arr = "[" + ", ".join(repr(knn.jl_sign(p, j)) for j in range(_DIM)) + "]"
+        cols.append(f"{arr} AS s{p}")
+    return "sgn AS MATERIALIZED (SELECT " + ", ".join(cols) + ")"
 
 
 def _jl_oracle(dims=(16, 32), k: int = 10) -> str:
@@ -1466,7 +1480,8 @@ def _jl_oracle(dims=(16, 32), k: int = 10) -> str:
     for d in dims:
         per_dim.append(f"""
     p{d} AS (
-      SELECT vec_id, {_duck_jl_proj('embedding', d)} AS pvec FROM embeddings
+      SELECT vec_id, {_duck_jl_proj('embedding', d)} AS pvec
+      FROM embeddings CROSS JOIN sgn
     ),
     r{d} AS (
       SELECT query_id, neighbor_id FROM (
@@ -1490,7 +1505,7 @@ def _jl_oracle(dims=(16, 32), k: int = 10) -> str:
         f"SELECT proj_dim, query_id, n_hits FROM h{d}" for d in dims
     )
     return f"""
-    WITH q AS (
+    WITH {_jl_sign_cte(max(dims))}, q AS (
       SELECT vec_id AS query_id, embedding AS qvec
       FROM embeddings WHERE vec_id < 10
     ), truth AS (
