@@ -184,20 +184,26 @@ def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_dedup_ngram_jaccard",
+    # sh MATERIALIZED (both join legs reuse the shingling) and the
+    # intersection staged once per pair (it appeared 3x: SELECT + twice
+    # in WHERE) — same expressions, ~29 s -> ~2 s at sf0.1.
     oracle=f"""
-    WITH {_CORPUS_SQL}, sh AS (
+    WITH {_CORPUS_SQL}, sh AS MATERIALIZED (
       SELECT doc_id, source, n_chars // 100 AS len_bucket,
              {D.word_shingles('text', 2, D.DUCK)} AS sg
       FROM corpus
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sg, b.sg)) AS inter,
+             len(a.sg) AS la, len(b.sg) AS lb
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sg, b.sg))
-                 / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE),
-                 6) + 0.0 AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sg, b.sg))
-          / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) >= 0.8
+    SELECT id_a, id_b,
+           round(inter / CAST(la + lb - inter AS DOUBLE), 6) + 0.0 AS jaccard
+    FROM cand
+    WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.8
     """,
     category="text",
 )
