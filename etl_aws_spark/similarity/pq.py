@@ -72,14 +72,15 @@ def init_codebook(parts: DataFrame, k: int, round_digits: int = 4) -> DataFrame:
     )
 
 
-def _packed(rows: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
+def _packed(
+    rows: DataFrame, key_cols: list[str], val_col: str, out_col: str
+) -> DataFrame:
     """Pack scalar component rows back into a per-key DOUBLE array in
-    ascending ``spos`` order (one narrow aggregate; the value column is
-    the last non-key column)."""
-    val = [c for c in rows.columns if c not in key_cols and c != "spos"][-1]
+    ascending ``spos`` order (one narrow aggregate)."""
     return rows.groupBy(*key_cols).agg(
         F.expr(
-            f"transform(array_sort(collect_list(struct(spos, {val}))), s -> s.{val})"
+            f"transform(array_sort(collect_list(struct(spos, {val_col}))), "
+            f"s -> s.{val_col})"
         ).alias(out_col)
     )
 
@@ -98,8 +99,8 @@ def assign_codes(parts: DataFrame, codebook: DataFrame) -> DataFrame:
     packing shuffle, so Catalyst plans no second exchange. The fold is
     the identical ascending-``spos`` left fold from 0.0 (``zip_with``
     walks index order), so distances stay engine-exact."""
-    subvecs = _packed(parts, ["_id", "sub"], "subvec")
-    cwvecs = _packed(codebook, ["sub", "code"], "cwvec")
+    subvecs = _packed(parts, ["_id", "sub"], "val", "subvec")
+    cwvecs = _packed(codebook, ["sub", "code"], "cw", "cwvec")
     dists = subvecs.join(F.broadcast(cwvecs), "sub").select(
         "_id", "sub", "code",
         F.expr(
