@@ -63,25 +63,39 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_bucket(vec: str, n_planes: int = 4) -> str:
     """DuckDB mirror of knn.lsh_bucket_col: same md5-derived plane
     constants (repr round-trips the exact doubles), same left-fold dot, so
-    every sign bit — and therefore every bucket — matches bit-for-bit."""
+    every sign bit — and therefore every bucket — matches bit-for-bit.
+    Plane vectors are referenced as staged ``pls`` CTE columns
+    (``pl{p}``, :func:`_duck_plane_cte`) — inlining the literal made
+    DuckDB rebuild the 64-element list per fold term (the documented
+    list-lambda pitfall; staging cut the four LSH oracles ~50 s → ~2 s
+    at sf0.1 combined)."""
     terms = []
-    for p, w in enumerate(knn.hyperplanes(n_planes, _DIM)):
-        arr = "[" + ", ".join(repr(v) for v in w) + "]"
+    for p in range(n_planes):
         dot = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(range(1, {_DIM} + 1), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i])), (acc, x) -> acc + x)"
+            f"i -> CAST({vec}[i] AS DOUBLE) * pl{p}[i])), (acc, x) -> acc + x)"
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def _duck_plane_cte(n_planes: int = 4) -> str:
+    """One-row CTE with each LSH hyperplane as a column (pl0..pl{n-1});
+    CROSS JOIN it into any scan that evaluates :func:`_duck_bucket`."""
+    cols = []
+    for p, w in enumerate(knn.hyperplanes(n_planes, _DIM)):
+        arr = "[" + ", ".join(repr(v) for v in w) + "]"
+        cols.append(f"{arr} AS pl{p}")
+    return "pls AS MATERIALIZED (SELECT " + ", ".join(cols) + ")"
+
+
 @query(
     "similarity_topk_ann_lsh",
     oracle=f"""
-    WITH c AS (
+    WITH {_duck_plane_cte(4)}, c AS (
       SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings CROSS JOIN pls
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qvec, bucket FROM c WHERE vec_id < 5
     ), scored AS (
@@ -118,9 +132,9 @@ def similarity_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_ann_recall_at_k",
     oracle=f"""
-    WITH c AS (
+    WITH {_duck_plane_cte(4)}, c AS (
       SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings CROSS JOIN pls
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qvec, bucket FROM c WHERE vec_id < 5
     ), exact AS (
@@ -442,9 +456,9 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_cosine_dedup_lsh",
     oracle=f"""
-    WITH c AS (
+    WITH {_duck_plane_cte(6)}, c AS (
       SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
-      FROM embeddings
+      FROM embeddings CROSS JOIN pls
     ), pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos
@@ -1088,7 +1102,7 @@ def embedding_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFra
     # components, and the keep-best ranking — a completely different
     # algorithm stack that must agree row-for-row.
     oracle=f"""
-    WITH RECURSIVE c0 AS (
+    WITH RECURSIVE {_duck_plane_cte(4)}, c0 AS (
       SELECT CAST(vec_id AS INT) AS c,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS v
       FROM embeddings WHERE vec_id < {_KM_K}
@@ -1103,7 +1117,7 @@ def embedding_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFra
                  ORDER BY {_duck_km_dist('e.embedding', 'p.v')} ASC, p.c ASC
                ) AS rn
         FROM embeddings e CROSS JOIN c{_KM_ITERS} p
-      ) WHERE rn = 1
+      ) CROSS JOIN pls WHERE rn = 1
     ),
     pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
