@@ -300,3 +300,45 @@ def test_bm25_hand_computed_tiny_corpus(spark):
         np.testing.assert_allclose(row.score, want, rtol=1e-12)
     # doc 2 shares no query term: must be absent entirely
     assert set(got.doc_id) == {0, 1}
+
+
+def test_simhash_hamming_pairs_match_bruteforce(spark):
+    # the r8 distinct-signature reduction must emit exactly the pairs the
+    # direct per-doc banded join would: same-signature duplicates (the
+    # expansion's self-join leg), cross-signature near-dups (the sig-pair
+    # expansion leg), and nothing for docs sharing no half-signature
+    from itertools import combinations
+
+    from etl_aws_spark.text import dedup
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),    # near 1
+        (4, "one two three four five six seven eight"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    nbits, k = 32, 2
+    got = (
+        dedup.simhash_hamming_pairs(df, "doc_id", "text", nbits=nbits, max_distance=k)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    sigs = dict(
+        dedup.simhash(df, "doc_id", "text", nbits)
+        .select("doc_id", "simhash")
+        .collect()
+    )
+    half = nbits // 2
+    expect = set()
+    for a, b in combinations(sorted(sigs), 2):
+        sa, sb = sigs[a], sigs[b]
+        shares_band = (sa % (1 << half) == sb % (1 << half)) or (sa >> half == sb >> half)
+        if shares_band and bin(sa ^ sb).count("1") <= k:
+            expect.add((a, b, bin(sa ^ sb).count("1")))
+    assert set(map(tuple, got[["id_a", "id_b", "hamming"]].values)) == expect
+    assert (got.id_a < got.id_b).all()
+    # the duplicate trio must appear as three hamming-0 pairs
+    assert {(1, 2, 0), (1, 5, 0), (2, 5, 0)} <= expect
