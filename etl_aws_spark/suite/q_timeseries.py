@@ -1572,3 +1572,117 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(d2 / s2, 6) + F.lit(0.0)).alias("dw_stat"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
+
+
+@query(
+    "stat_cuped_adjustment",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN ts >= TIMESTAMP '{_DID_CUTOFF}' THEN 1 ELSE 0 END AS post,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+      SELECT user_id, max(treated) AS treated,
+             avg(CASE WHEN post = 0 THEN value END) AS x,
+             avg(CASE WHEN post = 1 THEN value END) AS y
+      FROM g GROUP BY user_id
+      HAVING count(CASE WHEN post = 0 THEN 1 END) > 0
+         AND count(CASE WHEN post = 1 THEN 1 END) > 0
+    ), mom AS (
+      SELECT avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy,
+             avg(x * x) AS mxx
+      FROM per_user
+    ), th AS (
+      SELECT mx, (mxy - mx * my) / nullif(mxx - mx * mx, 0.0) AS theta
+      FROM mom
+    ), adj AS (
+      SELECT u.treated, u.y, u.y - th.theta * (u.x - th.mx) AS y_adj
+      FROM per_user u CROSS JOIN th
+    )
+    SELECT treated,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 4) + 0.0 AS mean_y,
+           round(avg(y_adj), 4) + 0.0 AS mean_y_adj,
+           round(avg(y * y) - avg(y) * avg(y), 4) + 0.0 AS var_y,
+           round(avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj), 4) + 0.0
+             AS var_y_adj,
+           round(100.0e0 * (1.0e0 - (avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj))
+                 / nullif(avg(y * y) - avg(y) * avg(y), 0.0))
+                 + sign(1.0e0 - (avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj))
+                        / nullif(avg(y * y) - avg(y) * avg(y), 0.0)) * 1e-9, 4)
+             + 0.0 AS var_reduction_pct
+    FROM adj GROUP BY treated
+    """,
+    category="timeseries",
+)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    experiment-readout companion to `stat_diff_in_diff`: per user, the
+    pre-period purchase mean x is the covariate, the post-period mean y
+    the metric; θ = cov(x,y)/var(x) is fit POOLED (the unbiased choice
+    under randomized assignment), and y_adj = y − θ(x − x̄) keeps each
+    arm's mean while shrinking its variance by the x↔y correlation —
+    the readout reports per-arm mean, adjusted mean, both variances and
+    the achieved reduction. Only users observed in BOTH periods enter
+    (CUPED needs the covariate).
+
+    Scale shape: one per-user conditional aggregate over the fact scan
+    (map-side combined), a 1-row moment frame broadcast back, and a
+    per-arm rollup — the raw log is scanned once, nothing wide ever
+    shuffles. The variance-reduction ratio rides the nudged bridge; all
+    other outputs are plain rounded means/variances."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit(_DID_CUTOFF).cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        "value",
+    )
+    per_user = (
+        g.groupBy("user_id")
+        .agg(
+            F.max("treated").alias("treated"),
+            F.avg(F.when(F.col("post") == 0, F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("post") == 1, F.col("value"))).alias("y"),
+            F.count(F.when(F.col("post") == 0, F.lit(1))).alias("_npre"),
+            F.count(F.when(F.col("post") == 1, F.lit(1))).alias("_npost"),
+        )
+        .filter((F.col("_npre") > 0) & (F.col("_npost") > 0))
+        .drop("_npre", "_npost")
+    )
+    mom = per_user.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+    )
+    th = mom.select(
+        "mx",
+        (
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            / F.nullif(F.col("mxx") - F.col("mx") * F.col("mx"), F.lit(0.0))
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(th)).select(
+        "treated",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("y_adj"),
+    )
+    var_y = F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+    var_adj = F.avg(F.col("y_adj") * F.col("y_adj")) - F.avg("y_adj") * F.avg(
+        "y_adj"
+    )
+    return adj.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        rnd(F.avg("y"), 4).alias("mean_y"),
+        rnd(F.avg("y_adj"), 4).alias("mean_y_adj"),
+        rnd(var_y, 4).alias("var_y"),
+        rnd(var_adj, 4).alias("var_y_adj"),
+        rnd_nudged(
+            F.lit(100.0) * (F.lit(1.0) - var_adj / F.nullif(var_y, F.lit(0.0))), 4
+        ).alias("var_reduction_pct"),
+    )
