@@ -132,3 +132,102 @@ def test_token_budget_equals_naive_prefix(spark, rows, budget):
             break
         want.append(i)
     assert got == sorted(want)
+
+
+# --- r8 additions: invariants for the rewritten pair/label engines ---
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=edge_lists)
+@SET
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label CC must agree with a sequential union-find on
+    arbitrary small graphs (chains, cliques, self-loops, dup edges,
+    isolated vertices)."""
+    from etl_aws_spark.operators.graph import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for s, d in edges:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected label = min id reachable = root after full path compression
+    expected = {v: find(v) for v in range(n)}
+    # roots are always the component min because we always hook max->min
+    verts = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(verts, edf, max_rounds=16).collect()
+    }
+    assert got == expected
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=16),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(vecs=vectors)
+@SET
+def test_pq_assign_codes_match_bruteforce_argmin(spark, vecs):
+    """The packed zip_with assignment must pick, for every (vector,
+    subspace), the codeword with minimal squared distance, code-id
+    tie-break — identical to a naive python argmin over the same rounded
+    codebook."""
+    from etl_aws_spark.similarity import pq
+
+    d_sub, k = 4, 2  # 8-dim vectors -> 2 subspaces, 2 codes (ids 0, 1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    parts = pq.subvector_parts(df, "vec_id", "embedding", d_sub)
+    cb = pq.init_codebook(parts, k)
+    got = {
+        (r["_id"], r["sub"]): (r["code"], round(r["dist"], 9))
+        for r in pq.assign_codes(parts, cb).collect()
+    }
+    # python reference over the same rounded seeds
+    seeds = {}
+    for ci in range(min(k, len(vecs))):
+        for sub in range(2):
+            seeds[(sub, ci)] = [
+                round(x, 4) + 0.0 for x in vecs[ci][sub * d_sub : (sub + 1) * d_sub]
+            ]
+    for i, v in enumerate(vecs):
+        for sub in range(2):
+            best = None
+            for code in sorted(c for (s, c) in seeds if s == sub):
+                acc = 0.0
+                for j in range(d_sub):
+                    t = float(v[sub * d_sub + j]) - seeds[(sub, code)][j]
+                    acc = acc + t * t
+                if best is None or acc < best[1]:
+                    best = (code, acc)
+            assert got[(i, sub)][0] == best[0], (i, sub, got[(i, sub)], best)
+            assert abs(got[(i, sub)][1] - round(best[1], 9)) < 1e-6
