@@ -348,3 +348,43 @@ def cms_merge_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def hll_merge_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch HyperLogLog maintenance: each micro-batch builds its
+    OWN (group…, j, m_reg) register partial and merges it into the parquet
+    state by register-wise MAX — the lossless HLL union. Max-merge is
+    associative AND idempotent, so any batch split (and even a replayed
+    merge) converges to the batch-built register table — the invariant
+    the batch-parity oracle checks; the symlink-flip commit with a
+    batch_id replay guard covers mid-write crashes. State is at most
+    |groups|·2^p rows forever, independent of stream length or key
+    cardinality."""
+    from etl_aws_spark.operators.sketch import hll_registers
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay: max-merge is idempotent anyway
+        g = hll_registers(batch_df, key_col, group_cols, p)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*g.columns)
+            g = (
+                g.unionByName(prev)
+                .groupBy(*group_cols, "j")
+                .agg(F.max("m_reg").alias("m_reg"))
+            )
+        _commit_state(g, state_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1003,3 +1003,84 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().cast("int").alias("is_current"),
     )
+
+
+def _hll_stream_oracle() -> str:
+    from etl_aws_spark.operators.sketch import hll_est_expr, hll_hash_expr, hll_rho_expr
+    from etl_aws_spark.text import _dialect as D
+
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, {D.hash60(hll_hash_expr("user_id"), D.DUCK)} AS h
+      FROM events
+    ), reg AS (
+      SELECT event_type, h % 256 AS j, max({hll_rho_expr(D.DUCK, 8)}) AS m_reg
+      FROM hashed GROUP BY event_type, h % 256
+    ), sk AS (
+      SELECT event_type, count(*) AS n_hit,
+             sum((1::BIGINT << CAST(50 - m_reg AS INT))) AS s_obs
+      FROM reg GROUP BY event_type
+    ), fx AS (
+      SELECT event_type, n_hit, 256 - n_hit AS v_zero,
+             s_obs + (256 - n_hit) * 1125899906842624 AS s_fixed
+      FROM sk
+    )
+    SELECT event_type,
+           CAST(n_hit AS INT) AS n_registers_hit,
+           round({hll_est_expr(8)}, 4) + 0.0 AS hll_estimate
+    FROM fx
+    """
+
+
+@query(
+    "streaming_sketch_hll_distinct",
+    # batch parity: register-wise max is associative AND idempotent, so the
+    # streamed register table must equal the one-shot batch build exactly —
+    # the oracle recomputes registers and the estimate from the raw log
+    oracle=_hll_stream_oracle(),
+    category="streaming",
+)
+def streaming_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type maintained AS A STREAM: each
+    micro-batch (several forced via maxFilesPerTrigger) builds its own HLL
+    register partial and foreachBatch merges it into the parquet state by
+    register-wise max (streaming/ingest.py hll_merge_stream) — the
+    lossless HLL union, associative and idempotent, so the final registers
+    EQUAL the batch-built table regardless of batch boundaries or replays;
+    the batch oracle value-checks exactly that, estimate included. The
+    streaming twin of `agg_hll_distinct_users` and the third mergeable
+    sketch kept as stream state beside the count-min grid and the top-k
+    map: distinct-user dashboards over an unbounded event stream in
+    O(types·m) state, no raw-id retention."""
+    root = _cache_dir(sf_dir, "stream_hll")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+        ev.repartition(8).write.mode("overwrite").parquet(landing)
+    ingest.reset_state(state)  # state is a symlink; plain rmtree no-ops on it
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.hll_merge_stream(stream, state, "user_id", ["event_type"], p=8)
+    q.awaitTermination(300)
+    from etl_aws_spark.operators.sketch import hll_fold
+
+    regs = spark.read.parquet(state)
+    est = hll_fold(regs, ["event_type"], p=8)
+    from etl_aws_spark.suite._util import rnd
+
+    return est.select(
+        "event_type",
+        F.col("n_hit").cast("int").alias("n_registers_hit"),
+        rnd(F.col("est"), 4).alias("hll_estimate"),
+    )
