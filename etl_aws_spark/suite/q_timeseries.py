@@ -1686,3 +1686,225 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * (F.lit(1.0) - var_adj / F.nullif(var_y, F.lit(0.0))), 4
         ).alias("var_reduction_pct"),
     )
+
+
+@query(
+    "stat_spearman_corr",
+    # average-rank formulation: rank() gives the min rank of a tie run and
+    # the run length lifts it to the average rank — Spearman with the
+    # standard tie correction, as Pearson over average ranks. Ranks are
+    # exact integers+halves in both engines; only the final correlation
+    # crosses the rounding bridge.
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS grp,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+               AS rx,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+               AS ry
+      FROM lineitem
+    ), m AS (
+      SELECT grp, count(*) AS n,
+             avg(rx) AS mx, avg(ry) AS my,
+             avg(rx * ry) AS mxy, avg(rx * rx) AS mxx, avg(ry * ry) AS myy
+      FROM r GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round((mxy - mx * my)
+                 / sqrt((mxx - mx * mx) * (myy - my * my)), 6) + 0.0
+             AS spearman_rho
+    FROM m
+    """,
+    category="timeseries",
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extended price per return
+    flag) with the standard average-rank tie treatment — the robust,
+    monotone-association twin of the Pearson `stat_corr_matrix`.
+
+    Shape: two rank windows per group (each one sort-shuffle on the group
+    key) plus a per-(group, value) tie count that rides the same
+    partitioning, then the correlation collapses to one moment aggregate —
+    no N x N work, no per-row Python. The moment formulation (E[xy]-mu
+    ratios, not corr()) keeps both engines on the identical arithmetic so
+    only the final ratio needs the rounding bridge. At 100 TB the cost is
+    the two sorts — exactly the floor for any exact rank statistic; for
+    approximate rho at scale, rank via approx quantile buckets instead."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    def avg_rank(col: str) -> F.Column:
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+
+    r = li.select(
+        F.col("l_returnflag").alias("grp"),
+        avg_rank("l_quantity").alias("rx"),
+        avg_rank("l_extendedprice").alias("ry"),
+    )
+    m = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("rx").alias("mx"),
+        F.avg("ry").alias("my"),
+        F.avg(F.col("rx") * F.col("ry")).alias("mxy"),
+        F.avg(F.col("rx") * F.col("rx")).alias("mxx"),
+        F.avg(F.col("ry") * F.col("ry")).alias("myy"),
+    )
+    rho = (F.col("mxy") - F.col("mx") * F.col("my")) / F.sqrt(
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my"))
+    )
+    return m.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        rnd(rho, 6).alias("spearman_rho"),
+    )
+
+
+@query(
+    "stat_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS grp, count(*) AS n, avg(c_acctbal) AS m,
+             var_samp(c_acctbal) AS v
+      FROM customer GROUP BY c_mktsegment
+    ), tot AS (
+      SELECT count(*) AS k, sum(n) AS n_total,
+             sum(n * m) / sum(n) AS grand_mean
+      FROM g
+    ), ss AS (
+      SELECT sum(g.n * (g.m - t.grand_mean) * (g.m - t.grand_mean)) AS ssb,
+             sum((g.n - 1) * g.v) AS ssw
+      FROM g CROSS JOIN tot t
+    )
+    SELECT CAST(t.k AS INT) AS n_groups,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           round(s.ssb, 2) + 0.0 AS ss_between,
+           round(s.ssw, 2) + 0.0 AS ss_within,
+           round((s.ssb / (t.k - 1)) / (s.ssw / (t.n_total - t.k)), 6) + 0.0
+             AS f_stat,
+           round(s.ssb / (s.ssb + s.ssw), 6) + 0.0 AS eta_squared
+    FROM tot t CROSS JOIN ss s
+    """,
+    category="timeseries",
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (account balance across market segments): F statistic
+    from the between/within sum-of-squares decomposition, plus eta-squared
+    effect size — the k-group generalization of `stat_welch_t_test`.
+
+    One grouped aggregate produces every per-segment moment (n, mean,
+    var_samp); SSB/SSW then fold over k rows against the broadcast grand
+    mean. The fact table is scanned ONCE and nothing after the first
+    aggregate exceeds k rows, so the plan is flat at any corpus size."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy(F.col("c_mktsegment").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand_mean"),
+    )
+    ss = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n")
+            * (F.col("m") - F.col("grand_mean"))
+            * (F.col("m") - F.col("grand_mean"))
+        ).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        F.first("k").alias("k"),
+        F.first("n_total").alias("n_total"),
+    )
+    return ss.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        rnd(F.col("ssb"), 2).alias("ss_between"),
+        rnd(F.col("ssw"), 2).alias("ss_within"),
+        rnd(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        rnd(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
+    )
+
+
+@query(
+    "stat_proportion_ztest",
+    # deterministic A/B assignment by user_id parity; conversion = the user
+    # has at least one purchase above 150 (the all-purchases definition is
+    # degenerate on the fixtures: every user converts, pooled var = 0).
+    # Counts are integer-exact; only rates and z cross the rounding bridge.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY arm
+    ), wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN c END) AS c0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN c END) AS c1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           round(CAST(c0 AS DOUBLE) / n0, 6) + 0.0 AS rate_control,
+           round(CAST(c1 AS DOUBLE) / n1, 6) + 0.0 AS rate_treat,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z_score
+    FROM wide
+    """,
+    category="timeseries",
+)
+def stat_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (did the user ever purchase above 150?)
+    between deterministic parity-split arms — the binary-outcome member of
+    the experimentation family beside Welch (means), Mann-Whitney (ranks),
+    CUPED (variance reduction) and diff-in-diff (trends). Pooled-variance
+    normal approximation.
+
+    Shape: one per-user aggregate (conversion is max over the user's
+    events — map-side combined), one 2-row arm aggregate, one pivot to a
+    single row. Nothing after the first groupBy exceeds two rows."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    g = u.groupBy("arm").agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    pick = lambda col, a: F.max(F.when(F.col("arm") == a, F.col(col)))  # noqa: E731
+    wide = g.agg(
+        pick("n", 0).alias("n0"),
+        pick("c", 0).alias("c0"),
+        pick("n", 1).alias("n1"),
+        pick("c", 1).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        rnd(p0, 6).alias("rate_control"),
+        rnd(p1, 6).alias("rate_treat"),
+        rnd(
+            (p1 - p0)
+            / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+            6,
+        ).alias("z_score"),
+    )
