@@ -264,3 +264,57 @@ def hll_fold(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
         f"{m} - n_hit AS v_zero",
         f"s_obs + ({m} - n_hit) * 1125899906842624 AS s_fixed",
     ).selectExpr(*group_cols, "n_hit", "v_zero", f"{hll_est_expr(p)} AS est")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch — Bar-Yossef et al. 2002. Keeps the
+# k smallest 60-bit hashes of the key set; the k-th smallest normalized hash
+# R estimates |S| ≈ (k-1)/R. Unlike HLL it supports DIRECT set operations:
+# the k smallest of S_a ∪ S_b are computable from the two sketches alone,
+# and Jaccard(S_a, S_b) is estimated by the co-membership share inside that
+# union sketch — no inclusion-exclusion error stacking. Same md5 hash60
+# bridge as every sketch here, so the oracle replays every hash exactly.
+
+KMV_HASH_SPACE = float(1 << 60)  # exact as a double (power of two)
+
+
+def kmv_hash_expr(key: str) -> str:
+    """Dialect-neutral argument for hash60: salted stringified key."""
+    return f"concat('kmv:', cast({key} as string))"
+
+
+def kmv_sketch(df: DataFrame, key: str, group_cols: list[str], k: int = 64) -> DataFrame:
+    """(group_cols…, h) — the k smallest distinct key hashes per group.
+
+    Shape for 100 TB: the distinct collapses the corpus to one row per
+    (group, hash) — map-side combined — and the rank window then sees at
+    most |distinct keys| rows per group, of which it keeps k. A production
+    variant replaces the window with a size-k bounded heap aggregate;
+    the window form is exactly replayable by the SQL oracle."""
+    from pyspark.sql import Window
+
+    h = D.hash60(kmv_hash_expr(key), D.SPARK)
+    hashed = df.selectExpr(*group_cols, f"{h} AS h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(sk: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Fold sketch rows to (group_cols…, sketch_size, kth_min_hash, est).
+
+    Linear regime: a sketch holding fewer than k hashes saw the whole key
+    set — the count IS the (exact) estimate. Full sketch: (k-1)/R with
+    R = kth_hash / 2^60; all-double arithmetic on integer-exact inputs, so
+    both engines compute the identical IEEE value."""
+    gb = sk.groupBy(*group_cols) if group_cols else sk.groupBy()
+    agg = gb.agg(F.count(F.lit(1)).alias("sketch_size"), F.max("h").alias("kth_min_hash"))
+    est = F.when(
+        F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_HASH_SPACE) / F.col("kth_min_hash").cast("double")
+    )
+    return agg.withColumn("est", est)

@@ -1486,3 +1486,213 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("rel_err_pct"),
         )
     )
+
+
+def _kmv_oracle_sketch(filt: str = "", k: int = 64) -> str:
+    """Shared oracle CTEs: distinct salted hashes + per-type k-min sketch."""
+    from etl_aws_spark.operators.sketch import kmv_hash_expr
+    from etl_aws_spark.text import _dialect as D
+
+    return f"""
+      hashed AS (
+        SELECT DISTINCT event_type, {D.hash60(kmv_hash_expr("user_id"), D.DUCK)} AS h
+        FROM events {filt}
+      ),
+      sk AS (
+        SELECT event_type, h FROM (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hashed
+        ) WHERE rn <= {k}
+      )"""
+
+
+@query(
+    "agg_kmv_distinct_users",
+    oracle=f"""
+    WITH {_kmv_oracle_sketch()},
+    fold AS (
+      SELECT event_type, count(*) AS sketch_size, max(h) AS kth_min_hash
+      FROM sk GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, sketch_size, kth_min_hash,
+             CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+                  ELSE 63e0 * 1152921504606846976e0 / CAST(kth_min_hash AS DOUBLE)
+             END AS est
+      FROM fold
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type,
+           CAST(sketch_size AS INT) AS sketch_size,
+           CAST(kth_min_hash AS BIGINT) AS kth_min_hash,
+           round(est, 4) + 0.0 AS kmv_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(100.0e0 * (est - exact_distinct) / exact_distinct, 4) + 0.0
+             AS rel_err_pct
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+    category="aggregate",
+)
+def agg_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values, k=64) distinct users per event type beside
+    the exact count and measured error — the order-statistics distinct
+    sketch next to HLL (`agg_hll_distinct_users`): same mergeable-state
+    posture (k longs per group, union = k smallest of the concatenation)
+    but, unlike HLL registers, the retained hashes support direct set
+    algebra (see `agg_kmv_jaccard_pairs`). The sf0.001 fixture exercises
+    the linear regime (distinct < k → the sketch is exhaustive and exact),
+    sf0.01+ the (k-1)/R estimator.
+
+    Why it matters at 100 TB: the distinct-hash collapse is map-side
+    combined and everything past it is bounded by k per group; the exact
+    branch exists purely as the accuracy harness."""
+    from etl_aws_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("sketch_size").cast("int").alias("sketch_size"),
+        F.col("kth_min_hash").cast("long").alias("kth_min_hash"),
+        rnd(F.col("est"), 4).alias("kmv_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        rnd(
+            F.lit(100.0)
+            * (F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
+@query(
+    "agg_kmv_jaccard_pairs",
+    # per-type user sets are thresholded (value > 150) so the sets genuinely
+    # differ — unfiltered, every user has every event type on the fixtures
+    # and all Jaccards collapse to 1.0.
+    oracle=f"""
+    WITH {_kmv_oracle_sketch(filt="WHERE value > 150")},
+    types AS (SELECT DISTINCT event_type FROM events WHERE value > 150),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    u AS (
+      SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.event_type = p.ta
+        UNION ALL
+        SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.event_type = p.tb
+      ) GROUP BY ta, tb, h
+    ),
+    x AS (
+      SELECT ta, tb, in_a, in_b FROM (
+        SELECT ta, tb, in_a, in_b,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM u
+      ) WHERE rn <= 64
+    ),
+    est AS (
+      SELECT ta, tb, count(*) AS union_sketch_size,
+             sum(in_a * in_b) AS inter_sketch
+      FROM x GROUP BY ta, tb
+    ),
+    users AS (SELECT DISTINCT event_type, user_id FROM events WHERE value > 150),
+    eu AS (
+      SELECT ta, tb, user_id, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.ta, p.tb, s.user_id, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN users s ON s.event_type = p.ta
+        UNION ALL
+        SELECT p.ta, p.tb, s.user_id, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN users s ON s.event_type = p.tb
+      ) GROUP BY ta, tb, user_id
+    ),
+    ex AS (
+      SELECT ta, tb, sum(in_a * in_b) AS inter_u, count(*) AS union_u
+      FROM eu GROUP BY ta, tb
+    )
+    SELECT est.ta AS type_a, est.tb AS type_b,
+           CAST(union_sketch_size AS INT) AS union_sketch_size,
+           round(CAST(inter_sketch AS DOUBLE) / union_sketch_size, 6) + 0.0
+             AS jaccard_sketch,
+           round(CAST(inter_u AS DOUBLE) / union_u, 6) + 0.0 AS jaccard_exact,
+           round(abs(CAST(inter_sketch AS DOUBLE) / union_sketch_size
+                     - CAST(inter_u AS DOUBLE) / union_u), 6) + 0.0 AS abs_err
+    FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb
+    """,
+    category="aggregate",
+)
+def agg_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity of high-value (value > 150) user sets
+    across all event-type pairs, estimated FROM KMV SKETCHES ALONE — the
+    set-algebra payoff that register sketches (HLL) cannot give directly:
+    the k smallest hashes of A ∪ B are derivable from the two k-min
+    sketches, and the fraction of that union sketch present in BOTH
+    sketches estimates J(A,B) (Bar-Yossef et al. 2002; the MinHash
+    bottom-k estimator). The exact leg is the accuracy harness.
+
+    Shape: sketches are ≤ k rows per type, the pair frame is |types|²
+    rows — everything past the first distinct-hash collapse is bounded by
+    k·|types|², independent of corpus size. `agg_hll_intersection_
+    estimate` gets the same answer by inclusion-exclusion; this is the
+    direct estimator with one error term instead of three."""
+    from etl_aws_spark.operators.sketch import kmv_sketch
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 150)
+    k = 64
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=k)
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+
+    def _tagged(rows: DataFrame, id_col: str) -> DataFrame:
+        a = pairs.join(
+            rows.select(F.col("event_type").alias("ta"), id_col), "ta"
+        ).select("ta", "tb", id_col, F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        b = pairs.join(
+            rows.select(F.col("event_type").alias("tb"), id_col), "tb"
+        ).select("ta", "tb", id_col, F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        return (
+            a.unionByName(b)
+            .groupBy("ta", "tb", id_col)
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+
+    u = _tagged(sk, "h")
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    x = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    est = x.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("union_sketch_size"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_sketch"),
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    eu = _tagged(users, "user_id")
+    ex = eu.groupBy("ta", "tb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_u"),
+        F.count(F.lit(1)).alias("union_u"),
+    )
+    j_sk = F.col("inter_sketch").cast("double") / F.col("union_sketch_size")
+    j_ex = F.col("inter_u").cast("double") / F.col("union_u")
+    return est.join(ex, ["ta", "tb"]).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("union_sketch_size").cast("int").alias("union_sketch_size"),
+        rnd(j_sk, 6).alias("jaccard_sketch"),
+        rnd(j_ex, 6).alias("jaccard_exact"),
+        rnd(F.abs(j_sk - j_ex), 6).alias("abs_err"),
+    )

@@ -90,3 +90,45 @@ def test_hll_union_merge_is_lossless(spark):
     )
     direct = sketch.hll_registers(whole, "k", [], p=8)
     assert merged.orderBy("j").collect() == direct.orderBy("j").collect()
+
+
+def test_kmv_linear_regime_is_exact(spark):
+    from etl_aws_spark.operators import sketch
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(40)], "k string")
+    sk = sketch.kmv_sketch(df, "k", [], k=64)
+    est = sketch.kmv_estimate(sk, [], k=64).collect()[0]
+    assert est.sketch_size == 40
+    assert est.est == 40.0  # under-full sketch saw the whole key set
+
+
+def test_kmv_estimate_within_error_band(spark):
+    from etl_aws_spark.operators import sketch
+
+    n, k = 5000, 64
+    df = spark.createDataFrame([(f"k{i}",) for i in range(n)], "k string")
+    sk = sketch.kmv_sketch(df, "k", [], k=k)
+    est = sketch.kmv_estimate(sk, [], k=k).collect()[0]
+    assert est.sketch_size == k
+    # KMV rel. std. error ~ 1/sqrt(k-2) ≈ 12.7%; allow 3 sigma
+    assert abs(est.est - n) / n < 0.4
+
+
+def test_kmv_union_of_sketches_equals_sketch_of_union(spark):
+    from pyspark.sql import Window, functions as F
+    from etl_aws_spark.operators import sketch
+
+    k = 32
+    lo = spark.createDataFrame([(f"k{i}",) for i in range(400)], "k string")
+    hi = spark.createDataFrame([(f"k{i}",) for i in range(200, 700)], "k string")
+    merged = (
+        sketch.kmv_sketch(lo, "k", [], k=k)
+        .unionByName(sketch.kmv_sketch(hi, "k", [], k=k))
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    direct = sketch.kmv_sketch(lo.unionByName(hi), "k", [], k=k)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
