@@ -1696,3 +1696,74 @@ def agg_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(j_ex, 6).alias("jaccard_exact"),
         rnd(F.abs(j_sk - j_ex), 6).alias("abs_err"),
     )
+
+
+@query(
+    "quality_k_anonymity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), agg AS (
+      SELECT k.k,
+             count(*) AS n_classes,
+             sum(class_size) AS n_rows,
+             min(class_size) AS min_class_size,
+             sum(CASE WHEN class_size < k.k THEN 1 ELSE 0 END) AS classes_below_k,
+             sum(CASE WHEN class_size < k.k THEN class_size ELSE 0 END) AS rows_below_k
+      FROM cls CROSS JOIN (VALUES (2), (5), (10)) k(k)
+      GROUP BY k.k
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(min_class_size AS BIGINT) AS min_class_size,
+           CAST(classes_below_k AS BIGINT) AS classes_below_k,
+           CAST(rows_below_k AS BIGINT) AS rows_at_risk,
+           round(100.0e0 * rows_below_k / n_rows, 4) + 0.0 AS pct_rows_at_risk,
+           CAST(min_class_size >= k AS INT) AS is_k_anonymous
+    FROM agg
+    """,
+    category="aggregate",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): for k ∈ {2, 5, 10}, how many equivalence classes fall below
+    k members and how many rows they expose — the standard re-identification
+    risk gate a training-data pipeline runs before releasing records with
+    demographic columns (Sweeney 2002), joining `text_pii_redact` (direct
+    identifiers) with a protection for the indirect ones.
+
+    Shape: ONE groupBy collapses the corpus to |QI classes| rows; the three
+    thresholds then fan out over that tiny frame (classes × 3), so the audit
+    costs a single narrow aggregate at any corpus size. Suppression (drop
+    rows in at-risk classes) or generalization (coarsen a QI column) both
+    derive directly from this class table."""
+    cust = load(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    agg = cls.crossJoin(F.broadcast(ks)).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0)).alias(
+            "classes_below_k"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
+        ).alias("rows_below_k"),
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_class_size").cast("long").alias("min_class_size"),
+        F.col("classes_below_k").cast("long").alias("classes_below_k"),
+        F.col("rows_below_k").cast("long").alias("rows_at_risk"),
+        rnd(F.lit(100.0) * F.col("rows_below_k") / F.col("n_rows"), 4).alias(
+            "pct_rows_at_risk"
+        ),
+        (F.col("min_class_size") >= F.col("k")).cast("int").alias("is_k_anonymous"),
+    )

@@ -1857,3 +1857,208 @@ def embedding_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("n_total"),
     )
+
+
+def _rrf_bm25_cte() -> str:
+    """Lexical-leg oracle CTEs: BM25 top-50 per query (same statistics,
+    score fold, k1/b constants and tie-break as `text_bm25_search`)."""
+    from etl_aws_spark.suite.q_text import _BM25_B, _BM25_K1, _BM25_QUERIES
+    from etl_aws_spark.text import _dialect as D
+
+    values = ", ".join(f"({qid}, '{terms}')" for qid, terms in _BM25_QUERIES)
+    return f"""
+    toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest({D.tokens('text', D.DUCK)}) AS t FROM documents
+      ) WHERE t <> ''
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), dfq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), qt AS (
+      SELECT qid, unnest(string_split(terms, ' ')) AS t
+      FROM (VALUES {values}) v(qid, terms)
+    ), tsx AS (
+      SELECT q.qid, f.doc_id, q.t,
+             ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+             * (CAST(f.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(f.tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+                * (CAST(l.dl AS DOUBLE) / s.avgdl))) AS ts
+      FROM qt q
+      JOIN tf f ON f.t = q.t
+      JOIN dl l ON l.doc_id = f.doc_id
+      JOIN dfq d ON d.t = q.t
+      CROSS JOIN stats s
+    ), lex_scored AS (
+      SELECT qid, doc_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ts ORDER BY t)), (acc, x) -> acc + x), 6) + 0.0 AS score
+      FROM tsx GROUP BY qid, doc_id
+    ), lex AS (
+      SELECT qid, doc_id, rnk AS lex_rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM lex_scored
+      ) WHERE rnk <= 50
+    )"""
+
+
+@query(
+    "similarity_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_rrf_bm25_cte()},
+    q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+    ), dense_scored AS (
+      SELECT q.qid, e.vec_id AS doc_id,
+             {_duck_cos('e.embedding', 'q.qvec')} AS cos
+      FROM embeddings e CROSS JOIN q
+    ), dense AS (
+      SELECT qid, doc_id, rnk AS dense_rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS rnk
+        FROM dense_scored
+      ) WHERE rnk <= 50
+    ), fused AS (
+      SELECT coalesce(l.qid, d.qid) AS qid,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(d.dense_rank, 0) AS dense_rank,
+             coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+               + coalesce(1.0 / (60.0 + d.dense_rank), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.qid = d.qid AND l.doc_id = d.doc_id
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(dense_rank AS INT) AS dense_rank,
+           round(rrf, 6) + 0.0 AS rrf_score,
+           CAST(rnk AS INT) AS fused_rank
+    FROM (
+      SELECT qid, doc_id, lex_rank, dense_rank, rrf,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """,
+    category="similarity",
+)
+def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    the BM25 lexical ranking (`text_bm25_search`, top-50) and the exact
+    cosine dense ranking (`similarity_topk_cosine`, top-50, query vector =
+    the query's own embedding row) fuse per (query, doc) as
+    Σ 1/(60 + rank), absent legs contributing nothing — the standard
+    score-free combiner for RAG retrieval stacks, immune to the two legs'
+    incomparable score scales. Sentinel 0 marks a leg that did not
+    retrieve the doc.
+
+    Shape at 100 TB: each leg keeps its own scale posture (posting-list
+    pruned lexical scan; bandwidth-bound dense scan — swap in the IVF/PQ
+    legs for the approximate path); the fusion itself joins two ≤ 50·|Q|
+    rank lists — negligible. Ranks are integers, so the fused score is
+    bit-identical across engines by construction."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.suite.q_text import _BM25_B, _BM25_K1, _BM25_QUERIES
+    from etl_aws_spark.text import _dialect as D
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(D.tokens("text", D.SPARK))).alias("t")
+    ).filter(F.col("t") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms.split()],
+        "qid long, t string",
+    )
+    k1, b = _BM25_K1, _BM25_B
+    ts = (
+        tf.join(F.broadcast(qt), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfq), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            "t",
+            (
+                F.log(
+                    1.0
+                    + ((F.col("n") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("ts"),
+        )
+    )
+    lex_scored = ts.groupBy("qid", "doc_id").agg(
+        (
+            F.round(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(t, ts))), "
+                    "s -> s.ts), cast(0.0 as double), (acc, x) -> acc + x)"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("score")
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 50)
+        .select("qid", "doc_id", "lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    dense = (
+        knn.brute_topk(emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", _DIM, k=50)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+    )
+    fused = lex.join(dense, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        (
+            F.coalesce(1.0 / (60.0 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60.0 + F.col("dense_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            rnd(F.col("rrf"), 6).alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

@@ -858,3 +858,73 @@ def window_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_p90"
         ),
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    # each value holds until the user's next event: weight = seconds to the
+    # next event (epoch diff — integer-exact); the last event of a user has
+    # no holding interval and is excluded from the weighted mean but still
+    # counted. Plain mean sits beside it to show the irregular-sampling bias.
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY {EVENTS_ORDER_SQL})) - epoch_us(ts) AS hold_us
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             sum(CASE WHEN hold_us IS NOT NULL THEN 1 ELSE 0 END) AS n_intervals,
+             sum(CASE WHEN hold_us IS NOT NULL THEN hold_us ELSE 0 END) AS span_us,
+             sum(CASE WHEN hold_us IS NOT NULL THEN value * hold_us ELSE 0 END) AS vw,
+             avg(value) AS plain_mean
+      FROM w GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(span_us // 1000000 AS BIGINT) AS span_seconds,
+           round(vw / span_us + sign(vw / span_us) * 1e-9, 4) + 0.0
+             AS time_weighted_avg,
+           round(plain_mean + sign(plain_mean) * 1e-9, 4) + 0.0 AS plain_avg
+    FROM agg WHERE n_intervals > 0
+    """,
+    category="window",
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over IRREGULARLY spaced events
+    (the TWAP estimator): each observation is weighted by how long it held
+    — microseconds until the user's next event — so bursts of rapid events stop
+    dominating the mean the way they do in `plain_avg`. The canonical
+    correction for event-sampled gauges (sensor readings, account balances,
+    prices) aggregated to entity level.
+
+    Shape: one lead() per user partition (the same sort every window query
+    on this table pays) then a plain grouped aggregate — weights are
+    integer epoch differences, so only the final two ratios cross the
+    rounding bridge. The row count is |users|, never |events|."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(_w()).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("hold_us"),
+    )
+    agg = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("hold_us").isNotNull(), 1).otherwise(0)).alias("n_intervals"),
+        F.sum(F.coalesce("hold_us", F.lit(0))).alias("span_us"),
+        F.sum(
+            F.when(F.col("hold_us").isNotNull(), F.col("value") * F.col("hold_us")).otherwise(0.0)
+        ).alias("vw"),
+        F.avg("value").alias("plain_mean"),
+    )
+    return agg.filter(F.col("n_intervals") > 0).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("span_us div 1000000").cast("long").alias("span_seconds"),
+        rnd_nudged(F.col("vw") / F.col("span_us"), 4).alias("time_weighted_avg"),
+        rnd_nudged(F.col("plain_mean"), 4).alias("plain_avg"),
+    )
