@@ -832,3 +832,133 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.remove_duplicate_spans(
         _corpus(spark, sf_dir), "doc_id", "text", span_words=20
     )
+
+
+@query(
+    "curation_importance_weights_dsir",
+    # token log-ratios fold per doc in token-sorted order (the BM25 trick)
+    # so the float summation order is engine-identical; add-one smoothing
+    # over the shared corpus vocabulary keeps every probability a ratio of
+    # exact integers.
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, source, t FROM (
+        SELECT doc_id, source, unnest({D.tokens('text', D.DUCK)}) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ), vocab AS (
+      SELECT count(DISTINCT t) AS v FROM occ
+    ), tgt AS (
+      SELECT t, count(*) AS c_t FROM occ WHERE source = 'src0' GROUP BY t
+    ), tot AS (
+      SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_tgt,
+             count(*) AS n_raw
+      FROM occ
+    ), rawc AS (
+      SELECT t, count(*) AS c_r FROM occ GROUP BY t
+    ), lr AS (
+      SELECT r.t,
+             ln((CAST(coalesce(g.c_t, 0) + 1 AS DOUBLE) / (tot.n_tgt + vocab.v)))
+             - ln((CAST(r.c_r + 1 AS DOUBLE) / (tot.n_raw + vocab.v))) AS lr
+      FROM rawc r LEFT JOIN tgt g ON g.t = r.t
+      CROSS JOIN tot CROSS JOIN vocab
+    ), per_doc AS (
+      SELECT o.doc_id, count(*) AS n_tokens,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(l.lr ORDER BY l.t)), (acc, x) -> acc + x), 4) + 0.0
+               AS log_importance
+      FROM occ o JOIN lr l ON l.t = o.t
+      WHERE o.source <> 'src0'
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_importance,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT doc_id, n_tokens, log_importance,
+             row_number() OVER (ORDER BY log_importance DESC, doc_id ASC) AS rnk
+      FROM per_doc
+    ) WHERE rnk <= 20
+    """,
+    category="curation",
+)
+def curation_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    hashed-unigram form: every out-of-domain document gets an importance
+    weight Σ_tok [ln p_target(tok) − ln p_raw(tok)] — the log-likelihood
+    ratio between a target-domain unigram LM (docs from source `src0`,
+    add-one smoothed over the shared vocabulary) and the raw-corpus LM —
+    and the top-20 most target-like documents are selected. This is the
+    standard cheap alternative to classifier-based domain selection
+    (`model_naive_bayes_lang` is the classifier counterpart here).
+
+    Shape at 100 TB: token occurrences shuffle once to build the two count
+    tables (map-side combined); the per-token log-ratio table is vocabulary-
+    sized and joins back to occurrences on the token key — the inverted-
+    index plan of `text_bm25_search`. The per-doc sum folds in token-sorted
+    order so both engines add the same doubles in the same order; in
+    production the full weight column feeds `sample_weighted_reservoir`
+    for the actual resampling step."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(D.tokens("text", D.SPARK))).alias("t"),
+    ).filter(F.col("t") != "")
+    vocab = occ.agg(F.countDistinct("t").alias("v"))
+    tgt = occ.filter(F.col("source") == "src0").groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    tot = occ.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n_tgt"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    rawc = occ.groupBy("t").agg(F.count(F.lit(1)).alias("c_r"))
+    lr = (
+        rawc.join(tgt, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "t",
+            (
+                F.log(
+                    (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                    / (F.col("n_tgt") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_r") + 1).cast("double")
+                    / (F.col("n_raw") + F.col("v"))
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        occ.filter(F.col("source") != "src0")
+        .join(lr, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.round(
+                    F.expr(
+                        "aggregate(transform(array_sort(collect_list(struct(t, lr))), "
+                        "s -> s.lr), cast(0.0 as double), (acc, x) -> acc + x)"
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("log_importance"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("log_importance"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "log_importance",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

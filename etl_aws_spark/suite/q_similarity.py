@@ -2062,3 +2062,132 @@ def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+def _mmr_oracle(k: int = 5, pool_n: int = 20) -> str:
+    """Chained-CTE replay of the greedy MMR selection: sel{i} picks the
+    argmax of 0.7·rel − 0.3·max-sim-to-{sel1..sel{i-1}} over the remaining
+    pool. Each step is one ORDER BY/LIMIT 1 over ≤ pool_n rows; the cosine
+    folds are the shared `_duck_cos` arithmetic, so every intermediate
+    double — and therefore every selection — matches Spark bit-for-bit."""
+    ctes = [
+        "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)",
+        f"""pool AS (
+      SELECT vec_id, embedding, rel FROM (
+        SELECT e.vec_id, e.embedding, {_duck_cos('e.embedding', 'q.qvec')} AS rel
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      ) ORDER BY rel DESC, vec_id ASC LIMIT {pool_n}
+    )""",
+        """sel1 AS (
+      SELECT vec_id, embedding, rel, CAST(0.0 AS DOUBLE) AS pen,
+             0.7e0 * rel AS mmr, 1 AS ord
+      FROM pool ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    )""",
+    ]
+    for i in range(2, k + 1):
+        joins = " ".join(f"CROSS JOIN sel{j} s{j}" for j in range(1, i))
+        pens = ", ".join(
+            _duck_cos("p.embedding", f"s{j}.embedding") for j in range(1, i)
+        )
+        notin = ", ".join(f"s{j}.vec_id" for j in range(1, i))
+        ctes.append(f"""sel{i} AS (
+      SELECT vec_id, embedding, rel, pen, 0.7e0 * rel - 0.3e0 * pen AS mmr,
+             {i} AS ord
+      FROM (
+        SELECT p.vec_id, p.embedding, p.rel, greatest({pens}) AS pen
+        FROM pool p {joins}
+        WHERE p.vec_id NOT IN ({notin})
+      ) ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT ord, vec_id, rel, pen, mmr FROM sel{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(ord AS INT) AS selection_order, vec_id,
+           round(rel, 6) + 0.0 AS relevance,
+           round(pen, 6) + 0.0 AS max_sim_to_selected,
+           round(mmr, 6) + 0.0 AS mmr_score
+    FROM ({union})
+    """
+
+
+@query(
+    "similarity_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    category="similarity",
+)
+def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    top-5 selection maximizing 0.7·relevance − 0.3·max-similarity-to-
+    already-selected over a top-20 cosine candidate pool — the standard
+    diversified-retrieval pass a RAG stack runs after `similarity_topk_
+    cosine`/`_hybrid_rrf_fusion` so five near-duplicates don't fill the
+    context window.
+
+    Shape at 100 TB: the expensive part is the candidate pool (the
+    bandwidth-bound brute scan, or any ANN leg — interchangeable); the
+    greedy loop then runs k tiny jobs over the FIXED pool with selected
+    vectors carried as literals (bounded state: k·dim doubles on the
+    driver, the sanctioned-collect pattern of `kmeans`). The selection is
+    inherently sequential — MMR's marginal term depends on every prior
+    pick — so k driver-side steps over ≤ |pool| rows IS the distributed
+    formulation."""
+    lam, mu, k = 0.7, 0.3, 5
+    emb = load(spark, sf_dir, "embeddings")
+    pool = (
+        knn.brute_topk(
+            emb.filter(F.col("vec_id") != 0),
+            emb.filter(F.col("vec_id") == 0),
+            "vec_id",
+            "embedding",
+            _DIM,
+            k=20,
+        )
+        .select(F.col("neighbor_id").alias("vec_id"), F.col("cos").alias("rel"))
+        .join(emb, "vec_id")
+        .select("vec_id", "embedding", "rel")
+        .cache()
+    )
+
+    def _cos_to(lit_col: str) -> str:
+        from etl_aws_spark.similarity.knn import _fold_dot
+
+        return (
+            f"({_fold_dot('embedding', lit_col, _DIM)}) / "
+            f"(sqrt({_fold_dot('embedding', 'embedding', _DIM)}) * "
+            f"sqrt({_fold_dot(lit_col, lit_col, _DIM)}))"
+        )
+
+    selected: list = []
+    out_rows: list = []
+    for step in range(1, k + 1):
+        cand = pool
+        if selected:
+            for j, (_, svec) in enumerate(selected):
+                cand = cand.withColumn(
+                    f"_s{j}", F.array(*[F.lit(float(v)) for v in svec])
+                )
+            pen_exprs = [F.expr(_cos_to(f"_s{j}")) for j in range(len(selected))]
+            pen = pen_exprs[0] if len(pen_exprs) == 1 else F.greatest(*pen_exprs)
+            cand = cand.filter(
+                ~F.col("vec_id").isin([sid for sid, _ in selected])
+            ).withColumn("pen", pen)
+        else:
+            cand = cand.withColumn("pen", F.lit(0.0))
+        cand = cand.withColumn(
+            "mmr", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("pen")
+        )
+        row = cand.orderBy(F.desc("mmr"), F.asc("vec_id")).first()
+        selected.append((row.vec_id, row.embedding))
+        out_rows.append((step, row.vec_id, float(row.rel), float(row.pen), float(row.mmr)))
+    res = spark.createDataFrame(
+        out_rows, "ord int, vec_id long, rel double, pen double, mmr double"
+    )
+    return res.select(
+        F.col("ord").cast("int").alias("selection_order"),
+        "vec_id",
+        rnd(F.col("rel"), 6).alias("relevance"),
+        rnd(F.col("pen"), 6).alias("max_sim_to_selected"),
+        rnd(F.col("mmr"), 6).alias("mmr_score"),
+    )

@@ -250,3 +250,45 @@ def test_pca_partitioning_invariant(spark):
         map(tuple, pca.top_component(emb.repartition(17), "embedding", 64, iters=4).collect())
     )
     assert a == b
+
+
+def test_mmr_penalizes_near_duplicates(spark):
+    # corpus: query-like axis vector, two near-identical high-relevance
+    # vectors, and a moderately relevant orthogonal one — plain top-2 takes
+    # the twins; MMR must swap the redundant twin for the diverse vector.
+    import etl_aws_spark.suite.q_similarity  # noqa: F401  (registry import)
+    from pyspark.sql import functions as F
+    from etl_aws_spark.similarity import knn
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.7, 0.7, 0.0, 0.0]),          # twin A
+        (2, [0.7, 0.7, 0.0, 0.0]),          # twin B (exact dup of A)
+        (3, [0.7, -0.7, 0.0, 0.0]),         # equally relevant, orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    topk = knn.brute_topk(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        "vec_id", "embedding", dim, k=2,
+    )
+    plain = {r.neighbor_id for r in topk.collect()}
+    assert plain == {1, 2}  # pure relevance ties resolve by id: both twins
+    # greedy MMR by hand over the same cosines: after picking 1, candidate 2
+    # is crushed by its ~1.0 similarity to 1 while 3 survives
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    q = rows[0][1]
+    rel = {i: cos(v, q) for i, v in rows[1:]}
+    first = max(rel, key=lambda i: (rel[i], -i))
+    assert first == 1
+    mmr2 = {
+        i: 0.7 * rel[i] - 0.3 * cos(dict(rows)[i], dict(rows)[first])
+        for i in rel if i != first
+    }
+    assert max(mmr2, key=lambda i: (mmr2[i], -i)) == 3
