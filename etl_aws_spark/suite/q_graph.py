@@ -434,3 +434,132 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("p_partkey"),
         F.col("hops").cast("int").alias("hops"),
     )
+
+
+@query(
+    "graph_degree_powerlaw",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT id, count(*) AS degree FROM (
+        SELECT s AS id FROM pairs UNION ALL SELECT d AS id FROM pairs
+      ) GROUP BY id
+    ), hist AS (
+      SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    ), pts AS (
+      SELECT ln(CAST(degree AS DOUBLE)) AS x, ln(CAST(n_nodes AS DOUBLE)) AS y
+      FROM hist
+    ), mom AS (
+      SELECT count(*) AS n_pts, avg(x) AS mx, avg(y) AS my,
+             avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+      FROM pts
+    ), fit AS (
+      SELECT n_pts,
+             (mxy - mx * my) / (mxx - mx * mx) AS slope,
+             my - (mxy - mx * my) / (mxx - mx * mx) * mx AS icept,
+             (mxy - mx * my) * (mxy - mx * my)
+               / ((mxx - mx * mx) * (myy - my * my)) AS r2
+      FROM mom
+    ), mle AS (
+      SELECT count(*) AS n_nodes, sum(ln(CAST(degree AS DOUBLE))) AS sum_ln_d,
+             min(degree) AS dmin, max(degree) AS dmax
+      FROM deg
+    )
+    SELECT CAST(mle.n_nodes AS BIGINT) AS n_nodes,
+           CAST(mle.dmin AS BIGINT) AS min_degree,
+           CAST(mle.dmax AS BIGINT) AS max_degree,
+           CAST(fit.n_pts AS INT) AS n_hist_points,
+           round(fit.slope, 4) + 0.0 AS loglog_slope,
+           round(fit.icept, 4) + 0.0 AS loglog_intercept,
+           round(fit.r2, 6) + 0.0 AS r_squared,
+           round(1.0 + mle.n_nodes / mle.sum_ln_d, 4) + 0.0 AS alpha_mle
+    FROM fit CROSS JOIN mle
+    """,
+    category="graph",
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law audit of the bought-together graph:
+    log-log OLS over the degree histogram (slope ≈ −α, with r² as the
+    goodness gauge) plus the Clauset-Shalizi-Newman continuous MLE
+    α = 1 + n/Σln(d/d_min) at d_min = 1 — the structural diagnostic that
+    decides whether hub-skew mitigations (degree-ordered orientation in
+    `graph_triangle_clustering`, salting in `join_skew_salted_replicated`)
+    are load-bearing on a given graph.
+
+    Shape: the same one-shuffle degree computation as every graph query
+    here, collapsed to a |distinct degrees|-row histogram; both fits are
+    closed-form moment expressions over that tiny frame. The log-sum in
+    the MLE crosses the rounding bridge (unordered float sum), everything
+    before it is exact integers."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pk")
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pk, (x, i) -> transform("
+                    "slice(pk, i + 2, size(pk) - i - 1), "
+                    "y -> struct(x as s, y as d))))"
+                )
+            ).alias("p")
+        )
+        .select("p.s", "p.d")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("s").alias("id"))
+        .unionAll(pairs.select(F.col("d").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    pts = hist.select(
+        F.log(F.col("degree").cast("double")).alias("x"),
+        F.log(F.col("n_nodes").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    fit = mom.select(
+        "n_pts",
+        slope.alias("slope"),
+        (F.col("my") - slope * F.col("mx")).alias("icept"),
+        (
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            * (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            )
+        ).alias("r2"),
+    )
+    mle = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.log(F.col("degree").cast("double"))).alias("sum_ln_d"),
+        F.min("degree").alias("dmin"),
+        F.max("degree").alias("dmax"),
+    )
+    return fit.crossJoin(F.broadcast(mle)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("dmin").cast("long").alias("min_degree"),
+        F.col("dmax").cast("long").alias("max_degree"),
+        F.col("n_pts").cast("int").alias("n_hist_points"),
+        rnd(F.col("slope"), 4).alias("loglog_slope"),
+        rnd(F.col("icept"), 4).alias("loglog_intercept"),
+        rnd(F.col("r2"), 6).alias("r_squared"),
+        rnd(F.lit(1.0) + F.col("n_nodes") / F.col("sum_ln_d"), 4).alias("alpha_mle"),
+    )

@@ -1908,3 +1908,88 @@ def stat_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "stat_ratio_metric_delta",
+    # ratio metrics (revenue per event) violate the iid assumption of the
+    # plain t-test — users, not events, are the randomization unit. The
+    # delta method linearizes r = Σn/Σd around the user-level moments.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS n,
+             count(*) AS d
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, count(*) AS users,
+             sum(n) AS sum_num, sum(d) AS sum_den,
+             avg(n) AS mn, avg(CAST(d AS DOUBLE)) AS md,
+             var_samp(n) AS vn, var_samp(CAST(d AS DOUBLE)) AS vd,
+             (sum(n * d) - sum(n) * sum(d) / count(*)) / (count(*) - 1) AS cov_nd
+      FROM u GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(users AS BIGINT) AS n_users,
+           round(sum_num, 2) + 0.0 AS sum_num,
+           CAST(sum_den AS BIGINT) AS sum_den,
+           round(sum_num / sum_den, 6) + 0.0 AS ratio,
+           round(sqrt((vn - 2.0 * (sum_num / sum_den) * cov_nd
+                       + (sum_num / sum_den) * (sum_num / sum_den) * vd)
+                      / users) / md, 6) + 0.0 AS se_delta
+    FROM m
+    """,
+    category="timeseries",
+)
+def stat_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (purchase revenue per
+    event) under user-level randomization (parity arms) — the correct
+    uncertainty for the metrics every experimentation platform actually
+    ships (CTR, revenue/session), where the naive per-event t-test
+    understates variance because events within a user are correlated
+    (Deng et al. 2011). Var(r) ≈ (σ_n² − 2r·σ_nd + r²·σ_d²) / (N·μ_d²).
+
+    Shape: one per-user aggregate, one 2-row arm aggregate of the five
+    moments — the covariance is computed from the raw Σnd moment so both
+    engines share the exact arithmetic, and nothing after the first
+    groupBy exceeds two rows."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("n"),
+        F.count(F.lit(1)).alias("d"),
+    ).select((F.col("user_id") % 2).alias("arm"), "n", F.col("d").cast("double").alias("d"))
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("n").alias("sum_num"),
+        F.sum("d").alias("sum_den"),
+        F.avg("n").alias("mn"),
+        F.avg("d").alias("md"),
+        F.var_samp("n").alias("vn"),
+        F.var_samp("d").alias("vd"),
+        (
+            (F.sum(F.col("n") * F.col("d")) - F.sum("n") * F.sum("d") / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("cov_nd"),
+    )
+    r = F.col("sum_num") / F.col("sum_den")
+    return m.select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("users").cast("long").alias("n_users"),
+        rnd(F.col("sum_num"), 2).alias("sum_num"),
+        F.col("sum_den").cast("long").alias("sum_den"),
+        rnd(r, 6).alias("ratio"),
+        rnd(
+            F.sqrt(
+                (
+                    F.col("vn")
+                    - 2.0 * r * F.col("cov_nd")
+                    + r * r * F.col("vd")
+                )
+                / F.col("users")
+            )
+            / F.col("md"),
+            6,
+        ).alias("se_delta"),
+    )
