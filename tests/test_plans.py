@@ -428,3 +428,44 @@ def test_pq_assign_packs_arrays_single_exchange(spark, sf):
     # codebook side; the argmin adds none
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Window" not in plan, plan
+
+
+def test_dsir_posting_join_shuffles_token_scalars_once(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["curation_importance_weights_dsir"](spark, sf))
+    # the vocab-sized stats frames ride broadcasts; occurrences must not
+    # cartesian-join anything
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") <= 2
+    # no row-at-a-time Python in the hot path
+    assert "BatchEvalPython" not in plan
+
+
+def test_rrf_fusion_legs_stay_bounded(spark, sf):
+    from etl_aws_spark.registry import all_queries
+
+    plan = _plan(all_queries()["similarity_hybrid_rrf_fusion"](spark, sf))
+    # the dense leg broadcasts the 3-query frame against the corpus; the
+    # lexical leg broadcasts query terms / df stats — the corpus-sized
+    # side must never be the build side of a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # fusion joins two rank lists: a full-outer SMJ on (qid, doc) is fine.
+    # The lexical leg derives tf/dl/df/stats from the same tokenize subtree
+    # (4 scan nodes in the tree, deduped by exchange reuse at runtime) and
+    # the dense leg reads embeddings twice (corpus + query row) — anything
+    # beyond that means a new pass over a corpus table appeared
+    assert plan.count("FileScan parquet") <= 6, plan
+
+
+def test_kmv_sketch_is_one_distinct_then_bounded(spark, sf):
+    from etl_aws_spark.operators.sketch import kmv_sketch
+    from etl_aws_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf, "events")
+    plan = _plan(kmv_sketch(ev, "user_id", ["event_type"], k=64))
+    # distinct-hash collapse (partial+final) then the rank window:
+    # the raw scan shuffles once for the distinct, once for the window
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan
