@@ -2191,3 +2191,99 @@ def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFra
         rnd(F.col("pen"), 6).alias("max_sim_to_selected"),
         rnd(F.col("mmr"), 6).alias("mmr_score"),
     )
+
+
+@query(
+    "embedding_semdedup_eps_sweep",
+    # one blocked pair table serves every threshold (the attribution_window
+    # _sweep pattern): pairs carry their rounded cosine; thresholds are a
+    # 4-row broadcast dim and every readout is a conditional aggregate.
+    oracle=f"""
+    WITH {_duck_plane_cte(6)}, c AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
+      FROM embeddings CROSS JOIN pls
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos
+      FROM c a JOIN c b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 >= 0.25
+    ), eps AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS eps),
+    n AS (SELECT count(*) AS n_corpus FROM embeddings),
+    flat AS (
+      SELECT e.eps, p.id_a AS id FROM pairs p JOIN eps e ON p.cos >= e.eps
+      UNION
+      SELECT e.eps, p.id_b AS id FROM pairs p JOIN eps e ON p.cos >= e.eps
+    ),
+    docs AS (SELECT eps, count(*) AS n_docs FROM flat GROUP BY eps),
+    rem AS (
+      SELECT eps, count(DISTINCT id_b) AS n_removable FROM (
+        SELECT e.eps, p.id_b FROM pairs p JOIN eps e ON p.cos >= e.eps
+      ) GROUP BY eps
+    ),
+    pr AS (
+      SELECT e.eps, count(p.cos) AS n_pairs
+      FROM eps e LEFT JOIN pairs p ON p.cos >= e.eps GROUP BY e.eps
+    )
+    SELECT round(pr.eps, 2) + 0.0 AS eps,
+           CAST(pr.n_pairs AS BIGINT) AS n_pairs,
+           CAST(coalesce(docs.n_docs, 0) AS BIGINT) AS n_docs_in_pairs,
+           CAST(coalesce(rem.n_removable, 0) AS BIGINT) AS n_removable,
+           round(100.0e0 * coalesce(rem.n_removable, 0) / n.n_corpus, 4) + 0.0
+             AS pct_corpus_removable
+    FROM pr LEFT JOIN docs ON pr.eps = docs.eps
+    LEFT JOIN rem ON pr.eps = rem.eps
+    CROSS JOIN n
+    """,
+    category="similarity",
+)
+def embedding_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold-sensitivity sweep (Abbas et al. 2023 §4: the
+    dedup rate is sharply eps-dependent and must be CHOSEN, not assumed):
+    for eps ∈ {0.25, 0.5, 0.75, 0.9}, how many near-dup pairs survive,
+    how many docs participate, and how many the keep-smallest-id policy
+    would remove — the decision table a curation run reads before
+    committing to a threshold.
+
+    Shape: the LSH-blocked pair table (`embedding_cosine_dedup_lsh`) is
+    built ONCE at the loosest threshold; each sweep row is a conditional
+    aggregate over it against a 4-row broadcast dim — the same
+    one-candidate-join-serves-every-bound pattern as
+    `events_attribution_window_sweep`."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = knn.cosine_dedup_pairs(
+        emb, "vec_id", "embedding", _DIM, block_col=None, threshold=0.25, n_planes=6
+    )
+    eps = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.9,)], "eps double")
+    n = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    hits = pairs.crossJoin(F.broadcast(eps)).filter(F.col("cos") >= F.col("eps"))
+    pr = eps.join(
+        hits.groupBy("eps").agg(F.count(F.lit(1)).alias("n_pairs")), "eps", "left"
+    ).select("eps", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"))
+    docs = (
+        hits.select("eps", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+        .groupBy("eps")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rem = (
+        hits.select("eps", "id_b")
+        .distinct()
+        .groupBy("eps")
+        .agg(F.count(F.lit(1)).alias("n_removable"))
+    )
+    return (
+        pr.join(docs, "eps", "left")
+        .join(rem, "eps", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            rnd(F.col("eps"), 2).alias("eps"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_in_pairs"),
+            F.coalesce("n_removable", F.lit(0)).cast("long").alias("n_removable"),
+            rnd(
+                F.lit(100.0) * F.coalesce("n_removable", F.lit(0)) / F.col("n_corpus"),
+                4,
+            ).alias("pct_corpus_removable"),
+        )
+    )

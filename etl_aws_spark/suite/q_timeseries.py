@@ -1993,3 +1993,54 @@ def stat_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("se_delta"),
     )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, precomputed (the
+# engine keeps transcendentals out of runtime where a literal does):
+# z_{0.975} and z_{0.80}
+_Z_ALPHA = 1.959963984540054
+_Z_POWER = 0.8416212335729143
+
+
+@query(
+    "stat_power_sample_size",
+    oracle=f"""
+    WITH m AS (
+      SELECT avg(value) AS mu, var_samp(value) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), mde AS (SELECT unnest([1, 2, 5, 10]) AS mde_pct)
+    SELECT CAST(mde.mde_pct AS INT) AS mde_pct,
+           round(m.mu, 4) + 0.0 AS mean_value,
+           round(sqrt(m.v), 4) + 0.0 AS stddev_value,
+           CAST(ceil(2.0 * m.v * {_Z_ALPHA + _Z_POWER!r} * {_Z_ALPHA + _Z_POWER!r}
+                     / ((mde.mde_pct / 100.0e0 * m.mu)
+                        * (mde.mde_pct / 100.0e0 * m.mu))) AS BIGINT)
+             AS n_per_arm
+    FROM m CROSS JOIN mde
+    """,
+    category="timeseries",
+)
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori sample-size calculator for the experimentation suite: users
+    per arm needed to detect a 1/2/5/10% relative lift in purchase value at
+    α=0.05 (two-sided), power 0.80 — n = 2σ²(z_{{α/2}}+z_β)²/δ² with the
+    normal quantiles as precomputed literals (the `stat_benford` pattern:
+    no runtime transcendentals). The planning half of the family whose
+    post-hoc halves are `stat_welch_t_test` and `stat_proportion_ztest`.
+
+    Shape: ONE moment aggregate over the fact scan, then a 4-row MDE dim
+    cross — the calculator itself is free at any corpus size; what the
+    corpus buys is the σ estimate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = ev.agg(F.avg("value").alias("mu"), F.var_samp("value").alias("v"))
+    mde = spark.createDataFrame([(1,), (2,), (5,), (10,)], "mde_pct int")
+    z2 = (_Z_ALPHA + _Z_POWER) * (_Z_ALPHA + _Z_POWER)  # same multiply as the oracle
+    delta = F.col("mde_pct") / F.lit(100.0) * F.col("mu")
+    return m.crossJoin(F.broadcast(mde)).select(
+        F.col("mde_pct").cast("int").alias("mde_pct"),
+        rnd(F.col("mu"), 4).alias("mean_value"),
+        rnd(F.sqrt(F.col("v")), 4).alias("stddev_value"),
+        F.ceil(F.lit(2.0) * F.col("v") * F.lit(z2) / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm"),
+    )
