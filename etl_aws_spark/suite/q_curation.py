@@ -962,3 +962,110 @@ def curation_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "curation_perplexity_buckets",
+    # same LM replay as text_bigram_lm_score; tiers come from ntile(3) over
+    # the PRE-ROUNDED score (nudged, so the total order is engine-identical)
+    # with doc_id as the unconditional tie-break.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({D.tokens('text', D.DUCK)}, x -> x <> '') AS toks
+      FROM documents
+    ), big AS (
+      SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t)
+    ), uni AS (
+      SELECT w, count(*) AS c1 FROM (
+        SELECT unnest(toks) AS w FROM t
+      ) GROUP BY w
+    ), voc AS (SELECT count(*) AS v FROM uni),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    lp AS (
+      SELECT big.doc_id, big.pos,
+             round(ln(CAST(bc.c2 + 1 AS DOUBLE) / CAST(uni.c1 + voc.v AS DOUBLE)), 6)
+               + 0.0 AS lpv
+      FROM big
+      JOIN bc USING (w1, w2)
+      JOIN uni ON uni.w = big.w1
+      CROSS JOIN voc
+    ), per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                             list(lpv ORDER BY pos)),
+                                (acc, x) -> acc + x) / count(*))
+                   + sign(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                   list(lpv ORDER BY pos)),
+                                      (acc, x) -> acc + x) / count(*)) * 1e-9, 6)
+               + 0.0 AS avg_logp
+      FROM lp GROUP BY doc_id
+    ), tiered AS (
+      SELECT doc_id, n_bigrams, avg_logp,
+             ntile(3) OVER (ORDER BY avg_logp DESC, doc_id ASC) AS tier
+      FROM per
+    )
+    SELECT CAST(tier AS INT) AS tier,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS tier_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+           round(min(avg_logp), 6) + 0.0 AS min_logp,
+           round(max(avg_logp), 6) + 0.0 AS max_logp,
+           round(avg(avg_logp) + sign(avg(avg_logp)) * 1e-9, 6) + 0.0
+             AS mean_logp
+    FROM tiered GROUP BY tier
+    """,
+    category="curation",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiers (Wenzek et al. 2020): documents scored
+    by the corpus-trained bigram LM (`text_bigram_lm_score`), split into
+    head/middle/tail thirds by score, one summary row per tier — the table
+    a pretraining mix reads to decide how much of each quality band to keep
+    (head-only is the classic CCNet cut; mixing ratios come from
+    `curation_rebalance_to_uniform_mix`).
+
+    Shape: the LM is two count aggregates joined back on natural keys; the
+    tier split is ONE global ntile window over the |docs| score frame
+    (bounded: one row per doc, scores pre-rounded so the order — and
+    therefore every tier boundary — is engine-identical); the report is a
+    3-row rollup. At 100 TB the ntile becomes a quantile-bucket assignment
+    against approx boundaries — same table, no global sort."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    score = analysis.bigram_lm_score(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    ).filter(F.col("n_bigrams") > 0)
+    scored = score.select(
+        "doc_id", "n_bigrams", rnd_nudged(F.col("avg_logp"), 6).alias("avg_logp")
+    )
+    w = Window.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    tiered = scored.withColumn("tier", F.ntile(3).over(w))
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.min("avg_logp").alias("min_logp"),
+            F.max("avg_logp").alias("max_logp"),
+            F.avg("avg_logp").alias("mean_logp"),
+        )
+        .select(
+            F.col("tier").cast("int").alias("tier"),
+            F.when(F.col("tier") == 1, "head")
+            .when(F.col("tier") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier_name"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_bigrams").cast("long").alias("sum_bigrams"),
+            rnd(F.col("min_logp"), 6).alias("min_logp"),
+            rnd(F.col("max_logp"), 6).alias("max_logp"),
+            rnd_nudged(F.col("mean_logp"), 6).alias("mean_logp"),
+        )
+    )
