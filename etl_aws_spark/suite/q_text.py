@@ -1500,3 +1500,114 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def _agreement_oracle() -> str:
+    from etl_aws_spark.suite.q_similarity import _duck_bucket, _duck_cos, _duck_plane_cte
+
+    return f"""
+    WITH common AS (
+      SELECT d.doc_id FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM common)
+    ),
+    {_minhash_bands_sql()},
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
+    lex AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands_c a JOIN bands_c b USING (bk) WHERE a.doc_id < b.doc_id
+    ),
+    {_duck_plane_cte(6)},
+    vc AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
+      FROM embeddings CROSS JOIN pls
+      WHERE vec_id IN (SELECT doc_id FROM common)
+    ),
+    sem AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM vc a JOIN vc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 >= 0.9
+    ),
+    onlyboth AS (SELECT src, dst FROM lex INTERSECT SELECT src, dst FROM sem),
+    k AS (
+      SELECT (SELECT count(*) FROM common) AS n_docs,
+             (SELECT count(*) FROM lex) AS n_lex,
+             (SELECT count(*) FROM sem) AS n_sem,
+             (SELECT count(*) FROM onlyboth) AS n_both
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_lex AS BIGINT) AS n_lex_pairs,
+           CAST(n_sem AS BIGINT) AS n_sem_pairs,
+           CAST(n_both AS BIGINT) AS n_agree,
+           CAST(n_lex - n_both AS BIGINT) AS n_lex_only,
+           CAST(n_sem - n_both AS BIGINT) AS n_sem_only,
+           round(CAST(n_both AS DOUBLE)
+                 / nullif(n_lex + n_sem - n_both, 0), 6) + 0.0
+             AS pair_set_jaccard
+    FROM k
+    """
+
+
+@query(
+    "text_dedup_semantic_agreement",
+    oracle=_agreement_oracle(),
+    category="text",
+)
+def text_dedup_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup agreement audit: do LEXICAL near-dup candidates
+    (MinHash/LSH band collisions over text, `text_dedup_near_minhash`'s
+    edge set) and SEMANTIC near-dup pairs (embedding cosine ≥ 0.9 in LSH
+    buckets, `embedding_cosine_dedup_lsh`) flag the same pairs? Lexical
+    dedup misses paraphrases, semantic dedup misses boilerplate-with-
+    different-topics — the pair-set Jaccard and the two one-sided counts
+    quantify exactly that complementarity, which is why production
+    pipelines run BOTH passes (doc/vec alignment: the fixture's shared id
+    domain, enforced by a semi-join on both sides).
+
+    Shape: each side is its own bucketed pair plan (Σ|bucket|², never N²);
+    the audit itself joins two pair lists on their composite key and folds
+    to one row. Set algebra over candidate sets — the same posture as
+    `text_dedup_scorecard`, one modality further."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    common = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    lex = dedup.minhash_band_edges(common, "doc_id", "text", max_bucket=50)
+    from etl_aws_spark.similarity import knn
+
+    vecs = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem = knn.cosine_dedup_pairs(
+        vecs, "vec_id", "embedding", 64, block_col=None, threshold=0.9, n_planes=6
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    both = lex.join(sem, ["src", "dst"])
+    k = (
+        common.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(lex.agg(F.count(F.lit(1)).alias("n_lex"))))
+        .crossJoin(F.broadcast(sem.agg(F.count(F.lit(1)).alias("n_sem"))))
+        .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both"))))
+    )
+    return k.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_lex").cast("long").alias("n_lex_pairs"),
+        F.col("n_sem").cast("long").alias("n_sem_pairs"),
+        F.col("n_both").cast("long").alias("n_agree"),
+        (F.col("n_lex") - F.col("n_both")).cast("long").alias("n_lex_only"),
+        (F.col("n_sem") - F.col("n_both")).cast("long").alias("n_sem_only"),
+        rnd(
+            F.col("n_both").cast("double")
+            / F.nullif(
+                (F.col("n_lex") + F.col("n_sem") - F.col("n_both")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("pair_set_jaccard"),
+    )
