@@ -388,3 +388,47 @@ def hll_merge_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def kmv_merge_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch KMV (bottom-k) maintenance: each micro-batch builds its
+    own k-min-hash partial and merges into the parquet state by KEEPING THE
+    k SMALLEST of the union — the bottom-k merge, associative and
+    idempotent exactly like HLL's register max (a hash either survives into
+    the k smallest or it doesn't; replaying a batch adds only duplicates,
+    removed by the distinct). So the streamed sketch EQUALS the batch-built
+    sketch regardless of batch boundaries — the batch-parity invariant the
+    oracle checks. State is at most |groups|·k rows forever."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.operators.sketch import kmv_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay: bottom-k merge is idempotent
+        g = kmv_sketch(batch_df, key_col, group_cols, k)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*g.columns)
+            w = Window.partitionBy(*group_cols).orderBy("h")
+            g = (
+                g.unionByName(prev)
+                .distinct()
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn")
+            )
+        _commit_state(g, state_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1084,3 +1084,76 @@ def streaming_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_hit").cast("int").alias("n_registers_hit"),
         rnd(F.col("est"), 4).alias("hll_estimate"),
     )
+
+
+def _kmv_stream_oracle() -> str:
+    from etl_aws_spark.suite.q_aggregates import _kmv_oracle_sketch
+
+    return f"""
+    WITH {_kmv_oracle_sketch()},
+    fold AS (
+      SELECT event_type, count(*) AS sketch_size, max(h) AS kth_min_hash
+      FROM sk GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(sketch_size AS INT) AS sketch_size,
+           round(CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+                      ELSE 63e0 * 1152921504606846976e0
+                           / CAST(kth_min_hash AS DOUBLE)
+                 END, 4) + 0.0 AS kmv_estimate
+    FROM fold
+    """
+
+
+@query(
+    "streaming_sketch_kmv_distinct",
+    # batch parity: the bottom-k merge (k smallest of the union) is
+    # associative and idempotent, so the streamed sketch must equal the
+    # one-shot batch sketch exactly — the oracle recomputes it from the raw
+    # log, estimate included
+    oracle=_kmv_stream_oracle(),
+    category="streaming",
+)
+def streaming_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type as a KMV (bottom-k) sketch maintained
+    AS STREAM STATE: each micro-batch's k-min-hash partial merges into the
+    parquet state by keeping the k smallest of the union
+    (streaming/ingest.py kmv_merge_stream) — associative, idempotent, so
+    batch boundaries and replays cannot change the final sketch; the batch
+    oracle value-checks register-for-register parity, estimate included.
+    The fourth mergeable sketch kept as stream state (HLL registers,
+    count-min grid, top-k map came first), and the one whose retained
+    hashes keep supporting SET ALGEBRA (`agg_kmv_jaccard_pairs`) after any
+    amount of streaming — O(types·k) state, no raw-id retention."""
+    root = _cache_dir(sf_dir, "stream_kmv")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+        ev.repartition(8).write.mode("overwrite").parquet(landing)
+    ingest.reset_state(state)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.kmv_merge_stream(stream, state, "user_id", ["event_type"], k=64)
+    q.awaitTermination(300)
+    from etl_aws_spark.operators.sketch import kmv_estimate
+
+    sk = spark.read.parquet(state)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    from etl_aws_spark.suite._util import rnd
+
+    return est.select(
+        "event_type",
+        F.col("sketch_size").cast("int").alias("sketch_size"),
+        rnd(F.col("est"), 4).alias("kmv_estimate"),
+    )
