@@ -1069,3 +1069,70 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd_nudged(F.col("mean_logp"), 6).alias("mean_logp"),
         )
     )
+
+
+@query(
+    "curation_mix_temperature_sampling",
+    # temperature-scaled sampling weights w_i ∝ n_i^τ (the multilingual /
+    # multi-domain mixing law: τ=1 is proportional, τ→0 is uniform). pow()
+    # on exact integer counts is engine-identical; shares cross the
+    # rounding bridge. Oversample factor = effective epochs of the domain
+    # under the mix at the corpus's own total token budget.
+    oracle="""
+    WITH d AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+      FROM documents GROUP BY source
+    ), tau AS (SELECT unnest([0.3e0, 0.7e0, 1.0e0]) AS tau),
+    w AS (
+      SELECT tau.tau, d.source, d.n_docs, d.n_chars,
+             pow(CAST(d.n_chars AS DOUBLE), tau.tau) AS wraw
+      FROM d CROSS JOIN tau
+    ), z AS (
+      SELECT tau, sum(wraw) AS zsum, sum(n_chars) AS total_chars FROM w GROUP BY tau
+    )
+    SELECT round(w.tau, 2) + 0.0 AS tau,
+           w.source,
+           CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_chars AS BIGINT) AS n_chars,
+           round(w.wraw / z.zsum, 6) + 0.0 AS mix_share,
+           round((w.wraw / z.zsum) * z.total_chars / w.n_chars, 4) + 0.0
+             AS effective_epochs
+    FROM w JOIN z USING (tau)
+    """,
+    category="curation",
+)
+def curation_mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-sampling law of
+    mBERT/XLM-R, w_i ∝ n_i^τ): per-source sampling shares at τ ∈
+    {0.3, 0.7, 1.0} plus the effective-epochs each share implies — >1 means
+    the mix re-reads that domain (upsampling a small high-value source),
+    the number a budgeted pretraining run checks before committing to a
+    mix. Generalizes `curation_rebalance_to_uniform_mix` (τ→0) and raw
+    proportional sampling (τ=1) into one dial.
+
+    Shape: ONE groupBy to |sources| rows; the τ fan-out and both ratios
+    live on that tiny frame. pow() on exact integer counts is the only
+    transcendental and is engine-identical for these inputs; shares are
+    rounding-bridged."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tau = spark.createDataFrame([(0.3,), (0.7,), (1.0,)], "tau double")
+    w = d.crossJoin(F.broadcast(tau)).withColumn(
+        "wraw", F.pow(F.col("n_chars").cast("double"), F.col("tau"))
+    )
+    z = w.groupBy("tau").agg(
+        F.sum("wraw").alias("zsum"), F.sum("n_chars").alias("total_chars")
+    )
+    return w.join(z, "tau").select(
+        rnd(F.col("tau"), 2).alias("tau"),
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        rnd(F.col("wraw") / F.col("zsum"), 6).alias("mix_share"),
+        rnd(
+            (F.col("wraw") / F.col("zsum")) * F.col("total_chars") / F.col("n_chars"),
+            4,
+        ).alias("effective_epochs"),
+    )
