@@ -969,3 +969,89 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0)
         ).alias("returning_share"),
     )
+
+
+@query(
+    "events_interarrival_exponential_fit",
+    # gaps are µs-exact integers (the window_time_weighted_avg bridge); the
+    # MLE rate is a ratio of exact ints; each KS term is pre-rounded before
+    # the max so the statistic is engine-deterministic.
+    oracle="""
+    WITH g AS (
+      SELECT epoch_us(lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+      FROM events
+    ), gaps AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL AND gap_us > 0),
+    m AS (
+      SELECT count(*) AS n, sum(gap_us) AS total_us,
+             CAST(count(*) AS DOUBLE) / sum(gap_us) AS lam
+      FROM gaps
+    ), h AS (
+      SELECT gap_us, count(*) AS c FROM gaps GROUP BY gap_us
+    ), cum AS (
+      SELECT gap_us, sum(c) OVER (ORDER BY gap_us) AS cum_n FROM h
+    ), ks AS (
+      SELECT max(round(abs(CAST(cum_n AS DOUBLE) / m.n
+                           - (1.0 - exp(-m.lam * gap_us))), 6) + 0.0) AS ks_stat
+      FROM cum CROSS JOIN m
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_gaps,
+           round(m.total_us / m.n / 1000000.0e0, 4) + 0.0 AS mean_gap_seconds,
+           round(m.lam * 3600000000.0e0, 6) + 0.0 AS rate_per_hour,
+           round(ks.ks_stat, 6) + 0.0 AS ks_vs_exponential
+    FROM m CROSS JOIN ks
+    """,
+    category="temporal",
+)
+def events_interarrival_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process audit: per-user inter-event gaps fitted to an
+    exponential (Poisson-process) model — MLE rate λ = n/Σgap — with the
+    Kolmogorov-Smirnov distance between the empirical gap CDF and the
+    fitted exponential as the burstiness verdict (real user traffic is
+    bursty: KS far above the ~1.36/√n acceptance band is the expected
+    finding, and the input to capacity/sessionization decisions like
+    `window_sessionize`'s gap threshold).
+
+    Shape: one lead() window for gaps (µs-exact integers), then the KS
+    scan runs over the |distinct gap values| frame with a single cumulative
+    window — the `stat_ks_two_sample` histogram trick against a CLOSED-FORM
+    reference CDF instead of a second sample. exp() terms are pre-rounded
+    before the max, so the statistic is engine-deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    m = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_us").alias("total_us"),
+        (F.count(F.lit(1)).cast("double") / F.sum("gap_us")).alias("lam"),
+    )
+    h = g.groupBy("gap_us").agg(F.count(F.lit(1)).alias("c"))
+    cw = Window.orderBy("gap_us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("cum_n", F.sum("c").over(cw))
+    ks = cum.crossJoin(F.broadcast(m)).agg(
+        F.max(
+            F.round(
+                F.abs(
+                    F.col("cum_n").cast("double") / F.col("n")
+                    - (F.lit(1.0) - F.exp(-F.col("lam") * F.col("gap_us")))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ks_stat")
+    )
+    return m.crossJoin(F.broadcast(ks)).select(
+        F.col("n").cast("long").alias("n_gaps"),
+        rnd(F.col("total_us") / F.col("n") / F.lit(1000000.0), 4).alias(
+            "mean_gap_seconds"
+        ),
+        rnd(F.col("lam") * F.lit(3600000000.0), 6).alias("rate_per_hour"),
+        rnd(F.col("ks_stat"), 6).alias("ks_vs_exponential"),
+    )
