@@ -1611,3 +1611,133 @@ def text_dedup_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("pair_set_jaccard"),
     )
+
+
+@query(
+    "text_vocab_growth_heaps",
+    # first-occurrence attribution: a token's vocab contribution lands on
+    # the min doc_id containing it; cumulative windows then give V(n) and
+    # N(n) per doc prefix without any prefix re-scan. The Heaps fit
+    # ln V = ln k + β ln N is OLS over |docs| exact integer points.
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest({D.tokens('text', D.DUCK)}) AS t FROM documents
+      ) WHERE t <> ''
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_tok FROM occ GROUP BY doc_id
+    ), firsts AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_new FROM (
+        SELECT t, min(doc_id) AS doc_id FROM occ GROUP BY t
+      ) GROUP BY doc_id
+    ), curve AS (
+      SELECT p.doc_id,
+             sum(p.n_tok) OVER (ORDER BY p.doc_id) AS cum_tokens,
+             sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id) AS cum_vocab
+      FROM per_doc p LEFT JOIN firsts f ON f.doc_id = p.doc_id
+    ), pts AS (
+      SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+             ln(CAST(cum_vocab AS DOUBLE)) AS y
+      FROM curve
+    ), mom AS (
+      SELECT count(*) AS n_pts, avg(x) AS mx, avg(y) AS my,
+             avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+      FROM pts
+    ), fit AS (
+      SELECT n_pts,
+             (mxy - mx * my) / (mxx - mx * mx) AS beta,
+             exp(my - (mxy - mx * my) / (mxx - mx * mx) * mx) AS k,
+             (mxy - mx * my) * (mxy - mx * my)
+               / ((mxx - mx * mx) * (myy - my * my)) AS r2
+      FROM mom
+    ), tot AS (
+      SELECT max(cum_tokens) AS total_tokens, max(cum_vocab) AS total_vocab
+      FROM curve
+    )
+    SELECT CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+           CAST(tot.total_vocab AS BIGINT) AS total_vocab,
+           CAST(fit.n_pts AS BIGINT) AS n_curve_points,
+           round(fit.beta, 4) + 0.0 AS heaps_beta,
+           round(fit.k, 4) + 0.0 AS heaps_k,
+           round(fit.r2, 6) + 0.0 AS r_squared
+    FROM fit CROSS JOIN tot
+    """,
+    category="text",
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth audit: the corpus's V(N) curve (distinct tokens
+    vs tokens scanned, in doc order) fitted to Heaps' law V = k·N^β — the
+    number that sizes a tokenizer vocabulary and predicts how much new
+    text keeps paying (natural corpora: β ≈ 0.4–0.6; the fixture's closed
+    40-word vocabulary must show β ≈ 0 past saturation, which is exactly
+    what the audit should report for synthetic data). Companion to
+    `text_zipf_rank_frequency` — Zipf and Heaps are the two sides of the
+    same corpus statistic.
+
+    Shape: NO prefix re-scan — each token's novelty lands on its
+    first-occurrence doc (one min aggregate), and one cumulative window
+    over the |docs| frame produces the whole curve; the fit is closed-form
+    moments. The global window is on per-doc rows, not tokens; at 100 TB
+    the same curve computes per shard/day and the points just pool."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.expr(D.tokens("text", D.SPARK))).alias("t")
+    ).filter(F.col("t") != "")
+    per_doc = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = (
+        occ.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    cw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(cw).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(cw).alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    fit = mom.select(
+        "n_pts",
+        slope.alias("beta"),
+        F.exp(F.col("my") - slope * F.col("mx")).alias("k"),
+        (
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            * (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            )
+        ).alias("r2"),
+    )
+    tot = curve.agg(
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("total_vocab"),
+    )
+    return fit.crossJoin(F.broadcast(tot)).select(
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_vocab").cast("long").alias("total_vocab"),
+        F.col("n_pts").cast("long").alias("n_curve_points"),
+        rnd(F.col("beta"), 4).alias("heaps_beta"),
+        rnd(F.col("k"), 4).alias("heaps_k"),
+        rnd(F.col("r2"), 6).alias("r_squared"),
+    )
