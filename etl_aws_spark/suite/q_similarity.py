@@ -2287,3 +2287,103 @@ def embedding_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_corpus_removable"),
         )
     )
+
+
+@query(
+    "model_knn_label_classifier",
+    # holdout = vec_id % 10 == 0; 5-NN cosine majority vote with
+    # (count desc, label asc) tie-break — deterministic in both engines
+    # because the underlying cosine fold is bit-identical.
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS true_label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), train AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0
+    ), scored AS (
+      SELECT t.query_id, t.true_label, r.label,
+             {_duck_cos('r.embedding', 't.qvec')} AS cos, r.vec_id
+      FROM train r CROSS JOIN test t
+    ), nn AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, label,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ), votes AS (
+      SELECT query_id, true_label, label, count(*) AS v FROM nn
+      GROUP BY query_id, true_label, label
+    ), pred AS (
+      SELECT query_id, true_label, label AS pred_label FROM (
+        SELECT query_id, true_label, label,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY v DESC, label ASC) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) + 0.0 AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+    category="similarity",
+)
+def model_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification as the EMBEDDING-QUALITY end task: every
+    10th vector is held out and classified by 5-nearest-cosine majority
+    vote over the rest; per-label accuracy is the readout. High k-NN
+    accuracy = labels are linearly-ish separable in the embedding space —
+    the standard cheap probe a curation pipeline runs on a new embedding
+    model before trusting it for semantic dedup or clustering (beside the
+    geometric probes: `embedding_silhouette_simplified`, recall curves).
+    Third declarative classifier, after Naive Bayes and logreg.
+
+    Shape: the brute scan broadcasts the |test| queries (swap in any ANN
+    leg at scale); votes and argmax run on k·|test| scalar rows. The vote
+    tie-break (count desc, label asc) is total, so predictions are
+    engine-exact."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    topk = knn.brute_topk(train, test, "vec_id", "embedding", _DIM, k=5)
+    nn = (
+        topk.join(
+            train.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+        )
+        .join(
+            test.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .select("query_id", "true_label", "label")
+    )
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        rnd(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
