@@ -229,3 +229,35 @@ def test_scd2_stream_replay_is_idempotent(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert first.equals(second), "replayed batches mutated the version table"
+
+
+def test_kmv_stream_equals_batch_sketch_at_any_split(spark, tmp_path):
+    from pyspark.sql import functions as F, types as T
+
+    from etl_aws_spark.operators.sketch import kmv_sketch
+    from etl_aws_spark.streaming import ingest
+
+    landing = str(tmp_path / "kmv_landing")
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 211).alias("key"),
+    )
+    df.repartition(6).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [T.StructField("grp", T.StringType()), T.StructField("key", T.LongType())]
+    )
+    batch = kmv_sketch(spark.read.parquet(landing), "key", ["grp"], k=32)
+    for files_per_trigger in (1, 6):
+        state = str(tmp_path / f"kmv_state_{files_per_trigger}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(landing)
+        )
+        q = ingest.kmv_merge_stream(stream, state, "key", ["grp"], k=32)
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(state).select("grp", "h")
+        # bottom-k merge is associative + idempotent: the streamed sketch
+        # must equal the one-shot batch sketch hash-for-hash
+        assert streamed.exceptAll(batch.select("grp", "h")).count() == 0
+        assert batch.select("grp", "h").exceptAll(streamed).count() == 0
