@@ -1741,3 +1741,63 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("k"), 4).alias("heaps_k"),
         rnd(F.col("r2"), 6).alias("r_squared"),
     )
+
+
+def _fertility_oracle() -> str:
+    from etl_aws_spark.text import bpe
+
+    return f"""
+    WITH per_doc AS (
+      SELECT source, n_chars,
+             {bpe.doc_token_count_sql('text', bpe.DUCK)} AS n_bpe,
+             len(list_filter({D.tokens('text', D.DUCK)}, x -> x <> '')) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4) + 0.0
+             AS chars_per_token,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 4) + 0.0
+             AS fertility
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("tokenizer_fertility_by_source", oracle=_fertility_oracle(), category="text")
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: BPE tokens per word and chars
+    per BPE token — the compression numbers that decide whether a tokenizer
+    fits a domain (fertility ≫ 1 on a source means its text fragments into
+    many subwords: wasted context window and skewed per-domain token
+    budgets; the multilingual-tokenizer fairness metric). Reads straight
+    into `curation_token_budget_bpe` (budgets) and
+    `curation_mix_temperature_sampling` (mix shares move when measured in
+    tokens, not chars).
+
+    Shape: the BPE apply is the codegen-resident replace chain of
+    `text_token_count_bpe` — no shuffle, no Python — and the rollup is one
+    |sources|-row aggregate; integer-exact until the two final ratios."""
+    from etl_aws_spark.text import bpe as _bpe
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "n_chars",
+        F.expr(_bpe.doc_token_count_sql("text", _bpe.SPARK)).alias("n_bpe"),
+        F.size(
+            F.filter(
+                F.expr(D.tokens("text", D.SPARK)), lambda x: x != F.lit("")
+            )
+        ).alias("n_words"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_bpe").cast("long").alias("sum_bpe_tokens"),
+        rnd(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 4).alias(
+            "chars_per_token"
+        ),
+        rnd(F.sum("n_bpe").cast("double") / F.sum("n_words"), 4).alias("fertility"),
+    )
