@@ -503,3 +503,88 @@ def decode_y4m_420(payload: bytes):
         pos += csz
         frames.append((y, cb, cr))
     return w, h, frames
+
+
+def bilinear_resize_numerators(arr, out_h: int, out_w: int):
+    """EXACT fixed-point bilinear resize of an (h, w, c) uint8 array.
+
+    Half-pixel-center sampling (the OpenCV/PIL convention,
+    align_corners=False): source coord of output column j is
+    xs = (j+0.5)·w/out_w − 0.5, a rational with denominator 2·out_w — so
+    the four corner weights are integers over (2·out_w)·(2·out_h) and the
+    resized value is N / (4·out_h·out_w) with N computed entirely in
+    int64. No float enters the pixel path, which is what lets a SQL
+    oracle replay the resize bit-for-bit from the generator formula.
+
+    Returns (N, den): N an (out_h, out_w, c) int64 array, den the common
+    denominator 4·out_h·out_w. Corner x1/y1 are clamped to the last
+    row/col; the clamped corner always carries weight 0 there, so the
+    clamp never changes the value (it only keeps indices in range).
+    """
+    import numpy as np
+
+    h, w, c = arr.shape
+    a = arr.astype(np.int64)
+    jj = np.arange(out_w)
+    xs_num = (2 * jj + 1) * w - out_w          # = xs · 2·out_w
+    x0 = xs_num // (2 * out_w)
+    ax = xs_num - x0 * (2 * out_w)             # 0 .. 2·out_w − 1
+    x1 = np.minimum(x0 + 1, w - 1)
+    ii = np.arange(out_h)
+    ys_num = (2 * ii + 1) * h - out_h
+    y0 = ys_num // (2 * out_h)
+    ay = ys_num - y0 * (2 * out_h)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx0 = (2 * out_w - ax)[None, :, None]
+    wx1 = ax[None, :, None]
+    wy0 = (2 * out_h - ay)[:, None, None]
+    wy1 = ay[:, None, None]
+    n = (
+        wy0 * (wx0 * a[np.ix_(y0, x0)] + wx1 * a[np.ix_(y0, x1)])
+        + wy1 * (wx0 * a[np.ix_(y1, x0)] + wx1 * a[np.ix_(y1, x1)])
+    )
+    return n, 4 * out_h * out_w
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Arrow-batched resize over a (asset_id, payload) BMP frame: decode,
+    exact fixed-point bilinear to (out_h, out_w), per-image intensity
+    accounting. Output: asset_id, width, height, out_w, out_h,
+    resize_numerator_sum (int64, denominator 4·out_h·out_w per pixel),
+    mean_resized_intensity (normalized /255)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_bmp24(bytes(payload))
+                n, den = bilinear_resize_numerators(arr, out_h, out_w)
+                s = int(n.sum())
+                npix = out_h * out_w * arr.shape[2]
+                rows.append(
+                    (
+                        int(aid),
+                        arr.shape[1],
+                        arr.shape[0],
+                        out_w,
+                        out_h,
+                        s,
+                        s / (den * npix * 255.0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "out_w", "out_h",
+                    "resize_numerator_sum", "mean_resized_intensity",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, width int, height int, out_w int, out_h int, "
+        "resize_numerator_sum bigint, mean_resized_intensity double",
+    )

@@ -1116,3 +1116,74 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(cand, F.col("doc_id")).alias("canonical_id"),
         cand.isNotNull().cast("int").alias("is_dup"),
     )
+
+
+@query(
+    "multimodal_image_resize_bilinear",
+    # closed-form resize oracle: the fixed-point bilinear numerator
+    # N = Σ corners wx·wy·v is exact int64 (weights are integers over
+    # 2·out_w × 2·out_h; pixel values replay from the generator formula),
+    # so DuckDB recomputes the resized image BIT-FOR-BIT from arithmetic —
+    # the real decode+resize on the Spark side must land on the identical
+    # integers. x1/y1 clamp to the last col/row; the clamped corner always
+    # has weight 0 there.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), o AS (
+      SELECT d.doc_id, d.w, d.h, i.i, j.j, c.c,
+             ((2*j.j + 1) * d.w - 4) // 8 AS x0,
+             ((2*j.j + 1) * d.w - 4) % 8 AS ax,
+             ((2*i.i + 1) * d.h - 4) // 8 AS y0,
+             ((2*i.i + 1) * d.h - 4) % 8 AS ay
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    ), n AS (
+      SELECT doc_id, w, h,
+        SUM(
+          (8 - ay) * ((8 - ax) * ((doc_id*31 + x0*7 + y0*3 + c*11) % 256)
+                      + ax * ((doc_id*31 + least(x0+1, w-1)*7 + y0*3 + c*11) % 256))
+          + ay * ((8 - ax) * ((doc_id*31 + x0*7 + least(y0+1, h-1)*3 + c*11) % 256)
+                  + ax * ((doc_id*31 + least(x0+1, w-1)*7
+                           + least(y0+1, h-1)*3 + c*11) % 256))
+        ) AS s
+      FROM o GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           4 AS out_w, 4 AS out_h,
+           CAST(s AS BIGINT) AS resize_numerator_sum,
+           round(CAST(s AS DOUBLE) / (64.0 * 48.0 * 255.0), 6) + 0.0
+             AS mean_resized_intensity
+    FROM n
+    """,
+    category="multimodal",
+)
+def multimodal_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE RESIZE over real decodes — the remaining core preprocessing
+    verb beside decode / feature-extract / frame-sample: every BMP decodes
+    (multimodal/ops.py decode_bmp24) and downsamples to 4×4 by EXACT
+    fixed-point bilinear interpolation (half-pixel centers, the OpenCV
+    convention; weights are integers over 2·out_w × 2·out_h so no float
+    touches the pixel path), the thumbnail/embedding-input step of every
+    vision-data pipeline. The oracle replays decode AND resize in closed
+    form — int64 equality on the numerator sum, not a rounded comparison.
+
+    Shape: one Arrow-batched mapInPandas does decode+resize per image
+    (CPU-bound, embarrassingly parallel, no shuffle); everything after is
+    scalar-relational. At 100 TB the resize rides the same single decode
+    pass as feature extraction (`pipeline_multimodal_curation`'s
+    decode-once law)."""
+    media = _bmp_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"), "payload"
+    )
+    out = ops.resize_images(media, out_h=4, out_w=4)
+    return out.select(
+        "asset_id", "width", "height", "out_w", "out_h",
+        "resize_numerator_sum",
+        (F.round(F.col("mean_resized_intensity"), 6) + F.lit(0.0)).alias(
+            "mean_resized_intensity"
+        ),
+    )

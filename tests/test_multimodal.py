@@ -332,3 +332,23 @@ def test_y4m_roundtrip_and_errors():
         decode_y4m_420(b"RIFF1234\n")
     with pytest.raises(ValueError, match="unsupported chroma"):
         decode_y4m_420(b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C444\nFRAME\n")
+
+
+def test_bilinear_resize_identity_and_interpolation():
+    import numpy as np
+
+    from etl_aws_spark.multimodal.ops import bilinear_resize_numerators
+
+    a = (np.arange(6 * 8 * 3).reshape(6, 8, 3) * 13 % 256).astype(np.uint8)
+    # identity resize reproduces the array exactly (all weights land on one corner)
+    n, den = bilinear_resize_numerators(a, 6, 8)
+    assert (n == a.astype(np.int64) * den).all()
+    # 2x downsample of a horizontal gradient v(x)=x: centers at x=0.5, 2.5, ...
+    g = np.tile(np.arange(8, dtype=np.uint8)[None, :, None], (4, 1, 3))
+    n2, den2 = bilinear_resize_numerators(g, 2, 4)
+    vals = n2.astype(float) / den2
+    assert np.allclose(vals[0, :, 0], [0.5, 2.5, 4.5, 6.5])
+    # constant image is resize-invariant at any output size
+    c = np.full((5, 7, 3), 42, np.uint8)
+    n3, den3 = bilinear_resize_numerators(c, 3, 2)
+    assert (n3 == 42 * den3).all()
