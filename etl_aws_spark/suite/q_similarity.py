@@ -2199,9 +2199,17 @@ def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFra
     # _sweep pattern): pairs carry their rounded cosine; thresholds are a
     # 4-row broadcast dim and every readout is a conditional aggregate.
     oracle=f"""
-    WITH {_duck_plane_cte(6)}, c AS (
+    WITH {_duck_plane_cte(6)}, smp AS (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY ('0x' || substr(md5('semsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                          vec_id) AS hrn
+        FROM embeddings
+      ) WHERE hrn <= 2000
+    ), c AS (
       SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
-      FROM embeddings CROSS JOIN pls
+      FROM smp CROSS JOIN pls
     ), pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos
@@ -2209,7 +2217,7 @@ def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFra
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) + 0.0 >= 0.25
     ), eps AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS eps),
-    n AS (SELECT count(*) AS n_corpus FROM embeddings),
+    n AS (SELECT count(*) AS n_corpus FROM smp),
     flat AS (
       SELECT e.eps, p.id_a AS id FROM pairs p JOIN eps e ON p.cos >= e.eps
       UNION
@@ -2245,17 +2253,31 @@ def embedding_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     would remove — the decision table a curation run reads before
     committing to a threshold.
 
-    Shape: the LSH-blocked pair table (`embedding_cosine_dedup_lsh`) is
-    built ONCE at the loosest threshold; each sweep row is a conditional
-    aggregate over it against a 4-row broadcast dim — the same
-    one-candidate-join-serves-every-bound pattern as
+    Shape: the sweep runs on a FIXED AUDIT BUDGET — the 2000 smallest
+    salted-hash ids (deterministic, unbiased; the whole corpus below that
+    size). Tuning eps is a sampling problem, and the unsampled sweep is
+    Σ|bucket|²-quadratic on a clustered corpus (measured 24.9× wall at 10×
+    data before the budget; the production dedup pass itself scales by
+    cluster+bucket blocking, `pipeline_semantic_dedup`). The LSH-blocked
+    pair table is built ONCE at the loosest threshold; each sweep row is a
+    conditional aggregate against a 4-row broadcast dim — the
+    one-candidate-join-serves-every-bound pattern of
     `events_attribution_window_sweep`."""
+    from pyspark.sql import Window
+
     emb = load(spark, sf_dir, "embeddings")
+    h = "cast(conv(substr(md5(concat('semsample:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"
+    wr = Window.orderBy(F.expr(h), F.col("vec_id"))
+    smp = (
+        emb.withColumn("hrn", F.row_number().over(wr))
+        .filter(F.col("hrn") <= 2000)
+        .drop("hrn")
+    )
     pairs = knn.cosine_dedup_pairs(
-        emb, "vec_id", "embedding", _DIM, block_col=None, threshold=0.25, n_planes=6
+        smp, "vec_id", "embedding", _DIM, block_col=None, threshold=0.25, n_planes=6
     )
     eps = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.9,)], "eps double")
-    n = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n = smp.agg(F.count(F.lit(1)).alias("n_corpus"))
     hits = pairs.crossJoin(F.broadcast(eps)).filter(F.col("cos") >= F.col("eps"))
     pr = eps.join(
         hits.groupBy("eps").agg(F.count(F.lit(1)).alias("n_pairs")), "eps", "left"
@@ -2291,15 +2313,24 @@ def embedding_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "model_knn_label_classifier",
-    # holdout = vec_id % 10 == 0; 5-NN cosine majority vote with
-    # (count desc, label asc) tie-break — deterministic in both engines
-    # because the underlying cosine fold is bit-identical.
+    # holdout = a FIXED PROBE BUDGET: the min(200, N/10) smallest md5-hash
+    # ids (deterministic, unbiased). A %-of-corpus holdout makes the brute
+    # probe O(N^2) — measured 76.9x wall at 10x data; the fixed budget makes
+    # it O(budget·N). 5-NN majority vote, (count desc, label asc) tie-break.
     oracle=f"""
-    WITH test AS (
+    WITH ranked AS (
+      SELECT vec_id, embedding, label,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('knnprobe:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                        vec_id) AS hrn,
+             count(*) OVER () AS n_corpus
+      FROM embeddings
+    ), test AS (
       SELECT vec_id AS query_id, embedding AS qvec, label AS true_label
-      FROM embeddings WHERE vec_id % 10 = 0
+      FROM ranked WHERE hrn <= least(200, n_corpus // 10)
     ), train AS (
-      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0
+      SELECT vec_id, embedding, label FROM ranked
+      WHERE hrn > least(200, n_corpus // 10)
     ), scored AS (
       SELECT t.query_id, t.true_label, r.label,
              {_duck_cos('r.embedding', 't.qvec')} AS cos, r.vec_id
@@ -2333,24 +2364,34 @@ def embedding_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="similarity",
 )
 def model_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN label classification as the EMBEDDING-QUALITY end task: every
-    10th vector is held out and classified by 5-nearest-cosine majority
-    vote over the rest; per-label accuracy is the readout. High k-NN
+    """k-NN label classification as the EMBEDDING-QUALITY end task: a
+    fixed-budget probe set (the min(200, N/10) smallest salted-hash ids —
+    deterministic, unbiased, CONSTANT-SIZE at scale) is held out and
+    classified by 5-nearest-cosine majority vote over the rest; per-label
+    accuracy is the readout. High k-NN
     accuracy = labels are linearly-ish separable in the embedding space —
     the standard cheap probe a curation pipeline runs on a new embedding
     model before trusting it for semantic dedup or clustering (beside the
     geometric probes: `embedding_silhouette_simplified`, recall curves).
     Third declarative classifier, after Naive Bayes and logreg.
 
-    Shape: the brute scan broadcasts the |test| queries (swap in any ANN
-    leg at scale); votes and argmax run on k·|test| scalar rows. The vote
-    tie-break (count desc, label asc) is total, so predictions are
-    engine-exact."""
+    Shape: the brute scan broadcasts the ≤200 probe queries (swap in any
+    ANN leg at scale) — O(budget·N), measured 76.9× → re-measured after
+    this fix (BASELINE.md) precisely because the earlier %-of-corpus
+    holdout was O(N²); votes and argmax run on k·|probes| scalar rows.
+    The vote tie-break (count desc, label asc) is total, so predictions
+    are engine-exact."""
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    test = emb.filter(F.col("vec_id") % 10 == 0)
-    train = emb.filter(F.col("vec_id") % 10 != 0)
+    h = "cast(conv(substr(md5(concat('knnprobe:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"
+    wr = Window.orderBy(F.expr(h), F.col("vec_id"))
+    ranked = emb.withColumn("hrn", F.row_number().over(wr)).withColumn(
+        "n_corpus", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    budget = F.least(F.lit(200), F.expr("n_corpus div 10"))
+    test = ranked.filter(F.col("hrn") <= budget).drop("hrn", "n_corpus")
+    train = ranked.filter(F.col("hrn") > budget).drop("hrn", "n_corpus")
     topk = knn.brute_topk(train, test, "vec_id", "embedding", _DIM, k=5)
     nn = (
         topk.join(

