@@ -730,3 +730,57 @@ def sink_nested_sessions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
         chain.alias("event_chain_digest"),
     )
+
+
+@query(
+    "scan_fixed_width",
+    # round trip: customers serialized to a COBOL-style fixed-width layout
+    # (key 10 + nationkey 4 + space-padded signed acctbal 12.2 + right-padded segment 12),
+    # read back by pure substring/trim/cast expressions. The oracle is the
+    # source table — the layout must be lossless for these widths.
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(c_acctbal, 2) + 0.0 AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+    category="scan",
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe copybook) text ingest — the classic
+    enterprise format Spark has no native reader for: records are written
+    as zero-padded/right-padded fixed columns and parsed back with pure
+    `substring`/`trim`/`cast` expressions over `spark.read.text` — whole
+    record = one string column, the parse stays inside codegen, and the
+    reader is a 4-line schema map, not a UDF.
+
+    Shape: text-source scan is line-splittable (no quoting ambiguity, the
+    advantage fixed-width holds over multiline CSV), so parallelism is
+    byte-range splits exactly like CSV; widths are schema metadata. The
+    oracle is the source table itself — the layout round trip must be
+    lossless."""
+    path = _cache_dir(sf_dir, "customer_fixedwidth")
+    if not _done(path):
+        cust = load(spark, sf_dir, "customer")
+        line = F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+            F.lpad(F.col("c_nationkey").cast("string"), 4, "0"),
+            F.lpad(F.format_number(F.col("c_acctbal"), 2), 12, " "),
+            F.rpad(F.col("c_mktsegment"), 12, " "),
+        )
+        cust.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.substring("value", 1, 10).cast("long").alias("c_custkey"),
+        F.substring("value", 11, 4).cast("int").alias("c_nationkey"),
+        (
+            F.round(
+                F.regexp_replace(F.trim(F.substring("value", 15, 12)), ",", "").cast(
+                    "double"
+                ),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("c_acctbal"),
+        F.rtrim(F.substring("value", 27, 12)).alias("c_mktsegment"),
+    )
