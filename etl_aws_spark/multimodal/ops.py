@@ -588,3 +588,56 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
         "asset_id bigint, width int, height int, out_w int, out_h int, "
         "resize_numerator_sum bigint, mean_resized_intensity double",
     )
+
+
+def linear_resample_numerators(samples, out_n: int):
+    """EXACT fixed-point 1-D linear resample of an int16 waveform — the
+    audio twin of :func:`bilinear_resize_numerators`: output position j
+    samples the source at xs = (j+0.5)·n/out_n − 0.5 (half-sample
+    centers), weights are integers over 2·out_n, and the resampled value
+    is N / (2·out_n) with N exact int64 (negative samples included).
+    Returns (N, den); the clamped right neighbor always carries weight 0
+    at the boundary."""
+    import numpy as np
+
+    n = len(samples)
+    a = np.asarray(samples, dtype=np.int64)
+    jj = np.arange(out_n)
+    xs_num = (2 * jj + 1) * n - out_n            # = xs · 2·out_n
+    x0 = xs_num // (2 * out_n)
+    ax = xs_num - x0 * (2 * out_n)               # 0 .. 2·out_n − 1
+    x1 = np.minimum(x0 + 1, n - 1)
+    return (2 * out_n - ax) * a[x0] + ax * a[x1], 2 * out_n
+
+
+def resample_audio(df: DataFrame, out_n: int) -> DataFrame:
+    """Arrow-batched fixed-length resample over (asset_id, payload) WAVs:
+    decode PCM16, exact fixed-point linear resample to out_n samples,
+    per-clip accounting. Output: asset_id, n_samples, out_n,
+    resample_numerator_sum (int64, denominator 2·out_n per sample),
+    mean_resampled (mean output amplitude)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, _rate = decode_wav16(bytes(payload))
+                n_num, den = linear_resample_numerators(samples, out_n)
+                s = int(n_num.sum())
+                rows.append(
+                    (int(aid), len(samples), out_n, s, s / (den * out_n))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "out_n",
+                    "resample_numerator_sum", "mean_resampled",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, n_samples int, out_n int, "
+        "resample_numerator_sum bigint, mean_resampled double",
+    )

@@ -1187,3 +1187,54 @@ def multimodal_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFr
             "mean_resized_intensity"
         ),
     )
+
+
+@query(
+    "multimodal_audio_resample_linear",
+    # closed-form resample oracle (the image-resize law in 1-D): output j
+    # samples position (2j+1)·n − out_n over denominator 2·out_n; the
+    # fixed-point numerator Σ (2·out_n − ax)·v(x0) + ax·v(x1) is exact
+    # int64 against the generator waveform v(i) = (did·131 + i·17) % 4096
+    # − 2048, so the decode+resample must land on identical integers.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ), o AS (
+      SELECT d.doc_id, d.n, j.j,
+             ((2*j.j + 1) * d.n - 32) // 64 AS x0,
+             ((2*j.j + 1) * d.n - 32) % 64 AS ax
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+    ), s AS (
+      SELECT doc_id, n,
+        SUM(
+          (64 - ax) * (((doc_id*131 + x0*17) % 4096) - 2048)
+          + ax * (((doc_id*131 + least(x0+1, n-1)*17) % 4096) - 2048)
+        ) AS s
+      FROM o GROUP BY doc_id, n
+    )
+    SELECT doc_id AS asset_id, CAST(n AS INT) AS n_samples, 32 AS out_n,
+           CAST(s AS BIGINT) AS resample_numerator_sum,
+           round(CAST(s AS DOUBLE) / (64.0 * 32.0), 6) + 0.0 AS mean_resampled
+    FROM s
+    """,
+    category="multimodal",
+)
+def multimodal_audio_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO RESAMPLE over real PCM decodes — the 1-D twin of
+    `multimodal_image_resize_bilinear`, completing the preprocessing verb
+    set (decode / feature-extract / resize-resample / frame-sample) for the
+    audio modality: every WAV decodes (multimodal/ops.py decode_wav16) and
+    resamples to a fixed 32-sample frame by EXACT fixed-point linear
+    interpolation (half-sample centers, integer weights over 2·out_n) —
+    the fixed-length-input step in front of any audio encoder. The oracle
+    replays decode AND resample in closed form: int64 equality on the
+    numerator sum, not a rounded comparison.
+
+    Shape: one Arrow-batched mapInPandas per clip, no shuffle; rides the
+    same decode-once law as the audio fingerprint pass."""
+    wav = _wav_corpus(spark, sf_dir)
+    out = ops.resample_audio(wav, out_n=32)
+    return out.select(
+        "asset_id", "n_samples", "out_n", "resample_numerator_sum",
+        (F.round(F.col("mean_resampled"), 6) + F.lit(0.0)).alias("mean_resampled"),
+    )

@@ -352,3 +352,17 @@ def test_bilinear_resize_identity_and_interpolation():
     c = np.full((5, 7, 3), 42, np.uint8)
     n3, den3 = bilinear_resize_numerators(c, 3, 2)
     assert (n3 == 42 * den3).all()
+
+
+def test_linear_resample_identity_and_midpoints():
+    import numpy as np
+
+    from etl_aws_spark.multimodal.ops import linear_resample_numerators
+
+    a = np.array([-100, 0, 100, 200, 300, 400], dtype=np.int16)
+    # identity resample reproduces the waveform exactly
+    n, den = linear_resample_numerators(a, 6)
+    assert (n == a.astype(np.int64) * den).all()
+    # 2x downsample of a ramp: centers at 0.5, 2.5, 4.5 -> midpoints
+    n2, den2 = linear_resample_numerators(a, 3)
+    assert (n2.astype(float) / den2 == [-50.0, 150.0, 350.0]).all()
