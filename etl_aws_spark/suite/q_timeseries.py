@@ -2044,3 +2044,123 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     )
+
+
+# Bernoulli SPRT literals (Wald 1945): H0 p=0.03 vs H1 p=0.06, α=β=0.05.
+# Per-trial LLR increments and the decision bound ±ln(19) are precomputed
+# doubles (the stat_benford pattern — no runtime transcendental), so every
+# cumulative sum is a sum of two exact literals: engine-identical.
+_SPRT_LLR_HIT = 0.6931471805599453     # ln(p1/p0)
+_SPRT_LLR_MISS = -0.03141619623337893  # ln((1-p1)/(1-p0))
+_SPRT_BOUND = 2.9444389791664403       # ln((1-β)/α) = ln(19)
+
+
+@query(
+    "stat_sprt_sequential_test",
+    oracle=f"""
+    WITH trials AS (
+      SELECT user_id % 2 AS arm, ts, event_id,
+             CASE WHEN value > 150 THEN 1 ELSE 0 END AS x
+      FROM events WHERE event_type = 'purchase'
+    ), walk AS (
+      SELECT arm, ts, event_id, x,
+             row_number() OVER w AS trial_n,
+             sum(CASE WHEN x = 1 THEN {_SPRT_LLR_HIT!r}
+                      ELSE {_SPRT_LLR_MISS!r} END) OVER w AS llr
+      FROM trials
+      WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), crossed AS (
+      SELECT arm, trial_n, llr,
+             row_number() OVER (PARTITION BY arm ORDER BY trial_n) AS cross_rank
+      FROM walk
+      WHERE llr >= {_SPRT_BOUND!r} OR llr <= -{_SPRT_BOUND!r}
+    ), decision AS (
+      SELECT arm, trial_n AS n_at_decision, llr AS llr_at_decision
+      FROM crossed WHERE cross_rank = 1
+    ), tot AS (
+      SELECT arm, count(*) AS n_trials, sum(x) AS n_hits,
+             max(llr) AS max_llr, min(llr) AS min_llr
+      FROM walk GROUP BY arm
+    )
+    SELECT CAST(t.arm AS BIGINT) AS arm,
+           CAST(t.n_trials AS BIGINT) AS n_trials,
+           CAST(t.n_hits AS BIGINT) AS n_hits,
+           round(t.max_llr, 6) + 0.0 AS max_llr,
+           round(t.min_llr, 6) + 0.0 AS min_llr,
+           CAST(coalesce(d.n_at_decision, 0) AS BIGINT) AS n_at_decision,
+           CASE WHEN d.arm IS NULL THEN 'undecided'
+                WHEN d.llr_at_decision > 0 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM tot t LEFT JOIN decision d ON d.arm = t.arm
+    """,
+    category="timeseries",
+)
+def stat_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the purchase stream
+    (H0: conversion 3% vs H1: 6%, α=β=0.05): per arm, the cumulative
+    log-likelihood walk in event order and the FIRST boundary crossing —
+    the always-valid sequential-testing member of the experimentation
+    family, which reaches a decision with ~half the samples of the
+    fixed-horizon `stat_proportion_ztest` and never peeks illegally.
+
+    Shape: one ordered window per arm (the same sort any per-arm cumsum
+    pays) over trial scalars; the crossing argmin is a filter + rank on
+    the walk. Per-trial increments are two exact literals, so the
+    cumulative LLR is engine-exact at every row and the crossing row —
+    and therefore the decision — is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    trials = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        "ts",
+        "event_id",
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("x"),
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = trials.select(
+        "arm",
+        "x",
+        F.row_number().over(
+            Window.partitionBy("arm").orderBy("ts", "event_id")
+        ).alias("trial_n"),
+        F.sum(
+            F.when(F.col("x") == 1, F.lit(_SPRT_LLR_HIT)).otherwise(
+                F.lit(_SPRT_LLR_MISS)
+            )
+        ).over(w).alias("llr"),
+    )
+    crossed = walk.filter(
+        (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND)
+    )
+    wd = Window.partitionBy("arm").orderBy("trial_n")
+    decision = (
+        crossed.withColumn("cross_rank", F.row_number().over(wd))
+        .filter(F.col("cross_rank") == 1)
+        .select(
+            "arm",
+            F.col("trial_n").alias("n_at_decision"),
+            F.col("llr").alias("llr_at_decision"),
+        )
+    )
+    tot = walk.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.sum("x").alias("n_hits"),
+        F.max("llr").alias("max_llr"),
+        F.min("llr").alias("min_llr"),
+    )
+    return tot.join(decision, "arm", "left").select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("n_trials").cast("long").alias("n_trials"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        rnd(F.col("max_llr"), 6).alias("max_llr"),
+        rnd(F.col("min_llr"), 6).alias("min_llr"),
+        F.coalesce("n_at_decision", F.lit(0)).cast("long").alias("n_at_decision"),
+        F.when(F.col("llr_at_decision").isNull(), "undecided")
+        .when(F.col("llr_at_decision") > 0, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    )
