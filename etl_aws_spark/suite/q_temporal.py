@@ -1055,3 +1055,105 @@ def events_interarrival_exponential_fit(spark: SparkSession, sf_dir: str) -> Dat
         rnd(F.col("lam") * F.lit(3600000000.0), 6).alias("rate_per_hour"),
         rnd(F.col("ks_stat"), 6).alias("ks_vs_exponential"),
     )
+
+
+@query(
+    "events_bot_traffic_audit",
+    # entropy terms are nudge-rounded pre-sum (the PSI/MI pattern); gaps
+    # are µs-exact; thresholds are literals. The fixture's synthetic users
+    # are uniform-ish — 'human-like' verdicts everywhere are the expected
+    # finding; the machinery is the product (stat_benford's posture).
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+      FROM events
+    ), gaps AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             sum(CASE WHEN gap_us IS NOT NULL AND gap_us < 1000000
+                      THEN 1 ELSE 0 END) AS n_subsecond,
+             min(gap_us) AS min_gap_us
+      FROM g GROUP BY user_id
+    ), tc AS (
+      SELECT user_id, event_type, count(*) AS c FROM events
+      GROUP BY user_id, event_type
+    ), tn AS (
+      SELECT user_id, sum(c) AS n FROM tc GROUP BY user_id
+    ), ent AS (
+      SELECT tc.user_id,
+             sum(round(-(CAST(tc.c AS DOUBLE) / tn.n) * ln(CAST(tc.c AS DOUBLE) / tn.n)
+                 + sign(-(CAST(tc.c AS DOUBLE) / tn.n) * ln(CAST(tc.c AS DOUBLE) / tn.n)) * 1e-9, 6)
+                 + 0.0) AS type_entropy
+      FROM tc JOIN tn USING (user_id) GROUP BY tc.user_id
+    )
+    SELECT CAST(gaps.user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_subsecond AS BIGINT) AS n_subsecond_gaps,
+           CAST(min_gap_us AS BIGINT) AS min_gap_us,
+           round(ent.type_entropy, 6) + 0.0 AS type_entropy,
+           CAST(n_subsecond * 10 > n_events OR ent.type_entropy < 0.5 AS INT)
+             AS bot_suspect
+    FROM gaps JOIN ent ON ent.user_id = gaps.user_id
+    """,
+    category="temporal",
+)
+def events_bot_traffic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic screen per user — the standard pre-training-data traffic
+    cleaning pass: sub-second inter-event gap share and minimum gap
+    (machines burst; humans cannot), plus event-type Shannon entropy
+    (single-action scripts have near-zero behavioral entropy), folded into
+    a rule verdict (>10% sub-second gaps OR entropy < 0.5 nats). Joins the
+    audit family (`stat_benford_first_digit` for fabricated numbers, this
+    for fabricated behavior).
+
+    Shape: one lead() window for gaps (µs-exact) and one (user, type)
+    aggregate for the entropy — the fact log is scanned twice at most,
+    both map-side combined; output is |users| rows. Entropy terms are
+    nudge-rounded before summation so the float path is engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    gaps = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("gap_us").isNotNull() & (F.col("gap_us") < 1000000), 1)
+            .otherwise(0)
+        ).alias("n_subsecond"),
+        F.min("gap_us").alias("min_gap_us"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tn = tc.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = -p * F.log(p)
+    ent = (
+        tc.join(tn, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(term + F.signum(term) * F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "type_entropy"
+            )
+        )
+    )
+    return gaps.join(ent, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_subsecond").cast("long").alias("n_subsecond_gaps"),
+        F.col("min_gap_us").cast("long").alias("min_gap_us"),
+        rnd(F.col("type_entropy"), 6).alias("type_entropy"),
+        (
+            (F.col("n_subsecond") * 10 > F.col("n_events"))
+            | (F.col("type_entropy") < 0.5)
+        )
+        .cast("int")
+        .alias("bot_suspect"),
+    )
