@@ -1238,3 +1238,92 @@ def multimodal_audio_resample_linear(spark: SparkSession, sf_dir: str) -> DataFr
         "asset_id", "n_samples", "out_n", "resample_numerator_sum",
         (F.round(F.col("mean_resampled"), 6) + F.lit(0.0)).alias("mean_resampled"),
     )
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    # closed-form temporal-delta oracle: per consecutive frame pair the
+    # luma delta at every pixel is ((base + 29) % 256) − (base % 256) with
+    # base the generator formula — exact integers, so the decoder's
+    # per-pair Σ|Δ| must match an arithmetic replay bit-for-bit.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 3) * 2 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents
+    ), pairs AS (
+      SELECT d.doc_id, d.w, d.h, f.f AS frame_from
+      FROM d JOIN (SELECT unnest(generate_series(0, 4)) AS f) f
+        ON f.f < d.nf - 1
+    ), px AS (
+      SELECT p.doc_id, p.w, p.h, p.frame_from,
+             SUM(abs(
+               CAST((p.doc_id*31 + (p.frame_from+1)*29 + x.x*7 + y.y*3) % 256 AS BIGINT)
+               - CAST((p.doc_id*31 + p.frame_from*29 + x.x*7 + y.y*3) % 256 AS BIGINT)
+             )) AS abs_delta_sum
+      FROM pairs p
+      JOIN (SELECT unnest(generate_series(0, 15)) AS x) x ON x.x < p.w
+      JOIN (SELECT unnest(generate_series(0, 9)) AS y) y ON y.y < p.h
+      GROUP BY p.doc_id, p.w, p.h, p.frame_from
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_from AS INT) AS frame_from,
+           CAST(frame_from + 1 AS INT) AS frame_to,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(abs_delta_sum AS BIGINT) AS abs_delta_sum,
+           round(CAST(abs_delta_sum AS DOUBLE) / (w * h), 4) + 0.0
+             AS mean_abs_delta,
+           CAST(CAST(abs_delta_sum AS DOUBLE) / (w * h) > 64.0 AS INT) AS is_cut
+    FROM px
+    """,
+    category="multimodal",
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO SCENE-CUT detection over real Y4M decodes — the temporal-delta
+    op that completes the video verb set (decode / frame stats / frame
+    sample / shot segmentation): every consecutive luma-frame pair scores
+    mean |Δ| per pixel, thresholded into cut verdicts — the shot-boundary
+    pass a video training pipeline runs before clip extraction and
+    per-shot dedup (`multimodal_image_dhash_neardup` then applies within
+    shots). Exact integer Σ|Δ| from the real decoder, replayed
+    analytically by the oracle.
+
+    Shape: one Arrow-batched mapInPandas decodes each stream ONCE and
+    emits |frames−1| scalar rows per asset — no shuffle, the decode-once
+    law; thresholding is a scalar expression."""
+    import pandas as pd
+
+    corpus = _y4m_corpus(spark, sf_dir)
+
+    def run(batches):
+        import numpy as np
+
+        from etl_aws_spark.multimodal.ops import decode_y4m_420
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m_420(bytes(payload))
+                for f in range(len(frames) - 1):
+                    a = frames[f][0].astype(np.int64)
+                    b = frames[f + 1][0].astype(np.int64)
+                    s = int(np.abs(b - a).sum())
+                    rows.append((int(did), f, f + 1, w, h, s, s / (w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_from", "frame_to", "width", "height",
+                    "abs_delta_sum", "mean_abs_delta",
+                ],
+            )
+
+    out = corpus.mapInPandas(
+        run,
+        "asset_id bigint, frame_from int, frame_to int, width int, height int, "
+        "abs_delta_sum bigint, mean_abs_delta double",
+    )
+    return out.select(
+        "asset_id", "frame_from", "frame_to", "width", "height", "abs_delta_sum",
+        (F.round(F.col("mean_abs_delta"), 4) + F.lit(0.0)).alias("mean_abs_delta"),
+        (F.col("mean_abs_delta") > 64.0).cast("int").alias("is_cut"),
+    )
