@@ -1157,3 +1157,103 @@ def events_bot_traffic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bot_suspect"),
     )
+
+
+@query(
+    "events_markov_prediction_accuracy",
+    # temporal 80/20 split per user (row_number vs per-user count — integer
+    # arithmetic, no sampling); transitions trained on the TRAIN prefix
+    # only; argmax prediction with (count desc, next_type asc) tie-break.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_u
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT *, CAST(rn * 5 <= n_u * 4 AS INT) AS is_train FROM ordered
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM tagged WHERE prev_type IS NOT NULL AND is_train = 1
+      GROUP BY 1, 2
+    ), model AS (
+      SELECT prev_type, next_type FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type ASC) AS r
+        FROM trans
+      ) WHERE r = 1
+    ), test AS (
+      SELECT t.prev_type, t.event_type AS actual, m.next_type AS predicted
+      FROM tagged t JOIN model m ON m.prev_type = t.prev_type
+      WHERE t.is_train = 0 AND t.prev_type IS NOT NULL
+    )
+    SELECT prev_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) + 0.0 AS accuracy,
+           min(predicted) AS predicted_next
+    FROM test GROUP BY prev_type
+    """,
+    category="temporal",
+)
+def events_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction probe: the first-order Markov model of
+    `events_markov_transitions` trained on each user's FIRST 80% of events
+    (temporal split — no leakage) and evaluated by argmax accuracy on the
+    held-out 20%, per previous-event state. The end-task eval that turns
+    the transition matrix from a dashboard into a measured model — near-
+    uniform fixture traffic must score ≈1/|types|, which is exactly the
+    honest baseline reading (the kNN-probe posture, applied to behavior).
+
+    Shape: one user-partition window pass tags prefix/holdout with integer
+    arithmetic; training counts and the argmax model live on the |types|²
+    frame and broadcast back to the test rows. The fact table shuffles
+    once on user_id."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_u"),
+    )
+    tagged = ordered.withColumn(
+        "is_train", (F.col("rn") * 5 <= F.col("n_u") * 4).cast("int")
+    )
+    trans = (
+        tagged.filter(F.col("prev_type").isNotNull() & (F.col("is_train") == 1))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    model = (
+        trans.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = (
+        tagged.filter(F.col("prev_type").isNotNull() & (F.col("is_train") == 0))
+        .join(F.broadcast(model), "prev_type")
+        .select("prev_type", F.col("event_type").alias("actual"), "predicted")
+    )
+    return test.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        rnd(
+            F.sum(F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+        F.min("predicted").alias("predicted_next"),
+    )
