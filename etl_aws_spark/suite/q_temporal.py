@@ -1257,3 +1257,106 @@ def events_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("accuracy"),
         F.min("predicted").alias("predicted_next"),
     )
+
+
+@query(
+    "events_retention_half_life",
+    # retention rates are exact integer ratios on the (age)-day frame;
+    # the exponential fit ln r = a·slope + icept is OLS moments over ≤
+    # |days| points (age 0 == 1.0 by definition is excluded — it carries
+    # no decay information and ln 1 = 0 would bias the intercept).
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             datediff('day', f.d0, CAST(e.ts AS DATE)) AS age
+      FROM events e JOIN firsts f USING (user_id)
+    ), cohort AS (SELECT count(*) AS n_users FROM firsts),
+    curve AS (
+      SELECT age, count(*) AS n_active FROM activity GROUP BY age
+    ), pts AS (
+      SELECT CAST(age AS DOUBLE) AS x,
+             ln(CAST(n_active AS DOUBLE) / cohort.n_users) AS y
+      FROM curve CROSS JOIN cohort WHERE age > 0
+    ), mom AS (
+      SELECT count(*) AS n_pts, avg(x) AS mx, avg(y) AS my,
+             avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+      FROM pts
+    ), fit AS (
+      SELECT n_pts,
+             (mxy - mx * my) / (mxx - mx * mx) AS slope,
+             (mxy - mx * my) * (mxy - mx * my)
+               / ((mxx - mx * mx) * (myy - my * my)) AS r2
+      FROM mom
+    )
+    SELECT CAST(cohort.n_users AS BIGINT) AS n_users,
+           CAST(fit.n_pts AS BIGINT) AS n_curve_points,
+           round(fit.slope, 6) + 0.0 AS daily_log_decay,
+           round(-0.6931471805599453e0 / fit.slope, 4) + 0.0 AS half_life_days,
+           round(fit.r2, 6) + 0.0 AS r_squared
+    FROM fit CROSS JOIN cohort
+    """,
+    category="temporal",
+)
+def events_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: the whole-population retention curve (share of
+    users active at age a days since their first event) fitted to
+    exponential decay r(a) = e^{slope·a} — half-life = ln2/|slope|, the
+    single number a growth model plugs into LTV math, distilled from the
+    grid `events_cohort_retention` reports. r² says whether exponential
+    decay even fits (synthetic always-on fixture users decay barely — a
+    near-flat curve with the fit machinery verified is the honest
+    reading).
+
+    Shape: the corpus collapses to the DISTINCT (user, age) frame in one
+    shuffle (map-side combined), the curve to ≤ |days| rows, and the fit
+    is closed-form moments — the Heaps/power-law OLS pattern on a
+    temporal curve."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", F.datediff(F.to_date("ts"), F.col("d0")).alias("age"))
+        .distinct()
+    )
+    cohort = firsts.agg(F.count(F.lit(1)).alias("n_users"))
+    curve = activity.groupBy("age").agg(F.count(F.lit(1)).alias("n_active"))
+    pts = (
+        curve.crossJoin(F.broadcast(cohort))
+        .filter(F.col("age") > 0)
+        .select(
+            F.col("age").cast("double").alias("x"),
+            F.log(F.col("n_active").cast("double") / F.col("n_users")).alias("y"),
+        )
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    fit = mom.select(
+        "n_pts",
+        slope.alias("slope"),
+        (
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            * (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            )
+        ).alias("r2"),
+    )
+    return fit.crossJoin(F.broadcast(cohort)).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pts").cast("long").alias("n_curve_points"),
+        rnd(F.col("slope"), 6).alias("daily_log_decay"),
+        rnd(F.lit(-0.6931471805599453) / F.col("slope"), 4).alias("half_life_days"),
+        rnd(F.col("r2"), 6).alias("r_squared"),
+    )
