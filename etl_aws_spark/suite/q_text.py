@@ -1817,3 +1817,100 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         rnd(F.sum("n_bpe").cast("double") / F.sum("n_words"), 4).alias("fertility"),
     )
+
+
+# (bands, rows-per-band, S-curve crossover (1/b)^(1/r)) for the 16-hash
+# family — crossovers precomputed so no runtime pow()
+_LSH_SWEEP_CFGS = [
+    (2, 8, 0.9170040432046712),
+    (4, 4, 0.7071067811865476),
+    (8, 2, 0.3535533905932738),
+]
+
+
+def _lsh_band_sweep_oracle() -> str:
+    parts = []
+    for b, r, s_star in _LSH_SWEEP_CFGS:
+        band_selects = "\n        UNION ALL\n        ".join(
+            "SELECT doc_id, md5(concat_ws('_', "
+            + ", ".join(f"mh{i * r + j}" for j in range(r))
+            + ")) AS bk FROM sig"
+            for i in range(b)
+        )
+        parts.append(f"""
+    bands_{b} AS ({band_selects}),
+    bc_{b} AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands_{b}
+      ) WHERE _bn <= 50
+    ),
+    pairs_{b} AS (
+      SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+      FROM bc_{b} a JOIN bc_{b} b2 USING (bk) WHERE a.doc_id < b2.doc_id
+    ),
+    row_{b} AS (
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             CAST({s_star!r} AS DOUBLE) AS s_crossover,
+             (SELECT count(*) FROM pairs_{b}) AS n_candidate_pairs,
+             (SELECT count(*) FROM (
+                SELECT src AS id FROM pairs_{b}
+                UNION SELECT dst AS id FROM pairs_{b})) AS n_docs_in_pairs
+    )""")
+    union = "\n      UNION ALL ".join(f"SELECT * FROM row_{b}" for b, _, _ in _LSH_SWEEP_CFGS)
+    return (
+        f"WITH {_CORPUS_SQL}, {_minhash_bands_sql()},{','.join(parts)}\n"
+        f"    SELECT CAST(bands AS INT) AS bands,\n"
+        f"           CAST(rows_per_band AS INT) AS rows_per_band,\n"
+        f"           round(s_crossover, 4) + 0.0 AS s_crossover,\n"
+        f"           CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,\n"
+        f"           CAST(n_docs_in_pairs AS BIGINT) AS n_docs_in_pairs\n"
+        f"    FROM ({union})"
+    )
+
+
+@query(
+    "text_dedup_lsh_band_sweep",
+    oracle=_lsh_band_sweep_oracle(),
+    category="text",
+)
+def text_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-parameter tuning table: the same 16-hash MinHash family
+    sliced as 2×8 / 4×4 / 8×2 bands, reporting each configuration's
+    theoretical S-curve crossover (1/b)^(1/r) — the Jaccard where
+    candidate probability hits 50% — beside its MEASURED candidate-pair
+    and flagged-doc counts on this corpus (bucket cap 50, the house
+    guard). This is the design table behind every banded dedup here:
+    8×2 recalls weak similarity but floods candidates, 2×8 is surgical —
+    the sweep quantifies that tradeoff on real data instead of folklore
+    (Leskovec/Rajaraman/Ullman ch. 3 theory, measured).
+
+    Shape: signatures are ONE narrow (id, 16 ints) frame per config;
+    each config's pair stage is the standard capped Σ|bucket|² block
+    join. Three configs = three bounded pair plans over the same corpus
+    scan lineage."""
+    corpus = _corpus(spark, sf_dir)
+    rows = []
+    for b, r, s_star in _LSH_SWEEP_CFGS:
+        pairs = dedup.minhash_band_edges(
+            corpus, "doc_id", "text", num_hashes=16, bands=b, max_bucket=50
+        )
+        n_pairs = pairs.agg(F.count(F.lit(1)).alias("n"))
+        n_docs = (
+            pairs.select(F.col("src").alias("id"))
+            .unionByName(pairs.select(F.col("dst").alias("id")))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        rows.append(
+            n_pairs.crossJoin(F.broadcast(n_docs)).select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                rnd(F.lit(s_star), 4).alias("s_crossover"),
+                F.col("n").cast("long").alias("n_candidate_pairs"),
+                F.col("d").cast("long").alias("n_docs_in_pairs"),
+            )
+        )
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out
