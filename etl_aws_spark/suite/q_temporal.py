@@ -1360,3 +1360,114 @@ def events_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.lit(-0.6931471805599453) / F.col("slope"), 4).alias("half_life_days"),
         rnd(F.col("r2"), 6).alias("r_squared"),
     )
+
+
+@query(
+    "events_attribution_shapley",
+    # coalition values are exact conversion-rate ratios on the ≤2^|channels|
+    # observed-set cells; unobserved coalitions (and the empty set) carry
+    # v=0 — the standard observed-coalition simplification. Per-cell terms
+    # are pre-rounded before the channel sum (the PSI/MI pattern).
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), touches AS (
+      SELECT DISTINCT user_id, event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ), usets AS (
+      SELECT t.user_id,
+             list_sort(list(t.channel)) AS chans,
+             array_to_string(list_sort(list(t.channel)), ',') AS set_key
+      FROM touches t GROUP BY t.user_id
+    ), cells AS (
+      SELECT u.set_key, any_value(u.chans) AS chans,
+             count(*) AS n_users, sum(c.conv) AS n_conv,
+             CAST(sum(c.conv) AS DOUBLE) / count(*) AS v
+      FROM usets u JOIN conv c USING (user_id)
+      GROUP BY u.set_key
+    ), expanded AS (
+      SELECT cells.set_key, cells.v, len(cells.chans) AS sz,
+             ch.channel,
+             array_to_string(list_filter(cells.chans, x -> x <> ch.channel), ',')
+               AS minus_key
+      FROM cells, unnest(cells.chans) AS ch(channel)
+    ), terms AS (
+      SELECT e.channel,
+             round((e.v - coalesce(m.v, 0.0)) / e.sz, 8) + 0.0 AS term
+      FROM expanded e LEFT JOIN cells m ON m.set_key = e.minus_key
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_coalitions,
+           round(sum(term), 6) + 0.0 AS shapley_value
+    FROM terms GROUP BY channel
+    """,
+    category="temporal",
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (the game-theoretic upgrade of
+    `events_attribution_multitouch`'s rule-based credits): each user's
+    distinct touch channels form a coalition, v(S) = that coalition's
+    conversion rate (purchase > 150), and each channel's value is
+    Σ_{S∋c} (v(S) − v(S∖c))/|S| over OBSERVED coalitions (unobserved and
+    empty coalitions carry v=0 — the standard data-driven simplification
+    of exact Shapley, which needs all 2^n cells). Negative values are
+    meaningful: a channel whose presence lowers coalition conversion.
+
+    Shape: the corpus collapses to per-user (coalition, conv) in one
+    distinct + one aggregate; everything after lives on ≤ 2^|channels|
+    cells (16 here) — the marginal-contribution join is cell-to-cell on
+    the removed-channel key. Per-cell terms pre-round before the channel
+    sum so the float path is engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    usets = touches.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("channel")).alias("chans")
+    ).withColumn("set_key", F.array_join("chans", ","))
+    cells = (
+        usets.join(conv, "user_id")
+        .groupBy("set_key")
+        .agg(
+            F.first("chans").alias("chans"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").alias("n_conv"),
+        )
+        .withColumn("v", F.col("n_conv").cast("double") / F.col("n_users"))
+    )
+    expanded = cells.select(
+        "set_key",
+        "v",
+        F.size("chans").alias("sz"),
+        F.explode("chans").alias("channel"),
+        "chans",
+    ).withColumn(
+        "minus_key", F.array_join(F.array_remove("chans", F.col("channel")), ",")
+    )
+    minus = cells.select(
+        F.col("set_key").alias("minus_key"), F.col("v").alias("v_minus")
+    )
+    terms = expanded.join(F.broadcast(minus), "minus_key", "left").select(
+        "channel",
+        (
+            F.round(
+                (F.col("v") - F.coalesce("v_minus", F.lit(0.0))) / F.col("sz"), 8
+            )
+            + F.lit(0.0)
+        ).alias("term"),
+    )
+    return terms.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_coalitions"),
+        rnd(F.sum("term"), 6).alias("shapley_value"),
+    )
