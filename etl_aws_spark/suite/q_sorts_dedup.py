@@ -220,3 +220,57 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("sample_key"),
         )
     )
+
+
+@query(
+    "sort_skyline_pareto",
+    # 2-D strict-dominance skyline via the cumulative-min law: x is
+    # dominated iff some strictly-cheaper part is no larger (m_lt <= size)
+    # or some equal-price part is strictly smaller (m_eq < size). Both
+    # minima live on the |distinct prices| frame; no pair join anywhere.
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+    ), per_price AS (
+      SELECT p_retailprice, min(p_size) AS m_eq FROM pp GROUP BY p_retailprice
+    ), runmin AS (
+      SELECT p_retailprice, m_eq,
+             min(m_eq) OVER (ORDER BY p_retailprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+      FROM per_price
+    )
+    SELECT pp.p_partkey, pp.p_retailprice, pp.p_size
+    FROM pp JOIN runmin r ON r.p_retailprice = pp.p_retailprice
+    WHERE (r.m_lt IS NULL OR r.m_lt > pp.p_size) AND r.m_eq >= pp.p_size
+    """,
+    category="sort",
+)
+def sort_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over parts — cheapest-AND-smallest
+    strict dominance (Börzsönyi et al. 2001, the classic operator relational
+    engines bolt on as SKYLINE OF): a part survives iff no other part is
+    ≤ on both price and size with at least one strict. Multi-objective
+    shortlisting (supplier choice, config search) that naive SQL writes as
+    an O(N²) NOT EXISTS self-join.
+
+    Shape: the 2-D case collapses to ONE cumulative minimum — per distinct
+    price take min size, running-min over ascending price, then each part
+    checks two scalars (strictly-cheaper min and same-price min). Two
+    narrow shuffles on the |distinct prices| frame and a broadcast-size
+    join back; no pair join, no N² anywhere — the sort IS the algorithm.
+    Duplicate (price, size) points both survive (neither strictly
+    dominates), which the equality branch preserves exactly."""
+    from pyspark.sql import Window
+
+    pp = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = pp.groupBy("p_retailprice").agg(F.min("p_size").alias("m_eq"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    runmin = per_price.withColumn("m_lt", F.min("m_eq").over(w))
+    return (
+        pp.join(runmin, "p_retailprice")
+        .filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") > F.col("p_size")))
+            & (F.col("m_eq") >= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -20,3 +20,29 @@ def test_duplicate_row_count_no_nulls_unchanged(spark):
     rows = [(1, "x"), (1, "x"), (1, "x"), (2, "y")]
     df = spark.createDataFrame(rows, "a long, b string")
     assert agg.duplicate_row_count(df).collect()[0].dup_rows == 2
+
+
+def test_skyline_window_form_equals_brute_dominance(spark):
+    # the cumulative-min skyline must equal the O(N^2) NOT EXISTS
+    # definition, duplicates (ties on both axes) surviving together
+    import duckdb
+
+    from etl_aws_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        r.p_partkey for r in all_queries()["sort_skyline_pareto"](spark, sf).collect()
+    )
+    brute = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+        SELECT p_partkey FROM '{sf}/part.parquet' x
+        WHERE NOT EXISTS (
+          SELECT 1 FROM '{sf}/part.parquet' y
+          WHERE y.p_retailprice <= x.p_retailprice AND y.p_size <= x.p_size
+            AND (y.p_retailprice < x.p_retailprice OR y.p_size < x.p_size))
+        ORDER BY 1"""
+        ).fetchall()
+    ]
+    assert got == brute and len(got) > 0
