@@ -60,15 +60,27 @@ def subvector_parts(df: DataFrame, id_col: str, vec_col: str, d_sub: int) -> Dat
     )
 
 
+def _nudged_round(c: Column, n: int) -> Column:
+    """House half-boundary bridge (suite/_util.rnd_nudged twin): Spark
+    rounds the shortest-decimal repr HALF_UP while other engines round the
+    binary double, so an exact-half component (e.g. 1.15625 at 4 digits)
+    can round differently across replays. sign(x)·1e-9 moves it off the
+    boundary identically everywhere."""
+    return F.round(c + F.signum(c) * F.lit(1e-9), n) + F.lit(0.0)
+
+
 def init_codebook(parts: DataFrame, k: int, round_digits: int = 4) -> DataFrame:
     """Sampled-init codebook: codeword ``j`` of every subspace is vector
-    ``j``'s subvector (ids ``< k``), components rounded. Deterministic by
-    construction — the standard sample-init Lloyd seeds."""
+    ``j``'s subvector (ids ``< k``), components nudge-rounded (the one
+    rounding site that previously lacked the house half-boundary bridge —
+    closed in r9 after a Hypothesis property test caught an exact-half
+    divergence). Deterministic by construction — the standard sample-init
+    Lloyd seeds."""
     return parts.filter(F.col("_id") < k).select(
         "sub",
         F.col("_id").cast("int").alias("code"),
         "spos",
-        (F.round("val", round_digits) + F.lit(0.0)).alias("cw"),
+        _nudged_round(F.col("val"), round_digits).alias("cw"),
     )
 
 
@@ -122,7 +134,7 @@ def refine_codebook(
     means = (
         assigned.join(parts, ["_id", "sub"])
         .groupBy("sub", "code", "spos")
-        .agg((F.round(F.avg("val"), round_digits) + F.lit(0.0)).alias("cw_new"))
+        .agg(_nudged_round(F.avg("val"), round_digits).alias("cw_new"))
     )
     return codebook.join(means, ["sub", "code", "spos"], "left").select(
         "sub", "code", "spos", F.coalesce("cw_new", "cw").alias("cw")

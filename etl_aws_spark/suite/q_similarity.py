@@ -631,7 +631,8 @@ _DUCK_PQ = f"""
              CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
     ), cb0 AS (
-      SELECT sub, CAST(id AS INT) AS code, spos, round(val, 4) + 0.0 AS cw
+      SELECT sub, CAST(id AS INT) AS code, spos,
+             round(val + sign(val) * 1e-9, 4) + 0.0 AS cw
       FROM pparts WHERE id < {_PQ_K}
     ), d0 AS (
       SELECT p.id, p.sub, c.code,
@@ -647,7 +648,8 @@ _DUCK_PQ = f"""
         FROM d0
       ) WHERE rn = 1
     ), rmeans AS (
-      SELECT a.sub, a.code, p.spos, round(avg(p.val), 4) + 0.0 AS cw_new
+      SELECT a.sub, a.code, p.spos,
+             round(avg(p.val) + sign(avg(p.val)) * 1e-9, 4) + 0.0 AS cw_new
       FROM a0 a JOIN pparts p ON a.id = p.id AND a.sub = p.sub
       GROUP BY a.sub, a.code, p.spos
     ), cb1 AS (
@@ -829,7 +831,8 @@ def _duck_pq_residual_chain() -> str:
     key frames MATERIALIZED so the chained rounds don't re-derive."""
     return f"""
     cb0r AS (
-      SELECT sub, CAST(id AS INT) AS code, spos, round(val, 4) + 0.0 AS cw
+      SELECT sub, CAST(id AS INT) AS code, spos,
+             round(val + sign(val) * 1e-9, 4) + 0.0 AS cw
       FROM rparts WHERE id < {_PQ_K}
     ), d0r AS (
       SELECT p.id, p.sub, c.code,
@@ -845,7 +848,8 @@ def _duck_pq_residual_chain() -> str:
         FROM d0r
       ) WHERE rn = 1
     ), rmeansr AS (
-      SELECT a.sub, a.code, p.spos, round(avg(p.val), 4) + 0.0 AS cw_new
+      SELECT a.sub, a.code, p.spos,
+             round(avg(p.val) + sign(avg(p.val)) * 1e-9, 4) + 0.0 AS cw_new
       FROM a0r a JOIN rparts p ON a.id = p.id AND a.sub = p.sub
       GROUP BY a.sub, a.code, p.spos
     ), cb1r AS MATERIALIZED (

@@ -6,6 +6,8 @@ example is a Spark job)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -212,12 +214,20 @@ def test_pq_assign_codes_match_bruteforce_argmin(spark, vecs):
         (r["_id"], r["sub"]): (r["code"], round(r["dist"], 9))
         for r in pq.assign_codes(parts, cb).collect()
     }
-    # python reference over the same rounded seeds
+    # python reference over the same rounded seeds — replays the engine's
+    # nudged HALF_UP (sign(x)*1e-9 off the half boundary, then round away
+    # from zero), NOT python's half-even round(): component 1.15625 must
+    # give 1.1563 on both sides.
+    def _r4(x):
+        x = float(x)
+        s = 1.0 if x > 0 else (-1.0 if x < 0 else 0.0)
+        return s * math.floor(abs(x + s * 1e-9) * 1e4 + 0.5) / 1e4 + 0.0
+
     seeds = {}
     for ci in range(min(k, len(vecs))):
         for sub in range(2):
             seeds[(sub, ci)] = [
-                round(x, 4) + 0.0 for x in vecs[ci][sub * d_sub : (sub + 1) * d_sub]
+                _r4(x) for x in vecs[ci][sub * d_sub : (sub + 1) * d_sub]
             ]
     for i, v in enumerate(vecs):
         for sub in range(2):
