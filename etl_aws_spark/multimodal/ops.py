@@ -529,11 +529,20 @@ def bilinear_resize_numerators(arr, out_h: int, out_w: int):
     xs_num = (2 * jj + 1) * w - out_w          # = xs · 2·out_w
     x0 = xs_num // (2 * out_w)
     ax = xs_num - x0 * (2 * out_w)             # 0 .. 2·out_w − 1
+    # upscale edge: xs < 0 at the left border would floor to x0 = -1 and
+    # numpy fancy-indexing wraps to the LAST column — clamp to replicate
+    # the first column (standard OpenCV/PIL border behavior).
+    neg = xs_num < 0
+    x0 = np.where(neg, 0, x0)
+    ax = np.where(neg, 0, ax)
     x1 = np.minimum(x0 + 1, w - 1)
     ii = np.arange(out_h)
     ys_num = (2 * ii + 1) * h - out_h
     y0 = ys_num // (2 * out_h)
     ay = ys_num - y0 * (2 * out_h)
+    negy = ys_num < 0
+    y0 = np.where(negy, 0, y0)
+    ay = np.where(negy, 0, ay)
     y1 = np.minimum(y0 + 1, h - 1)
     wx0 = (2 * out_w - ax)[None, :, None]
     wx1 = ax[None, :, None]
@@ -606,6 +615,11 @@ def linear_resample_numerators(samples, out_n: int):
     xs_num = (2 * jj + 1) * n - out_n            # = xs · 2·out_n
     x0 = xs_num // (2 * out_n)
     ax = xs_num - x0 * (2 * out_n)               # 0 .. 2·out_n − 1
+    # upsample edge: xs < 0 at the first output would floor to x0 = -1
+    # (wraps to the LAST sample) — clamp to replicate the first sample.
+    neg = xs_num < 0
+    x0 = np.where(neg, 0, x0)
+    ax = np.where(neg, 0, ax)
     x1 = np.minimum(x0 + 1, n - 1)
     return (2 * out_n - ax) * a[x0] + ax * a[x1], 2 * out_n
 

@@ -2165,26 +2165,33 @@ def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFra
 
     selected: list = []
     out_rows: list = []
-    for step in range(1, k + 1):
-        cand = pool
-        if selected:
-            for j, (_, svec) in enumerate(selected):
-                cand = cand.withColumn(
-                    f"_s{j}", F.array(*[F.lit(float(v)) for v in svec])
-                )
-            pen_exprs = [F.expr(_cos_to(f"_s{j}")) for j in range(len(selected))]
-            pen = pen_exprs[0] if len(pen_exprs) == 1 else F.greatest(*pen_exprs)
-            cand = cand.filter(
-                ~F.col("vec_id").isin([sid for sid, _ in selected])
-            ).withColumn("pen", pen)
-        else:
-            cand = cand.withColumn("pen", F.lit(0.0))
-        cand = cand.withColumn(
-            "mmr", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("pen")
-        )
-        row = cand.orderBy(F.desc("mmr"), F.asc("vec_id")).first()
-        selected.append((row.vec_id, row.embedding))
-        out_rows.append((step, row.vec_id, float(row.rel), float(row.pen), float(row.mmr)))
+    try:
+        for step in range(1, k + 1):
+            cand = pool
+            if selected:
+                for j, (_, svec) in enumerate(selected):
+                    cand = cand.withColumn(
+                        f"_s{j}", F.array(*[F.lit(float(v)) for v in svec])
+                    )
+                pen_exprs = [F.expr(_cos_to(f"_s{j}")) for j in range(len(selected))]
+                pen = pen_exprs[0] if len(pen_exprs) == 1 else F.greatest(*pen_exprs)
+                cand = cand.filter(
+                    ~F.col("vec_id").isin([sid for sid, _ in selected])
+                ).withColumn("pen", pen)
+            else:
+                cand = cand.withColumn("pen", F.lit(0.0))
+            cand = cand.withColumn(
+                "mmr", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("pen")
+            )
+            row = cand.orderBy(F.desc("mmr"), F.asc("vec_id")).first()
+            selected.append((row.vec_id, row.embedding))
+            out_rows.append(
+                (step, row.vec_id, float(row.rel), float(row.pen), float(row.mmr))
+            )
+    finally:
+        # the cached pool must not outlive the greedy loop in a shared
+        # full-registry sweep session
+        pool.unpersist()
     res = spark.createDataFrame(
         out_rows, "ord int, vec_id long, rel double, pen double, mmr double"
     )

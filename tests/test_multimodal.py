@@ -352,6 +352,15 @@ def test_bilinear_resize_identity_and_interpolation():
     c = np.full((5, 7, 3), 42, np.uint8)
     n3, den3 = bilinear_resize_numerators(c, 3, 2)
     assert (n3 == 42 * den3).all()
+    # 2x UPSCALE: first output center samples xs = -0.25 < 0 — must
+    # edge-replicate column 0, never wrap to the last column. Columns
+    # [0, 255]: centers -0.25, 0.25, 0.75, 1.25 -> 0, 63.75, 191.25, 255.
+    u = np.tile(np.array([0, 255], dtype=np.uint8)[None, :, None], (2, 1, 1))
+    n4, den4 = bilinear_resize_numerators(u, 4, 4)
+    vals4 = n4.astype(float) / den4
+    assert np.allclose(vals4[0, :, 0], [0.0, 63.75, 191.25, 255.0])
+    # same at the top edge for rows
+    assert np.allclose(vals4[:, 0, 0], [0.0, 0.0, 0.0, 0.0])
 
 
 def test_linear_resample_identity_and_midpoints():
@@ -366,3 +375,8 @@ def test_linear_resample_identity_and_midpoints():
     # 2x downsample of a ramp: centers at 0.5, 2.5, 4.5 -> midpoints
     n2, den2 = linear_resample_numerators(a, 3)
     assert (n2.astype(float) / den2 == [-50.0, 150.0, 350.0]).all()
+    # 2x UPSAMPLE: first output center samples xs = -0.25 < 0 — must
+    # edge-replicate sample 0, never wrap to the last sample.
+    b = np.array([0, 1000], dtype=np.int16)
+    n3, den3 = linear_resample_numerators(b, 4)
+    assert (n3.astype(float) / den3 == [0.0, 250.0, 750.0, 1000.0]).all()
