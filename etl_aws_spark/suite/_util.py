@@ -64,3 +64,132 @@ def rnd_nudged(c: Column, n: int = 4) -> Column:
 
 def sql_rnd_nudged(expr: str, n: int = 4) -> str:
     return f"round(({expr}) + sign({expr}) * 1e-9, {n}) + 0.0"
+
+
+def exact_ntile(
+    df,
+    k: int,
+    score_col: str,
+    id_col: str,
+    bucket: Column,
+    descending: bool = False,
+    out_col: str = "tier",
+):
+    """Replicate ``ntile(k) OVER (ORDER BY score [DESC], id ASC)`` exactly
+    WITHOUT a single-partition corpus-sized window — the histogram-exact
+    quantile formulation (`stat_mann_whitney_u`'s shape, generalized).
+
+    ``bucket`` must be an integer Column monotone NON-DECREASING in the
+    ordering direction (e.g. ``floor(score * 100)`` for an ascending
+    double score — any coarse histogram cell whose ordering agrees with
+    the score's). The only unpartitioned window then runs over the
+    |distinct buckets| count frame (bounded by the VALUE DOMAIN, not the
+    corpus); per-row ranks come from a window PARTITIONED by bucket, and
+    the ntile boundary arithmetic (first N%k buckets get one extra row)
+    is applied per-row against broadcast scalars. Ties are impossible by
+    construction: ``id_col`` is the unconditional tie-break, so every row
+    has a unique global rank and the result is bit-identical to the
+    engine's ntile under the same total order.
+    """
+    from pyspark.sql import Window
+
+    sdir = F.desc if descending else F.asc
+    b = df.withColumn("_entile_bk", bucket.cast("long"))
+    counts = b.groupBy("_entile_bk").agg(F.count(F.lit(1)).alias("_entile_c"))
+    wb = Window.orderBy(sdir("_entile_bk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = counts.select(
+        "_entile_bk",
+        F.coalesce(F.sum("_entile_c").over(wb), F.lit(0)).alias("_entile_start"),
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("_entile_n"))
+    ww = Window.partitionBy("_entile_bk").orderBy(sdir(score_col), F.asc(id_col))
+    ranked = (
+        b.join(F.broadcast(starts), "_entile_bk")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_entile_rn", F.col("_entile_start") + F.row_number().over(ww)
+        )
+    )
+    q = F.expr(f"_entile_n div {k}")
+    r = F.col("_entile_n") % k
+    rn = F.col("_entile_rn")
+    # buckets 1..r hold q+1 rows, buckets r+1..k hold q rows (ntile's rule)
+    tier = F.when(
+        rn <= r * (q + F.lit(1)),
+        (rn + q) / (q + F.lit(1)),  # == ceil(rn / (q+1)) after floor below
+    ).otherwise(
+        r + (rn - r * (q + F.lit(1)) + F.greatest(q, F.lit(1)) - 1)
+        / F.greatest(q, F.lit(1))
+    )
+    out = ranked.withColumn(out_col, F.floor(tier).cast("int"))
+    return out.drop("_entile_bk", "_entile_c", "_entile_start", "_entile_n", "_entile_rn")
+
+
+def bucketed_cumsum(
+    df,
+    order_col: str,
+    val_cols,
+    bucket: Column,
+    out_cols=None,
+    inclusive: bool = True,
+    descending: bool = False,
+    tie_cols=None,
+):
+    """Exact running sums of INTEGER columns under ``ORDER BY order_col
+    [DESC][, tie_cols ASC]`` without a single-partition pass over the
+    frame — `exact_ntile`'s cumulative-sum twin.
+
+    ``bucket`` must be an integer Column monotone non-decreasing in
+    ``order_col`` (a coarse histogram cell: seconds for µs gaps, thousands
+    for currency, id div 65536 for dense ids). Per-bucket subtotals
+    cumulate in the only unpartitioned window (|distinct buckets| rows —
+    bounded by the value DOMAIN, or corpus/65536 for id buckets); the
+    within-bucket running sum is a window PARTITIONED by bucket; the row's
+    cumsum is bucket_start + within. Integer arithmetic throughout, so the
+    result is bit-identical to the global-window formulation in any
+    summation order. The combined (order_col, *tie_cols) order must be
+    total — the running sum is otherwise order-ambiguous within ties.
+
+    ``val_cols`` may be one name or a list; ``out_cols`` defaults to
+    ``cum_<name>`` per value column.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(val_cols, str):
+        val_cols = [val_cols]
+    if out_cols is None:
+        out_cols = [f"cum_{v}" for v in val_cols]
+    elif isinstance(out_cols, str):
+        out_cols = [out_cols]
+    tie_cols = list(tie_cols or [])
+    sdir = F.desc if descending else F.asc
+    b = df.withColumn("_bcs_bk", bucket.cast("long"))
+    sub = b.groupBy("_bcs_bk").agg(
+        *[F.sum(v).alias(f"_bcs_sub_{i}") for i, v in enumerate(val_cols)]
+    )
+    wb = Window.orderBy(sdir("_bcs_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    starts = sub.select(
+        "_bcs_bk",
+        *[
+            F.coalesce(F.sum(f"_bcs_sub_{i}").over(wb), F.lit(0)).alias(
+                f"_bcs_start_{i}"
+            )
+            for i in range(len(val_cols))
+        ],
+    )
+    end = Window.currentRow if inclusive else -1
+    ww = (
+        Window.partitionBy("_bcs_bk")
+        .orderBy(sdir(order_col), *[F.asc(t) for t in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    out = b.join(F.broadcast(starts), "_bcs_bk")
+    for i, (v, o) in enumerate(zip(val_cols, out_cols)):
+        out = out.withColumn(
+            o,
+            F.col(f"_bcs_start_{i}") + F.coalesce(F.sum(v).over(ww), F.lit(0)),
+        )
+    drops = ["_bcs_bk"] + [f"_bcs_start_{i}" for i in range(len(val_cols))]
+    return out.drop(*drops)

@@ -951,16 +951,16 @@ def curation_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFr
     )
     from pyspark.sql import Window
 
+    # top-20 via orderBy().limit() (TakeOrderedAndProject: mergeable
+    # per-partition heaps), then rank attached by the same total order on
+    # the 20-row frame — never a single-partition row_number over |docs|
+    top = per_doc.orderBy(F.desc("log_importance"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("log_importance"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "log_importance",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "log_importance",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -1030,14 +1030,15 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     `curation_rebalance_to_uniform_mix`).
 
     Shape: the LM is two count aggregates joined back on natural keys; the
-    tier split is ONE global ntile window over the |docs| score frame
-    (bounded: one row per doc, scores pre-rounded so the order — and
-    therefore every tier boundary — is engine-identical); the report is a
-    3-row rollup. At 100 TB the ntile becomes a quantile-bucket assignment
-    against approx boundaries — same table, no global sort."""
-    from pyspark.sql import Window
-
-    from etl_aws_spark.suite._util import rnd_nudged
+    tier split is the HISTOGRAM-EXACT ntile (`_util.exact_ntile`, the
+    `stat_mann_whitney_u` formulation): per-row ranks come from a window
+    PARTITIONED by a coarse score cell (floor(100·score) — bounded by the
+    log-prob DOMAIN, not the corpus), the only unpartitioned window runs
+    over the |distinct cells| count frame, and the first-N%3-buckets-get-
+    one-extra boundary rule is applied per row against broadcast scalars
+    — bit-identical to ntile(3) under the same total order, with no
+    single-partition pass over |docs|; the report is a 3-row rollup."""
+    from etl_aws_spark.suite._util import exact_ntile, rnd_nudged
 
     score = analysis.bigram_lm_score(
         load(spark, sf_dir, "documents"), "doc_id", "text"
@@ -1045,8 +1046,17 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score.select(
         "doc_id", "n_bigrams", rnd_nudged(F.col("avg_logp"), 6).alias("avg_logp")
     )
-    w = Window.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
-    tiered = scored.withColumn("tier", F.ntile(3).over(w))
+    # coarse cell floor(100·score) descends with the score, so it is a
+    # valid monotone bucket for the DESC ordering
+    tiered = exact_ntile(
+        scored,
+        3,
+        "avg_logp",
+        "doc_id",
+        F.floor(F.col("avg_logp") * 100),
+        descending=True,
+        out_col="tier",
+    )
     return (
         tiered.groupBy("tier")
         .agg(

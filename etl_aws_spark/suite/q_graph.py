@@ -296,8 +296,6 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     removed by an anti-join on the edge list, and the global top-20
     ranks a frame already reduced to candidate pairs. Ranking on the
     ROUNDED score keeps the cut engine-deterministic."""
-    from pyspark.sql import Window
-
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, c = li.alias("a"), li.alias("c")
     e = (
@@ -345,10 +343,11 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("jaccard"),
     )
-    w = Window.orderBy(F.desc("jaccard"), "part_a", "part_b")
+    # top-20 via orderBy().limit() (TakeOrderedAndProject) — never a
+    # single-partition row_number over the Σdeg²-sized candidate frame
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
         .select("part_a", "part_b", "n_common", "jaccard")
     )
 

@@ -389,48 +389,335 @@ def model_gbt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("model_rf_fit_predict", oracle=None, category="ml")
+_STUMP_FEATS4 = (
+    ("l_quantity", "bq"),
+    ("l_discount", "bdc"),
+    ("l_tax", "btx"),
+    ("l_returnflag", "brf"),
+)
+
+
+def _duck_stump_round(m: int, feats=_STUMP_FEATS4) -> str:
+    """One unrolled boosting-stump round: histogram → prefix-sum splits →
+    best pick → residual update. Mirrors models.stump_boost_model's
+    driver arithmetic expression-for-expression (r9: parameterized on the
+    feature list so the 3-feature attribution model shares it)."""
+    p = m - 1
+    first_f, first_b = feats[0]
+    unions = f"SELECT '{first_f}' AS f, {first_b} AS bin, r FROM r{p}"
+    for nm, bc in feats[1:]:
+        unions += f"\n        UNION ALL SELECT '{nm}', {bc}, r FROM r{p}"
+    bin_list = ", ".join(bc for _nm, bc in feats)
+    case_f = "CASE b.f " + " ".join(
+        f"WHEN '{nm}' THEN {bc}" for nm, bc in feats[:-1]
+    ) + f" ELSE {feats[-1][1]} END"
+    return f"""
+    h{m} AS MATERIALIZED (
+      SELECT f, bin, count(*) AS n, sum(r) AS s FROM (
+        {unions}
+      ) GROUP BY f, bin
+    ), sp{m} AS (
+      SELECT f, bin,
+             sum(n) OVER (PARTITION BY f ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             sum(s) OVER (PARTITION BY f ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+             sum(n) OVER (PARTITION BY f) AS nt,
+             sum(s) OVER (PARTITION BY f) AS stt
+      FROM h{m}
+    ), g{m} AS (
+      SELECT f, bin,
+             (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+              + CAST(stt - sl AS DOUBLE) * CAST(stt - sl AS DOUBLE)
+                / CAST(nt - nl AS DOUBLE))
+             - CAST(stt AS DOUBLE) * CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)
+               AS gain,
+             CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS cl,
+             CAST(floor(0.5 * (CAST(stt - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                  + 0.5) AS BIGINT) AS cr
+      FROM sp{m} WHERE bin < 15 AND nl > 0 AND nt - nl > 0
+    ), b{m} AS MATERIALIZED (
+      SELECT f, bin, gain, cl, cr FROM (
+        SELECT *, row_number() OVER (ORDER BY gain DESC, f ASC, bin ASC) AS rn
+        FROM g{m}
+      ) WHERE rn = 1
+    ), r{m} AS MATERIALIZED (
+      SELECT {bin_list},
+             r - CASE WHEN ({case_f}) <= b.bin
+                      THEN b.cl ELSE b.cr END AS r
+      FROM r{p} CROSS JOIN b{m} b
+    )"""
+
+
+def _duck_bin(col: str, mn: str, mx: str) -> str:
+    return (
+        f"CASE WHEN {mx} = {mn} THEN 0 ELSE least(15, greatest(0, "
+        f"CAST(floor(({col} - {mn}) / (({mx} - {mn}) / 16.0)) AS INT))) END"
+    )
+
+
+_RF_FEATS = (("l_quantity", "q"), ("l_discount", "dc"), ("l_tax", "tx"))
+_RF_TREES = 8
+
+
+def _duck_rf_oracle() -> str:
+    """Full SQL replay of the bagged-stump forest (ml/models.py
+    bagged_stump_forest): per tree, a salted-hash bag CTE, bag stats, a
+    two-feature histogram, prefix-sum split gains, and the best pick;
+    scoring cross-joins the 8 one-row split picks and the error statistic
+    stays in exact fixed-point integers (HUGEINT squares) so rmse/mae are
+    order-free and bit-identical."""
+    from etl_aws_spark.ml.models import _RF_BAG_THRESHOLD
+
+    p = len(_RF_FEATS)
+    ctes = []
+    pred_terms = []
+    for t in range(_RF_TREES):
+        (f0, c0), (f1, c1) = _RF_FEATS[t % p], _RF_FEATS[(t + 1) % p]
+        ctes.append(f"""
+    bag{t} AS (
+      SELECT {c0}, {c1}, yfp FROM fitr
+      WHERE (('0x' || substr(md5('rf{t}:' || bagkey), 1, 15))::BIGINT)
+            < {_RF_BAG_THRESHOLD}
+    ), st{t} AS (
+      SELECT count(*) AS n, sum(yfp) AS sy,
+             min({c0}) AS mn0, max({c0}) AS mx0,
+             min({c1}) AS mn1, max({c1}) AS mx1
+      FROM bag{t}
+    ), h{t} AS (
+      SELECT f, bin, count(*) AS n, sum(yfp) AS s FROM (
+        SELECT '{f0}' AS f,
+               {_duck_bin(f'b.{c0}', f'st{t}.mn0', f'st{t}.mx0')} AS bin, b.yfp
+        FROM bag{t} b CROSS JOIN st{t}
+        UNION ALL
+        SELECT '{f1}',
+               {_duck_bin(f'b.{c1}', f'st{t}.mn1', f'st{t}.mx1')}, b.yfp
+        FROM bag{t} b CROSS JOIN st{t}
+      ) GROUP BY f, bin
+    ), sp{t} AS (
+      SELECT f, bin,
+             sum(n) OVER (PARTITION BY f ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             sum(s) OVER (PARTITION BY f ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+             sum(n) OVER (PARTITION BY f) AS nt,
+             sum(s) OVER (PARTITION BY f) AS stt
+      FROM h{t}
+    ), g{t} AS (
+      SELECT f, bin,
+             (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+              + CAST(stt - sl AS DOUBLE) * CAST(stt - sl AS DOUBLE)
+                / CAST(nt - nl AS DOUBLE))
+             - CAST(stt AS DOUBLE) * CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)
+               AS gain,
+             CAST(floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) + 0.5)
+                  AS BIGINT) AS cl,
+             CAST(floor(CAST(stt - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+                  + 0.5) AS BIGINT) AS cr
+      FROM sp{t} WHERE bin < 15 AND nl > 0 AND nt - nl > 0
+    ), b{t} AS MATERIALIZED (
+      SELECT f, bin, gain, cl, cr FROM (
+        SELECT *, row_number() OVER (ORDER BY gain DESC, f ASC, bin ASC) AS rn
+        FROM g{t}
+      ) WHERE rn = 1
+    )""")
+        pred_terms.append(
+            f"CASE WHEN (CASE WHEN b{t}.f = '{f0}'"
+            f" THEN {_duck_bin(f'a.{c0}', f'st{t}.mn0', f'st{t}.mx0')}"
+            f" ELSE {_duck_bin(f'a.{c1}', f'st{t}.mn1', f'st{t}.mx1')} END)"
+            f" <= b{t}.bin THEN b{t}.cl ELSE b{t}.cr END"
+        )
+    pred = " + ".join(pred_terms)
+    crosses = " ".join(
+        f"CROSS JOIN st{t} CROSS JOIN b{t}" for t in range(_RF_TREES)
+    )
+    return f"""
+    WITH fitr AS MATERIALIZED (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS dc,
+             CAST(l_tax AS DOUBLE) AS tx,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS yfp,
+             l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS bagkey
+      FROM lineitem WHERE l_orderkey % 5 = 0
+    ),{','.join(ctes)}, scoredr AS (
+      SELECT a.l_returnflag,
+             CAST(floor(CAST(a.l_extendedprice AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) * {_RF_TREES} - ({pred}) AS e
+      FROM (SELECT l_returnflag, l_extendedprice,
+                   CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_discount AS DOUBLE) AS dc,
+                   CAST(l_tax AS DOUBLE) AS tx
+            FROM lineitem) a {crosses}
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sqrt(CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE)
+                      / count(*)) / {_RF_TREES}0000.0, 4) + 0.0 AS rmse,
+           round((CAST(sum(abs(e)) AS DOUBLE) / count(*))
+                 / {_RF_TREES}0000.0, 4) + 0.0 AS mae
+    FROM scoredr GROUP BY l_returnflag
+    """
+
+
+@query("model_rf_fit_predict", oracle=_duck_rf_oracle(), category="ml")
 def model_rf_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-forest regression — the second tree family of the reference's
     model zoo (`train.py:293-352` also trains RandomForest alongside the
-    boosters) via Spark ML's distributed RandomForestRegressor; bagged
-    trees parallelize per tree, unlike boosting's serial passes. Same
-    sample-fit/full-score discipline and per-flag error rollup as the GBT
-    twin. Rows-only (tree ensembles aren't SQL-expressible)."""
+    boosters). r9: re-pointed at the DECLARATIVE bagged-stump forest
+    (ml/models.py bagged_stump_forest — salted-hash ~0.632 bags, per-tree
+    feature subsets, all 8 trees trained from TWO aggregates over the fit
+    sample since bagged trees are independent), which keeps the bagging
+    architecture (parallel trees, unlike boosting's serial passes) while
+    making every split and leaf an exact fixed-point quantity — promoted
+    from rows-only to a full value-hash oracle. Error statistics stay in
+    exact integer fixed-point units (decimal/HUGEINT squares), so rmse and
+    mae are summation-order-free on both engines. The Spark-ML
+    RandomForestRegressor path remains in ml/models.py rf_fit_predict,
+    pinned by tests/test_ml.py signal-recovery."""
     li = load(spark, sf_dir, "lineitem")
     fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
-    preds, _ = models.rf_fit_predict(
-        li,
-        features=["l_quantity", "l_discount", "l_tax"],
+    feats = [f for f, _c in _RF_FEATS]
+    forest = models.bagged_stump_forest(
+        fit_df,
+        features=feats,
         target="l_extendedprice",
-        keys=["l_orderkey", "l_linenumber", "l_returnflag"],
-        num_trees=10,
-        max_depth=5,
-        fit_df=fit_df,
+        bag_key_cols=["l_orderkey", "l_linenumber"],
+        n_trees=_RF_TREES,
     )
-    err = F.col("l_extendedprice") - F.col("yhat")
-    return preds.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        rnd(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
-        rnd(F.avg(F.abs(err)), 4).alias("mae"),
+    yfp = F.floor(F.col("l_extendedprice").cast("double") * 1e4 + F.lit(0.5)).cast(
+        "long"
+    )
+    e = (yfp * _RF_TREES - models.stump_forest_yhat_fp(forest)).alias("e")
+    scored = li.select("l_returnflag", e)
+    ec = F.col("e").cast("decimal(19,0)")
+    den = float(_RF_TREES) * 1e4
+    return scored.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        rnd(
+            F.sqrt(F.sum(ec * ec).cast("double") / F.count(F.lit(1)))
+            / F.lit(den),
+            4,
+        ).alias("rmse"),
+        rnd(
+            (F.sum(F.abs(F.col("e"))).cast("double") / F.count(F.lit(1)))
+            / F.lit(den),
+            4,
+        ).alias("mae"),
     )
 
 
-@query("model_gbt_attribution", oracle=None, category="ml")
+_ATTR_FEATS = (("l_quantity", "bq"), ("l_discount", "bdc"), ("l_tax", "btx"))
+
+
+def _duck_attr_oracle() -> str:
+    """Full SQL replay of stump-boost training (3 numeric features, 5
+    rounds — the shared _duck_stump_round chain) plus mean-ablation
+    scoring of the deterministic 1-in-50 sample: variants cross-join the
+    per-round split picks, bins come from the FIT stats, the ablated
+    value is the sample mean, and contributions are double differences of
+    exact fixed-point leaf sums."""
+    rounds = ",".join(_duck_stump_round(m, _ATTR_FEATS) for m in (1, 2, 3, 4, 5))
+
+    def vbin(v: str, mn: str, mx: str) -> str:
+        return _duck_bin(v, f"st.{mn}", f"st.{mx}")
+
+    pred_terms = []
+    for m in (1, 2, 3, 4, 5):
+        pred_terms.append(
+            f"CASE WHEN (CASE b{m}.f"
+            f" WHEN 'l_quantity' THEN {vbin('vv.vq', 'mnq', 'mxq')}"
+            f" WHEN 'l_discount' THEN {vbin('vv.vdc', 'mndc', 'mxdc')}"
+            f" ELSE {vbin('vv.vtx', 'mntx', 'mxtx')} END) <= b{m}.bin"
+            f" THEN b{m}.cl ELSE b{m}.cr END"
+        )
+    pred = "bse.bse + " + " + ".join(pred_terms)
+    return f"""
+    WITH fit AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS dc,
+             CAST(l_tax AS DOUBLE) AS tx,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS yfp
+      FROM lineitem WHERE l_orderkey % 5 = 0
+    ), st AS (
+      SELECT count(*) AS n, sum(yfp) AS sy,
+             min(q) AS mnq, max(q) AS mxq, min(dc) AS mndc, max(dc) AS mxdc,
+             min(tx) AS mntx, max(tx) AS mxtx
+      FROM fit
+    ), bse AS (
+      SELECT CAST(floor(CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE) + 0.5)
+                  AS BIGINT) AS bse
+      FROM st
+    ), r0 AS MATERIALIZED (
+      SELECT {_duck_bin('f.q', 'st.mnq', 'st.mxq')} AS bq,
+             {_duck_bin('f.dc', 'st.mndc', 'st.mxdc')} AS bdc,
+             {_duck_bin('f.tx', 'st.mntx', 'st.mxtx')} AS btx,
+             f.yfp - bse.bse AS r
+      FROM fit f CROSS JOIN st CROSS JOIN bse
+    ),{rounds}, samp AS (
+      SELECT l_orderkey, l_linenumber, q, dc, tx FROM (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS dc,
+               CAST(l_tax AS DOUBLE) AS tx,
+               row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                  ORDER BY l_extendedprice) AS rn
+        FROM lineitem WHERE l_orderkey % 50 = 0
+      ) WHERE rn = 1
+    ), mns AS (
+      SELECT avg(q) AS mq, avg(dc) AS mdc, avg(tx) AS mtx FROM samp
+    ), vv AS (
+      SELECT s.l_orderkey, s.l_linenumber, v.variant,
+             CASE WHEN v.variant = 'l_quantity' THEN mns.mq ELSE s.q END AS vq,
+             CASE WHEN v.variant = 'l_discount' THEN mns.mdc ELSE s.dc END AS vdc,
+             CASE WHEN v.variant = 'l_tax' THEN mns.mtx ELSE s.tx END AS vtx
+      FROM samp s CROSS JOIN mns
+      CROSS JOIN (SELECT unnest(['__base__', 'l_quantity', 'l_discount',
+                                 'l_tax']) AS variant) v
+    ), scoredv AS (
+      SELECT vv.l_orderkey, vv.l_linenumber, vv.variant,
+             CAST(({pred}) AS DOUBLE) / 10000.0 AS yhat
+      FROM vv CROSS JOIN st CROSS JOIN bse
+      CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4 CROSS JOIN b5
+    ), wide AS (
+      SELECT l_orderkey, l_linenumber,
+             max(CASE WHEN variant = '__base__' THEN yhat END) AS yb,
+             max(CASE WHEN variant = 'l_quantity' THEN yhat END) AS yq,
+             max(CASE WHEN variant = 'l_discount' THEN yhat END) AS ydc,
+             max(CASE WHEN variant = 'l_tax' THEN yhat END) AS ytx
+      FROM scoredv GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(yb, 4) + 0.0 AS yhat,
+           round(yb - yq, 4) + 0.0 AS contrib_l_quantity,
+           round(yb - ydc, 4) + 0.0 AS contrib_l_discount,
+           round(yb - ytx, 4) + 0.0 AS contrib_l_tax
+    FROM wide
+    """
+
+
+@query("model_gbt_attribution", oracle=_duck_attr_oracle(), category="ml")
 def model_gbt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-prediction feature attribution by mean ablation — the data
     behind the reference's SHAP force/summary plots
     (`metrics_visualizer.py:501-530`) with public machinery only: one
     scoring pass over the tagged ablation union, one pivot shuffle
-    (ml/models.py prediction_attribution_ablate). Returns row-level
-    contributions for a deterministic 1-in-50 sample plus yhat; sign
-    structure is pinned in tests/test_ml.py. Rows-only."""
+    (ml/models.py prediction_attribution_ablate). r9: scored by the
+    DECLARATIVE histogram-stump booster (models.stump_boost_model +
+    stump_model_yhat — a pure codegen column expression, no Spark-ML
+    transform), which makes every split, leaf, and therefore every
+    contribution an exact fixed-point quantity and promotes this query
+    from rows-only to a full value-hash oracle. The Spark-ML path stays
+    covered by model_gbt_fit_predict. Returns row-level contributions for
+    a deterministic 1-in-50 sample plus yhat."""
     li = load(spark, sf_dir, "lineitem")
     fit_df = li.filter(F.col("l_orderkey") % 5 == 0)
     feats = ["l_quantity", "l_discount", "l_tax"]
-    _, model = models.gbt_fit_predict(
-        li, features=feats, target="l_extendedprice",
-        keys=["l_orderkey", "l_linenumber"], max_iter=5, fit_df=fit_df,
+    model = models.stump_boost_model(
+        fit_df,
+        features={f: f for f in feats},
+        target="l_extendedprice",
+        rounds=5,
+        lr=0.5,
     )
     # the synthetic lineitem is NOT key-unique on (l_orderkey,
     # l_linenumber) — ~20% of key groups hold several distinct rows, and
@@ -448,7 +735,11 @@ def model_gbt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
     out = models.prediction_attribution_ablate(
-        model, sample, feats, keys=["l_orderkey", "l_linenumber"]
+        None,
+        sample,
+        feats,
+        keys=["l_orderkey", "l_linenumber"],
+        scorer=lambda d: d.withColumn("yhat", models.stump_model_yhat(model)),
     )
     return out.select(
         "l_orderkey", "l_linenumber",
@@ -492,62 +783,6 @@ def model_gbt_halving_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_depth", "max_iter", "step_size", "rung", "resource_frac",
         rnd(F.col("avg_rmse"), 4).alias("avg_rmse"), "survived", "rank",
     ).orderBy("rank", "rung")
-
-
-def _duck_stump_round(m: int) -> str:
-    """One unrolled boosting-stump round: histogram → prefix-sum splits →
-    best pick → residual update. Mirrors models.stump_boost_importances'
-    driver arithmetic expression-for-expression."""
-    p = m - 1
-    return f"""
-    h{m} AS MATERIALIZED (
-      SELECT f, bin, count(*) AS n, sum(r) AS s FROM (
-        SELECT 'l_quantity' AS f, bq AS bin, r FROM r{p}
-        UNION ALL SELECT 'l_discount', bdc, r FROM r{p}
-        UNION ALL SELECT 'l_tax', btx, r FROM r{p}
-        UNION ALL SELECT 'l_returnflag', brf, r FROM r{p}
-      ) GROUP BY f, bin
-    ), sp{m} AS (
-      SELECT f, bin,
-             sum(n) OVER (PARTITION BY f ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
-             sum(s) OVER (PARTITION BY f ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
-             sum(n) OVER (PARTITION BY f) AS nt,
-             sum(s) OVER (PARTITION BY f) AS stt
-      FROM h{m}
-    ), g{m} AS (
-      SELECT f, bin,
-             (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
-              + CAST(stt - sl AS DOUBLE) * CAST(stt - sl AS DOUBLE)
-                / CAST(nt - nl AS DOUBLE))
-             - CAST(stt AS DOUBLE) * CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)
-               AS gain,
-             CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) + 0.5)
-                  AS BIGINT) AS cl,
-             CAST(floor(0.5 * (CAST(stt - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
-                  + 0.5) AS BIGINT) AS cr
-      FROM sp{m} WHERE bin < 15 AND nl > 0 AND nt - nl > 0
-    ), b{m} AS MATERIALIZED (
-      SELECT f, bin, gain, cl, cr FROM (
-        SELECT *, row_number() OVER (ORDER BY gain DESC, f ASC, bin ASC) AS rn
-        FROM g{m}
-      ) WHERE rn = 1
-    ), r{m} AS MATERIALIZED (
-      SELECT bq, bdc, btx, brf,
-             r - CASE WHEN (CASE b.f WHEN 'l_quantity' THEN bq
-                            WHEN 'l_discount' THEN bdc
-                            WHEN 'l_tax' THEN btx ELSE brf END) <= b.bin
-                      THEN b.cl ELSE b.cr END AS r
-      FROM r{p} CROSS JOIN b{m} b
-    )"""
-
-
-def _duck_bin(col: str, mn: str, mx: str) -> str:
-    return (
-        f"CASE WHEN {mx} = {mn} THEN 0 ELSE least(15, greatest(0, "
-        f"CAST(floor(({col} - {mn}) / (({mx} - {mn}) / 16.0)) AS INT))) END"
-    )
 
 
 @query(

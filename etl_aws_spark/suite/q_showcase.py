@@ -592,12 +592,17 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent / highest spend).
 
     Scale shape: the fact table reduces to ONE |customers|-sized frame
-    first; the three global ntile windows (single-partition by nature)
-    run on that reduced dimension-scale frame only — the same
-    'aggregate before you sort globally' posture as
-    `curation_token_budget`. Monetary is rounded BEFORE scoring so the
-    quartile assignment itself can never straddle a float-jitter tie."""
-    from pyspark.sql import Window
+    first; each quartile is then the HISTOGRAM-EXACT ntile
+    (`_util.exact_ntile`, the `stat_mann_whitney_u` formulation) — ranks
+    come from windows PARTITIONED by a coarse value cell (recency days /
+    order count / spend-in-thousands, all bounded by the VALUE DOMAIN,
+    not |customers|), the only unpartitioned windows run over the
+    |distinct cells| count frames, and the ntile boundary rule is applied
+    per row against broadcast scalars — bit-identical to ntile(4) under
+    the same total orders, with no single-partition pass over customers.
+    Monetary is rounded BEFORE scoring so the quartile assignment itself
+    can never straddle a float-jitter tie."""
+    from etl_aws_spark.suite._util import exact_ntile
 
     orders = load(spark, sf_dir, "orders")
     t_ref = orders.agg(F.max("o_orderdate").alias("t_ref"))
@@ -618,23 +623,26 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return rfm.select(
+    scored = exact_ntile(
+        rfm, 4, "recency_days", "c_custkey", F.col("recency_days"),
+        descending=True, out_col="r_score",
+    )
+    scored = exact_ntile(
+        scored, 4, "frequency", "c_custkey", F.col("frequency"),
+        descending=False, out_col="f_score",
+    )
+    scored = exact_ntile(
+        scored, 4, "monetary", "c_custkey", F.floor(F.col("monetary") / 1000),
+        descending=False, out_col="m_score",
+    )
+    return scored.select(
         "c_custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
         F.col("frequency").cast("long").alias("frequency"),
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
-        .cast("int")
-        .alias("m_score"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
     )
 
 
@@ -927,12 +935,16 @@ def showcase_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + sign(sum(l_extendedprice * (1 - l_discount))) * 1e-9, 2)
                + 0.0 AS revenue
       FROM lineitem GROUP BY l_partkey
+    ), rc AS (
+      SELECT l_partkey, revenue,
+             CAST(round(revenue * 100) AS BIGINT) AS cents
+      FROM rev
     ), ranked AS (
       SELECT l_partkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / sum(revenue) OVER () AS cum_share
-      FROM rev
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(sum(cents) OVER () AS DOUBLE) AS cum_share
+      FROM rc
     ), classed AS (
       SELECT l_partkey, revenue,
              CASE WHEN cum_share <= 0.8 THEN 'A'
@@ -952,22 +964,33 @@ def showcase_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     by revenue, the running share assigns A (first 80%), B (to 95%), C
     (tail), and the rollup reports class sizes and revenue — the
     supply-chain prioritization every ops team runs. Scale posture: the
-    fact table reduces to the |parts| revenue frame FIRST; the global
-    cumulative window runs on that reduced frame (aggregate-before-
-    global-sort); per-part revenue is nudge-rounded BEFORE ranking so
-    the class boundary — a cumulative comparison — can never straddle a
-    float flip."""
-    from pyspark.sql import Window
+    fact table reduces to the |parts| revenue frame FIRST; the running
+    sum is then EXACT-CENTS integers through the bucketed two-phase
+    cumsum (`_util.bucketed_cumsum`) — per-$1000-cell subtotals cumulate
+    in the only unpartitioned window (bounded by the PRICE domain, not
+    |parts|), within-cell sums are partitioned windows, and integer
+    cents make the result order-insensitive and bit-identical on both
+    engines, so the 0.80/0.95 class boundary can never straddle a float
+    flip."""
+    from etl_aws_spark.suite._util import bucketed_cumsum
 
     li = load(spark, sf_dir, "lineitem")
     raw_rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     rev = li.groupBy("l_partkey").agg(rnd_nudged(raw_rev, 2).alias("revenue"))
-    w_cum = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    revc = rev.withColumn("cents", F.round(F.col("revenue") * 100).cast("long"))
+    tot = revc.agg(F.sum("cents").alias("_tot"))
+    cum = bucketed_cumsum(
+        revc,
+        "cents",
+        "cents",
+        F.expr("cents div 100000"),
+        out_cols="cum_cents",
+        descending=True,
+        tie_cols=["l_partkey"],
     )
-    w_all = Window.partitionBy()
-    ranked = rev.withColumn(
-        "cum_share", F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)
+    ranked = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share",
+        F.col("cum_cents").cast("double") / F.col("_tot").cast("double"),
     )
     classed = ranked.withColumn(
         "abc_class",

@@ -1760,11 +1760,12 @@ def embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+    # top-20 via orderBy().limit() (TakeOrderedAndProject), rank attached
+    # on the 20-row frame — never a single-partition row_number over |corpus|
+    top = sc.orderBy(F.desc("score"), F.asc("vec_id")).limit(20)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        sc.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .orderBy(F.desc("score"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).orderBy(
+        F.desc("score"), F.asc("vec_id")
     )
 
 
@@ -2274,16 +2275,12 @@ def embedding_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate against a 4-row broadcast dim — the
     one-candidate-join-serves-every-bound pattern of
     `events_attribution_window_sweep`."""
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings")
     h = "cast(conv(substr(md5(concat('semsample:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"
-    wr = Window.orderBy(F.expr(h), F.col("vec_id"))
-    smp = (
-        emb.withColumn("hrn", F.row_number().over(wr))
-        .filter(F.col("hrn") <= 2000)
-        .drop("hrn")
-    )
+    # 2000 smallest salted hashes via orderBy().limit() — mergeable
+    # per-partition top-k (TakeOrderedAndProject), never a global
+    # single-partition row_number over the corpus
+    smp = emb.orderBy(F.expr(h).asc(), F.col("vec_id")).limit(2000)
     pairs = knn.cosine_dedup_pairs(
         smp, "vec_id", "embedding", _DIM, block_col=None, threshold=0.25, n_planes=6
     )
@@ -2396,13 +2393,16 @@ def model_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     h = "cast(conv(substr(md5(concat('knnprobe:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"
-    wr = Window.orderBy(F.expr(h), F.col("vec_id"))
-    ranked = emb.withColumn("hrn", F.row_number().over(wr)).withColumn(
-        "n_corpus", F.count(F.lit(1)).over(Window.partitionBy())
+    # probe budget = min(200, n/10): one 1-row count (sanctioned driver
+    # scalar), then the probe set is orderBy().limit(budget) — mergeable
+    # top-k by salted hash, never a global single-partition row_number;
+    # train is the corpus minus the ≤200 broadcast probe ids
+    n_corpus = emb.count()
+    budget_n = min(200, n_corpus // 10)
+    test = emb.orderBy(F.expr(h).asc(), F.col("vec_id")).limit(budget_n)
+    train = emb.join(
+        F.broadcast(test.select("vec_id")), "vec_id", "left_anti"
     )
-    budget = F.least(F.lit(200), F.expr("n_corpus div 10"))
-    test = ranked.filter(F.col("hrn") <= budget).drop("hrn", "n_corpus")
-    train = ranked.filter(F.col("hrn") > budget).drop("hrn", "n_corpus")
     topk = knn.brute_topk(train, test, "vec_id", "embedding", _DIM, k=5)
     nn = (
         topk.join(

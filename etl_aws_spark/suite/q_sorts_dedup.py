@@ -198,8 +198,6 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max-heap per partition, AQE's TakeOrdered), no global shuffle of
     the corpus; contrast `sample_rows`/`sample_stratified_by_source`
     which are unweighted."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     h = "cast(conv(substr(md5(concat('wr:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
     u = F.expr(f"({h} + 1) / 1152921504606846977.0")
@@ -210,10 +208,11 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         wt.alias("wt"),
         (F.round(k_raw + F.signum(k_raw) * F.lit(1e-9), 8) + F.lit(0.0)).alias("k"),
     )
-    w = Window.orderBy(F.desc("k"), "doc_id")
+    # top-25 as orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a single-partition global row_number sort
     return (
-        keyed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(25)
         .select(
             "doc_id",
             F.col("wt").cast("long").alias("weight"),

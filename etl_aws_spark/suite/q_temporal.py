@@ -1033,8 +1033,17 @@ def events_interarrival_exponential_fit(spark: SparkSession, sf_dir: str) -> Dat
         (F.count(F.lit(1)).cast("double") / F.sum("gap_us")).alias("lam"),
     )
     h = g.groupBy("gap_us").agg(F.count(F.lit(1)).alias("c"))
-    cw = Window.orderBy("gap_us").rowsBetween(Window.unboundedPreceding, 0)
-    cum = h.withColumn("cum_n", F.sum("c").over(cw))
+    # µs gaps are nearly all distinct, so the empirical-CDF running count
+    # is computed with the bucketed two-phase cumsum (`_util
+    # .bucketed_cumsum`): per-second subtotals cumulate in the only
+    # unpartitioned window (bounded by the TIME domain), within-second
+    # counts cumulate partitioned by second — exact integers, identical
+    # to the global window
+    from etl_aws_spark.suite._util import bucketed_cumsum
+
+    cum = bucketed_cumsum(
+        h, "gap_us", "c", F.expr("gap_us div 1000000"), out_cols="cum_n"
+    )
     ks = cum.crossJoin(F.broadcast(m)).agg(
         F.max(
             F.round(

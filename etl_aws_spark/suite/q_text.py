@@ -625,11 +625,12 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(D.tokens("text", D.SPARK))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # top-100 via orderBy().limit() (TakeOrderedAndProject — the vocab
+    # grows with the corpus under Heaps' law, so no global row_number over
+    # it); rank attached by the same total order on the 100-row head
+    head = freq.orderBy(F.desc("n"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = (
-        freq.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 100)
-    )
+    ranked = head.withColumn("rnk", F.row_number().over(w).cast("long"))
     fit = ranked.agg(
         rnd(
             F.regr_slope(
@@ -1279,8 +1280,6 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), unigram counts join back by word, and the top-20 ranks the
     already count-thresholded pair frame on the nudge-rounded score —
     raw text is tokenized exactly once."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
@@ -1308,10 +1307,11 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_ab", pmi.alias("pmi"))
     )
-    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    # top-20 via orderBy().limit() (TakeOrderedAndProject) — never a
+    # single-partition row_number over the min-count-pruned bigram frame
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
         .select("w1", "w2", F.col("n_ab").cast("long").alias("n_ab"), "pmi")
     )
 
@@ -1583,17 +1583,15 @@ def text_dedup_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     the audit itself joins two pair lists on their composite key and folds
     to one row. Set algebra over candidate sets — the same posture as
     `text_dedup_scorecard`, one modality further."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     h = "cast(conv(substr(md5(concat('agree:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
-    wr = Window.orderBy(F.expr(h), F.col("doc_id"))
+    # 2000 smallest salted hashes via orderBy().limit() — mergeable
+    # per-partition top-k, never a global single-partition row_number
     common = (
         docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi")
-        .withColumn("hrn", F.row_number().over(wr))
-        .filter(F.col("hrn") <= 2000)
-        .drop("hrn")
+        .orderBy(F.expr(h).asc(), F.col("doc_id"))
+        .limit(2000)
     )
     lex = dedup.minhash_band_edges(common, "doc_id", "text", max_bucket=50)
     from etl_aws_spark.similarity import knn
@@ -1691,11 +1689,13 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     same corpus statistic.
 
     Shape: NO prefix re-scan — each token's novelty lands on its
-    first-occurrence doc (one min aggregate), and one cumulative window
-    over the |docs| frame produces the whole curve; the fit is closed-form
-    moments. The global window is on per-doc rows, not tokens; at 100 TB
-    the same curve computes per shard/day and the points just pool."""
-    from pyspark.sql import Window
+    first-occurrence doc (one min aggregate); the two running counts come
+    from the bucketed two-phase cumsum (`_util.bucketed_cumsum`):
+    per-id-block subtotals cumulate in the only unpartitioned window
+    (|docs|/65536 rows), within-block counts cumulate partitioned by
+    block — exact integers, identical to a global window, with no
+    single-partition pass over |docs|; the fit is closed-form moments."""
+    from etl_aws_spark.suite._util import bucketed_cumsum
 
     docs = load(spark, sf_dir, "documents")
     occ = docs.select(
@@ -1708,15 +1708,16 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    cw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        per_doc.join(firsts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(cw).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(cw).alias("cum_vocab"),
-        )
+    joined = per_doc.join(firsts, "doc_id", "left").select(
+        "doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )
+    curve = bucketed_cumsum(
+        joined,
+        "doc_id",
+        ["n_tok", "n_new"],
+        F.expr("doc_id div 65536"),
+        out_cols=["cum_tokens", "cum_vocab"],
+    ).select("doc_id", "cum_tokens", "cum_vocab")
     pts = curve.select(
         F.log(F.col("cum_tokens").cast("double")).alias("x"),
         F.log(F.col("cum_vocab").cast("double")).alias("y"),

@@ -469,3 +469,62 @@ def test_kmv_sketch_is_one_distinct_then_bounded(spark, sf):
     # the raw scan shuffles once for the distinct, once for the window
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_unpartitioned_windows_are_on_bounded_frames_only():
+    """Every `Window.orderBy(...)` with no partitionBy funnels its whole
+    input through ONE task — allowed ONLY on frames bounded by a value
+    DOMAIN or a fixed budget, never by corpus size. This test pins the
+    reviewed allowlist (r9 audit, VERDICT r8 item 2): a new unpartitioned
+    window must either be rewritten (orderBy().limit(k) for top-k;
+    `_util.exact_ntile` / `_util.bucketed_cumsum` for quantiles and
+    running sums) or argued onto this list with its bound."""
+    import os
+    import re
+
+    import etl_aws_spark
+
+    pkg = os.path.dirname(etl_aws_spark.__file__)
+    # (relative file, enclosing def) -> bounded-frame rationale
+    allow = {
+        ("suite/_util.py", "exact_ntile"): "cumulates over |distinct buckets| (domain-bounded by contract)",
+        ("suite/_util.py", "bucketed_cumsum"): "cumulates over |distinct buckets| (domain-bounded by contract)",
+        ("suite/q_temporal.py", "events_path_trigrams_topk"): "rank over the |event_types|^3 trigram frame",
+        ("suite/q_aggregates.py", "agg_hdr_log_histogram_percentiles"): "cum over the fixed log-histogram bucket frame",
+        ("suite/q_aggregates.py", "stat_bootstrap_ci_subsample"): "rank over B=|bootstrap replicates| rows (fixed budget)",
+        ("suite/q_timeseries.py", "stat_ks_two_sample"): "cum over |distinct 2-decimal values| (domain-bounded)",
+        ("suite/q_timeseries.py", "stat_mann_whitney_u"): "cum over |distinct 2-decimal prices| (domain-bounded)",
+        ("suite/q_timeseries.py", "stat_kaplan_meier_survival"): "two windows over |distinct day| cells (date-domain)",
+        ("suite/q_similarity.py", "embedding_outlier_score"): "rank attached on the 20-row post-limit frame",
+        ("suite/q_sorts_dedup.py", "sort_skyline_pareto"): "cum-min over |distinct prices| (domain-bounded)",
+        ("suite/q_text.py", "text_zipf_rank_frequency"): "rank attached on the 100-row post-limit head",
+        ("suite/q_curation.py", "curation_domain_mix_report"): "cum over |sources| (domain-bounded)",
+        ("suite/q_curation.py", "curation_importance_weights_dsir"): "rank attached on the 20-row post-limit frame",
+        ("ml/encoders.py", "select_k_best"): "rank over |features| (schema-bounded)",
+        ("ml/models.py", "_evaluate"): "rank over the |param grid| evaluation frame (fixed budget)",
+        ("ml/models.py", "stump_boost_importances"): "rank over |features| (schema-bounded)",
+    }
+    found = {}
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg)
+            src = open(path).read().splitlines()
+            cur_def = "<module>"
+            for line in src:
+                m = re.match(r"\s*def\s+(\w+)", line)
+                if m:
+                    cur_def = m.group(1)
+                if "Window.orderBy" in line and "partitionBy" not in line:
+                    found.setdefault((rel, cur_def), 0)
+                    found[(rel, cur_def)] += 1
+    unreviewed = {k: v for k, v in found.items() if k not in allow}
+    assert not unreviewed, (
+        f"unpartitioned Window.orderBy outside the reviewed allowlist: "
+        f"{sorted(unreviewed)} — rewrite with orderBy().limit(k) / "
+        f"exact_ntile / bucketed_cumsum, or add with a bounded-frame rationale"
+    )
+    stale = {k for k in allow if k not in found}
+    assert not stale, f"allowlist entries no longer present (prune them): {sorted(stale)}"
