@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -487,6 +487,7 @@ def prediction_attribution_ablate(
     df: DataFrame,
     features: Sequence[str],
     keys: Sequence[str],
+    scorer=None,
 ) -> DataFrame:
     """PER-PREDICTION feature attribution by mean ablation — the
     data product behind the reference's SHAP summary/force plots
@@ -528,7 +529,11 @@ def prediction_attribution_ablate(
         for f in live
     ]
     unioned = reduce(DataFrame.unionByName, variants)
-    scored = model.transform(unioned).select(*keys, "_variant", "yhat")
+    # scorer: optional callable(df) -> df + "yhat" column for replayable
+    # declarative models (r9: the stump booster); defaults to the Spark ML
+    # pipeline transform
+    scored_df = scorer(unioned) if scorer is not None else model.transform(unioned)
+    scored = scored_df.select(*keys, "_variant", "yhat")
     wide = (
         scored.groupBy(*keys)
         .pivot("_variant", ["__base__", *live])
@@ -837,7 +842,7 @@ def gbt_halving_search_temporal(
             val.unpersist()
 
 
-def stump_boost_importances(
+def stump_boost_model(
     df: DataFrame,
     features: dict,
     target: str,
@@ -845,37 +850,18 @@ def stump_boost_importances(
     lr: float = 0.5,
     n_bins: int = 16,
     scale: float = 1e4,
-) -> DataFrame:
-    """Impurity-gain feature importances from DECLARATIVE histogram
-    gradient boosting with depth-1 trees (stumps) — the replayable twin of
-    Spark ML's ``GBTRegressor.featureImportances`` (ranking plots,
-    `src/model/metrics_visualizer.py:501-530`).
+) -> dict:
+    """Train the DECLARATIVE histogram-stump booster and return the MODEL
+    — the replayable artifact behind :func:`stump_boost_importances` (r9
+    factoring: importances, per-row scoring and mean-ablation attribution
+    all read this one dict). See the importances docstring for the
+    LightGBM-histogram execution shape and the fixed-point determinism
+    bridge; nothing here changes the arithmetic.
 
-    This is the real distributed-GBDT training shape (LightGBM/XGBoost
-    histogram mode): per boosting round, ONE map-side-combined aggregate
-    builds a ``(feature, bin)`` histogram of residual sums/counts
-    (|features|·n_bins rows — bounded model state, like the k-means
-    centroid collect), the best variance-reduction split is picked on the
-    driver, and the residual update is a pure column expression. Nothing
-    corpus-sized ever reaches the driver; per round the cluster does one
-    scan + one tiny shuffle, at any corpus size.
-
-    Determinism bridge (FIXTURES.md §C / SCALE.md §8): the target is
-    quantized to fixed-point int64 (``floor(y·scale + 0.5)``) so every
-    residual sum is an ORDER-INDEPENDENT integer; gains and leaf values
-    are derived from those exact sums through a fixed IEEE expression —
-    ``(S_L²/n_L + S_R²/n_R) − S²/n`` and ``floor(lr·(S/n) + 0.5)`` — that
-    the SQL oracle replays verbatim, so split choices, residuals, and
-    importances are bit-identical across engines. Bins are fixed-width
-    over the global [min, max] (boundary IEEE arithmetic shared the same
-    way).
-
-    ``features`` maps feature name -> numeric Column expression. Returns
-    (feature, importance, rank): importance is the per-feature sum of
-    chosen-split gains normalized to total gain (round 4), rank by
-    (importance desc, feature asc) — same schema as
-    :func:`gbt_feature_importances`.
-    """
+    Returns ``{"names", "exprs", "base_fp", "scale", "n_bins", "lr",
+    "stats": {f: (mn, mx)}, "rounds": [(feature, bin, gain, cl, cr)]}`` —
+    bounded driver state (|features|·rounds scalars), the sanctioned
+    model-artifact collect."""
     import math
 
     names = list(features)
@@ -897,18 +883,9 @@ def stump_boost_importances(
     ).collect()[0]
     n_tot, s_y = stats["_n"], stats["_sy"]
     base_fp = math.floor(float(s_y) / float(n_tot) + 0.5)
+    fstats = {n: (float(stats[f"_mn_{n}"]), float(stats[f"_mx_{n}"])) for n in names}
 
-    bin_cols = {}
-    for n in names:
-        mn, mx = float(stats[f"_mn_{n}"]), float(stats[f"_mx_{n}"])
-        if mx == mn:
-            bin_cols[n] = F.lit(0)
-        else:
-            w = (mx - mn) / float(n_bins)
-            bin_cols[n] = F.least(
-                F.lit(n_bins - 1),
-                F.greatest(F.lit(0), F.floor((F.col(n) - F.lit(mn)) / F.lit(w)).cast("int")),
-            )
+    bin_cols = {n: _stump_bin_col(F.col(n), fstats[n], n_bins) for n in names}
     frame = base.select(
         *[bin_cols[n].cast("int").alias(f"_b_{n}") for n in names],
         (F.col("_yfp") - F.lit(base_fp)).alias("_r"),
@@ -922,7 +899,7 @@ def stump_boost_importances(
             ]
         )
     )
-    chosen = []  # (feature, bin, gain) per round, in round order
+    chosen = []  # (feature, bin, gain, cl, cr) per round, in round order
     for _ in range(rounds):
         hist = (
             frame.select(melted.alias("m"), "_r")
@@ -958,7 +935,7 @@ def stump_boost_importances(
         if best is None:
             break
         (_neg, bf_feat, bb_bin), gain, cl, cr = best
-        chosen.append((bf_feat, bb_bin, gain))
+        chosen.append((bf_feat, bb_bin, gain, cl, cr))
         frame = frame.withColumn(
             "_r",
             F.col("_r")
@@ -967,13 +944,99 @@ def stump_boost_importances(
             ),
         ).localCheckpoint(eager=True)
 
+    return {
+        "names": names,
+        "exprs": dict(features),
+        "base_fp": base_fp,
+        "scale": scale,
+        "n_bins": n_bins,
+        "lr": lr,
+        "stats": fstats,
+        "rounds": chosen,
+    }
+
+
+def _stump_bin_col(col: Column, mnmx: tuple, n_bins: int) -> Column:
+    """Fixed-width histogram bin of a double column over global [mn, mx] —
+    the shared binning expression of the stump family (boundary IEEE
+    arithmetic identical on both engines)."""
+    mn, mx = mnmx
+    if mx == mn:
+        return F.lit(0)
+    w = (mx - mn) / float(n_bins)
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((col - F.lit(mn)) / F.lit(w)).cast("int")),
+    )
+
+
+def stump_model_yhat(model: dict) -> Column:
+    """Per-row prediction of a :func:`stump_boost_model` artifact as a
+    PURE COLUMN EXPRESSION (codegen-resident — no UDF, no driver loop):
+    yhat = (base_fp + Σ_rounds leaf_fp) / scale, where each round's leaf
+    is a CASE on the row's bin of the chosen feature. Evaluates the
+    feature expressions the model was trained with, so it scores any
+    frame carrying those input columns — including ablation variants with
+    a feature column overwritten."""
+    total = F.lit(int(model["base_fp"]))
+    for feat, b, _gain, cl, cr in model["rounds"]:
+        e = model["exprs"][feat]
+        col = (F.col(e) if isinstance(e, str) else e).cast("double")
+        bcol = _stump_bin_col(col, model["stats"][feat], model["n_bins"])
+        total = total + F.when(bcol <= F.lit(b), F.lit(cl)).otherwise(F.lit(cr))
+    return total.cast("double") / F.lit(float(model["scale"]))
+
+
+def stump_boost_importances(
+    df: DataFrame,
+    features: dict,
+    target: str,
+    rounds: int = 5,
+    lr: float = 0.5,
+    n_bins: int = 16,
+    scale: float = 1e4,
+) -> DataFrame:
+    """Impurity-gain feature importances from DECLARATIVE histogram
+    gradient boosting with depth-1 trees (stumps) — the replayable twin of
+    Spark ML's ``GBTRegressor.featureImportances`` (ranking plots,
+    `src/model/metrics_visualizer.py:501-530`).
+
+    This is the real distributed-GBDT training shape (LightGBM/XGBoost
+    histogram mode): per boosting round, ONE map-side-combined aggregate
+    builds a ``(feature, bin)`` histogram of residual sums/counts
+    (|features|·n_bins rows — bounded model state, like the k-means
+    centroid collect), the best variance-reduction split is picked on the
+    driver, and the residual update is a pure column expression. Nothing
+    corpus-sized ever reaches the driver; per round the cluster does one
+    scan + one tiny shuffle, at any corpus size.
+
+    Determinism bridge (FIXTURES.md §C / SCALE.md §8): the target is
+    quantized to fixed-point int64 (``floor(y·scale + 0.5)``) so every
+    residual sum is an ORDER-INDEPENDENT integer; gains and leaf values
+    are derived from those exact sums through a fixed IEEE expression —
+    ``(S_L²/n_L + S_R²/n_R) − S²/n`` and ``floor(lr·(S/n) + 0.5)`` — that
+    the SQL oracle replays verbatim, so split choices, residuals, and
+    importances are bit-identical across engines. Bins are fixed-width
+    over the global [min, max] (boundary IEEE arithmetic shared the same
+    way). Training itself lives in :func:`stump_boost_model` (r9
+    factoring); this wrapper derives the ranked importance frame.
+
+    ``features`` maps feature name -> numeric Column expression. Returns
+    (feature, importance, rank): importance is the per-feature sum of
+    chosen-split gains normalized to total gain (round 4), rank by
+    (importance desc, feature asc) — same schema as
+    :func:`gbt_feature_importances`.
+    """
+    model = stump_boost_model(df, features, target, rounds, lr, n_bins, scale)
+    names = model["names"]
+    chosen = model["rounds"]
     total = 0.0
-    for _f, _b, g in chosen:
+    for _f, _b, g, _cl, _cr in chosen:
         total = total + g
     imps = []
     for n in names:
         acc = 0.0
-        for f, _b, g in chosen:
+        for f, _b, g, _cl, _cr in chosen:
             if f == n:
                 acc = acc + g
         imps.append((n, acc / total if total != 0.0 else 0.0))
@@ -985,6 +1048,176 @@ def stump_boost_importances(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("feature", F.col("_imp").alias("importance"), "rank")
     )
+
+
+_RF_BAG_THRESHOLD = 728650000000000000  # ~63.2% of the 2^60 hash range
+_RF_HASH_DEN = 1152921504606846976  # 2^60
+
+
+def bagged_stump_forest(
+    fit_df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    bag_key_cols: Sequence[str],
+    n_trees: int = 8,
+    n_bins: int = 16,
+    scale: float = 1e4,
+) -> list:
+    """Train a DECLARATIVE random forest of histogram stumps — the
+    replayable re-pointing of the reference's RandomForest leg
+    (`src/model/train.py:293-352`) promoted off Spark ML in r9, the
+    bagging twin of :func:`stump_boost_model`'s boosting.
+
+    Randomness is salted-hash determinism, not an RNG: tree t's bag is
+    the rows whose md5('rf<t>:' ++ bag key) lands under ~0.632 of the
+    hash range (the bootstrap's expected coverage), and tree t considers
+    the classic features-per-split subset — features (t mod p) and
+    (t+1 mod p). Because bagged trees are INDEPENDENT (no residual
+    chain), all trees train from exactly TWO aggregates over one scan
+    each of the tagged (tree, row) expansion: pass 1 collects per-(tree,
+    feature) min/max/count/sum (driver state 4·p·T scalars), pass 2
+    builds every tree's (feature, bin) target histogram with pass-1 bin
+    edges — no per-tree jobs, no corpus collect. Leaves are fixed-point
+    bag-mean targets, split by variance reduction on exact integer sums
+    (ties: feature asc, bin asc) — every choice bit-replayable in SQL.
+
+    Returns a list of per-tree models: ``{"tree", "feature", "bin",
+    "stats": (mn, mx), "cl", "cr"}`` (cl/cr are fixed-point leaf
+    predictions). Score with :func:`stump_forest_yhat`."""
+    import math
+
+    features = list(features)
+    p = len(features)
+    key = "concat(" + ", '-', ".join(f"cast({c} as string)" for c in bag_key_cols) + ")"
+    trees = F.explode(
+        F.array(*[F.lit(t) for t in range(n_trees)])
+    ).alias("_tree")
+    tagged = fit_df.select(
+        *[F.col(f).cast("double").alias(f) for f in features],
+        F.floor(F.col(target).cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("_yfp"),
+        F.expr(key).alias("_bagkey"),
+    ).select("*", trees).filter(
+        F.expr(
+            "cast(conv(substr(md5(concat('rf', cast(_tree as string), ':', _bagkey)), "
+            f"1, 15), 16, 10) as bigint) < {_RF_BAG_THRESHOLD}"
+        )
+    )
+    st_rows = (
+        tagged.groupBy("_tree")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_yfp").alias("_sy"),
+            *[F.min(f).alias(f"_mn_{f}") for f in features],
+            *[F.max(f).alias(f"_mx_{f}") for f in features],
+        )
+        .collect()
+    )
+    st = {r["_tree"]: r for r in st_rows}
+    # pass 2: per-tree bins from pass-1 edges, one (tree, feature, bin)
+    # histogram of target sums/counts
+    melt_structs = []
+    for t in range(n_trees):
+        for fi in (t % p, (t + 1) % p):
+            f = features[fi]
+            bcol = _stump_bin_col(
+                F.col(f), (float(st[t][f"_mn_{f}"]), float(st[t][f"_mx_{f}"])), n_bins
+            )
+            melt_structs.append(
+                F.when(
+                    F.col("_tree") == t,
+                    F.struct(F.lit(f).alias("f"), bcol.cast("int").alias("bin")),
+                )
+            )
+    melted = F.explode(
+        F.filter(F.array(*melt_structs), lambda x: x.isNotNull())
+    ).alias("m")
+    hist = (
+        tagged.select("_tree", melted, "_yfp")
+        .groupBy("_tree", "m.f", "m.bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_yfp").alias("s"))
+        .collect()
+    )
+    per_tree = {}
+    for row in hist:
+        per_tree.setdefault(row["_tree"], {}).setdefault(row["f"], {})[row["bin"]] = (
+            row["n"],
+            row["s"],
+        )
+    out = []
+    for t in range(n_trees):
+        best = None
+        for fi in (t % p, (t + 1) % p):
+            f = features[fi]
+            bins = per_tree.get(t, {}).get(f, {})
+            nt = sum(v[0] for v in bins.values())
+            stt = sum(v[1] for v in bins.values())
+            nl = sl = 0
+            for b in range(n_bins - 1):
+                cnt, sm = bins.get(b, (0, 0))
+                nl += cnt
+                sl += sm
+                nr, sr = nt - nl, stt - sl
+                if nl == 0 or nr == 0:
+                    continue
+                sld, srd, std = float(sl), float(sr), float(stt)
+                gain = (sld * sld / float(nl) + srd * srd / float(nr)) - (
+                    std * std / float(nt)
+                )
+                key2 = (-gain, f, b)
+                if best is None or key2 < best[0]:
+                    cl = math.floor(sld / float(nl) + 0.5)
+                    cr = math.floor(srd / float(nr) + 0.5)
+                    best = (key2, f, b, cl, cr)
+        if best is None:
+            # degenerate bag (all one bin): predict the bag mean
+            n_b, s_b = st[t]["_n"], st[t]["_sy"]
+            mean_fp = math.floor(float(s_b) / float(n_b) + 0.5)
+            out.append(
+                {"tree": t, "feature": features[t % p], "bin": n_bins - 1,
+                 "stats": (0.0, 0.0), "cl": mean_fp, "cr": mean_fp}
+            )
+            continue
+        (_k, f, b, cl, cr) = (best[0], best[1], best[2], best[3], best[4])
+        out.append(
+            {
+                "tree": t,
+                "feature": f,
+                "bin": b,
+                "stats": (float(st[t][f"_mn_{f}"]), float(st[t][f"_mx_{f}"])),
+                "cl": cl,
+                "cr": cr,
+            }
+        )
+    return out
+
+
+def stump_forest_yhat(forest: list, n_bins: int = 16, scale: float = 1e4) -> Column:
+    """Forest prediction as a pure column expression: the SUM of per-tree
+    fixed-point leaves stays an exact integer (order-free), divided once
+    by trees·scale — so the prediction, and any error statistic derived
+    in fixed-point units, replays bit-identically in SQL."""
+    total = F.lit(0).cast("long")
+    for m in forest:
+        bcol = _stump_bin_col(F.col(m["feature"]).cast("double"), m["stats"], n_bins)
+        total = total + F.when(bcol <= F.lit(m["bin"]), F.lit(m["cl"])).otherwise(
+            F.lit(m["cr"])
+        )
+    return total.cast("double") / F.lit(float(len(forest)) * scale)
+
+
+def stump_forest_yhat_fp(forest: list, n_bins: int = 16) -> Column:
+    """Exact-integer forest prediction in (trees·scale) fixed-point units
+    — the error-statistic form: err_fp = y_fp·|trees| − yhat_fp is an
+    exact BIGINT both engines agree on."""
+    total = F.lit(0).cast("long")
+    for m in forest:
+        bcol = _stump_bin_col(F.col(m["feature"]).cast("double"), m["stats"], n_bins)
+        total = total + F.when(bcol <= F.lit(m["bin"]), F.lit(m["cl"])).otherwise(
+            F.lit(m["cr"])
+        )
+    return total
 
 
 def gbt_feature_importances(model, spark: "SparkSession") -> DataFrame:

@@ -173,6 +173,36 @@ def test_rf_learns_linear_signal(spark):
     assert err < 2.5  # vs y-std ~9 for a mean-only model
 
 
+def test_bagged_stump_forest_learns_and_is_deterministic(spark):
+    # the declarative forest (r9 replayable RF) must beat a mean-only
+    # model on a monotone signal and reproduce bit-identically on refit
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, float(x1 := rng.rand() * 10), float(x2 := rng.rand() * 10),
+         float(5 * x1 + rng.randn() * 0.1))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    forest = models.bagged_stump_forest(
+        df, features=["x1", "x2"], target="y", bag_key_cols=["id"], n_trees=8
+    )
+    assert len(forest) == 8
+    # deterministic: salted-hash bags, no RNG
+    forest2 = models.bagged_stump_forest(
+        df, features=["x1", "x2"], target="y", bag_key_cols=["id"], n_trees=8
+    )
+    assert forest == forest2
+    scored = df.withColumn("yhat", models.stump_forest_yhat(forest))
+    err = scored.selectExpr("sqrt(avg((y - yhat)*(y - yhat))) rmse").first().rmse
+    ystd = scored.selectExpr("stddev_samp(y) s").first().s
+    assert err < 0.6 * ystd  # stumps are weak learners; still far below mean-only
+    # fixed-point identity: yhat == yhat_fp / (trees * scale) exactly
+    chk = scored.withColumn(
+        "_fp", models.stump_forest_yhat_fp(forest).cast("double") / (8 * 1e4)
+    )
+    assert chk.filter(F.col("yhat") != F.col("_fp")).count() == 0
+
+
 def test_attribution_sign_and_magnitude(spark):
     # additive signal y = 4*x1 + 1*x2: ablating x1 must move predictions
     # more than ablating x2, and contrib sign must follow (x - mean(x))
