@@ -40,6 +40,14 @@ HEADLINE = [
     "graph_triangle_clustering",  # self-join graph + wedge closure
     "similarity_topk_pq_adc",  # PQ train+encode+ADC search in one plan
     "similarity_pq_index_adc_search",  # r8: ADC search-only leg vs persisted index
+    # r9 additions (VERDICT r8 #5): the three most expensive sweep rows
+    # outside the headline set, so the driver bench — the only perf
+    # signal the builder doesn't control — regression-guards them too.
+    # Totals are NOT comparable to r1-r8 BENCH files; compare per-query
+    # or on the original 13.
+    "text_dedup_simhash_hamming",   # distinct-signature banded Hamming
+    "pipeline_semantic_dedup",      # kmeans cells x LSH sub-blocked SemDeDup
+    "similarity_ivfpq_residual_adc",  # IVFADC on centered residuals
 ]
 
 

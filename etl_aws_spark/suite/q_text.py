@@ -1885,15 +1885,20 @@ def text_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep quantifies that tradeoff on real data instead of folklore
     (Leskovec/Rajaraman/Ullman ch. 3 theory, measured).
 
-    Shape: signatures are ONE narrow (id, 16 ints) frame per config;
-    each config's pair stage is the standard capped Σ|bucket|² block
-    join. Three configs = three bounded pair plans over the same corpus
-    scan lineage."""
+    Shape (r9): the expensive shingle→minhash lineage runs ONCE — the
+    16-hash signature frame (id + 16 ints, ~136 B/row) is
+    localCheckpointed and every band configuration slices it
+    (dedup.band_edges_from_signature), so three configs cost one corpus
+    tokenization + three bounded capped Σ|bucket|² pair stages instead
+    of three full signature derivations."""
     corpus = _corpus(spark, sf_dir)
+    sig = dedup.minhash_signature(
+        corpus, "doc_id", "text", num_hashes=16
+    ).localCheckpoint(eager=True)
     rows = []
     for b, r, s_star in _LSH_SWEEP_CFGS:
-        pairs = dedup.minhash_band_edges(
-            corpus, "doc_id", "text", num_hashes=16, bands=b, max_bucket=50
+        pairs = dedup.band_edges_from_signature(
+            sig, "doc_id", num_hashes=16, bands=b, max_bucket=50
         )
         n_pairs = pairs.agg(F.count(F.lit(1)).alias("n"))
         n_docs = (

@@ -732,14 +732,24 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stat_theilsen_slope_per_group",
     # exact pairwise-median replay: both engines build the identical slope
     # list (same (i, j) enumeration, exact µs integer time deltas), sort,
-    # and take the exact median (middle element / mean of middles).
+    # and take the exact median (middle element / mean of middles). The
+    # per-series budget (<=500 events, smallest salted hashes) mirrors the
+    # engine cap verbatim.
     oracle="""
-    WITH s AS (
+    WITH capped AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY md5(concat('tsen:', CAST(event_id AS VARCHAR))),
+                          event_id) AS hrn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE hrn <= 500
+    ), s AS (
       SELECT user_id,
              list(epoch_us(ts) ORDER BY ts, event_id) AS tt,
              list(value ORDER BY ts, event_id) AS vv,
              count(*) AS n
-      FROM events WHERE event_type = 'purchase'
+      FROM capped
       GROUP BY user_id
     ), sl AS (
       SELECT user_id, n,
@@ -771,13 +781,27 @@ def stat_theilsen_slope_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
     `clean_hampel_filter` posture: ONE user_id shuffle collects each
     series, and the O(n²) pairwise slopes + exact median run INSIDE the
     row as HOF array expressions — no second shuffle, no UDF. The
-    documented tradeoff: per-series cardinality is bounded (it is a
-    per-user purchase history); for unbounded series Theil–Sen itself
-    is the wrong estimator (use repeated-median or sampling). Exact µs
-    integer time deltas; the median crosses the nudged bridge."""
+    per-series bound is ENFORCED (r9, the `model_knn_label_classifier`
+    budget pattern): series beyond 500 events are subsampled to the 500
+    smallest salted md5 hashes — deterministic, unbiased, mirrored
+    verbatim in the oracle — so the in-row pair count is capped at
+    500²/2 regardless of how hot a user gets; for genuinely unbounded
+    series Theil–Sen itself is the wrong estimator (use repeated-median).
+    Exact µs integer time deltas; the median crosses the nudged bridge."""
+    from pyspark.sql import Window
+
     from etl_aws_spark.operators.temporal_joins import _epoch_micros
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wcap = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat(F.lit("tsen:"), F.col("event_id").cast("string"))),
+        "event_id",
+    )
+    ev = (
+        ev.withColumn("_hrn", F.row_number().over(wcap))
+        .filter(F.col("_hrn") <= 500)
+        .drop("_hrn")
+    )
     s = (
         ev.select(
             "user_id",
