@@ -2395,11 +2395,18 @@ def model_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = "cast(conv(substr(md5(concat('knnprobe:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"
     # probe budget = min(200, n/10): one 1-row count (sanctioned driver
     # scalar), then the probe set is orderBy().limit(budget) — mergeable
-    # top-k by salted hash, never a global single-partition row_number;
-    # train is the corpus minus the ≤200 broadcast probe ids
+    # top-k by salted hash, never a global single-partition row_number.
+    # The ≤200-row probe frame is localCheckpointed so the corpus-wide
+    # salted-hash top-k runs ONCE (it feeds both the broadcast query side
+    # and the train anti-join; without the checkpoint each use re-scans
+    # the corpus — measured 12.3x vs 9.5x wall at 10x data)
     n_corpus = emb.count()
     budget_n = min(200, n_corpus // 10)
-    test = emb.orderBy(F.expr(h).asc(), F.col("vec_id")).limit(budget_n)
+    test = (
+        emb.orderBy(F.expr(h).asc(), F.col("vec_id"))
+        .limit(budget_n)
+        .localCheckpoint(eager=True)
+    )
     train = emb.join(
         F.broadcast(test.select("vec_id")), "vec_id", "left_anti"
     )
