@@ -94,7 +94,13 @@ def exact_ntile(
     from pyspark.sql import Window
 
     sdir = F.desc if descending else F.asc
-    b = df.withColumn("_entile_bk", bucket.cast("long"))
+    # the bucketed frame feeds THREE consumers (cell counts, the total,
+    # the per-row rank join) — materialize it once so chained calls don't
+    # re-derive the whole upstream lineage per branch (the frame is
+    # entity-level by contract, far below corpus size)
+    b = df.withColumn("_entile_bk", bucket.cast("long")).localCheckpoint(
+        eager=True
+    )
     counts = b.groupBy("_entile_bk").agg(F.count(F.lit(1)).alias("_entile_c"))
     wb = Window.orderBy(sdir("_entile_bk")).rowsBetween(
         Window.unboundedPreceding, -1
@@ -165,7 +171,8 @@ def bucketed_cumsum(
         out_cols = [out_cols]
     tie_cols = list(tie_cols or [])
     sdir = F.desc if descending else F.asc
-    b = df.withColumn("_bcs_bk", bucket.cast("long"))
+    # two consumers (bucket subtotals, per-row join) — materialize once
+    b = df.withColumn("_bcs_bk", bucket.cast("long")).localCheckpoint(eager=True)
     sub = b.groupBy("_bcs_bk").agg(
         *[F.sum(v).alias(f"_bcs_sub_{i}") for i, v in enumerate(val_cols)]
     )

@@ -562,3 +562,126 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("r2"), 6).alias("r_squared"),
         rnd(F.lit(1.0) + F.col("n_nodes") / F.col("sum_ln_d"), 4).alias("alpha_mle"),
     )
+
+
+_HITS_ROUNDS = 2
+_HITS_FP = 100000000  # 1e8 fixed-point normalization scale
+
+
+def _duck_hits_round(k: int) -> str:
+    """One unrolled HITS round in exact fixed point: authority sums over
+    in-edges, L1-normalize to 1e8 integer units (floor(x/total·1e8+0.5) —
+    exact longs both engines), then hub sums over out-edges, same
+    normalization."""
+    p = k - 1
+    return f"""
+    asum{k} AS (
+      SELECT e.p, sum(h.hfp) AS s FROM e JOIN h{p} h ON e.c = h.c GROUP BY e.p
+    ), atot{k} AS (SELECT sum(s) AS t FROM asum{k}),
+    a{k} AS MATERIALIZED (
+      SELECT p, CAST(floor(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                           * {_HITS_FP}.0 + 0.5) AS BIGINT) AS afp
+      FROM asum{k} CROSS JOIN atot{k}
+    ), hsum{k} AS (
+      SELECT e.c, sum(a.afp) AS s FROM e JOIN a{k} a ON e.p = a.p GROUP BY e.c
+    ), htot{k} AS (SELECT sum(s) AS t FROM hsum{k}),
+    h{k} AS MATERIALIZED (
+      SELECT c, CAST(floor(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                           * {_HITS_FP}.0 + 0.5) AS BIGINT) AS hfp
+      FROM hsum{k} CROSS JOIN htot{k}
+    )"""
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), h0 AS (
+      SELECT c, CAST({_HITS_FP} AS BIGINT) AS hfp FROM (SELECT DISTINCT c FROM e)
+    ),{','.join(_duck_hits_round(k) for k in range(1, _HITS_ROUNDS + 1))},
+    top_a AS (
+      SELECT 'authority' AS role, p AS node_id, afp FROM a{_HITS_ROUNDS}
+      ORDER BY afp DESC, p ASC LIMIT 10
+    ), top_h AS (
+      SELECT 'hub' AS role, c AS node_id, hfp AS afp FROM h{_HITS_ROUNDS}
+      ORDER BY afp DESC, c ASC LIMIT 10
+    ), u AS (
+      SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+    )
+    SELECT role, node_id,
+           round(CAST(afp AS DOUBLE) / {_HITS_FP}.0, 6) + 0.0 AS score,
+           CAST(row_number() OVER (PARTITION BY role
+                ORDER BY afp DESC, node_id ASC) AS INT) AS rank
+    FROM u
+    """,
+    category="graph",
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the customer→part
+    purchase bipartite graph: authority parts are bought by strong-hub
+    customers and hub customers buy strong-authority parts — the mutual
+    reinforcement that plain degree centrality misses, and the third
+    iterative-scoring member of the graph layer beside PageRank
+    (teleporting random walk) and triangle clustering (cohesion).
+
+    Scale shape: the edge list builds from ONE orderkey equi-join +
+    distinct and is the only corpus-sized frame; each of the
+    {_HITS_ROUNDS} rounds moves (node, score) pairs along edges — two
+    keyed aggregates, nothing wider. Determinism: scores live in 1e8
+    fixed-point integers — every propagation sum is an exact BIGINT
+    (order-free), and the L1 normalization floor(x/total·1e8+0.5) is one
+    identical IEEE expression per round, so both engines replay every
+    iterate bit-exactly (the same fixed-point discipline as the stump
+    booster). Top-10 per role via orderBy().limit() (mergeable top-k),
+    rank attached on the 20-row frame, window partitioned by role."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(sums: DataFrame, key: str, out: str) -> DataFrame:
+        tot = sums.agg(F.sum("s").alias("t"))
+        return sums.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.floor(
+                F.col("s").cast("double") / F.col("t").cast("double")
+                * F.lit(float(_HITS_FP)) + F.lit(0.5)
+            ).cast("long").alias(out),
+        )
+
+    h = e.select("c").distinct().select("c", F.lit(_HITS_FP).cast("long").alias("hfp"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        asum = e.join(h, "c").groupBy("p").agg(F.sum("hfp").alias("s"))
+        a = _norm(asum, "p", "afp").localCheckpoint(eager=True)
+        hsum = e.join(a, "p").groupBy("c").agg(F.sum("afp").alias("s"))
+        h = _norm(hsum, "c", "hfp").localCheckpoint(eager=True)
+
+    top_a = (
+        a.orderBy(F.desc("afp"), F.asc("p"))
+        .limit(10)
+        .select(F.lit("authority").alias("role"), F.col("p").alias("node_id"),
+                F.col("afp").alias("fp"))
+    )
+    top_h = (
+        h.orderBy(F.desc("hfp"), F.asc("c"))
+        .limit(10)
+        .select(F.lit("hub").alias("role"), F.col("c").alias("node_id"),
+                F.col("hfp").alias("fp"))
+    )
+    u = top_a.unionByName(top_h)
+    wr = Window.partitionBy("role").orderBy(F.desc("fp"), F.asc("node_id"))
+    return u.select(
+        "role",
+        "node_id",
+        rnd(F.col("fp").cast("double") / F.lit(float(_HITS_FP)), 6).alias("score"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
