@@ -2446,3 +2446,148 @@ def model_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+_ROCCHIO_A, _ROCCHIO_B, _ROCCHIO_C = 1.0, 0.75, 0.15
+
+
+@query(
+    "similarity_rocchio_feedback",
+    oracle=f"""
+    WITH qv AS (
+      SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), scored0 AS (
+      SELECT e.vec_id, {_duck_cos('e.embedding', 'qv.q')} AS cos
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+    ), ranked0 AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored0
+    ), rel AS (SELECT vec_id FROM ranked0 WHERE rk <= 5),
+    nonrel AS (SELECT vec_id FROM ranked0 WHERE rk BETWEEN 16 AND 20),
+    relp AS (
+      SELECT s.i AS pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(e.embedding[s.i] AS DOUBLE) ORDER BY e.vec_id)),
+               (acc, x) -> acc + x) AS sr
+      FROM embeddings e JOIN rel USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+      GROUP BY s.i
+    ), nonrelp AS (
+      SELECT s.i AS pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(e.embedding[s.i] AS DOUBLE) ORDER BY e.vec_id)),
+               (acc, x) -> acc + x) AS snr
+      FROM embeddings e JOIN nonrel USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) s
+      GROUP BY s.i
+    ), qp AS (
+      SELECT r.pos,
+             round(({_ROCCHIO_A} * CAST(qv.q[r.pos] AS DOUBLE)
+                    + {_ROCCHIO_B} * r.sr / 5.0 - {_ROCCHIO_C} * n.snr / 5.0)
+                   + sign({_ROCCHIO_A} * CAST(qv.q[r.pos] AS DOUBLE)
+                          + {_ROCCHIO_B} * r.sr / 5.0
+                          - {_ROCCHIO_C} * n.snr / 5.0) * 1e-9, 6) + 0.0 AS v
+      FROM relp r JOIN nonrelp n ON r.pos = n.pos CROSS JOIN qv
+    ), qarr AS (
+      SELECT list(v ORDER BY pos) AS q FROM qp
+    ), scored1 AS (
+      SELECT e.vec_id, {_duck_cos('e.embedding', 'qarr.q')} AS cos
+      FROM embeddings e CROSS JOIN qarr WHERE e.vec_id <> 0
+    ), top1 AS (
+      SELECT vec_id, cos FROM scored1 ORDER BY cos DESC, vec_id ASC LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY t.cos DESC, t.vec_id ASC) AS INT)
+             AS rank_after,
+           t.vec_id AS neighbor_id,
+           round(t.cos, 6) + 0.0 AS cos_after,
+           CAST(coalesce(r0.rk, -1) AS INT) AS rank_before
+    FROM top1 t LEFT JOIN ranked0 r0 ON t.vec_id = r0.vec_id AND r0.rk <= 20
+    """,
+    category="similarity",
+)
+def similarity_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio relevance feedback (SMART, 1971 — the classic IR query
+    refinement every retrieval stack still ships as 'more like this'):
+    q' = α·q + β·mean(relevant) − γ·mean(non-relevant), with the top-5 of
+    the initial cosine ranking as pseudo-relevant and ranks 16–20 as
+    pseudo-negative (blind feedback), then the corpus is re-ranked under
+    q' and each new top-10 row reports where it stood before (−1 = pulled
+    in from outside the initial top-20) — the table that shows feedback
+    actually moving the ranking.
+
+    Scale shape: two bandwidth-bound brute scans (swap in any ANN leg at
+    scale) and two 64-row centroid aggregates; q' is a 64-double
+    broadcast. Determinism: the feedback means fold in neighbor-id order
+    (exact ordered fold, both engines) and q' components cross the
+    nudged-6 bridge BEFORE re-scoring, so the refined ranking is
+    engine-exact."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    top0 = knn.brute_topk(corpus, q, "vec_id", "embedding", _DIM, k=20).select(
+        F.col("neighbor_id").alias("vec_id"), "cos", F.col("rank").alias("rk")
+    ).localCheckpoint(eager=True)
+
+    def _side_sums(ids: DataFrame) -> DataFrame:
+        parts = (
+            emb.join(ids.select("vec_id"), "vec_id", "left_semi")
+            .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"))
+            .select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+        )
+        return parts.groupBy("pos").agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, val))), "
+                "s -> s.val), cast(0.0 as double), (acc, x) -> acc + x)"
+            ).alias("s")
+        )
+
+    relsum = _side_sums(top0.filter(F.col("rk") <= 5))
+    nonrelsum = _side_sums(top0.filter(F.col("rk").between(16, 20))).withColumnRenamed(
+        "s", "snr"
+    )
+    qparts = q.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "qval")
+    ).select((F.col("pos0") + 1).alias("pos"), "qval")
+    qprime = (
+        qparts.join(relsum, "pos")
+        .join(nonrelsum, "pos")
+        .select(
+            "pos",
+            rnd_nudged(
+                F.lit(_ROCCHIO_A) * F.col("qval")
+                + F.lit(_ROCCHIO_B) * F.col("s") / 5.0
+                - F.lit(_ROCCHIO_C) * F.col("snr") / 5.0,
+                6,
+            ).alias("v"),
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, v))), s -> s.v)"
+            ).alias("q")
+        )
+    )
+    scored1 = corpus.crossJoin(F.broadcast(qprime)).select(
+        "vec_id",
+        F.expr(
+            f"({knn._fold_dot('embedding', 'q', _DIM)}) / "
+            f"(sqrt({knn._fold_dot('embedding', 'embedding', _DIM)}) * "
+            f"sqrt({knn._fold_dot('q', 'q', _DIM)}))"
+        ).alias("cos"),
+    )
+    top1 = scored1.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+    wr = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        top1.withColumn("rank_after", F.row_number().over(wr).cast("int"))
+        .join(top0.select("vec_id", "rk"), "vec_id", "left")
+        .select(
+            "rank_after",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.round("cos", 6) + F.lit(0.0)).alias("cos_after"),
+            F.coalesce(F.col("rk"), F.lit(-1)).cast("int").alias("rank_before"),
+        )
+    )

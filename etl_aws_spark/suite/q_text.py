@@ -1920,3 +1920,144 @@ def text_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@query(
+    "text_readability_flesch",
+    # per-source readability from EXACT integer totals (words, sentences,
+    # syllable groups) — ratios computed once per source row, never
+    # averaged over per-doc doubles, so no summation-order jitter exists.
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_sentences) AS BIGINT) AS sum_sentences,
+           CAST(sum(n_syllables) AS BIGINT) AS sum_syllables,
+           round(206.835
+                 - 1.015 * (CAST(sum(n_words) AS DOUBLE) / sum(n_sentences))
+                 - 84.6 * (CAST(sum(n_syllables) AS DOUBLE) / sum(n_words)),
+                 4) + 0.0 AS flesch_ease,
+           round(0.39 * (CAST(sum(n_words) AS DOUBLE) / sum(n_sentences))
+                 + 11.8 * (CAST(sum(n_syllables) AS DOUBLE) / sum(n_words))
+                 - 15.59, 4) + 0.0 AS fk_grade
+    FROM per GROUP BY source
+    """,
+    category="text",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per source — the
+    classic readability gate a curation pipeline runs beside the Gopher
+    rules (a source whose grade drifts is template/spam churn; extreme
+    ease/difficulty flags boilerplate or OCR noise). Syllables are
+    approximated as maximal vowel groups (the standard public heuristic);
+    sentences as terminal-punctuation runs with a floor of 1.
+
+    Scale shape: one scan computes three INTEGER counts per doc (regex
+    count + split — codegen, no UDF); the rollup is a |sources|-row
+    aggregate and both scores derive from the per-source integer TOTALS
+    (exact, order-free) rather than averaging per-doc floats — the same
+    totals-not-means determinism rule as `tokenizer_fertility_by_source`."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("n_words"),
+        F.greatest(
+            F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+        ).alias("n_sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("n_syllables"),
+    )
+    w = F.sum("n_words").cast("double")
+    s = F.sum("n_sentences").cast("double")
+    y = F.sum("n_syllables").cast("double")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_sentences").cast("long").alias("sum_sentences"),
+        F.sum("n_syllables").cast("long").alias("sum_syllables"),
+        rnd(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 4).alias(
+            "flesch_ease"
+        ),
+        rnd(
+            F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+@query(
+    "text_dedup_boundary_overlap",
+    # shard-boundary overlap: doc A's 64-char TAIL hash equals doc B's
+    # 64-char HEAD hash — the signature of one crawl document split (or
+    # re-concatenated) across shard boundaries, which whole-doc and
+    # shingle dedup both under-weight. Inverted-index join on 32 B
+    # digests with the house frequency cap.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             md5(substring(text, 1, 64)) AS head_h,
+             md5(substring(text, n_chars - 63, 64)) AS tail_h
+      FROM documents WHERE n_chars >= 64
+    ), heads AS (
+      SELECT head_h AS h, doc_id FROM base
+      QUALIFY count(*) OVER (PARTITION BY head_h) <= 50
+    ), tails AS (
+      SELECT tail_h AS h, doc_id FROM base
+      QUALIFY count(*) OVER (PARTITION BY tail_h) <= 50
+    )
+    SELECT t.doc_id AS src, h2.doc_id AS dst, t.h AS overlap_hash
+    FROM tails t JOIN heads h2 USING (h)
+    WHERE t.doc_id <> h2.doc_id
+    """,
+    category="text",
+)
+def text_dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-overlap detection: pairs where one document's last 64
+    characters hash-match another's first 64 — the split/concatenation
+    artifact of sharded crawls (WARC re-assembly, pagination stitching)
+    that whole-document hashing misses entirely and shingle Jaccard
+    under-scores when the docs are long. The production fix-up pass runs
+    this before span dedup so stitched halves rejoin.
+
+    Scale shape: the corpus shuffles only (digest, id) pairs — 32 B
+    regardless of document size (the `text_dedup_exact` narrow-payload
+    law); both sides drop digests shared by >50 docs before the join
+    (the house Σ|bucket|² cap — a hot boundary hash is boilerplate, not
+    a split), so the join output is bounded per bucket."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    base = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 64)).alias("head_h"),
+        F.md5(F.expr("substring(text, n_chars - 63, 64)")).alias("tail_h"),
+    )
+    wh = Window.partitionBy("head_h")
+    wt = Window.partitionBy("tail_h")
+    heads = (
+        base.withColumn("_c", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_c") <= 50)
+        .select(F.col("head_h").alias("h"), F.col("doc_id").alias("dst"))
+    )
+    tails = (
+        base.withColumn("_c", F.count(F.lit(1)).over(wt))
+        .filter(F.col("_c") <= 50)
+        .select(F.col("tail_h").alias("h"), F.col("doc_id").alias("src"))
+    )
+    return (
+        tails.join(heads, "h")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.col("h").alias("overlap_hash"))
+    )

@@ -496,6 +496,9 @@ def test_unpartitioned_windows_are_on_bounded_frames_only():
         ("suite/q_timeseries.py", "stat_mann_whitney_u"): "cum over |distinct 2-decimal prices| (domain-bounded)",
         ("suite/q_timeseries.py", "stat_kaplan_meier_survival"): "two windows over |distinct day| cells (date-domain)",
         ("suite/q_similarity.py", "embedding_outlier_score"): "rank attached on the 20-row post-limit frame",
+        # scanner attributes to the last def seen — this is rocchio's
+        # rank_after window, after the nested _side_sums helper
+        ("suite/q_similarity.py", "_side_sums"): "rocchio rank attached on the 10-row post-limit frame",
         ("suite/q_sorts_dedup.py", "sort_skyline_pareto"): "cum-min over |distinct prices| (domain-bounded)",
         ("suite/q_text.py", "text_zipf_rank_frequency"): "rank attached on the 100-row post-limit head",
         ("suite/q_curation.py", "curation_domain_mix_report"): "cum over |sources| (domain-bounded)",
