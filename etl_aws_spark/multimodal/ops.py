@@ -655,3 +655,70 @@ def resample_audio(df: DataFrame, out_n: int) -> DataFrame:
         "asset_id bigint, n_samples int, out_n int, "
         "resample_numerator_sum bigint, mean_resampled double",
     )
+
+
+def equalize_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched GLOBAL HISTOGRAM EQUALIZATION over a (asset_id,
+    payload) BMP frame — the classic contrast-normalization step of a
+    vision preprocessing pipeline (and the canonical histogram+CDF
+    exercise for a decoder): decode, build the 256-bin histogram, remap
+    every value through h(v) = floor((cdf(v) − cdf_min)·255 / (N − cdf_min)
+    + 0.5) (the standard OpenCV equalizeHist formula with half-up
+    rounding), and report exact integer accounting so a SQL oracle can
+    replay the remap bit-for-bit from the pixel generator. A constant
+    image (N == cdf_min) maps to 0.
+
+    Output: asset_id, width, height, n_values (distinct pixel values
+    before), cdf_min, equalized_sum (Σ count(v)·h(v), exact int64),
+    mean_equalized (normalized /255)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_bmp24(bytes(payload))
+                flat = arr.reshape(-1).astype(np.int64)
+                n = flat.size
+                hist = np.bincount(flat, minlength=256)
+                cdf = np.cumsum(hist)
+                present = np.nonzero(hist)[0]
+                cdf_min = int(cdf[present[0]])
+                total = 0
+                for v in present:
+                    cf = int(cdf[v])
+                    if n == cdf_min:
+                        hv = 0
+                    else:
+                        hv = math.floor(
+                            (cf - cdf_min) * 255.0 / (n - cdf_min) + 0.5
+                        )
+                    total += int(hist[v]) * hv
+                rows.append(
+                    (
+                        int(aid),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(len(present)),
+                        cdf_min,
+                        total,
+                        total / (n * 255.0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_values",
+                    "cdf_min", "equalized_sum", "mean_equalized",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, width int, height int, n_values int, "
+        "cdf_min bigint, equalized_sum bigint, mean_equalized double",
+    )

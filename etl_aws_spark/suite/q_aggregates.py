@@ -1767,3 +1767,100 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("min_class_size") >= F.col("k")).cast("int").alias("is_k_anonymous"),
     )
+
+
+@query(
+    "agg_group_skew_kurtosis",
+    # standardized 3rd/4th moments from EXACT integer power sums: prices
+    # are 2-decimal, so x_fp = round(100x) is an exact integer and every
+    # power sum is an order-free HUGEINT/decimal — both engines then
+    # derive the moments through the IDENTICAL double expression tree, so
+    # skewness and kurtosis replay bit-exactly with no summation jitter.
+    oracle="""
+    WITH fp AS (
+      SELECT l_returnflag,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT) AS x
+      FROM lineitem
+    ), sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(x AS HUGEINT)) AS s1,
+             sum(CAST(x AS HUGEINT) * x) AS s2,
+             sum(CAST(x AS HUGEINT) * x * x) AS s3,
+             sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+      FROM fp GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(s1 AS DOUBLE) / n / 100.0, 4) + 0.0 AS mean_price,
+           round(sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 100.0, 4) + 0.0 AS stddev_price,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5), 6) + 0.0 AS skewness,
+           round((CAST(s4 AS DOUBLE) / n
+                  - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 - 3.0, 6) + 0.0 AS kurtosis_excess
+    FROM sums
+    """,
+    category="aggregate",
+)
+def agg_group_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis of the price distribution —
+    the two shape moments `agg_describe_percentiles` doesn't cover, and
+    the standard drift signals a data-quality monitor tracks beside
+    mean/stddev (a kurtosis jump = new outlier regime; a skew flip =
+    truncation/clipping upstream).
+
+    Scale shape: ONE map-side-combined aggregate computes four integer
+    power sums per group (prices are 2-decimal, so the cent-scaled
+    values — and therefore x², x³, x⁴ — are exact integers in
+    decimal/HUGEINT; x⁴ ≈ 1e28 per row and ~1e35 summed, inside both
+    engines' 38-digit range); the moment algebra then runs on the
+    |groups|-row frame through an expression tree written identically on
+    both engines, so the statistics are deterministic at any parallelism
+    — the same totals-not-means rule as the RF error statistics."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice").cast("double") * 100.0).cast("long")
+    xd = F.col("x").cast("decimal(19,0)")
+    sums = li.select("l_returnflag", x.alias("x")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+        F.sum(xd * xd * xd).alias("s3"),
+        F.sum(xd * xd * xd * xd).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, s3, s4 = [F.col(c).cast("double") for c in ("s1", "s2", "s3", "s4")]
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        rnd(mu / 100.0, 4).alias("mean_price"),
+        rnd(F.sqrt(m2) / 100.0, 4).alias("stddev_price"),
+        (F.round(m3 / F.pow(m2, 1.5), 6) + F.lit(0.0)).alias("skewness"),
+        (F.round(m4 / (m2 * m2) - F.lit(3.0), 6) + F.lit(0.0)).alias(
+            "kurtosis_excess"
+        ),
+    )

@@ -1327,3 +1327,77 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("mean_abs_delta"), 4) + F.lit(0.0)).alias("mean_abs_delta"),
         (F.col("mean_abs_delta") > 64.0).cast("int").alias("is_cut"),
     )
+
+
+@query(
+    "multimodal_image_hist_equalize",
+    # closed-form equalization oracle: the 256-bin histogram of the
+    # generated pixels replays from the generator formula, the CDF is a
+    # per-image cumulative over present values, and the OpenCV remap
+    # h(v) = floor((cdf−cdf_min)·255/(N−cdf_min)+0.5) is one shared IEEE
+    # expression — Σ count(v)·h(v) must match the decoder's int64 exactly.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id*31 + x.x*7 + y.y*3 + c.c*11) % 256 AS v
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS y) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+      WHERE x.x < d.w AND y.y < d.h
+    ), hist AS (
+      SELECT doc_id, w, h, v, count(*) AS cnt
+      FROM px GROUP BY doc_id, w, h, v
+    ), cf AS (
+      SELECT doc_id, w, h, v, cnt,
+             sum(cnt) OVER (PARTITION BY doc_id ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf,
+             first_value(cnt) OVER (PARTITION BY doc_id ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf_min,
+             w * h * 3 AS npx
+      FROM hist
+    ), mapped AS (
+      SELECT doc_id, w, h, npx, cdf_min, cnt,
+             CASE WHEN npx = cdf_min THEN 0
+                  ELSE CAST(floor((cdf - cdf_min) * 255.0
+                                  / (npx - cdf_min) + 0.5) AS BIGINT)
+             END AS hv
+      FROM cf
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(count(*) AS INT) AS n_values,
+           CAST(max(cdf_min) AS BIGINT) AS cdf_min,
+           CAST(sum(cnt * hv) AS BIGINT) AS equalized_sum,
+           round(CAST(sum(cnt * hv) AS DOUBLE) / (max(npx) * 255.0), 6) + 0.0
+             AS mean_equalized
+    FROM mapped GROUP BY doc_id, w, h
+    """,
+    category="multimodal",
+)
+def multimodal_image_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL HISTOGRAM EQUALIZATION over real BMP decodes — the classic
+    contrast-normalization preprocessing verb beside resize (and the
+    canonical histogram/CDF exercise for the decode path): each image's
+    256-bin histogram cumulates to a CDF and every pixel remaps through
+    the OpenCV equalizeHist formula; the report carries exact integer
+    accounting (Σ count(v)·remap(v)) so the oracle checks int64 equality,
+    not a rounded mean.
+
+    Shape: one Arrow-batched mapInPandas decodes and equalizes per image
+    (CPU-bound, embarrassingly parallel, no shuffle — the numpy bincount
+    IS the histogram aggregate, per image); output is one row per asset.
+    At 100 TB this rides the same single decode pass as every other
+    per-image feature (`pipeline_multimodal_curation` posture)."""
+    corpus = _bmp_corpus(spark, sf_dir)
+    out = ops.equalize_images(
+        corpus.select(F.col("doc_id").alias("asset_id"), "payload")
+    )
+    return out.select(
+        "asset_id", "width", "height", "n_values", "cdf_min",
+        "equalized_sum",
+        (F.round(F.col("mean_equalized"), 6) + F.lit(0.0)).alias("mean_equalized"),
+    )
