@@ -107,3 +107,55 @@ def catalog_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["ano", "mes", "dia"],
     )
     return catalog.msck_repair(spark, table)
+
+
+@query(
+    "catalog_compute_stats",
+    # ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a data product:
+    # per ship-year partition, the row count, exact NDVs, min/max bounds
+    # and null counts a cost-based optimizer (or table-format manifest)
+    # records. All counts exact integers; prices round 2.
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS part_year,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ndv_suppkey,
+           CAST(min(l_quantity) AS BIGINT) AS min_qty,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty,
+           round(min(l_extendedprice), 2) + 0.0 AS min_price,
+           round(max(l_extendedprice), 2) + 0.0 AS max_price,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_returnflags
+    FROM lineitem GROUP BY year(l_shipdate)
+    """,
+    category="source",
+)
+def catalog_compute_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-partition column statistics — the manifest every
+    cost-based optimizer and table format (Iceberg/Delta column bounds,
+    Hive CBO stats) maintains so scans can prune and joins can size: per
+    ship-year, row count, exact NDVs of the join keys, min/max bounds of
+    the predicate columns, null counts. The companion to
+    `catalog_msck_repair` (partitions) and `layout_zorder_pruning`
+    (clustering): repair discovers, stats describe, layout exploits.
+
+    Scale shape: ONE map-side-combined aggregate per partition; the two
+    exact NDVs are the only expand — Spark plans them as a single expand
+    + two-phase distinct aggregate, still one shuffle keyed on the
+    partition column. On a real manifest run the same plan appends to the
+    catalog instead of returning rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.year("l_shipdate").cast("int").alias("part_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("long").alias("ndv_partkey"),
+        F.countDistinct("l_suppkey").cast("long").alias("ndv_suppkey"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+        (F.round(F.min("l_extendedprice"), 2) + F.lit(0.0)).alias("min_price"),
+        (F.round(F.max("l_extendedprice"), 2) + F.lit(0.0)).alias("max_price"),
+        F.sum(F.col("l_returnflag").isNull().cast("int")).cast("long").alias(
+            "null_returnflags"
+        ),
+    )

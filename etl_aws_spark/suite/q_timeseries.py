@@ -2188,3 +2188,120 @@ def stat_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("accept_h0")
         .alias("decision"),
     )
+
+
+# α = 1/4 — an exact binary fraction, so the SES folds are identical IEEE
+# op chains on both engines (the window_holt_linear_forecast discipline)
+_CROSTON_ALPHA = 0.25
+
+
+@query(
+    "forecast_croston_intermittent",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             sum(CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT)) AS zc
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ), s AS (
+      SELECT user_id,
+             list(CAST(zc AS DOUBLE) / 100.0 ORDER BY d) AS zz,
+             list(date_diff('day', DATE '1970-01-01', d) ORDER BY d) AS dd,
+             count(*) AS k
+      FROM daily GROUP BY user_id
+      HAVING count(*) >= 2
+    ), f AS (
+      SELECT user_id, k,
+             list_reduce(zz,
+               (acc, x) -> {_CROSTON_ALPHA} * x
+                           + (1.0 - {_CROSTON_ALPHA}) * acc) AS zhat,
+             list_reduce(
+               list_transform(range(2, CAST(k AS INT) + 1),
+                              i -> CAST(dd[i] - dd[i - 1] AS DOUBLE)),
+               (acc, x) -> {_CROSTON_ALPHA} * x
+                           + (1.0 - {_CROSTON_ALPHA}) * acc) AS qhat
+      FROM s
+    )
+    SELECT user_id, CAST(k AS BIGINT) AS n_demand_days,
+           round(zhat + sign(zhat) * 1e-9, 6) + 0.0 AS level_demand,
+           round(qhat + sign(qhat) * 1e-9, 6) + 0.0 AS level_interval,
+           round(zhat / qhat + sign(zhat / qhat) * 1e-9, 6) + 0.0
+             AS croston_rate,
+           round((1.0 - {_CROSTON_ALPHA} / 2.0) * (zhat / qhat)
+                 + sign(zhat / qhat) * 1e-9, 6) + 0.0 AS sba_rate
+    FROM f
+    """,
+    category="timeseries",
+)
+def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972, plus the
+    Syntetos–Boylan bias correction): purchase streams are mostly-zero
+    daily series, where ordinary SES/Holt forecasts collapse toward zero
+    between purchases — Croston instead smooths the NONZERO demand sizes
+    and the inter-demand intervals separately and forecasts their ratio,
+    the standard spare-parts/retail sparse-demand estimator.
+
+    Scale shape: one (user, day) pre-aggregate (demand in exact integer
+    cents — order-free), one user_id shuffle collecting each user's
+    demand-day series, and both SES recurrences run as sequential HOF
+    folds INSIDE the row (JVM, no Python, no second shuffle) — the
+    `window_holt_linear_forecast` posture. α=1/4 is an exact binary
+    fraction and both engines replay the identical left fold (init =
+    first element), so accumulators are bit-exact and only the final
+    ratios cross the nudged-6 bridge."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("value").cast("double") * 100.0).cast("long")
+        ).alias("zc")
+    )
+    s = (
+        daily.select(
+            "user_id",
+            F.struct(
+                F.expr("datediff(d, date'1970-01-01')").alias("dn"),
+                (F.col("zc").cast("double") / 100.0).alias("z"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(p)), x -> x.z)").alias("zz"),
+            F.expr("transform(array_sort(collect_list(p)), x -> x.dn)").alias("dd"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    a = _CROSTON_ALPHA
+    zfold = (
+        f"aggregate(slice(zz, 2, size(zz) - 1), element_at(zz, 1), "
+        f"(acc, x) -> {a}D * x + (1.0D - {a}D) * acc)"
+    )
+    ivs = (
+        "transform(sequence(2, cast(k as int)), "
+        "i -> cast(element_at(dd, i) - element_at(dd, i - 1) as double))"
+    )
+    qfold = (
+        f"aggregate(slice({ivs}, 2, size({ivs}) - 1), element_at({ivs}, 1), "
+        f"(acc, x) -> {a}D * x + (1.0D - {a}D) * acc)"
+    )
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    zhat = F.expr(zfold)
+    qhat = F.expr(qfold)
+    return s.select(
+        "user_id",
+        F.col("k").cast("long").alias("n_demand_days"),
+        rnd_nudged(zhat, 6).alias("level_demand"),
+        rnd_nudged(qhat, 6).alias("level_interval"),
+        rnd_nudged(zhat / qhat, 6).alias("croston_rate"),
+        (
+            F.round(
+                F.lit(1.0 - a / 2.0) * (zhat / qhat)
+                + F.signum(zhat / qhat) * F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("sba_rate"),
+    )
