@@ -2591,3 +2591,114 @@ def similarity_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rk"), F.lit(-1)).cast("int").alias("rank_before"),
         )
     )
+
+
+def _duck_l2sq(a: str, b: str) -> str:
+    """DuckDB mirror of knn._fold_l2: squared L2 as the identical
+    ascending-index left fold from 0.0."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Chained-CTE replay of greedy k-center (farthest-point sampling):
+    sel1 is the lowest vec_id (deterministic seed); sel{i} is the corpus
+    argmax of min-squared-L2-to-{sel1..sel{i-1}} (ties: lower vec_id).
+    Every distance is the shared `_duck_l2sq` fold, so each pick — and
+    the final coverage radius — matches Spark bit-for-bit."""
+    ctes = [
+        """sel1 AS (
+      SELECT vec_id, embedding, CAST(0.0 AS DOUBLE) AS d2, 1 AS ord
+      FROM embeddings ORDER BY vec_id ASC LIMIT 1
+    )""",
+    ]
+    for i in range(2, k + 1):
+        joins = " ".join(f"CROSS JOIN sel{j} s{j}" for j in range(1, i))
+        dists = ", ".join(
+            _duck_l2sq("e.embedding", f"s{j}.embedding") for j in range(1, i)
+        )
+        notin = ", ".join(f"s{j}.vec_id" for j in range(1, i))
+        ctes.append(f"""sel{i} AS (
+      SELECT vec_id, embedding, d2, {i} AS ord FROM (
+        SELECT e.vec_id, e.embedding, least({dists}) AS d2
+        FROM embeddings e {joins}
+        WHERE e.vec_id NOT IN ({notin})
+      ) ORDER BY d2 DESC, vec_id ASC LIMIT 1
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT ord, vec_id, d2 FROM sel{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(ord AS INT) AS selection_order, vec_id,
+           round(sqrt(d2), 6) + 0.0 AS dist_to_selected
+    FROM ({union})
+    """
+
+
+@query(
+    "embedding_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    category="similarity",
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection (farthest-point sampling — the
+    2-approximation of Gonzalez 1985): starting from a deterministic
+    seed, repeatedly add the corpus point FARTHEST from everything
+    selected so far. The classic coverage-first data-selection pass —
+    where MMR balances relevance against redundancy for retrieval,
+    k-center maximizes geometric coverage for training-set curation and
+    active learning (each pick's distance is the exact coverage radius
+    the remaining corpus would have if selection stopped there —
+    monotonically shrinking).
+
+    Scale shape: k bandwidth-bound corpus scans, each computing
+    min-distance-to-selected as a pure fold expression with the ≤k
+    selected vectors carried as literals (k·dim doubles of driver state
+    — the MMR/kmeans sanctioned-collect pattern), argmax via
+    orderBy().limit(1). The selection is inherently sequential — each
+    pick changes the next min-distance field — so k driver steps IS the
+    distributed formulation; at 100 TB each step is one scan of the
+    (id, vector) projection."""
+    from etl_aws_spark.similarity.knn import _fold_l2
+
+    k = 8
+    emb = load(spark, sf_dir, "embeddings")
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).first()
+    selected = [(seed.vec_id, seed.embedding)]
+    out_rows = [(1, seed.vec_id, 0.0)]
+    for step in range(2, k + 1):
+        cand = emb.filter(~F.col("vec_id").isin([sid for sid, _ in selected]))
+        for j, (_, svec) in enumerate(selected):
+            cand = cand.withColumn(
+                f"_s{j}", F.array(*[F.lit(float(v)) for v in svec])
+            )
+        dist_exprs = [
+            F.expr(_fold_l2("embedding", f"_s{j}", _DIM))
+            for j in range(len(selected))
+        ]
+        d2 = dist_exprs[0] if len(dist_exprs) == 1 else F.least(*dist_exprs)
+        row = (
+            cand.withColumn("d2", d2)
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .first()
+        )
+        selected.append((row.vec_id, row.embedding))
+        out_rows.append((step, row.vec_id, float(row.d2)))
+    import math
+
+    res = spark.createDataFrame(
+        [(o, v, math.sqrt(d)) for o, v, d in out_rows],
+        "selection_order int, vec_id long, dist double",
+    )
+    return res.select(
+        "selection_order",
+        "vec_id",
+        (F.round("dist", 6) + F.lit(0.0)).alias("dist_to_selected"),
+    )

@@ -2061,3 +2061,126 @@ def text_dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", F.col("h").alias("overlap_hash"))
     )
+
+
+@query(
+    "curation_soft_dedup_weights",
+    # soft dedup: instead of deleting duplicates, weight every doc by
+    # 1/cluster_size so each near-dup CLUSTER contributes one effective
+    # document to the training mix — the repetition-control alternative
+    # to hard removal. Weights are exact rationals reported at 6 digits;
+    # per-source effective size is the sum of those rationals computed
+    # as one double expression from integer counts (order-free because
+    # each cluster contributes size·(1/size) through a two-level exact
+    # aggregate).
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    bmin AS (SELECT bk, min(doc_id) AS bm FROM bands GROUP BY bk),
+    canon AS (
+      SELECT b.doc_id, min(bm) AS canonical_id
+      FROM bands b JOIN bmin USING (bk) GROUP BY b.doc_id
+    ), sizes AS (
+      SELECT canonical_id, count(*) AS cs FROM canon GROUP BY canonical_id
+    ), per_doc AS (
+      SELECT c.doc_id, corpus.source, s.cs
+      FROM canon c JOIN sizes s USING (canonical_id)
+      JOIN corpus ON corpus.doc_id = c.doc_id
+    ), per_cluster_source AS (
+      SELECT source, cs, count(*) AS n_in
+      FROM per_doc GROUP BY source, cs
+    )
+    SELECT source,
+           CAST(sum(n_in) AS BIGINT) AS n_docs,
+           round(sum(CAST(n_in AS DOUBLE) / cs), 6) + 0.0 AS effective_docs,
+           round(sum(CAST(n_in AS DOUBLE) / cs) / sum(n_in), 6) + 0.0
+             AS effective_ratio
+    FROM per_cluster_source GROUP BY source
+    """,
+    category="text",
+)
+def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication weights: every document in a MinHash near-dup
+    cluster gets sampling weight 1/cluster_size, so the cluster as a
+    whole contributes exactly one effective document to the pretraining
+    mix — the repetition-control alternative to hard removal (keeps
+    coverage, kills over-representation). Reported per source: raw docs,
+    effective docs (Σ 1/size), and the effective ratio — the number a
+    mix designer compares against `curation_mix_temperature_sampling`
+    shares to see which sources are secretly duplicate-inflated.
+
+    Scale shape: rides the existing canonicalization (banded LSH +
+    per-doc min — digest-only shuffles), then ONE (source, cluster_size)
+    aggregate; the weight sum folds size·(1/size) from exact integer
+    counts, so no per-doc float summation order exists. Summing weights
+    per (source, size) cell — not per doc — is what makes the double
+    arithmetic deterministic."""
+    out = dedup.minhash_lsh_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    sizes = out.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cs"))
+    corpus = _corpus(spark, sf_dir).select("doc_id", "source")
+    per_doc = (
+        out.select("doc_id", "canonical_id")
+        .join(sizes, "canonical_id")
+        .join(corpus, "doc_id")
+    )
+    cells = per_doc.groupBy("source", "cs").agg(F.count(F.lit(1)).alias("n_in"))
+    return cells.groupBy("source").agg(
+        F.sum("n_in").cast("long").alias("n_docs"),
+        rnd(F.sum(F.col("n_in").cast("double") / F.col("cs")), 6).alias(
+            "effective_docs"
+        ),
+        rnd(
+            F.sum(F.col("n_in").cast("double") / F.col("cs"))
+            / F.sum("n_in"),
+            6,
+        ).alias("effective_ratio"),
+    )
+
+
+@query(
+    "tokenizer_fragmentation_oov",
+    # vocabulary-coverage audit: the share of BPE output tokens that are
+    # UNMERGED single characters — the fragmentation/OOV signal that
+    # tells a tokenizer team which sources the merge table fails on.
+    # Integer counts fold per doc, ratios derive from per-source totals.
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({bpe_mod.doc_token_count_sql('text', bpe_mod.DUCK)}) AS BIGINT)
+             AS sum_tokens,
+           CAST(sum({bpe_mod.doc_single_count_sql('text', bpe_mod.DUCK)}) AS BIGINT)
+             AS sum_single_char,
+           round(CAST(sum({bpe_mod.doc_single_count_sql('text', bpe_mod.DUCK)})
+                      AS DOUBLE)
+                 / sum({bpe_mod.doc_token_count_sql('text', bpe_mod.DUCK)}), 6)
+             + 0.0 AS fragmentation_ratio
+    FROM documents GROUP BY source
+    """,
+    category="text",
+)
+def tokenizer_fragmentation_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FRAGMENTATION / OOV audit per source: the share of BPE
+    output tokens that are unmerged single characters after the full
+    merge chain — `tokenizer_fertility_by_source` says how many tokens a
+    source costs, this says how many of them are the vocabulary FAILING
+    (a rising single-char share on a new source = retrain the merges or
+    add coverage; the multilingual-tokenizer fairness metric's second
+    axis).
+
+    Scale shape: both counts are codegen-resident replace-chain
+    expressions folded per document (no shuffle, no Python — the
+    `text_token_count_bpe` posture); the rollup is a |sources|-row
+    aggregate and the ratio derives from exact integer TOTALS."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.expr(bpe_mod.doc_token_count_sql("text", bpe_mod.SPARK)).alias("n_tok"),
+        F.expr(bpe_mod.doc_single_count_sql("text", bpe_mod.SPARK)).alias("n_single"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum("n_single").cast("long").alias("sum_single_char"),
+        rnd(
+            F.sum("n_single").cast("double") / F.sum("n_tok"), 6
+        ).alias("fragmentation_ratio"),
+    )

@@ -97,6 +97,34 @@ def doc_token_count_sql(text_col: str, dialect: str) -> str:
     )
 
 
+def word_single_count_sql(word_expr: str, dialect: str) -> str:
+    """Count of UNMERGED single-character tokens left in one alphabetic
+    word after the merge chain — the `<c>` groups. A high share means the
+    vocabulary fails to cover the word (the OOV/fragmentation signal)."""
+    merged = merge_chain_sql(wrapped_word_sql(word_expr, dialect), dialect)
+    if dialect == SPARK:
+        return f"size(regexp_extract_all({merged}, '<[^<>]>', 0))"
+    return f"len(regexp_extract_all({merged}, '<[^<>]>'))"
+
+
+def doc_single_count_sql(text_col: str, dialect: str) -> str:
+    """Total unmerged single-char token count of a document (alphabetic
+    words only; digit/punct pre-tokens are atomic by construction)."""
+    alpha = "w rlike '^[A-Za-z]+$'" if dialect == SPARK else "regexp_full_match(w, '[A-Za-z]+')"
+    per_word = f"CASE WHEN {alpha} THEN {word_single_count_sql('w', dialect)} ELSE 0 END"
+    if dialect == SPARK:
+        words = f"regexp_extract_all({text_col}, '{PRETOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
+        return (
+            f"aggregate({words}, cast(0 as bigint), "
+            f"(acc, w) -> acc + cast({per_word} as bigint))"
+        )
+    words = f"regexp_extract_all({text_col}, '{PRETOKEN_RE}')"
+    return (
+        f"CAST(coalesce(list_sum(list_transform({words}, "
+        f"w -> {per_word})), 0) AS BIGINT)"
+    )
+
+
 def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens_bpe) per document — the pure-expression path."""
     return df.select(
