@@ -722,3 +722,59 @@ def equalize_images(df: DataFrame) -> DataFrame:
         "asset_id bigint, width int, height int, n_values int, "
         "cdf_min bigint, equalized_sum bigint, mean_equalized double",
     )
+
+
+def audio_vad_energy(df: DataFrame, frame: int = 32, threshold: int = 45_000_000) -> DataFrame:
+    """Arrow-batched energy-based VOICE-ACTIVITY DETECTION over a
+    (asset_id, payload) WAV frame — the standard first pass of every
+    speech-data pipeline (silence trimming, speech-ratio quality gates):
+    the PCM stream is cut into fixed ``frame``-sample windows (partial
+    tail dropped), each window's energy Σx² is an exact int64, and a
+    window is active iff energy ≥ ``threshold``. Reports per clip the
+    active count, the LONGEST active run (the longest speech burst), and
+    total energy — all exact integers a SQL oracle replays from the
+    waveform generator.
+
+    Output: asset_id, n_samples, n_frames, n_active, longest_run,
+    total_energy, active_ratio."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, _rate = decode_wav16(bytes(payload))
+                a = np.asarray(samples, dtype=np.int64)
+                n = a.size
+                k = n // frame
+                if k == 0:
+                    rows.append((int(aid), n, 0, 0, 0, 0, 0.0))
+                    continue
+                fr = a[: k * frame].reshape(k, frame)
+                en = (fr * fr).sum(axis=1)
+                act = en >= threshold
+                longest = cur = 0
+                for flag in act:
+                    cur = cur + 1 if flag else 0
+                    longest = max(longest, cur)
+                rows.append(
+                    (
+                        int(aid), n, k, int(act.sum()), int(longest),
+                        int(en.sum()), float(act.sum()) / k,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "n_frames", "n_active",
+                    "longest_run", "total_energy", "active_ratio",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, n_samples int, n_frames int, n_active int, "
+        "longest_run int, total_energy bigint, active_ratio double",
+    )

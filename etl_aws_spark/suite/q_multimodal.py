@@ -1401,3 +1401,68 @@ def multimodal_image_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFram
         "equalized_sum",
         (F.round(F.col("mean_equalized"), 6) + F.lit(0.0)).alias("mean_equalized"),
     )
+
+
+@query(
+    "multimodal_audio_vad_energy",
+    # closed-form VAD oracle: per-frame Σx² replays from the waveform
+    # generator as exact integers; the longest active run is the classic
+    # gaps-and-islands (frame_idx − row_number over active frames) on the
+    # per-clip frame table.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ), fr AS (
+      SELECT d.doc_id, d.n, f.f,
+             sum(((d.doc_id * 131 + (f.f * 32 + j.j) * 17) % 4096 - 2048)
+                 * ((d.doc_id * 131 + (f.f * 32 + j.j) * 17) % 4096 - 2048))
+               AS energy
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+      WHERE f.f < d.n // 32
+      GROUP BY d.doc_id, d.n, f.f
+    ), act AS (
+      SELECT doc_id, n, f, energy, energy >= 45000000 AS a FROM fr
+    ), runs AS (
+      SELECT doc_id, f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+               AS grp
+      FROM act WHERE a
+    ), longest AS (
+      SELECT doc_id, max(rl) AS longest_run FROM (
+        SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp
+      ) GROUP BY doc_id
+    )
+    SELECT act.doc_id AS asset_id,
+           CAST(max(act.n) AS INT) AS n_samples,
+           CAST(count(*) AS INT) AS n_frames,
+           CAST(sum(CASE WHEN act.a THEN 1 ELSE 0 END) AS INT) AS n_active,
+           CAST(coalesce(max(l.longest_run), 0) AS INT) AS longest_run,
+           CAST(sum(act.energy) AS BIGINT) AS total_energy,
+           round(CAST(sum(CASE WHEN act.a THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS active_ratio
+    FROM act LEFT JOIN longest l ON act.doc_id = l.doc_id
+    GROUP BY act.doc_id
+    """,
+    category="multimodal",
+)
+def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over real WAV decodes — the
+    first pass of every speech-data pipeline (silence trimming,
+    speech-ratio quality gates, burst segmentation): 32-sample frames,
+    exact-integer Σx² energies, a fixed activity threshold, and the
+    longest active run per clip (the longest speech burst a segmenter
+    would cut around).
+
+    Shape: one Arrow-batched mapInPandas decodes and frames per clip (the
+    run-length scan is an in-row numpy pass — no shuffle, no per-frame
+    rows ever leave the task); output is one row per asset with exact
+    integer accounting, so the oracle checks int64 equality on energies
+    and run lengths, not rounded means."""
+    wav = _wav_corpus(spark, sf_dir)
+    out = ops.audio_vad_energy(wav)
+    return out.select(
+        "asset_id", "n_samples", "n_frames", "n_active", "longest_run",
+        "total_energy",
+        (F.round(F.col("active_ratio"), 6) + F.lit(0.0)).alias("active_ratio"),
+    )

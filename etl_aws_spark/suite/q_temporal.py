@@ -1480,3 +1480,105 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_coalitions"),
         rnd(F.sum("term"), 6).alias("shapley_value"),
     )
+
+
+@query(
+    "events_transition_entropy_per_user",
+    # per-user behavioral predictability: Shannon entropy of the user's
+    # own (prev -> next) transition distribution, each ln term
+    # nudge-rounded BEFORE the per-user sum folds in (prev, next) order —
+    # the stat_mutual_information determinism recipe on a per-user frame.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), cells AS (
+      SELECT user_id, prev_type, event_type AS next_type, count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY user_id, prev_type, event_type
+    ), tot AS (
+      SELECT user_id, sum(n) AS nt, count(*) AS n_cells FROM cells
+      GROUP BY user_id
+    ), terms AS (
+      SELECT c.user_id, c.prev_type, c.next_type, t.nt, t.n_cells,
+             round(-(CAST(c.n AS DOUBLE) / t.nt)
+                     * ln(CAST(c.n AS DOUBLE) / t.nt)
+                   + sign(-(CAST(c.n AS DOUBLE) / t.nt)
+                          * ln(CAST(c.n AS DOUBLE) / t.nt)) * 1e-9, 8)
+               + 0.0 AS h
+      FROM cells c JOIN tot t USING (user_id)
+    )
+    SELECT user_id,
+           CAST(max(nt) AS BIGINT) AS n_transitions,
+           CAST(max(n_cells) AS BIGINT) AS n_distinct_pairs,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(h ORDER BY prev_type, next_type)),
+                 (acc, x) -> acc + x), 6) + 0.0 AS entropy_nats,
+           round(CASE WHEN max(n_cells) > 1
+                      THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(h ORDER BY prev_type, next_type)),
+                           (acc, x) -> acc + x) / ln(CAST(max(n_cells) AS DOUBLE))
+                      ELSE 0.0 END, 6) + 0.0 AS normalized_entropy
+    FROM terms GROUP BY user_id
+    """,
+    category="temporal",
+)
+def events_transition_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TRANSITION ENTROPY — the behavioral-predictability score
+    product analytics ranks users by (low entropy = habitual loops, high
+    = exploratory): Shannon entropy of each user's own first-order
+    (prev → next) transition distribution, plus the n-distinct-pairs
+    normalization that makes users with different activity levels
+    comparable. The per-user refinement of `events_markov_transitions`'
+    global matrix (and the event-stream twin of `curation_source_entropy`).
+
+    Scale shape: one user_id shuffle for the lag, one (user, prev, next)
+    count — the per-user cell frame is bounded by |types|² per user —
+    and each entropy term is nudge-rounded BEFORE an ordered fold sums it
+    (the `stat_mutual_information` recipe), so the per-user sums are
+    engine-exact in any partitioning."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    cells = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum("n").over(wt)
+    terms = cells.select(
+        "user_id",
+        "prev_type",
+        "next_type",
+        F.sum("n").over(wt).alias("nt"),
+        F.count(F.lit(1)).over(wt).alias("n_cells"),
+        rnd_nudged(-p * F.log(p), 8).alias("h"),
+    )
+    ent = F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(prev_type, next_type, h))), "
+        "s -> s.h), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("nt").cast("long").alias("n_transitions"),
+        F.max("n_cells").cast("long").alias("n_distinct_pairs"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy_nats"),
+        (
+            F.round(
+                F.when(
+                    F.max("n_cells") > 1,
+                    ent / F.log(F.max("n_cells").cast("double")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("normalized_entropy"),
+    )

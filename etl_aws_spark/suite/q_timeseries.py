@@ -2305,3 +2305,109 @@ def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0)
         ).alias("sba_rate"),
     )
+
+
+# exact binary fractions: process/measurement noise and dt — the Kalman
+# recurrence is a pure add/mul/div chain with identical op order on both
+# engines, so the state and covariance accumulators are bit-exact
+_KAL_Q, _KAL_R = 0.125, 4.0
+
+
+@query(
+    "window_kalman_filter_1d",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vv,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+      HAVING count(*) >= 2
+    ), f AS (
+      SELECT user_id, n,
+             list_reduce(
+               list_prepend([vv[1], CAST(1.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(vv[2:], z -> [z, CAST(0.0 AS DOUBLE),
+                                              CAST(0.0 AS DOUBLE),
+                                              CAST(0.0 AS DOUBLE)])),
+               (acc, m) -> [
+                 (acc[1] + (acc[2] + {_KAL_Q}) / (acc[2] + {_KAL_Q} + {_KAL_R})
+                            * (m[1] - acc[1])),
+                 ((acc[2] + {_KAL_Q})
+                  - (acc[2] + {_KAL_Q}) / (acc[2] + {_KAL_Q} + {_KAL_R})
+                    * (acc[2] + {_KAL_Q})),
+                 (acc[2] + {_KAL_Q}) / (acc[2] + {_KAL_Q} + {_KAL_R}),
+                 m[1] - acc[1]
+               ]) AS st
+      FROM s
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           round(st[1] + sign(st[1]) * 1e-9, 6) + 0.0 AS level,
+           round(st[2] + sign(st[2]) * 1e-9, 6) + 0.0 AS variance,
+           round(st[3] + sign(st[3]) * 1e-9, 6) + 0.0 AS last_gain,
+           round(st[4] + sign(st[4]) * 1e-9, 6) + 0.0 AS last_innovation
+    FROM f
+    """,
+    category="timeseries",
+)
+def window_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (random-walk state, noisy observations) per
+    series — the optimal-gain generalization of the EWMA family: where
+    EWMA/Holt fix their smoothing constants, the Kalman gain
+    K = (P+Q)/(P+Q+R) ADAPTS from the running error covariance, trusting
+    data when uncertainty is high and the filter once it converges. Per
+    user: filtered level, posterior variance, last gain (the effective
+    adaptive α), last innovation (the residual an anomaly detector
+    thresholds).
+
+    Scale shape: the `window_holt_linear_forecast` posture — one user_id
+    shuffle collects each series, and the recurrence runs as ONE
+    sequential HOF fold inside the row with an array<double>
+    [level, P, K, innovation] accumulator (JVM, no Python, no second
+    shuffle). Q=1/8 and R=4 are exact binary fractions and both engines
+    replay the identical IEEE op chain, so state and covariance are
+    bit-exact; outputs cross the nudged-6 bridge."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").cast("double").alias("v"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(p)), x -> x.v)").alias("vv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    q, r = _KAL_Q, _KAL_R
+    # acc = [level, P, K, innovation]; predict: P' = P + Q; update:
+    # K = P'/(P'+R); level += K*(z - level); P = P' - K*P'
+    fold = (
+        f"aggregate(slice(vv, 2, size(vv) - 1), "
+        f"array(element_at(vv, 1), cast(1.0 as double), "
+        f"cast(0.0 as double), cast(0.0 as double)), "
+        f"(acc, z) -> array("
+        f"(element_at(acc, 1) + (element_at(acc, 2) + {q}D) "
+        f"/ (element_at(acc, 2) + {q}D + {r}D) * (z - element_at(acc, 1))), "
+        f"((element_at(acc, 2) + {q}D) - (element_at(acc, 2) + {q}D) "
+        f"/ (element_at(acc, 2) + {q}D + {r}D) * (element_at(acc, 2) + {q}D)), "
+        f"(element_at(acc, 2) + {q}D) / (element_at(acc, 2) + {q}D + {r}D), "
+        f"z - element_at(acc, 1)))"
+    )
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    st = F.expr(fold)
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_obs"),
+        rnd_nudged(st.getItem(0), 6).alias("level"),
+        rnd_nudged(st.getItem(1), 6).alias("variance"),
+        rnd_nudged(st.getItem(2), 6).alias("last_gain"),
+        rnd_nudged(st.getItem(3), 6).alias("last_innovation"),
+    )
