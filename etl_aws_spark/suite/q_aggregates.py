@@ -1864,3 +1864,123 @@ def agg_group_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kurtosis_excess"
         ),
     )
+
+
+# two-sided alpha=0.05 and 80% power normal quantiles — shared literals,
+# so both engines compute the identical closed forms
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@query(
+    "stat_power_mde",
+    # experiment sizing from EXACT integer power sums (cent-scaled
+    # values): pooled variance, minimum detectable effect at the current
+    # sample sizes, and the per-arm n required for a 5% lift — every
+    # input an order-free integer, every output one shared IEEE closed
+    # form.
+    oracle=f"""
+    WITH fp AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS arm,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), sums AS (
+      SELECT arm, count(*) AS n, sum(CAST(x AS HUGEINT)) AS s1,
+             sum(CAST(x AS HUGEINT) * x) AS s2
+      FROM fp GROUP BY arm
+    ), w AS (
+      SELECT max(CASE WHEN arm = 1 THEN n END) AS na,
+             max(CASE WHEN arm = 0 THEN n END) AS nb,
+             max(CASE WHEN arm = 1 THEN CAST(s1 AS DOUBLE) END) AS s1a,
+             max(CASE WHEN arm = 0 THEN CAST(s1 AS DOUBLE) END) AS s1b,
+             max(CASE WHEN arm = 1 THEN CAST(s2 AS DOUBLE) END) AS s2a,
+             max(CASE WHEN arm = 0 THEN CAST(s2 AS DOUBLE) END) AS s2b
+      FROM sums
+    ), m AS (
+      SELECT na, nb,
+             ((s2a - s1a * s1a / na) + (s2b - s1b * s1b / nb))
+               / (na + nb - 2.0) AS var_cents,
+             (s1a + s1b) / (na + nb) AS mean_cents
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_weekend,
+           CAST(nb AS BIGINT) AS n_weekday,
+           round(sqrt(var_cents) / 100.0, 4) + 0.0 AS pooled_std,
+           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(var_cents)
+                 * sqrt(1.0 / na + 1.0 / nb) / 100.0, 4) + 0.0 AS mde_abs,
+           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(var_cents)
+                 * sqrt(1.0 / na + 1.0 / nb) / mean_cents, 6) + 0.0 AS mde_rel,
+           CAST(ceil(2.0 * pow(({_Z_ALPHA} + {_Z_BETA}) * sqrt(var_cents)
+                               / (0.05 * mean_cents), 2.0)) AS BIGINT)
+             AS n_per_arm_for_5pct
+    FROM m
+    """,
+    category="aggregate",
+)
+def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER ANALYSIS over the live metric: pooled variance of
+    purchase value (weekend vs weekday arms), the minimum detectable
+    effect at the CURRENT sample sizes (two-sided α=0.05, 80% power),
+    and the per-arm n required to detect a 5% lift — the sizing table an
+    experimentation platform shows before anyone launches, and the
+    third leg of the stack beside `stat_welch_t_test` (did it move) and
+    `stat_cuped_adjustment` (shrink the variance first).
+
+    Scale shape: ONE map-side-combined conditional aggregate produces
+    exact integer power sums per arm (cent-scaled, HUGEINT/decimal);
+    every statistic is a closed form over the 1-row frame through a
+    shared IEEE expression — deterministic at any parallelism."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    fp = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("arm"),
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    sums = fp.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    w = sums.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("s1").cast("double"))).alias("s1a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s1").cast("double"))).alias("s1b"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2").cast("double"))).alias("s2a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2").cast("double"))).alias("s2b"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    var_c = (
+        (F.col("s2a") - F.col("s1a") * F.col("s1a") / na)
+        + (F.col("s2b") - F.col("s1b") * F.col("s1b") / nb)
+    ) / (na + nb - F.lit(2.0))
+    mean_c = (F.col("s1a") + F.col("s1b")) / (na + nb)
+    zsum = F.lit(_Z_ALPHA + _Z_BETA)
+    m = w.select("na", "nb", var_c.alias("var_cents"), mean_c.alias("mean_cents"))
+    vc, mc = F.col("var_cents"), F.col("mean_cents")
+    return m.select(
+        F.col("na").cast("long").alias("n_weekend"),
+        F.col("nb").cast("long").alias("n_weekday"),
+        rnd(F.sqrt(vc) / 100.0, 4).alias("pooled_std"),
+        rnd(
+            zsum * F.sqrt(vc)
+            * F.sqrt(1.0 / F.col("na").cast("double") + 1.0 / F.col("nb").cast("double"))
+            / 100.0,
+            4,
+        ).alias("mde_abs"),
+        (
+            F.round(
+                zsum * F.sqrt(vc)
+                * F.sqrt(
+                    1.0 / F.col("na").cast("double")
+                    + 1.0 / F.col("nb").cast("double")
+                )
+                / mc,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mde_rel"),
+        F.ceil(
+            F.lit(2.0) * F.pow(zsum * F.sqrt(vc) / (F.lit(0.05) * mc), 2.0)
+        ).cast("long").alias("n_per_arm_for_5pct"),
+    )

@@ -2184,3 +2184,75 @@ def tokenizer_fragmentation_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_single").cast("double") / F.sum("n_tok"), 6
         ).alias("fragmentation_ratio"),
     )
+
+
+@query(
+    "text_cross_source_ngram_overlap",
+    # cross-source redundancy matrix: for every ordered source pair,
+    # |shingles(A) ∩ shingles(B)| / |shingles(A)| over DISTINCT 3-gram
+    # hashes — the mix-design signal that says which sources are copies
+    # of which (asymmetric: a small feed inside a big crawl scores high
+    # A→B, low B→A). Set algebra on distinct 60-bit hashes; exact counts.
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, h FROM (
+        SELECT source, unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
+        FROM documents
+      )
+    ), sizes AS (
+      SELECT source, count(*) AS n_shingles FROM sh GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.n_shingles AS BIGINT) AS n_shingles_a,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE) / sa.n_shingles, 6) + 0.0
+             AS overlap_of_a
+    FROM inter i JOIN sizes sa ON i.src_a = sa.source
+    """,
+    category="text",
+)
+def text_cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram REDUNDANCY matrix: for every ordered source
+    pair, the fraction of A's distinct 3-gram shingles that also appear
+    in B — the asymmetric containment that exposes one source being a
+    re-crawl/mirror of another (high A→B with low B→A = A is inside B).
+    `text_contamination_ngram` runs this against a benchmark; this runs
+    it source-against-source for the pretraining mix itself, feeding
+    `curation_soft_dedup_weights` with WHICH sources are duplicate-
+    coupled.
+
+    Scale shape: the corpus collapses to DISTINCT (source, hash60) rows
+    first (the only text-derived shuffle — 8 B hashes, the dedup
+    narrow-payload law); the pair intersection is one self-equi-join on
+    the hash whose fan-out per hash is bounded by |sources|, and the
+    matrix is |sources|² rows. No doc-level pairs anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(F.expr(D.shingle_hashes("text", 3, D.SPARK))).alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") != F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.join(
+        F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        F.col("n_shingles").cast("long").alias("n_shingles_a"),
+        F.col("n_common").cast("long").alias("n_common"),
+        rnd(F.col("n_common").cast("double") / F.col("n_shingles"), 6).alias(
+            "overlap_of_a"
+        ),
+    )
