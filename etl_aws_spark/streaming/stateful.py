@@ -108,3 +108,89 @@ def ewma_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def kalman_stateful(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: str,
+    q_noise: float = 0.125,
+    r_noise: float = 4.0,
+) -> DataFrame:
+    """Incremental per-key 1-D KALMAN FILTER over a stream — the
+    adaptive-gain upgrade of :func:`ewma_stateful` (the gain
+    K = (P+Q)/(P+Q+R) adapts from the carried error covariance instead
+    of a fixed α). State per key is THREE numbers (level, P, count)
+    regardless of history; each micro-batch folds only its own rows in
+    event-time order. The recurrence is the identical IEEE op chain as
+    the batch `window_kalman_filter_1d` fold, so a catch-up streaming
+    run lands on the batch replay exactly (batch-parity oracle)."""
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, ts timestamp, value double, "
+        f"level double, variance double, n bigint"
+    )
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key_tuple
+        level, p, n = state.get if state.exists else (None, 1.0, 0)
+        frames = [pf for pf in pdfs]
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series(dtype=object),
+                "ts": pd.Series(dtype="datetime64[ns]"),
+                "value": pd.Series(dtype=float),
+                "level": pd.Series(dtype=float),
+                "variance": pd.Series(dtype=float),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if not frames or sum(len(pf) for pf in frames) == 0:
+            state.update((level, p, n))
+            yield empty
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts"], kind="mergesort"
+        )
+        xs = pdf["value"].astype(float).tolist()
+        levels, variances = [], []
+        for z in xs:
+            if level is None:
+                level, p = float(z), 1.0
+            else:
+                # identical op chain as the batch HOF fold: recompute the
+                # gain expression textually, never a cached reordering
+                level = level + (p + q_noise) / (p + q_noise + r_noise) * (
+                    z - level
+                )
+                p = (p + q_noise) - (p + q_noise) / (
+                    p + q_noise + r_noise
+                ) * (p + q_noise)
+            levels.append(level)
+            variances.append(p)
+        out = pd.DataFrame(
+            {
+                "key": k,
+                "ts": pdf["ts"],
+                "value": xs,
+                "level": levels,
+                "variance": variances,
+                "n": n + pd.RangeIndex(1, len(pdf) + 1),
+            }
+        )
+        state.update((level, p, n + len(pdf)))
+        yield out
+
+    renamed = df.selectExpr(
+        f"{key} as key", f"{ts_col} as ts", f"cast({value} as double) as value"
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="level double, p double, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1157,3 +1157,87 @@ def streaming_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("sketch_size").cast("int").alias("sketch_size"),
         rnd(F.col("est"), 4).alias("kmv_estimate"),
     )
+
+
+@query(
+    "streaming_kalman_stateful",
+    # batch-parity oracle: the identical Kalman recurrence replayed as a
+    # per-row prefix fold with a [level, P] list accumulator (the
+    # streaming_ewma_stateful pattern, adaptive-gain edition) — the
+    # stream's carried (level, P, n) state must land on the same numbers.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n
+      FROM events
+    ), f AS (
+      SELECT user_id, ts, value, n,
+             list_reduce(
+               list_prepend([pre[1], CAST(1.0 AS DOUBLE)],
+                 list_transform(pre[2:], z -> [z, CAST(0.0 AS DOUBLE)])),
+               (acc, m) -> [
+                 acc[1] + (acc[2] + 0.125) / (acc[2] + 0.125 + 4.0)
+                          * (m[1] - acc[1]),
+                 (acc[2] + 0.125) - (acc[2] + 0.125)
+                   / (acc[2] + 0.125 + 4.0) * (acc[2] + 0.125)
+               ]) AS st
+      FROM s
+    )
+    SELECT user_id AS key, ts, value,
+           round(st[1] + sign(st[1]) * 1e-9, 6) + 0.0 AS level,
+           round(st[2] + sign(st[2]) * 1e-9, 6) + 0.0 AS variance,
+           CAST(n AS BIGINT) AS n
+    FROM f
+    """,
+    category="streaming",
+)
+def streaming_kalman_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filtering as STREAM STATE via ``applyInPandasWithState``
+    (streaming/stateful.py kalman_stateful) — the adaptive-gain upgrade
+    of `streaming_ewma_stateful`: per-key state is THREE numbers (level,
+    error covariance, count) forever, each micro-batch folds only its own
+    rows, and the gain adapts from the carried covariance instead of a
+    fixed α. The recurrence is the identical IEEE op chain as the batch
+    `window_kalman_filter_1d` fold, so the driver hash-checks every
+    emitted row against the batch prefix-fold replay — stream/batch
+    parity for a numeric-state estimator, the strongest check a custom
+    stateful op can get."""
+    from etl_aws_spark.streaming import stateful
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    root = _cache_dir(sf_dir, "stream_kalman")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+        ev.repartition(1).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(landing)
+    out = stateful.kalman_stateful(stream, "user_id", "ts", "value")
+    name = "kalman_stateful_" + os.path.basename(os.path.dirname(root))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "key",
+        "ts",
+        "value",
+        rnd_nudged(F.col("level"), 6).alias("level"),
+        rnd_nudged(F.col("variance"), 6).alias("variance"),
+        "n",
+    )
