@@ -2411,3 +2411,130 @@ def window_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(st.getItem(2), 6).alias("last_gain"),
         rnd_nudged(st.getItem(3), 6).alias("last_innovation"),
     )
+
+
+_PERIODOGRAM_PERIODS = [7, 14, 30, 91, 365]
+_TWO_PI = 6.283185307179586
+
+
+@query(
+    "stat_periodogram_revenue",
+    # single-frequency periodogram at fixed CALENDAR periods: daily
+    # revenue in exact cents, demeaned against the exact mean, projected
+    # onto cos/sin at 2π·day/period. Trig values are nudge-rounded to 8
+    # digits BEFORE multiplying (cross-engine libm cos/sin differ in the
+    # last ulp — quantizing the basis makes the products deterministic),
+    # and each projection folds in day order.
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderdate
+    ), m AS (
+      SELECT min(d) AS d0, count(*) AS n,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS mu
+      FROM daily
+    ), x AS (
+      SELECT date_diff('day', m.d0, daily.d) AS idx,
+             CAST(daily.cents AS DOUBLE) - m.mu AS xv
+      FROM daily CROSS JOIN m
+    ), terms AS (
+      SELECT p.p, x.idx,
+             x.xv * (round(cos({_TWO_PI} * x.idx / p.p)
+                     + sign(cos({_TWO_PI} * x.idx / p.p)) * 1e-9, 8) + 0.0)
+               AS tc,
+             x.xv * (round(sin({_TWO_PI} * x.idx / p.p)
+                     + sign(sin({_TWO_PI} * x.idx / p.p)) * 1e-9, 8) + 0.0)
+               AS tsn
+      FROM x CROSS JOIN (SELECT unnest({_PERIODOGRAM_PERIODS}) AS p) p
+    ), proj AS (
+      SELECT p,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(tc ORDER BY idx)), (acc, v) -> acc + v) AS a,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(tsn ORDER BY idx)), (acc, v) -> acc + v) AS b
+      FROM terms GROUP BY p
+    ), ss AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(xv * xv ORDER BY idx)), (acc, v) -> acc + v) AS sxx,
+             max(m.n) AS n
+      FROM x CROSS JOIN m
+    )
+    SELECT CAST(proj.p AS INT) AS period_days,
+           CAST(ss.n AS BIGINT) AS n_days,
+           round(2.0 * sqrt(proj.a * proj.a + proj.b * proj.b) / ss.n / 100.0,
+                 4) + 0.0 AS amplitude,
+           round((proj.a * proj.a + proj.b * proj.b)
+                 / (ss.sxx * ss.n / 2.0), 6) + 0.0 AS power_share
+    FROM proj CROSS JOIN ss
+    """,
+    category="timeseries",
+)
+def stat_periodogram_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency PERIODOGRAM of daily revenue at the calendar
+    periods that matter (week, fortnight, month, quarter, year): the
+    cos/sin projection amplitude and its share of total variance at each
+    period — the seasonality detector that tells a forecasting pipeline
+    WHICH cycle to model before `stat_seasonal_decompose` extracts it
+    (a flat table = no exploitable cycle, the honest answer for
+    uniform synthetic orders).
+
+    Scale shape: the fact table reduces to the |days| cents frame first
+    (exact integers), projections are per-(period, day) scalar terms
+    folded in day order over the bounded |days| frame, and the trig
+    basis is nudge-rounded to 8 digits BEFORE the product so libm's
+    last-ulp cos/sin differences can never reach the fold — the
+    cross-engine determinism recipe for transcendental bases."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    m = daily.agg(
+        F.min("d").alias("d0"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    x = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").alias("idx"),
+        (F.col("cents").cast("double") - F.col("mu")).alias("xv"),
+        "n",
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODOGRAM_PERIODS], "p int"
+    )
+    theta = F.lit(_TWO_PI) * F.col("idx") / F.col("p")
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    terms = x.crossJoin(F.broadcast(periods)).select(
+        "p",
+        "idx",
+        (F.col("xv") * rnd_nudged(F.cos(theta), 8)).alias("tc"),
+        (F.col("xv") * rnd_nudged(F.sin(theta), 8)).alias("tsn"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(idx, {c}))), "
+        "s -> s.{c}), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    proj = terms.groupBy("p").agg(
+        F.expr(fold.format(c="tc")).alias("a"),
+        F.expr(fold.format(c="tsn")).alias("b"),
+    )
+    ss = x.select("idx", (F.col("xv") * F.col("xv")).alias("x2"), "n").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(idx, x2))), "
+            "s -> s.x2), cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("sxx"),
+        F.max("n").alias("n"),
+    )
+    pw = F.col("a") * F.col("a") + F.col("b") * F.col("b")
+    return proj.crossJoin(F.broadcast(ss)).select(
+        F.col("p").cast("int").alias("period_days"),
+        F.col("n").cast("long").alias("n_days"),
+        rnd(F.lit(2.0) * F.sqrt(pw) / F.col("n") / 100.0, 4).alias("amplitude"),
+        (
+            F.round(pw / (F.col("sxx") * F.col("n") / 2.0), 6) + F.lit(0.0)
+        ).alias("power_share"),
+    )
