@@ -1984,3 +1984,95 @@ def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * F.pow(zsum * F.sqrt(vc) / (F.lit(0.05) * mc), 2.0)
         ).cast("long").alias("n_per_arm_for_5pct"),
     )
+
+
+@query(
+    "stat_gini_revenue_concentration",
+    # exact Gini from the distinct-value histogram: with x ascending,
+    # G = 2·Σ i·x_i / (n·Σx) − (n+1)/n, and a tied block of k copies of v
+    # after c smaller values contributes v·(k·c + k(k+1)/2) — every term
+    # an exact integer (cents × positions) in HUGEINT/decimal, so the
+    # coefficient is summation-order-free and never touches a
+    # corpus-sized sort.
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), h AS (
+      SELECT cents AS v, count(*) AS k FROM rev GROUP BY cents
+    ), c AS (
+      SELECT v, k,
+             coalesce(sum(k) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM h
+    ), agg AS (
+      SELECT sum(k) AS n,
+             sum(CAST(v AS HUGEINT) * k) AS sx,
+             sum(CAST(v AS HUGEINT)
+                 * (CAST(k AS HUGEINT) * cb
+                    + (CAST(k AS HUGEINT) * (k + 1)) // 2)) AS six
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(CAST(sx AS DOUBLE) / 100.0, 2) + 0.0 AS total_revenue,
+           round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) + 0.0
+             AS gini
+    FROM agg
+    """,
+    category="aggregate",
+)
+def stat_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the concentration audit
+    behind every 'whale dependency' dashboard (0 = spend spread evenly,
+    →1 = a few customers carry the book), the scalar summary of
+    `showcase_abc_classification`'s Pareto curve.
+
+    Scale shape: the fact table reduces to per-customer cents (exact
+    integers), collapses to the DISTINCT-VALUE histogram, and the only
+    cumulative pass runs over |distinct revenue values| cells via
+    `_util.bucketed_cumsum` ($1000 cells — bounded by the spend DOMAIN);
+    the rank-weighted sum folds each tied block's closed form
+    v·(k·c + k(k+1)/2) in exact HUGEINT/decimal arithmetic, so the exact
+    Gini never sorts the corpus and is bit-identical in any
+    partitioning."""
+    from etl_aws_spark.suite._util import bucketed_cumsum
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    h = rev.groupBy(F.col("cents").alias("v")).agg(F.count(F.lit(1)).alias("k"))
+    c = bucketed_cumsum(
+        h, "v", "k", F.expr("v div 100000"), out_cols="cb", inclusive=False
+    )
+    vd = F.col("v").cast("decimal(19,0)")
+    agg = c.agg(
+        F.sum("k").alias("n"),
+        F.sum(vd * F.col("k").cast("decimal(19,0)")).alias("sx"),
+        F.sum(
+            vd
+            * (
+                F.col("k").cast("decimal(19,0)")
+                * F.col("cb").cast("decimal(19,0)")
+                + F.expr("cast(k * (k + 1) div 2 as decimal(19,0))")
+            )
+        ).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        rnd(sx / 100.0, 2).alias("total_revenue"),
+        (
+            F.round(
+                F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, 6
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
