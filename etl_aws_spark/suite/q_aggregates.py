@@ -2076,3 +2076,98 @@ def stat_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFra
             + F.lit(0.0)
         ).alias("gini"),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    # optimal stratified-sample allocation n_h ∝ N_h·σ_h (Neyman 1934):
+    # per-stratum σ from exact cent-scaled power sums, allocation shares
+    # and rounded per-stratum budgets from one shared closed form — the
+    # design table every stratified audit/eval sample is drawn from.
+    oracle="""
+    WITH fp AS (
+      SELECT event_type,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS x
+      FROM events
+    ), s AS (
+      SELECT event_type, count(*) AS nh,
+             sum(CAST(x AS HUGEINT)) AS s1,
+             sum(CAST(x AS HUGEINT) * x) AS s2
+      FROM fp GROUP BY event_type
+    ), v AS (
+      SELECT event_type, nh,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nh)
+                  / (nh - 1.0)) AS sd
+      FROM s
+    ), tot AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(nh * sd ORDER BY event_type)), (acc, t) -> acc + t) AS z,
+             sum(nh) AS n
+      FROM v
+    )
+    SELECT v.event_type,
+           CAST(v.nh AS BIGINT) AS n_stratum,
+           round(v.sd / 100.0, 4) + 0.0 AS stddev,
+           round(v.nh * v.sd / tot.z, 6) + 0.0 AS neyman_share,
+           CAST(round(10000.0 * v.nh * v.sd / tot.z) AS BIGINT)
+             AS n_alloc_10k,
+           round((CAST(v.nh AS DOUBLE) / tot.n) / (v.nh * v.sd / tot.z), 4)
+             + 0.0 AS vs_proportional
+    FROM v CROSS JOIN tot
+    """,
+    category="sample",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION for stratified sampling: the variance-optimal
+    per-stratum budget n_h ∝ N_h·σ_h for a fixed total sample (here a
+    10k-row audit sample over event types) — high-variance strata get
+    oversampled relative to proportional allocation, the `vs_proportional`
+    column quantifying by how much. The design step BEFORE
+    `sample_stratified_by_source` draws anything; together they are the
+    survey-sampling pair every eval/labeling pipeline runs.
+
+    Scale shape: ONE map-side-combined aggregate yields exact
+    cent-scaled power sums per stratum (order-free integers); σ, shares
+    and budgets are closed forms over the |strata| frame through a
+    shared IEEE expression tree."""
+    ev = load(spark, sf_dir, "events")
+    fp = ev.select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    s = fp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("x").alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    nh = F.col("nh").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / nh
+        )
+        / (nh - F.lit(1.0))
+    )
+    v = s.select("event_type", "nh", sd.alias("sd"))
+    # z folds in event_type order (|strata| rows) — no float sum order
+    tot = v.select(
+        "event_type", (F.col("nh") * F.col("sd")).alias("t"), "nh"
+    ).agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(event_type, t))), "
+            "s -> s.t), cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("z"),
+        F.sum("nh").alias("n"),
+    )
+    share = F.col("nh") * F.col("sd") / F.col("z")
+    return v.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("nh").cast("long").alias("n_stratum"),
+        rnd(F.col("sd") / 100.0, 4).alias("stddev"),
+        (F.round(share, 6) + F.lit(0.0)).alias("neyman_share"),
+        F.round(F.lit(10000.0) * share).cast("long").alias("n_alloc_10k"),
+        rnd(
+            (F.col("nh").cast("double") / F.col("n")) / share, 4
+        ).alias("vs_proportional"),
+    )

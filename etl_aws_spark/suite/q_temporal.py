@@ -1582,3 +1582,94 @@ def events_transition_entropy_per_user(spark: SparkSession, sf_dir: str) -> Data
             + F.lit(0.0)
         ).alias("normalized_entropy"),
     )
+
+
+@query(
+    "stat_conversion_beta_posterior",
+    # Bayesian conversion monitoring: Beta(1+s, 1+f) posterior per funnel
+    # step from exact integer counts — posterior mean/sd and a normal-
+    # approximation credible interval, all closed forms over the |types|
+    # frame. The Bayesian twin of stat_proportion_ztest.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             max(CASE WHEN event_type = 'cart_add' THEN 1 ELSE 0 END) AS c,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    ), steps AS (
+      SELECT 'view->cart' AS step,
+             sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS s,
+             sum(CASE WHEN v = 1 THEN 1 - c ELSE 0 END) AS f
+      FROM u
+      UNION ALL
+      SELECT 'cart->purchase',
+             sum(CASE WHEN c = 1 THEN p ELSE 0 END),
+             sum(CASE WHEN c = 1 THEN 1 - p ELSE 0 END)
+      FROM u
+    ), post AS (
+      SELECT step, s, f,
+             (1.0 + s) AS a, (1.0 + f) AS b
+      FROM steps
+    )
+    SELECT step,
+           CAST(s AS BIGINT) AS n_converted,
+           CAST(f AS BIGINT) AS n_dropped,
+           round(a / (a + b), 6) + 0.0 AS posterior_mean,
+           round(sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0))), 6) + 0.0
+             AS posterior_sd,
+           round(a / (a + b)
+                 - 1.959963984540054
+                   * sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0))), 6)
+             + 0.0 AS ci_low,
+           round(a / (a + b)
+                 + 1.959963984540054
+                   * sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0))), 6)
+             + 0.0 AS ci_high
+    FROM post
+    """,
+    category="temporal",
+)
+def stat_conversion_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian funnel-conversion monitoring: Beta(1+successes,
+    1+failures) posterior per step (uniform prior), with posterior
+    mean/sd and a 95% normal-approximation credible interval — the
+    always-valid per-step dashboard number that, unlike
+    `stat_proportion_ztest`'s point test, stays meaningful at tiny
+    counts (a new step's wide interval says 'not enough data', not
+    'no effect').
+
+    Scale shape: ONE per-user conditional aggregate (the funnel
+    reduction), a 2-row step frame, closed forms from exact integer
+    counts — deterministic at any parallelism."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "cart_add", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    s1 = u.agg(
+        F.lit("view->cart").alias("step"),
+        F.sum(F.when(F.col("v") == 1, F.col("c")).otherwise(0)).alias("s"),
+        F.sum(F.when(F.col("v") == 1, 1 - F.col("c")).otherwise(0)).alias("f"),
+    )
+    s2 = u.agg(
+        F.lit("cart->purchase").alias("step"),
+        F.sum(F.when(F.col("c") == 1, F.col("p")).otherwise(0)).alias("s"),
+        F.sum(F.when(F.col("c") == 1, 1 - F.col("p")).otherwise(0)).alias("f"),
+    )
+    steps = s1.unionByName(s2)
+    a = F.lit(1.0) + F.col("s")
+    b = F.lit(1.0) + F.col("f")
+    mean = a / (a + b)
+    sd = F.sqrt(a * b / ((a + b) * (a + b) * (a + b + F.lit(1.0))))
+    z = F.lit(1.959963984540054)
+    return steps.select(
+        "step",
+        F.col("s").cast("long").alias("n_converted"),
+        F.col("f").cast("long").alias("n_dropped"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("posterior_mean"),
+        (F.round(sd, 6) + F.lit(0.0)).alias("posterior_sd"),
+        (F.round(mean - z * sd, 6) + F.lit(0.0)).alias("ci_low"),
+        (F.round(mean + z * sd, 6) + F.lit(0.0)).alias("ci_high"),
+    )
