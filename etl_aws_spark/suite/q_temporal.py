@@ -1673,3 +1673,115 @@ def stat_conversion_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFram
         (F.round(mean - z * sd, 6) + F.lit(0.0)).alias("ci_low"),
         (F.round(mean + z * sd, 6) + F.lit(0.0)).alias("ci_high"),
     )
+
+
+_STATIONARY_ITERS = 10
+
+
+def _duck_stationary_round(k: int) -> str:
+    """One power-iteration round π' = π·P on the |types|² cell frame,
+    nudge-rounded to 8 digits per iterate (the PCA per-iterate bridge)."""
+    p = k - 1
+    return f"""
+    pi{k} AS MATERIALIZED (
+      SELECT t.next_type AS typ,
+             round(sum(pi.prob * t.p) + sign(sum(pi.prob * t.p)) * 1e-9, 8)
+               + 0.0 AS prob
+      FROM pi{p} pi JOIN tmat t ON pi.typ = t.prev_type
+      GROUP BY t.next_type
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), cells AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), tmat AS (
+      SELECT prev_type, next_type,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM cells
+    ), starts AS (
+      SELECT event_type AS typ, count(*) AS n FROM events GROUP BY event_type
+    ), pi0 AS (
+      SELECT typ, CAST(n AS DOUBLE) / sum(n) OVER () AS prob FROM starts
+    ),{','.join(_duck_stationary_round(k) for k in range(1, _STATIONARY_ITERS + 1))}
+    SELECT s.typ AS event_type,
+           round(p0.prob, 6) + 0.0 AS empirical_share,
+           round(pN.prob, 6) + 0.0 AS stationary_prob,
+           round(pN.prob - p0.prob, 6) + 0.0 AS drift
+    FROM starts s
+    JOIN pi0 p0 ON s.typ = p0.typ
+    JOIN pi{_STATIONARY_ITERS} pN ON s.typ = pN.typ
+    """,
+    category="temporal",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain: power-
+    iterate π' = π·P for {_STATIONARY_ITERS} rounds from the empirical
+    type mix — where user behavior settles if today's transition dynamics
+    persist, and the drift column (stationary − empirical) is the
+    leading indicator a product team reads (purchase share drifting down
+    under the chain = the funnel is leaking faster than the current mix
+    shows). Completes the Markov family: `events_markov_transitions`
+    (the matrix), `_prediction_accuracy` (its skill), this (its
+    long-run fix-point).
+
+    Scale shape: the corpus is touched once (the lag + cell count);
+    every iteration is a join on the |types|² ≈ 25-cell frame with
+    per-iterate nudged-8 rounding (the PCA bridge), so all
+    {_STATIONARY_ITERS} rounds replay bit-exactly and cost nothing at
+    any corpus size."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    cells = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    tmat = cells.select(
+        "prev_type",
+        "next_type",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    ).localCheckpoint(eager=True)
+    starts = ev.groupBy(F.col("event_type").alias("typ")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wall = Window.partitionBy()
+    pi = starts.select(
+        "typ", (F.col("n").cast("double") / F.sum("n").over(wall)).alias("prob")
+    ).localCheckpoint(eager=True)
+    pi0 = pi
+    for _ in range(_STATIONARY_ITERS):
+        pi = (
+            pi.join(tmat, pi["typ"] == tmat["prev_type"])
+            .groupBy(F.col("next_type").alias("typ"))
+            .agg(rnd_nudged(F.sum(F.col("prob") * F.col("p")), 8).alias("prob"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        starts.select("typ")
+        .join(pi0.withColumnRenamed("prob", "p0"), "typ")
+        .join(pi.withColumnRenamed("prob", "pn"), "typ")
+        .select(
+            F.col("typ").alias("event_type"),
+            (F.round("p0", 6) + F.lit(0.0)).alias("empirical_share"),
+            (F.round("pn", 6) + F.lit(0.0)).alias("stationary_prob"),
+            (F.round(F.col("pn") - F.col("p0"), 6) + F.lit(0.0)).alias("drift"),
+        )
+    )
