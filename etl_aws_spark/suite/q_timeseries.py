@@ -2538,3 +2538,157 @@ def stat_periodogram_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pw / (F.col("sxx") * F.col("n") / 2.0), 6) + F.lit(0.0)
         ).alias("power_share"),
     )
+
+
+# (shape k, scale λ-days) grid for the parametric reorder-survival fit —
+# broadcast dim, 40 cells
+_WEIBULL_KS = [0.5, 0.75, 1.0, 1.25, 1.5]
+_WEIBULL_LAMBDAS = [20.0, 40.0, 60.0, 80.0, 120.0, 160.0, 240.0, 320.0]
+
+
+@query(
+    "stat_weibull_censored_mle",
+    # censored Weibull log-likelihood on the |distinct duration|×2 cell
+    # histogram: event cells contribute ln(k/λ)+(k−1)ln(t/λ)−(t/λ)^k,
+    # censored cells −(t/λ)^k, each cnt-weighted term nudge-rounded to 6
+    # BEFORE an ordered fold per grid cell; argmax (k, λ) by loglik with
+    # (k, λ) tie-break. t is shifted +1 day so ln(t) is defined for
+    # same-day reorders (documented, both engines identical).
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS nxt
+      FROM orders
+    ), mx AS (
+      SELECT max(o_orderdate) AS tmax FROM orders
+    ), obs AS (
+      SELECT date_diff('day', o_orderdate, nxt) + 1 AS t, 1 AS ev
+      FROM o WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT date_diff('day', o_orderdate, mx.tmax) + 1 AS t, 0 AS ev
+      FROM o CROSS JOIN mx WHERE o.nxt IS NULL
+    ), cells AS (
+      SELECT t, ev, count(*) AS cnt FROM obs GROUP BY t, ev
+    ), grid AS (
+      SELECT k.k, l.l
+      FROM (SELECT unnest({_WEIBULL_KS}) AS k) k
+      CROSS JOIN (SELECT unnest({_WEIBULL_LAMBDAS}) AS l) l
+    ), terms AS (
+      SELECT g.k, g.l, c.t, c.ev,
+             round(c.cnt * (CASE WHEN c.ev = 1
+                     THEN ln(g.k / g.l) + (g.k - 1.0) * ln(c.t / g.l)
+                          - pow(c.t / g.l, g.k)
+                     ELSE -pow(c.t / g.l, g.k) END)
+                   + sign(c.cnt * (CASE WHEN c.ev = 1
+                     THEN ln(g.k / g.l) + (g.k - 1.0) * ln(c.t / g.l)
+                          - pow(c.t / g.l, g.k)
+                     ELSE -pow(c.t / g.l, g.k) END)) * 1e-9, 6) + 0.0 AS v
+      FROM cells c CROSS JOIN grid g
+    ), ll AS (
+      SELECT k, l,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(v ORDER BY t, ev)), (acc, x) -> acc + x) AS loglik
+      FROM terms GROUP BY k, l
+    ), best AS (
+      SELECT k, l, loglik FROM ll
+      ORDER BY loglik DESC, k ASC, l ASC LIMIT 1
+    )
+    SELECT round(k, 2) + 0.0 AS shape_k,
+           round(l, 1) + 0.0 AS scale_lambda,
+           round(loglik, 4) + 0.0 AS loglik,
+           round(l * pow(0.6931471805599453, 1.0 / k), 4) + 0.0
+             AS median_days,
+           CAST((SELECT sum(cnt) FROM cells WHERE ev = 1) AS BIGINT)
+             AS n_events,
+           CAST((SELECT sum(cnt) FROM cells WHERE ev = 0) AS BIGINT)
+             AS n_censored
+    FROM best
+    """,
+    category="timeseries",
+)
+def stat_weibull_censored_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETRIC reorder-survival fit: censored Weibull maximum
+    likelihood over a fixed (shape, scale) grid — the model-based twin of
+    `stat_kaplan_meier_survival` (KM describes the observed curve; the
+    Weibull extrapolates beyond it and its shape k says whether churn
+    risk rises (k>1) or falls (k<1) with tenure — the single most
+    decision-relevant retention parameter). Right-censoring handled
+    exactly: censored gaps contribute the log-survival −(t/λ)^k, the
+    term naive averages silently drop.
+
+    Scale shape: durations reduce to the |distinct day|×2 cell histogram
+    once; the grid is a 40-row broadcast dim, each cell's cnt-weighted
+    log-lik term is nudge-rounded BEFORE an ordered fold per grid point
+    (the grid-MLE recipe of the Yeo-Johnson fit), and the argmax is an
+    orderBy().limit(1) on the 40-row frame."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey", "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("tmax"))
+    obs = (
+        o.filter(F.col("nxt").isNotNull())
+        .select(
+            (F.datediff(F.to_date("nxt"), F.to_date("o_orderdate")) + 1).alias("t"),
+            F.lit(1).alias("ev"),
+        )
+        .unionByName(
+            o.filter(F.col("nxt").isNull())
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.datediff(F.to_date("tmax"), F.to_date("o_orderdate")) + 1).alias("t"),
+                F.lit(0).alias("ev"),
+            )
+        )
+    )
+    cells = obs.groupBy("t", "ev").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    grid = spark.createDataFrame(
+        [(k, l) for k in _WEIBULL_KS for l in _WEIBULL_LAMBDAS], "k double, l double"
+    )
+    tt = F.col("t").cast("double")
+    term = F.when(
+        F.col("ev") == 1,
+        F.log(F.col("k") / F.col("l"))
+        + (F.col("k") - 1.0) * F.log(tt / F.col("l"))
+        - F.pow(tt / F.col("l"), F.col("k")),
+    ).otherwise(-F.pow(tt / F.col("l"), F.col("k")))
+    terms = cells.crossJoin(F.broadcast(grid)).select(
+        "k", "l", "t", "ev", rnd_nudged(F.col("cnt") * term, 6).alias("v")
+    )
+    ll = terms.groupBy("k", "l").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(t, ev, v))), "
+            "s -> s.v), cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("loglik")
+    )
+    best = ll.orderBy(F.desc("loglik"), F.asc("k"), F.asc("l")).limit(1)
+    nev = cells.filter(F.col("ev") == 1).agg(F.sum("cnt").alias("n_events"))
+    ncn = cells.filter(F.col("ev") == 0).agg(F.sum("cnt").alias("n_censored"))
+    return (
+        best.crossJoin(F.broadcast(nev))
+        .crossJoin(F.broadcast(ncn))
+        .select(
+            (F.round("k", 2) + F.lit(0.0)).alias("shape_k"),
+            (F.round("l", 1) + F.lit(0.0)).alias("scale_lambda"),
+            (F.round("loglik", 4) + F.lit(0.0)).alias("loglik"),
+            (
+                F.round(
+                    F.col("l") * F.pow(F.lit(0.6931471805599453), 1.0 / F.col("k")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("median_days"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+        )
+    )
