@@ -2171,3 +2171,130 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nh").cast("double") / F.col("n")) / share, 4
         ).alias("vs_proportional"),
     )
+
+
+# Poisson(1) CDF thresholds in 2^60 units (floor(CDF_k * 2^60)): the
+# deterministic-hash uniform u in [0, 2^60) maps to a with-replacement
+# bootstrap weight w = #{k : threshold_k <= u}. Exact integer literals on
+# both engines, so replicate membership can never diverge.
+_POIS_THRESH = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+_PB_B = 24  # Poisson-bootstrap replicates; CI = 2nd/23rd order statistics
+
+
+def _pois_w_sql(u: str) -> str:
+    """Weight expression: count of CDF thresholds <= u (identical SQL on
+    Spark and DuckDB — a sum of integer comparisons, no float)."""
+    return "(" + " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _POIS_THRESH
+    ) + ")"
+
+
+@query(
+    "stat_poisson_bootstrap_ci",
+    # the with-replacement bootstrap AT SCALE: per-(row, replicate)
+    # Poisson(1) weights from a deterministic hash (Chamandy et al.,
+    # "Estimating Uncertainty for Massive Data Streams", Google 2012) —
+    # multinomial resampling needs global coordination, Poisson weights
+    # need none and are exchangeable with it to O(1/n). One corpus scan,
+    # map-side-combined; CI from the 24 replicate means' order stats.
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), reps AS (
+      SELECT b, base.event_id, base.cents,
+             ('0x' || substr(md5(concat('pb', CAST(b AS VARCHAR), ':',
+               CAST(base.event_id AS VARCHAR))), 1, 15))::BIGINT AS u
+      FROM base CROSS JOIN (SELECT unnest(generate_series(1, {_PB_B})) AS b) bd
+    ), w AS (
+      SELECT b, sum(CAST({_pois_w_sql('u')} AS HUGEINT) * cents) AS sw,
+             sum({_pois_w_sql('u')}) AS nw
+      FROM reps GROUP BY b
+    ), m AS (
+      SELECT b, CAST(sw AS DOUBLE) / nw AS mean_b,
+             row_number() OVER (ORDER BY CAST(sw AS DOUBLE) / nw, b) AS rk
+      FROM w
+    ), pt AS (
+      SELECT count(*) AS n_rows,
+             round(avg(CAST(cents AS DOUBLE)) / 100.0, 4) + 0.0 AS point_estimate
+      FROM base
+    )
+    SELECT pt.n_rows, CAST({_PB_B} AS BIGINT) AS n_replicates,
+           pt.point_estimate,
+           round((SELECT mean_b FROM m WHERE rk = 2) / 100.0, 4) + 0.0 AS ci_lo,
+           round((SELECT mean_b FROM m WHERE rk = {_PB_B - 1}) / 100.0, 4) + 0.0
+             AS ci_hi
+    FROM pt
+    """,
+    category="aggregate",
+)
+def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-REPLACEMENT bootstrap CI for the mean purchase value via
+    deterministic Poisson(1) weights — the industry-standard way to
+    bootstrap a dataset that does not fit on one machine (Chamandy et
+    al. 2012): instead of drawing n indices with replacement (which
+    needs a global RNG and n draws of coordination), each (row,
+    replicate) pair independently takes weight w ~ Poisson(1), decided
+    here by an md5 hash against exact integer CDF thresholds, so the
+    resample is reproducible under ANY partitioning and identical on
+    both engines. Complements `stat_bootstrap_ci_subsample` (the
+    m-out-of-n half-sample variant): this one has the classic
+    bootstrap's first-order CI width, no sqrt(m/n) correction.
+
+    Scale shape: the purchase slice is scanned ONCE against a
+    broadcast {B}-row replicate dimension; weights are integer
+    comparisons (codegen, no float, no RNG state), the per-replicate
+    (Σw·cents, Σw) reduce map-side, and every frame past the scan is
+    {B} rows. The order-statistic CI sorts {B} rows — driver-bounded."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("cents"),
+    )
+    reps_dim = spark.range(1, _PB_B + 1).select(F.col("id").alias("b"))
+    u = (
+        "cast(conv(substr(md5(concat('pb', cast(b as string), ':', "
+        "cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = (
+        base.crossJoin(F.broadcast(reps_dim))
+        .withColumn("u", F.expr(u))
+        .withColumn("w", F.expr(_pois_w_sql("u")))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents")).alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    mean_b = F.col("sw").cast("double") / F.col("nw")
+    m = w.select("b", mean_b.alias("mean_b")).withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_b", "b"))
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.avg(F.col("cents").cast("double")) / 100.0, 4).alias("point_estimate"),
+    )
+    lo = m.filter(F.col("rk") == 2).select(
+        rnd(F.col("mean_b") / 100.0, 4).alias("ci_lo")
+    )
+    hi = m.filter(F.col("rk") == _PB_B - 1).select(
+        rnd(F.col("mean_b") / 100.0, 4).alias("ci_hi")
+    )
+    return (
+        pt.withColumn("n_replicates", F.lit(_PB_B).cast("long"))
+        .select("n_rows", "n_replicates", "point_estimate")
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
