@@ -2442,3 +2442,143 @@ def stat_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("r") <= F.col("cr"), 1).otherwise(0).alias("rejected"),
         )
     )
+
+
+@query(
+    "stat_jackknife_group_se",
+    # delete-one-GROUP jackknife (Tukey 1958; the grouped variant is how
+    # clustered/correlated data gets honest SEs): leave each nation out,
+    # recompute the mean from the REMAINING exact integer totals, and the
+    # (g-1)/g-scaled spread of the 25 replicates is the standard error.
+    # Cross-replicate float sums fold in nationkey order (house rule: no
+    # float summation order may depend on partitioning).
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nk,
+             sum(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS s,
+             count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ), tot AS (
+      SELECT sum(s) AS st, sum(n) AS nt, count(*) AS ng FROM g
+    ), l AS (
+      SELECT g.nk, CAST(tot.st - g.s AS DOUBLE) / (tot.nt - g.n) AS loo
+      FROM g CROSS JOIN tot
+    ), th AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(loo ORDER BY nk)), (a, b) -> a + b)
+             / (SELECT ng FROM tot) AS theta
+      FROM l
+    ), ss AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((loo - th.theta) * (loo - th.theta) ORDER BY nk)),
+               (a, b) -> a + b) AS ssv,
+             max(abs(loo - th.theta)) AS mi
+      FROM l CROSS JOIN th
+    ), infl AS (
+      SELECT min(l.nk) AS mnk
+      FROM l CROSS JOIN th CROSS JOIN ss
+      WHERE abs(l.loo - th.theta) = ss.mi
+    )
+    SELECT CAST(tot.ng AS BIGINT) AS n_groups,
+           round(CAST(tot.st AS DOUBLE) / 100.0 / tot.nt, 4) + 0.0
+             AS full_mean,
+           round(sqrt((tot.ng - 1.0) / tot.ng * ss.ssv) / 100.0, 6) + 0.0
+             AS jackknife_se,
+           n.n_name AS most_influential_nation,
+           round(ss.mi / 100.0, 6) + 0.0 AS max_influence
+    FROM tot CROSS JOIN ss CROSS JOIN infl
+    JOIN nation n ON infl.mnk = n.n_nationkey
+    """,
+    category="aggregate",
+)
+def stat_jackknife_group_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-GROUP jackknife standard error for the mean order
+    value — the honest SE when observations are correlated WITHIN
+    groups (customers cluster by nation): each replicate drops one
+    whole nation and recomputes the mean from the remaining totals;
+    the (g-1)/g-scaled spread of the replicates is the SE, and the
+    largest |replicate - mean| names the nation whose removal moves
+    the metric most (the influence diagnostic).
+
+    Scale shape: the fact-dim join reduces to ONE exact integer
+    (Σcents, count) row per nation map-side; every leave-one-out mean
+    is a closed form over those integers (no second scan — deleting a
+    group is subtraction), and the two cross-replicate float sums fold
+    in nationkey order over the |nations| frame via the ordered
+    collect_list fold, so no float summation order ever depends on
+    partitioning. The influence argmax ties-break by MIN nationkey on
+    bit-identical doubles — deterministic on both engines."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nn = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tot = g.agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt"), F.count(F.lit(1)).alias("ng")
+    )
+    l = g.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        (
+            (F.col("st") - F.col("s")).cast("double") / (F.col("nt") - F.col("n"))
+        ).alias("loo"),
+        "st",
+        "nt",
+        "ng",
+    )
+    th = l.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(nk, loo))), "
+            "s -> s.loo), cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("tsum"),
+        F.first("ng").alias("ng_"),
+    ).select((F.col("tsum") / F.col("ng_")).alias("theta"))
+    lt = l.crossJoin(F.broadcast(th))
+    ss = lt.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(nk, loo, theta))), "
+            "s -> (s.loo - s.theta) * (s.loo - s.theta)), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("ssv"),
+        F.max(F.abs(F.col("loo") - F.col("theta"))).alias("mi"),
+        F.first("st").alias("st"),
+        F.first("nt").alias("nt"),
+        F.first("ng").alias("ng"),
+        F.first("theta").alias("theta"),
+    )
+    infl = (
+        lt.crossJoin(F.broadcast(ss.select("mi", "theta").withColumnRenamed("theta", "th2")))
+        .filter(F.abs(F.col("loo") - F.col("th2")) == F.col("mi"))
+        .agg(F.min("nk").alias("mnk"))
+    )
+    return (
+        ss.crossJoin(F.broadcast(infl))
+        .join(F.broadcast(nn), F.col("mnk") == F.col("n_nationkey"))
+        .select(
+            F.col("ng").cast("long").alias("n_groups"),
+            rnd(F.col("st").cast("double") / 100.0 / F.col("nt"), 4).alias(
+                "full_mean"
+            ),
+            (
+                F.round(
+                    F.sqrt(
+                        (F.col("ng") - F.lit(1.0)) / F.col("ng") * F.col("ssv")
+                    )
+                    / 100.0,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jackknife_se"),
+            F.col("n_name").alias("most_influential_nation"),
+            rnd(F.col("mi") / 100.0, 6).alias("max_influence"),
+        )
+    )
