@@ -2692,3 +2692,142 @@ def stat_weibull_censored_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_censored").cast("long").alias("n_censored"),
         )
     )
+
+
+@query(
+    "stat_kruskal_wallis",
+    # Kruskal-Wallis H across the 5 customer regions on line-item
+    # quantity, in the same histogram formulation as stat_mann_whitney_u
+    # generalized to g groups: values collapse to per-(region, quantity)
+    # cells, doubled midranks 2*cum_lt + t + 1 stay integer, per-region
+    # rank sums are exact HUGEINT, and the cumulative window runs over
+    # |distinct quantities| = 50 cells. Cross-group float folds run in
+    # region-name order.
+    oracle="""
+    WITH q AS (
+      SELECT r.r_name AS region, CAST(l.l_quantity AS BIGINT) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), h AS (
+      SELECT v, region, count(*) AS ngv FROM q GROUP BY v, region
+    ), tv AS (
+      SELECT v, sum(ngv) AS t,
+             coalesce(sum(sum(ngv)) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+      FROM h GROUP BY v
+    ), rg AS (
+      SELECT h.region, sum(h.ngv) AS ng,
+             sum(CAST(h.ngv AS HUGEINT) * (2 * tv.cum_lt + tv.t + 1)) AS r2
+      FROM h JOIN tv ON h.v = tv.v
+      GROUP BY h.region
+    ), tot AS (
+      SELECT sum(ng) AS n,
+             (SELECT sum(CAST(t AS HUGEINT) * t * t - t) FROM tv) AS ties
+      FROM rg
+    ), s AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(r2 * r2 AS DOUBLE) / (4.0 * ng) ORDER BY region)),
+               (a, b) -> a + b) AS srk
+      FROM rg
+    ), hh AS (
+      SELECT round(12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1.0)) * s.srk
+                   - 3.0 * (tot.n + 1.0), 6) + 0.0 AS h_stat,
+             round(1.0 - CAST(tot.ties AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n), 8) + 0.0
+               AS tie_correction,
+             round((12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1.0)) * s.srk
+                    - 3.0 * (tot.n + 1.0))
+                   / (1.0 - CAST(tot.ties AS DOUBLE)
+                      / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)), 6)
+               + 0.0 AS h_corrected
+      FROM tot CROSS JOIN s
+    )
+    SELECT rg.region, CAST(rg.ng AS BIGINT) AS n_group,
+           round(CAST(rg.r2 AS DOUBLE) / (2.0 * rg.ng), 4) + 0.0 AS mean_rank,
+           hh.h_stat, hh.tie_correction, hh.h_corrected,
+           CAST(4 AS BIGINT) AS df
+    FROM rg CROSS JOIN hh
+    """,
+    category="timeseries",
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test — does line-item quantity distribute
+    differently across the 5 customer regions? The g-group
+    generalization of `stat_mann_whitney_u`, in the same HISTOGRAM
+    formulation: no N-row rank sort ever happens. Values collapse to
+    per-(region, quantity) cells, the doubled midrank 2*cum_lt(v) +
+    t(v) + 1 is an exact integer, per-region rank sums R_g are exact
+    HUGEINT/decimal products, and H = 12/(N(N+1))*SUM(R_g^2/n_g) -
+    3(N+1) over the tie correction 1 - SUM(t^3-t)/(N^3-N) is a closed
+    form over 5 group rows.
+
+    Scale shape: the Q5-shaped join chain reduces map-side to
+    |regions| x |quantities| = 250 cells; the only cumulative window
+    runs over the 50-cell quantity histogram (domain-bounded — the
+    honest reason a rank test scales here), and the one cross-group
+    float sum folds in region-name order. N^3 and t^3 live in
+    decimal(38)/HUGEINT so nothing overflows at any corpus size."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), F.col("l_quantity").cast("long").alias("v"))
+    )
+    h = q.groupBy("v", "region").agg(F.count(F.lit(1)).alias("ngv"))
+    tv = h.groupBy("v").agg(F.sum("ngv").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tv = tv.withColumn("cum_lt", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    rg = (
+        h.join(tv, "v")
+        .groupBy("region")
+        .agg(
+            F.sum("ngv").alias("ng"),
+            F.sum(
+                F.col("ngv").cast("decimal(38,0)")
+                * (2 * F.col("cum_lt") + F.col("t") + 1).cast("decimal(38,0)")
+            ).alias("r2"),
+        )
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    tot = rg.agg(F.sum("ng").alias("n")).crossJoin(
+        F.broadcast(tv.agg(F.sum(td * td * td - td).alias("ties")))
+    )
+    s = rg.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(region, "
+            "cast(r2 * r2 as double) / (4.0 * ng) as rk))), x -> x.rk), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("srk")
+    )
+    nd = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("srk") - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    tie_c = F.lit(1.0) - F.col("ties").cast("double") / (nd * nd * nd - nd)
+    hh = tot.crossJoin(F.broadcast(s)).select(
+        (F.round(h_raw, 6) + F.lit(0.0)).alias("h_stat"),
+        (F.round(tie_c, 8) + F.lit(0.0)).alias("tie_correction"),
+        (F.round(h_raw / tie_c, 6) + F.lit(0.0)).alias("h_corrected"),
+    )
+    return rg.crossJoin(F.broadcast(hh)).select(
+        "region",
+        F.col("ng").cast("long").alias("n_group"),
+        rnd(F.col("r2").cast("double") / (F.lit(2.0) * F.col("ng")), 4).alias(
+            "mean_rank"
+        ),
+        "h_stat",
+        "tie_correction",
+        "h_corrected",
+        F.lit(4).cast("long").alias("df"),
+    )
