@@ -2256,3 +2256,104 @@ def text_cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFra
             "overlap_of_a"
         ),
     )
+
+
+@query(
+    "text_goodturing_bigram_smoothing",
+    # Good-Turing frequency re-estimation over word bigrams (the
+    # smoothing inside Katz backoff): adjusted count r* = (r+1)N_{r+1}/N_r
+    # from the count-of-counts histogram, unseen mass P0 = N_1/N. The
+    # corpus collapses to bigram counts, then to |distinct counts| cells
+    # - every downstream frame is histogram-sized.
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter({D.tokens('text', D.DUCK)}, t -> t <> '') AS tk
+      FROM documents
+    ), bg AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2,
+             count(*) AS c
+      FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)
+      GROUP BY tk[i], tk[i + 1]
+    ), cc AS (
+      SELECT c AS r, count(*) AS n_r FROM bg GROUP BY c
+    ), tot AS (
+      SELECT sum(CAST(r AS HUGEINT) * n_r) AS n_tok,
+             sum(n_r) AS n_types FROM cc
+    )
+    SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
+           round((a.r + 1.0) * b.n_r / a.n_r, 6) + 0.0 AS r_star,
+           round(((a.r + 1.0) * b.n_r / a.n_r) / CAST(tot.n_tok AS DOUBLE), 12)
+             + 0.0 AS p_gt,
+           CAST(tot.n_tok AS BIGINT) AS total_bigrams,
+           CAST(tot.n_types AS BIGINT) AS distinct_bigrams,
+           round((SELECT coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+                  FROM cc) / CAST(tot.n_tok AS DOUBLE), 8) + 0.0
+             AS p0_unseen_mass
+    FROM cc a LEFT JOIN cc b ON b.r = a.r + 1 CROSS JOIN tot
+    WHERE a.r <= 10
+    """,
+    category="text",
+)
+def text_goodturing_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING frequency re-estimation over word bigrams — the
+    smoothing engine inside Katz backoff and the classic answer to 'how
+    much probability mass belongs to bigrams we have never seen?'
+    (P0 = N_1/N, the singleton share): for each observed count r the
+    adjusted count is r* = (r+1)*N_{r+1}/N_r, read straight off the
+    count-of-counts histogram. Complements `text_bigram_lm_score`
+    (add-one smoothing) with the estimator actually used when singleton
+    structure matters.
+
+    Scale shape: the token stream collapses to per-bigram counts (one
+    token-scale shuffle — the same posture as every LM query here),
+    then to the |distinct count values| histogram, which is
+    log-bounded (counts follow Zipf; a few hundred cells at any corpus
+    size). The r-to-r+1 join, totals and output rows all live on that
+    histogram frame; output is capped at r <= 10 where the estimator
+    is actually used (higher counts back off to raw r)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.expr(f"filter({D.tokens('text', D.SPARK)}, t -> t <> '')").alias("tk")
+    )
+    bg = (
+        toks.select(
+            F.expr(
+                "explode(zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+                "(a, b) -> struct(a as w1, b as w2)))"
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cc = bg.groupBy(F.col("c").alias("r")).agg(F.count(F.lit(1)).alias("n_r"))
+    tot = cc.agg(
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("n_r")).alias("n_tok"),
+        F.sum("n_r").alias("n_types"),
+    )
+    n1 = cc.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n1")
+    )
+    a = cc.alias("a")
+    b = cc.select(F.col("r").alias("rb"), F.col("n_r").alias("n_rb"))
+    r_star = (F.col("a.r") + F.lit(1.0)) * F.col("n_rb") / F.col("a.n_r")
+    return (
+        a.filter(F.col("a.r") <= 10)
+        .join(b, F.col("rb") == F.col("a.r") + 1, "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("a.r").alias("r"),
+            F.col("a.n_r").cast("long").alias("n_r"),
+            (F.round(r_star, 6) + F.lit(0.0)).alias("r_star"),
+            (
+                F.round(r_star / F.col("n_tok").cast("double"), 12) + F.lit(0.0)
+            ).alias("p_gt"),
+            F.col("n_tok").cast("long").alias("total_bigrams"),
+            F.col("n_types").cast("long").alias("distinct_bigrams"),
+            rnd(
+                F.col("n1").cast("double") / F.col("n_tok").cast("double"), 8
+            ).alias("p0_unseen_mass"),
+        )
+    )
