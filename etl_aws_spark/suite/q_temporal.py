@@ -1785,3 +1785,239 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("pn") - F.col("p0"), 6) + F.lit(0.0)).alias("drift"),
         )
     )
+
+
+_REMOVAL_ITERS = 20
+_REMOVAL_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _duck_removal_round(k: int) -> str:
+    """One absorption-probability round per scenario on the tiny
+    (scenario x |states|^2) frame: r'(s) = sum_next p * value(next) with
+    value(purchase) = 1, value(end) = 0, value(channel) = r(channel);
+    nudge-rounded to 8 digits per iterate (the stationary-chain bridge)."""
+    p = k - 1
+    return f"""
+    r{k} AS MATERIALIZED (
+      SELECT t.scenario, t.prev_type AS s,
+             round(sum(t.p * CASE WHEN t.next_type = 'purchase' THEN 1.0
+                               WHEN t.next_type = '(end)' THEN 0.0
+                               ELSE coalesce(r.val, 0.0) END)
+                   + sign(sum(t.p * CASE WHEN t.next_type = 'purchase' THEN 1.0
+                               WHEN t.next_type = '(end)' THEN 0.0
+                               ELSE coalesce(r.val, 0.0) END)) * 1e-9, 8)
+               + 0.0 AS val
+      FROM tmat_s t LEFT JOIN r{p} r
+        ON t.scenario = r.scenario AND t.next_type = r.s
+      GROUP BY t.scenario, t.prev_type
+    )"""
+
+
+@query(
+    "events_attribution_markov_removal",
+    # Markov-chain (removal-effect) attribution, the data-driven model
+    # beside the heuristic multitouch and Shapley queries: journeys
+    # truncate at the first purchase, absorb in 'purchase'/'(end)', and
+    # each channel's value is how much the START->purchase absorption
+    # probability drops when the channel's outgoing mass is removed.
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_purchases
+      FROM events
+    ), journey AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM flagged WHERE prior_purchases = 0
+    ), seq AS (
+      SELECT user_id, event_type,
+             coalesce(lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), 'START') AS prev_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rev_rank
+      FROM journey
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type FROM seq
+      UNION ALL
+      SELECT event_type AS prev_type, '(end)' AS next_type
+      FROM seq WHERE rev_rank = 1 AND event_type <> 'purchase'
+    ), cells AS (
+      SELECT prev_type, next_type, count(*) AS n FROM trans
+      GROUP BY prev_type, next_type
+    ), tmat AS (
+      SELECT prev_type, next_type,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM cells
+    ), scen AS (
+      SELECT unnest(['(base)'] ||
+                    [{", ".join(f"'{c}'" for c in _REMOVAL_CHANNELS)}]) AS scenario
+    ), tmat_s AS MATERIALIZED (
+      SELECT s.scenario, t.prev_type, t.next_type, t.p
+      FROM tmat t CROSS JOIN scen s
+      WHERE s.scenario = '(base)' OR t.prev_type <> s.scenario
+    ), r0 AS (
+      SELECT scenario, prev_type AS s, CAST(0.0 AS DOUBLE) AS val
+      FROM tmat_s GROUP BY scenario, prev_type
+    ),{','.join(_duck_removal_round(k) for k in range(1, _REMOVAL_ITERS + 1))},
+    fin AS (
+      SELECT scenario, val FROM r{_REMOVAL_ITERS} WHERE s = 'START'
+    ), base AS (
+      SELECT val AS cvr FROM fin WHERE scenario = '(base)'
+    ), re AS (
+      SELECT f.scenario AS channel,
+             1.0 - f.val / b.cvr AS removal_effect, b.cvr
+      FROM fin f CROSS JOIN base b WHERE f.scenario <> '(base)'
+    ), tot AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(removal_effect ORDER BY channel)), (a, b) -> a + b) AS z
+      FROM re
+    )
+    SELECT re.channel,
+           round(re.removal_effect + sign(re.removal_effect) * 1e-9, 6) + 0.0
+             AS removal_effect,
+           round(re.removal_effect / tot.z
+                 + sign(re.removal_effect / tot.z) * 1e-9, 6) + 0.0
+             AS attribution_share,
+           round(re.cvr, 6) + 0.0 AS base_conversion_prob
+    FROM re CROSS JOIN tot
+    """,
+    category="temporal",
+)
+def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN ATTRIBUTION by removal effect (Anderl et al. 2014)
+    — the data-driven credit model that replaces position heuristics:
+    build the journey chain (START -> events -> absorb in 'purchase'
+    or '(end)', truncated at the first purchase), and value each
+    channel by how much the START->purchase absorption probability
+    drops when that channel's outgoing transitions are removed.
+    Shares normalize the drops; sits beside
+    `events_attribution_multitouch` (heuristics) and
+    `events_attribution_shapley` (coalition model) as the third
+    attribution family every marketing stack compares.
+
+    Scale shape: the corpus is touched twice (first-purchase cutoff
+    window + lag window, both partitioned by user) and reduces to the
+    |states|^2 transition-cell frame; all {K} absorption iterations —
+    for the base chain AND the 4 removal scenarios — run on ONE tiny
+    (scenario x states) frame via LEFT JOIN + groupBy with per-iterate
+    nudged-8 rounding, so every round replays bit-exactly on both
+    engines and costs nothing at any corpus size. The one
+    cross-channel float sum folds in channel order."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("prior_purchases"),
+    )
+    journey = flagged.filter(F.col("prior_purchases") == 0)
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = journey.select(
+        "user_id",
+        "event_type",
+        F.coalesce(F.lag("event_type").over(wu), F.lit("START")).alias(
+            "prev_type"
+        ),
+        F.row_number().over(wd).alias("rev_rank"),
+    )
+    trans = seq.select(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).unionByName(
+        seq.filter(
+            (F.col("rev_rank") == 1) & (F.col("event_type") != "purchase")
+        ).select(
+            F.col("event_type").alias("prev_type"),
+            F.lit("(end)").alias("next_type"),
+        )
+    )
+    cells = trans.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    tmat = cells.select(
+        "prev_type",
+        "next_type",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    )
+    scen = spark.createDataFrame(
+        [("(base)",)] + [(c,) for c in _REMOVAL_CHANNELS], ["scenario"]
+    )
+    tmat_s = (
+        tmat.crossJoin(F.broadcast(scen))
+        .filter(
+            (F.col("scenario") == "(base)")
+            | (F.col("prev_type") != F.col("scenario"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    r = tmat_s.groupBy("scenario", F.col("prev_type").alias("s")).agg(
+        F.lit(0.0).alias("val")
+    ).localCheckpoint(eager=True)
+    for _ in range(_REMOVAL_ITERS):
+        rj = r.select(
+            F.col("scenario").alias("r_scen"),
+            F.col("s").alias("r_s"),
+            "val",
+        )
+        r = (
+            tmat_s.join(
+                rj,
+                (F.col("scenario") == F.col("r_scen"))
+                & (F.col("next_type") == F.col("r_s")),
+                "left",
+            )
+            .groupBy("scenario", F.col("prev_type").alias("s"))
+            .agg(
+                rnd_nudged(
+                    F.sum(
+                        F.col("p")
+                        * F.when(F.col("next_type") == "purchase", F.lit(1.0))
+                        .when(F.col("next_type") == "(end)", F.lit(0.0))
+                        .otherwise(F.coalesce(F.col("val"), F.lit(0.0)))
+                    ),
+                    8,
+                ).alias("val")
+            )
+            .localCheckpoint(eager=True)
+        )
+    fin = r.filter(F.col("s") == "START").select("scenario", "val")
+    base = fin.filter(F.col("scenario") == "(base)").select(
+        F.col("val").alias("cvr")
+    )
+    re = (
+        fin.filter(F.col("scenario") != "(base)")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            (F.lit(1.0) - F.col("val") / F.col("cvr")).alias("removal_effect"),
+            "cvr",
+        )
+    )
+    tot = re.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(channel, "
+            "removal_effect))), x -> x.removal_effect), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("z")
+    )
+    return re.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        rnd_nudged(F.col("removal_effect"), 6).alias("removal_effect"),
+        rnd_nudged(F.col("removal_effect") / F.col("z"), 6).alias(
+            "attribution_share"
+        ),
+        (F.round(F.col("cvr"), 6) + F.lit(0.0)).alias("base_conversion_prob"),
+    )
