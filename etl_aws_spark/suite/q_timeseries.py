@@ -2948,3 +2948,191 @@ def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("tau_b"),
     )
+
+
+@query(
+    "stat_granger_causality",
+    # lag-1 Granger test in BOTH directions between daily view counts
+    # and daily purchase revenue: restricted (AR(1)) vs unrestricted
+    # (AR(1) + cross lag) OLS via exact power sums and Cramer closed
+    # forms - the |days| frame is calendar-bounded, sums are exact
+    # HUGEINT/decimal, and the F ratio is a shared IEEE tree.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS vc,
+             sum(CASE WHEN event_type = 'purchase' THEN
+               CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+               ELSE 0 END) AS rev
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), lagged AS (
+      SELECT d, vc, rev,
+             lag(vc) OVER (ORDER BY d) AS vc1,
+             lag(rev) OVER (ORDER BY d) AS rev1
+      FROM daily
+    ), obs AS (
+      SELECT 'views->revenue' AS direction,
+             CAST(rev AS HUGEINT) AS y, CAST(rev1 AS HUGEINT) AS y1,
+             CAST(vc1 AS HUGEINT) AS x1
+      FROM lagged WHERE rev1 IS NOT NULL
+      UNION ALL
+      SELECT 'revenue->views',
+             CAST(vc AS HUGEINT), CAST(vc1 AS HUGEINT), CAST(rev1 AS HUGEINT)
+      FROM lagged WHERE vc1 IS NOT NULL
+    ), s AS (
+      SELECT direction, count(*) AS n,
+             sum(y) AS sy, sum(y1) AS sy1, sum(x1) AS sx1,
+             sum(y * y) AS syy, sum(y1 * y1) AS sy1y1,
+             sum(x1 * x1) AS sx1x1, sum(y * y1) AS syy1,
+             sum(y * x1) AS syx1, sum(y1 * x1) AS sy1x1
+      FROM obs GROUP BY direction
+    ), f AS (
+      SELECT direction, n,
+             CAST(n AS DOUBLE) AS dn, CAST(sy AS DOUBLE) AS dsy,
+             CAST(sy1 AS DOUBLE) AS dsy1, CAST(sx1 AS DOUBLE) AS dsx1,
+             CAST(syy AS DOUBLE) AS dsyy, CAST(sy1y1 AS DOUBLE) AS dsy1y1,
+             CAST(sx1x1 AS DOUBLE) AS dsx1x1, CAST(syy1 AS DOUBLE) AS dsyy1,
+             CAST(syx1 AS DOUBLE) AS dsyx1, CAST(sy1x1 AS DOUBLE) AS dsy1x1
+      FROM s
+    ), k AS (
+      SELECT direction, n,
+             (dn * (dsy1y1 * dsx1x1 - dsy1x1 * dsy1x1)
+              - dsy1 * (dsy1 * dsx1x1 - dsy1x1 * dsx1)
+              + dsx1 * (dsy1 * dsy1x1 - dsy1y1 * dsx1)) AS det_m,
+             (dsy * (dsy1y1 * dsx1x1 - dsy1x1 * dsy1x1)
+              - dsy1 * (dsyy1 * dsx1x1 - dsy1x1 * dsyx1)
+              + dsx1 * (dsyy1 * dsy1x1 - dsy1y1 * dsyx1)) AS det_0,
+             (dn * (dsyy1 * dsx1x1 - dsyx1 * dsy1x1)
+              - dsy * (dsy1 * dsx1x1 - dsy1x1 * dsx1)
+              + dsx1 * (dsy1 * dsyx1 - dsyy1 * dsx1)) AS det_1,
+             (dn * (dsy1y1 * dsyx1 - dsy1x1 * dsyy1)
+              - dsy1 * (dsy1 * dsyx1 - dsyy1 * dsx1)
+              + dsy * (dsy1 * dsy1x1 - dsy1y1 * dsx1)) AS det_2,
+             (dn * dsy1y1 - dsy1 * dsy1) AS det_r,
+             dsy, dsy1, dsyy, dsyy1, dsyx1, dn
+      FROM f
+    ), r AS (
+      SELECT direction, n,
+             (dn * dsyy1 - dsy * dsy1) / det_r AS b_r,
+             (dsy - (dn * dsyy1 - dsy * dsy1) / det_r * dsy1) / dn AS a_r,
+             det_0 / det_m AS b0, det_1 / det_m AS b1, det_2 / det_m AS b2,
+             dsy, dsyy, dsyy1, dsyx1
+      FROM k
+    ), rss AS (
+      SELECT direction, n,
+             dsyy - a_r * dsy - b_r * dsyy1 AS rss_r,
+             dsyy - (b0 * dsy + b1 * dsyy1 + b2 * dsyx1) AS rss_u,
+             b2
+      FROM r
+    )
+    SELECT direction, CAST(n AS BIGINT) AS n_obs,
+           round(b2 + sign(b2) * 1e-9, 6) + 0.0 AS cross_lag_coef,
+           round((rss_r - rss_u) / (rss_u / (n - 3.0))
+                 + sign((rss_r - rss_u) / (rss_u / (n - 3.0))) * 1e-9, 4)
+             + 0.0 AS f_stat,
+           round(1.0 - rss_u / rss_r
+                 + sign(1.0 - rss_u / rss_r) * 1e-9, 6) + 0.0
+             AS partial_r2
+    FROM rss
+    """,
+    category="timeseries",
+)
+def stat_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 GRANGER CAUSALITY between daily view counts and daily
+    purchase revenue, both directions — does yesterday's traffic
+    predict today's revenue beyond revenue's own momentum (and vice
+    versa)? Restricted AR(1) vs unrestricted AR(1)+cross-lag OLS; the
+    F statistic compares residual sums of squares, the cross-lag
+    coefficient gives sign and scale, partial R² the effect size.
+
+    Scale shape: the corpus reduces map-side to ONE (views, revenue)
+    row per day; both regressions are CLOSED FORMS (2x2 and Cramer
+    3x3 determinants) over ten exact HUGEINT/decimal power sums of the
+    |days| frame — no iteration, no solver, no matrix library. The
+    lag window runs over the calendar-bounded daily frame; every
+    float enters through the same IEEE expression tree on both
+    engines, with nudged rounding only at the output."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("vc"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value").cast("double") * 100.0).cast("long"),
+            ).otherwise(0)
+        ).alias("rev"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "vc",
+        "rev",
+        F.lag("vc").over(w).alias("vc1"),
+        F.lag("rev").over(w).alias("rev1"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    obs = lagged.filter(F.col("rev1").isNotNull()).select(
+        F.lit("views->revenue").alias("direction"),
+        dec("rev").alias("y"),
+        dec("rev1").alias("y1"),
+        dec("vc1").alias("x1"),
+    ).unionByName(
+        lagged.filter(F.col("vc1").isNotNull()).select(
+            F.lit("revenue->views").alias("direction"),
+            dec("vc").alias("y"),
+            dec("vc1").alias("y1"),
+            dec("rev1").alias("x1"),
+        )
+    )
+    s = obs.groupBy("direction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("sy1"),
+        F.sum("x1").alias("sx1"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("y") * F.col("y1")).alias("syy1"),
+        F.sum(F.col("y") * F.col("x1")).alias("syx1"),
+        F.sum(F.col("y1") * F.col("x1")).alias("sy1x1"),
+    )
+    d = {c: F.col(c).cast("double") for c in
+         ["n", "sy", "sy1", "sx1", "syy", "sy1y1", "sx1x1", "syy1", "syx1", "sy1x1"]}
+    det_m = (
+        d["n"] * (d["sy1y1"] * d["sx1x1"] - d["sy1x1"] * d["sy1x1"])
+        - d["sy1"] * (d["sy1"] * d["sx1x1"] - d["sy1x1"] * d["sx1"])
+        + d["sx1"] * (d["sy1"] * d["sy1x1"] - d["sy1y1"] * d["sx1"])
+    )
+    det_0 = (
+        d["sy"] * (d["sy1y1"] * d["sx1x1"] - d["sy1x1"] * d["sy1x1"])
+        - d["sy1"] * (d["syy1"] * d["sx1x1"] - d["sy1x1"] * d["syx1"])
+        + d["sx1"] * (d["syy1"] * d["sy1x1"] - d["sy1y1"] * d["syx1"])
+    )
+    det_1 = (
+        d["n"] * (d["syy1"] * d["sx1x1"] - d["syx1"] * d["sy1x1"])
+        - d["sy"] * (d["sy1"] * d["sx1x1"] - d["sy1x1"] * d["sx1"])
+        + d["sx1"] * (d["sy1"] * d["syx1"] - d["syy1"] * d["sx1"])
+    )
+    det_2 = (
+        d["n"] * (d["sy1y1"] * d["syx1"] - d["sy1x1"] * d["syy1"])
+        - d["sy1"] * (d["sy1"] * d["syx1"] - d["syy1"] * d["sx1"])
+        + d["sy"] * (d["sy1"] * d["sy1x1"] - d["sy1y1"] * d["sx1"])
+    )
+    det_r = d["n"] * d["sy1y1"] - d["sy1"] * d["sy1"]
+    b_r = (d["n"] * d["syy1"] - d["sy"] * d["sy1"]) / det_r
+    a_r = (d["sy"] - b_r * d["sy1"]) / d["n"]
+    b0 = det_0 / det_m
+    b1 = det_1 / det_m
+    b2 = det_2 / det_m
+    rss_r = d["syy"] - a_r * d["sy"] - b_r * d["syy1"]
+    rss_u = d["syy"] - (b0 * d["sy"] + b1 * d["syy1"] + b2 * d["syx1"])
+    f_stat = (rss_r - rss_u) / (rss_u / (d["n"] - F.lit(3.0)))
+    return s.select(
+        "direction",
+        F.col("n").cast("long").alias("n_obs"),
+        rnd_nudged(b2, 6).alias("cross_lag_coef"),
+        rnd_nudged(f_stat, 4).alias("f_stat"),
+        rnd_nudged(F.lit(1.0) - rss_u / rss_r, 6).alias("partial_r2"),
+    )
