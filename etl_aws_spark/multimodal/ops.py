@@ -778,3 +778,93 @@ def audio_vad_energy(df: DataFrame, frame: int = 32, threshold: int = 45_000_000
         "asset_id bigint, n_samples int, n_frames int, n_active int, "
         "longest_run int, total_energy bigint, active_ratio double",
     )
+
+
+def _dct_basis_fixed(n: int, n_freq: int):
+    """Fixed-point DCT-II cosine basis: cb[u, x] = round(cos(pi*(2x+1)*u
+    / (2n)) * 1e4 +- 1e-3 nudge) as int64. The 1e-3 nudge on the SCALED
+    value (1e-7 of the cosine) moves exact half-boundaries off the edge
+    identically on both engines (far above libm's last-ulp jitter, far
+    below the 1e-4 resolution), so the basis integers — and therefore
+    every DCT coefficient — are engine-exact."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((n_freq, n), dtype=np.int64)
+    for u in range(n_freq):
+        for x in range(n):
+            c = math.cos(math.pi * (2 * x + 1) * u / (2 * n))
+            nudge = 0.001 if c > 0 else (-0.001 if c < 0 else 0.0)
+            out[u, x] = int(round(c * 10000.0 + nudge))
+    return out
+
+
+def phash_images(df: DataFrame, n_freq: int = 4) -> DataFrame:
+    """Arrow-batched PERCEPTUAL HASH (pHash) over a (asset_id, payload)
+    BMP frame — the DCT cousin of the gradient dHash already in the
+    near-dup family: decode, reduce to a fixed-point luma plane
+    (299R + 587G + 114B, exact integers), project onto the n_freq^2
+    low-frequency 2-D DCT-II block with a 1e4-scaled integer cosine
+    basis (separable int64 matmuls — exact, max |coeff| ~6e15), and
+    threshold the 15 AC coefficients against their exact median to
+    form the 15-bit hash. Everything after the decode is integer
+    arithmetic, so a SQL oracle replays the hash bit-for-bit from the
+    pixel generator.
+
+    Output: asset_id, width, height, mean_luma (Σluma/(w*h*255000)),
+    dc_sum (Σluma, exact), phash (15-bit int)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_bmp24(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                luma = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+                cbh = _dct_basis_fixed(h, n_freq)  # (n_freq, h)
+                cbw = _dct_basis_fixed(w, n_freq)  # (n_freq, w)
+                # F[u, v] = sum_y sum_x luma[y, x] * cbh[u, y] * cbw[v, x]
+                coeff = cbh @ luma @ cbw.T
+                ac = [
+                    int(coeff[u, v])
+                    for u in range(n_freq)
+                    for v in range(n_freq)
+                    if not (u == 0 and v == 0)
+                ]
+                med = sorted(ac)[len(ac) // 2]
+                phash = 0
+                for i, cval in enumerate(ac):
+                    if cval > med:
+                        phash |= 1 << i
+                dc = int(luma.sum())
+                rows.append(
+                    (
+                        int(aid),
+                        w,
+                        h,
+                        dc,
+                        round(dc / (w * h * 255000.0) + 1e-9, 6) + 0.0,
+                        phash,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "dc_sum",
+                    "mean_luma",
+                    "phash",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, width int, height int, dc_sum bigint, "
+        "mean_luma double, phash bigint",
+    )

@@ -1466,3 +1466,106 @@ def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_energy",
         (F.round(F.col("active_ratio"), 6) + F.lit(0.0)).alias("active_ratio"),
     )
+
+
+@query(
+    "multimodal_image_phash_dct",
+    # closed-form pHash oracle: the fixed-point luma plane replays from
+    # the pixel generator, the 1e4-scaled integer DCT-II basis is staged
+    # once per (length, position, frequency) with the nudged cosine
+    # round, every coefficient is an exact HUGEINT triple product sum,
+    # the median is the rank-8 order statistic of the 15 AC
+    # coefficients, and the 15-bit hash assembles from strict
+    # greater-than bits - bit-for-bit equal to the decoder's int64 path.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), px AS MATERIALIZED (
+      SELECT d.doc_id, d.w, d.h, x.x, y.y,
+             299 * ((d.doc_id*31 + x.x*7 + y.y*3) % 256)
+             + 587 * ((d.doc_id*31 + x.x*7 + y.y*3 + 11) % 256)
+             + 114 * ((d.doc_id*31 + x.x*7 + y.y*3 + 22) % 256) AS lum
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS y) y
+      WHERE x.x < d.w AND y.y < d.h
+    ), bas AS MATERIALIZED (
+      SELECT n.n, p.p, f.f,
+             CAST(round(cos(pi()*(2*p.p+1)*f.f/(2*n.n))*10000
+                  + sign(cos(pi()*(2*p.p+1)*f.f/(2*n.n)))*0.001) AS BIGINT)
+               AS cb
+      FROM (SELECT unnest(generate_series(4, 16)) AS n) n
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+      WHERE p.p < n.n
+    ), uv AS (
+      SELECT u.u, v.v
+      FROM (SELECT unnest(generate_series(0, 3)) AS u) u
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS v) v
+      WHERE NOT (u.u = 0 AND v.v = 0)
+    ), coeff AS MATERIALIZED (
+      SELECT px.doc_id, uv.u, uv.v,
+             sum(CAST(px.lum AS HUGEINT) * bu.cb * bv.cb) AS fval
+      FROM px
+      CROSS JOIN uv
+      JOIN bas bu ON bu.n = px.h AND bu.p = px.y AND bu.f = uv.u
+      JOIN bas bv ON bv.n = px.w AND bv.p = px.x AND bv.f = uv.v
+      GROUP BY px.doc_id, uv.u, uv.v
+    ), med AS (
+      SELECT doc_id, fval AS med FROM (
+        SELECT doc_id, fval,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY fval, u, v) AS rk
+        FROM coeff
+      ) WHERE rk = 8
+    ), ph AS (
+      SELECT c.doc_id,
+             sum(CASE WHEN c.fval > m.med
+                 THEN CAST(1 AS BIGINT) << (c.u * 4 + c.v - 1)
+                 ELSE 0 END) AS phash
+      FROM coeff c JOIN med m ON c.doc_id = m.doc_id
+      GROUP BY c.doc_id
+    ), dc AS (
+      SELECT doc_id, max(w) AS w, max(h) AS h, sum(lum) AS dcs
+      FROM px GROUP BY doc_id
+    )
+    SELECT dc.doc_id AS asset_id,
+           CAST(dc.w AS INT) AS width, CAST(dc.h AS INT) AS height,
+           CAST(dc.dcs AS BIGINT) AS dc_sum,
+           round(CAST(dc.dcs AS DOUBLE) / (dc.w * dc.h * 255000.0) + 1e-9, 6)
+             + 0.0 AS mean_luma,
+           CAST(ph.phash AS BIGINT) AS phash
+    FROM dc JOIN ph ON dc.doc_id = ph.doc_id
+    """,
+    category="multimodal",
+)
+def multimodal_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL HASH (pHash) over real BMP decodes — the DCT-domain
+    near-dup signature that survives what the gradient dHash cannot
+    (brightness shifts, mild blur, recompression): decode, project the
+    exact fixed-point luma plane (299R+587G+114B) onto the 4x4
+    low-frequency 2-D DCT-II block with a 1e4-scaled INTEGER cosine
+    basis, and hash each AC coefficient's position against the exact
+    median of the 15. The transcendental basis crosses the nudged
+    round once (the periodogram recipe), after which every coefficient
+    is an exact int64, so the hash is deterministic to the bit.
+
+    Shape: one Arrow-batched mapInPandas decode + two tiny separable
+    integer matmuls per image (CPU-bound, embarrassingly parallel, no
+    shuffle); one row per asset. At 100 TB this rides the same single
+    decode pass as the dHash/fingerprint family, and downstream
+    near-dup joins run on the 15-bit signature exactly like
+    `multimodal_image_dhash_neardup`'s distinct-signature plan."""
+    corpus = _bmp_corpus(spark, sf_dir)
+    out = ops.phash_images(
+        corpus.select(F.col("doc_id").alias("asset_id"), "payload")
+    )
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "dc_sum",
+        (F.round(F.col("mean_luma"), 6) + F.lit(0.0)).alias("mean_luma"),
+        "phash",
+    )
