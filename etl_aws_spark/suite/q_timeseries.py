@@ -3136,3 +3136,153 @@ def stat_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(f_stat, 4).alias("f_stat"),
         rnd_nudged(F.lit(1.0) - rss_u / rss_r, 6).alias("partial_r2"),
     )
+
+
+@query(
+    "stat_brown_forsythe_levene",
+    # Brown-Forsythe (median-centered Levene) variance-homogeneity test
+    # across the 5 regions on quantity: group medians come off the
+    # 50-cell histogram (lower median, exact), |x - med| deviations stay
+    # integers, and the one-way ANOVA on deviations is a closed form
+    # over exact power sums. Cross-group float sums fold in region order.
+    oracle="""
+    WITH q AS (
+      SELECT r.r_name AS region, CAST(l.l_quantity AS BIGINT) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), h AS (
+      SELECT region, v, count(*) AS cnt FROM q GROUP BY region, v
+    ), cum AS (
+      SELECT region, v, cnt,
+             sum(cnt) OVER (PARTITION BY region ORDER BY v) AS cf,
+             sum(cnt) OVER (PARTITION BY region) AS ng
+      FROM h
+    ), med AS (
+      SELECT region, min(v) AS med FROM cum
+      WHERE 2 * cf >= ng GROUP BY region
+    ), z AS (
+      SELECT h.region, abs(h.v - m.med) AS z, h.cnt
+      FROM h JOIN med m ON h.region = m.region
+    ), s AS (
+      SELECT region, sum(cnt) AS ng,
+             sum(CAST(z AS HUGEINT) * cnt) AS sz,
+             sum(CAST(z AS HUGEINT) * z * cnt) AS szz
+      FROM z GROUP BY region
+    ), tot AS (
+      SELECT sum(ng) AS n, count(*) AS k, sum(sz) AS st, sum(szz) AS szzt,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(sz AS DOUBLE) * sz / ng ORDER BY region)),
+               (a, b) -> a + b) AS sb
+      FROM s
+    ), f AS (
+      SELECT n, k,
+             (sb - CAST(st AS DOUBLE) * st / n) / (k - 1.0) AS msb,
+             (CAST(szzt AS DOUBLE) - sb) / (n - k) AS msw
+      FROM tot
+    )
+    SELECT s.region, CAST(s.ng AS BIGINT) AS n_group,
+           m.med AS group_median,
+           round(CAST(s.sz AS DOUBLE) / s.ng, 4) + 0.0 AS mean_abs_dev,
+           round(f.msb / f.msw + sign(f.msb / f.msw) * 1e-9, 4) + 0.0
+             AS f_stat,
+           CAST(f.k - 1 AS BIGINT) AS df_between,
+           CAST(f.n - f.k AS BIGINT) AS df_within
+    FROM s JOIN med m ON s.region = m.region CROSS JOIN f
+    """,
+    category="timeseries",
+)
+def stat_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test (median-centered
+    Levene) — do the 5 regions have the same quantity SPREAD, not just
+    the same center? The robustness gate before trusting
+    `stat_anova_oneway` (classic ANOVA assumes equal variances) and
+    the rank-free sibling of `stat_kruskal_wallis`: deviations from
+    the GROUP MEDIAN are ANOVA'd, which stays valid under heavy tails.
+
+    Scale shape: the Q5-shaped join reduces map-side to |regions| x 50
+    histogram cells; group medians are exact lower medians off the
+    cumulative histogram (domain-bounded window), deviations stay
+    INTEGER (so their power sums are exact HUGEINT), and the F
+    statistic is a closed form whose only cross-group float sum folds
+    in region order."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+    )
+    h = q.groupBy("region", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wreg = Window.partitionBy("region").orderBy("v")
+    wall = Window.partitionBy("region")
+    cum = h.select(
+        "region",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wreg).alias("cf"),
+        F.sum("cnt").over(wall).alias("ng"),
+    )
+    med = (
+        cum.filter(2 * F.col("cf") >= F.col("ng"))
+        .groupBy("region")
+        .agg(F.min("v").alias("med"))
+    )
+    z = h.join(med, "region").select(
+        "region", F.abs(F.col("v") - F.col("med")).alias("z"), "cnt"
+    )
+    zd = F.col("z").cast("decimal(38,0)")
+    s = z.groupBy("region").agg(
+        F.sum("cnt").alias("ng"),
+        F.sum(zd * F.col("cnt")).alias("sz"),
+        F.sum(zd * zd * F.col("cnt")).alias("szz"),
+    )
+    tot = s.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("st"),
+        F.sum("szz").alias("szzt"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(region, "
+            "cast(sz as double) * sz / ng as t))), x -> x.t), "
+            "cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    msb = (F.col("sb") - F.col("st").cast("double") * F.col("st") / nd) / (
+        F.col("k") - F.lit(1.0)
+    )
+    msw = (F.col("szzt").cast("double") - F.col("sb")) / (nd - F.col("k"))
+    f = tot.select(
+        "n",
+        "k",
+        msb.alias("msb"),
+        msw.alias("msw"),
+    )
+    return (
+        s.join(med, "region")
+        .crossJoin(F.broadcast(f))
+        .select(
+            "region",
+            F.col("ng").cast("long").alias("n_group"),
+            F.col("med").alias("group_median"),
+            rnd(F.col("sz").cast("double") / F.col("ng"), 4).alias(
+                "mean_abs_dev"
+            ),
+            rnd_nudged(F.col("msb") / F.col("msw"), 4).alias("f_stat"),
+            (F.col("k") - 1).cast("long").alias("df_between"),
+            (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        )
+    )
