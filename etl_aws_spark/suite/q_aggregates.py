@@ -2582,3 +2582,208 @@ def stat_jackknife_group_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("mi") / 100.0, 6).alias("max_influence"),
         )
     )
+
+
+@query(
+    "stat_two_way_anova",
+    # two-way factorial ANOVA (region x order priority on order value):
+    # the corpus reduces to 25 cells of exact integer power sums; main,
+    # interaction and error sums of squares are closed forms over cell /
+    # margin frames, with every cross-cell float sum folded in key order.
+    # Unbalanced cells use the classic proportional (Type I sequential)
+    # decomposition - stated, not hidden.
+    oracle="""
+    WITH cells AS (
+      SELECT r.r_name AS region, o.o_orderpriority AS priority,
+             count(*) AS n,
+             sum(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS s,
+             sum(CAST(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100.0)
+                 AS BIGINT) AS HUGEINT)
+                 * CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100.0)
+                 AS BIGINT)) AS ssq
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      JOIN region r ON nn.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, o.o_orderpriority
+    ), tot AS (
+      SELECT sum(n) AS n, sum(s) AS t, sum(ssq) AS syy,
+             count(*) AS ab,
+             count(DISTINCT region) AS a, count(DISTINCT priority) AS b
+      FROM cells
+    ), ma AS (
+      SELECT region, sum(s) AS sa, sum(n) AS na FROM cells GROUP BY region
+    ), mb AS (
+      SELECT priority, sum(s) AS sb_, sum(n) AS nb FROM cells GROUP BY priority
+    ), folds AS (
+      SELECT
+        (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(sa AS DOUBLE) * sa / na ORDER BY region)),
+           (x, y) -> x + y) FROM ma) AS fa,
+        (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(sb_ AS DOUBLE) * sb_ / nb ORDER BY priority)),
+           (x, y) -> x + y) FROM mb) AS fb,
+        (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(s AS DOUBLE) * s / n ORDER BY region, priority)),
+           (x, y) -> x + y) FROM cells) AS fc
+    ), ss AS (
+      SELECT tot.n, tot.a, tot.b, tot.ab,
+             CAST(tot.t AS DOUBLE) * tot.t / tot.n AS corr,
+             folds.fa - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_a,
+             folds.fb - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_b,
+             folds.fc - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_cells,
+             CAST(tot.syy AS DOUBLE)
+               - CAST(tot.t AS DOUBLE) * tot.t / tot.n AS ss_tot
+      FROM tot CROSS JOIN folds
+    ), eff AS (
+      SELECT 'region' AS effect, CAST(a - 1 AS BIGINT) AS df, ss_a AS ssv,
+             (ss_tot - ss_cells) / (n - ab) AS mse, n, ab FROM ss
+      UNION ALL
+      SELECT 'priority', CAST(b - 1 AS BIGINT), ss_b,
+             (ss_tot - ss_cells) / (n - ab), n, ab FROM ss
+      UNION ALL
+      SELECT 'interaction', CAST((a - 1) * (b - 1) AS BIGINT),
+             ss_cells - ss_a - ss_b,
+             (ss_tot - ss_cells) / (n - ab), n, ab FROM ss
+      UNION ALL
+      SELECT 'error', CAST(n - ab AS BIGINT), ss_tot - ss_cells,
+             (ss_tot - ss_cells) / (n - ab), n, ab FROM ss
+    )
+    SELECT effect, df,
+           round(ssv / 10000.0 + sign(ssv / 10000.0) * 1e-9, 2) + 0.0 AS ss,
+           round(ssv / df / 10000.0 + sign(ssv / df / 10000.0) * 1e-9, 2)
+             + 0.0 AS ms,
+           CASE WHEN effect = 'error' THEN NULL
+                ELSE round((ssv / df) / mse
+                           + sign((ssv / df) / mse) * 1e-9, 4) + 0.0
+           END AS f_stat
+    FROM eff
+    """,
+    category="aggregate",
+)
+def stat_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-WAY FACTORIAL ANOVA — does order value differ by customer
+    REGION, by order PRIORITY, and (the question one-way ANOVA cannot
+    ask) does the region effect DEPEND on priority? Main effects,
+    interaction and error decompose the total sum of squares; F ratios
+    test each against the within-cell error. Cells are near-balanced
+    here; for unbalanced data this is the classic proportional
+    (sequential) decomposition, stated openly.
+
+    Scale shape: one fact-dim join chain reduces map-side to a 25-cell
+    frame of exact integer power sums (cents and cents² in
+    HUGEINT/decimal(38)); margins, corrections and all five sums of
+    squares are closed forms over cell/margin frames, with the three
+    cross-cell float sums folded in key order (region, priority). No
+    window, no sort, nothing grows with the corpus past the first
+    aggregate."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+            cents.alias("x"),
+        )
+        .groupBy("region", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("ssq"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("t"),
+        F.sum("ssq").alias("syy"),
+        F.count(F.lit(1)).alias("ab"),
+        F.countDistinct("region").alias("a"),
+        F.countDistinct("priority").alias("b"),
+    )
+    ma = cells.groupBy("region").agg(F.sum("s").alias("sa"), F.sum("n").alias("na"))
+    mb = cells.groupBy("priority").agg(
+        F.sum("s").alias("sb_"), F.sum("n").alias("nb")
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct({keys}, "
+        "cast({num} as double) * {num} / {den} as t))), x -> x.t), "
+        "cast(0.0 as double), (p, q) -> p + q)"
+    )
+    fa = ma.agg(
+        F.expr(fold.format(keys="region", num="sa", den="na")).alias("fa")
+    )
+    fb = mb.agg(
+        F.expr(fold.format(keys="priority", num="sb_", den="nb")).alias("fb")
+    )
+    fc = cells.agg(
+        F.expr(fold.format(keys="region, priority", num="s", den="n")).alias("fc")
+    )
+    ss = (
+        tot.crossJoin(F.broadcast(fa))
+        .crossJoin(F.broadcast(fb))
+        .crossJoin(F.broadcast(fc))
+    )
+    corr = F.col("t").cast("double") * F.col("t") / F.col("n")
+    ss = ss.select(
+        "n",
+        "a",
+        "b",
+        "ab",
+        (F.col("fa") - corr).alias("ss_a"),
+        (F.col("fb") - corr).alias("ss_b"),
+        (F.col("fc") - corr).alias("ss_cells"),
+        (F.col("syy").cast("double") - corr).alias("ss_tot"),
+    ).localCheckpoint(eager=True)
+    mse = (F.col("ss_tot") - F.col("ss_cells")) / (F.col("n") - F.col("ab"))
+    eff = (
+        ss.select(
+            F.lit("region").alias("effect"),
+            (F.col("a") - 1).cast("long").alias("df"),
+            F.col("ss_a").alias("ssv"),
+            mse.alias("mse"),
+        )
+        .unionByName(
+            ss.select(
+                F.lit("priority").alias("effect"),
+                (F.col("b") - 1).cast("long").alias("df"),
+                F.col("ss_b").alias("ssv"),
+                mse.alias("mse"),
+            )
+        )
+        .unionByName(
+            ss.select(
+                F.lit("interaction").alias("effect"),
+                ((F.col("a") - 1) * (F.col("b") - 1)).cast("long").alias("df"),
+                (F.col("ss_cells") - F.col("ss_a") - F.col("ss_b")).alias("ssv"),
+                mse.alias("mse"),
+            )
+        )
+        .unionByName(
+            ss.select(
+                F.lit("error").alias("effect"),
+                (F.col("n") - F.col("ab")).cast("long").alias("df"),
+                (F.col("ss_tot") - F.col("ss_cells")).alias("ssv"),
+                mse.alias("mse"),
+            )
+        )
+    )
+    return eff.select(
+        "effect",
+        "df",
+        rnd_nudged(F.col("ssv") / 10000.0, 2).alias("ss"),
+        rnd_nudged(F.col("ssv") / F.col("df") / 10000.0, 2).alias("ms"),
+        F.when(F.col("effect") == "error", F.lit(None).cast("double"))
+        .otherwise(rnd_nudged((F.col("ssv") / F.col("df")) / F.col("mse"), 4))
+        .alias("f_stat"),
+    )
