@@ -2357,3 +2357,132 @@ def text_goodturing_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("p0_unseen_mass"),
         )
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    # pairwise Jensen-Shannon divergence between source unigram
+    # distributions: probabilities are ratios of exact counts, log2
+    # crosses the nudged bridge once per term, and each term is then
+    # SCALED TO AN INTEGER (x1e9) so the per-pair sum is order-free
+    # exact integer arithmetic - the unbounded-domain answer to the
+    # ordered-fold pattern (you cannot collect-sort a corpus vocabulary).
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter({D.tokens('text', D.DUCK)},
+             t -> t <> '')) AS t
+      FROM documents
+    ), c AS (
+      SELECT source, t, count(*) AS n FROM tok GROUP BY source, t
+    ), ns AS (
+      SELECT source, sum(n) AS nt FROM c GROUP BY source
+    ), vocab AS (
+      SELECT DISTINCT t FROM c
+    ), dense AS (
+      SELECT ns.source, vocab.t,
+             coalesce(c.n, 0) AS n, ns.nt
+      FROM ns CROSS JOIN vocab
+      LEFT JOIN c ON c.source = ns.source AND c.t = vocab.t
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.t,
+             CAST(a.n AS DOUBLE) / a.nt AS p,
+             CAST(b.n AS DOUBLE) / b.nt AS q
+      FROM dense a JOIN dense b ON a.t = b.t AND a.source < b.source
+    ), terms AS (
+      SELECT sa, sb,
+             CASE WHEN p > 0 THEN CAST(round(
+               p * (round(log2(2.0 * p / (p + q))
+                    + sign(log2(2.0 * p / (p + q))) * 1e-9, 8) + 0.0) * 1e9
+               + sign(p * (round(log2(2.0 * p / (p + q))
+                    + sign(log2(2.0 * p / (p + q))) * 1e-9, 8) + 0.0)) * 0.001)
+               AS BIGINT) ELSE 0 END AS tp,
+             CASE WHEN q > 0 THEN CAST(round(
+               q * (round(log2(2.0 * q / (p + q))
+                    + sign(log2(2.0 * q / (p + q))) * 1e-9, 8) + 0.0) * 1e9
+               + sign(q * (round(log2(2.0 * q / (p + q))
+                    + sign(log2(2.0 * q / (p + q))) * 1e-9, 8) + 0.0)) * 0.001)
+               AS BIGINT) ELSE 0 END AS tq,
+             CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END AS com
+      FROM pairs
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(sum(com) AS BIGINT) AS n_common_tokens,
+           round((sum(tp) + sum(tq)) / 2.0 / 1e9, 6) + 0.0 AS js_divergence,
+           round(sqrt(greatest((sum(tp) + sum(tq)) / 2.0 / 1e9, 0.0)), 6)
+             + 0.0 AS js_distance
+    FROM terms GROUP BY sa, sb
+    """,
+    category="text",
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JENSEN-SHANNON divergence between source unigram
+    distributions — the symmetric, bounded [0,1] drift measure behind
+    'which crawls are interchangeable and which bring new text'
+    (mixture-weight design, dedup-aware source selection). Extends
+    `stat_population_stability_index` (fixed buckets) to the FULL
+    vocabulary and `text_cross_source_ngram_overlap` (set overlap) to
+    distribution shape; sqrt(JS) is a proper metric.
+
+    Scale shape: token streams collapse to (source, token) counts; the
+    pair stage is |sources|² x |vocab| rows (sources are few — the
+    quadratic factor is in the SMALL dimension; the vocab factor
+    shuffles on the token key and is top-K prunable in production).
+    Determinism without ordered folds: each p·log2(2p/(p+q)) term
+    crosses the nudged log bridge, then is SCALED TO AN INTEGER (x1e9)
+    so per-pair sums are exact integer arithmetic in ANY order — the
+    unbounded-domain variant of the house sort-collect-fold, which
+    cannot collect a corpus vocabulary."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr(f"filter({D.tokens('text', D.SPARK)}, t -> t <> '')")
+        ).alias("t"),
+    )
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    ns = c.groupBy("source").agg(F.sum("n").alias("nt"))
+    vocab = c.select("t").distinct()
+    dense = (
+        ns.crossJoin(vocab)
+        .join(c, ["source", "t"], "left")
+        .select("source", "t", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "nt")
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("sa"),
+        F.col("b.source").alias("sb"),
+        (F.col("a.n").cast("double") / F.col("a.nt")).alias("p"),
+        (F.col("b.n").cast("double") / F.col("b.nt")).alias("q"),
+    )
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    def term(x, y):
+        lg = rnd_nudged(F.log2(F.lit(2.0) * x / (x + y)), 8)
+        t = x * lg
+        return (
+            F.when(
+                x > 0,
+                F.round(t * F.lit(1e9) + F.signum(t) * F.lit(0.001)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+
+    terms = pairs.select(
+        "sa",
+        "sb",
+        term(F.col("p"), F.col("q")).alias("tp"),
+        term(F.col("q"), F.col("p")).alias("tq"),
+        F.when((F.col("p") > 0) & (F.col("q") > 0), 1).otherwise(0).alias("com"),
+    )
+    js = (F.sum("tp") + F.sum("tq")) / F.lit(2.0) / F.lit(1e9)
+    return terms.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.sum("com").cast("long").alias("n_common_tokens"),
+        (F.round(js, 6) + F.lit(0.0)).alias("js_divergence"),
+        (F.round(F.sqrt(F.greatest(js, F.lit(0.0))), 6) + F.lit(0.0)).alias(
+            "js_distance"
+        ),
+    )
