@@ -2486,3 +2486,141 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_distance"
         ),
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _duck_lpa_round(k: int) -> str:
+    """One synchronous label-propagation round: each node adopts the most
+    frequent label among its neighbors (ties -> MIN label); nodes with no
+    neighbors keep their label. Deterministic via the (count DESC, label
+    ASC) rank."""
+    p = k - 1
+    return f"""
+    votes{k} AS (
+      SELECT s.u AS id, l.lab, count(*) AS c
+      FROM sym s JOIN lab{p} l ON l.id = s.v
+      GROUP BY s.u, l.lab
+    ),
+    pick{k} AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC)
+                 AS rk
+        FROM votes{k}
+      ) WHERE rk = 1
+    ),
+    lab{k} AS MATERIALIZED (
+      SELECT l.id, coalesce(p.lab, l.lab) AS lab
+      FROM lab{p} l LEFT JOIN pick{k} p ON l.id = p.id
+    )"""
+
+
+@query(
+    "text_dedup_label_propagation",
+    # synchronous label propagation (Raghavan et al. 2007) over the SAME
+    # capped LSH band edge set as the CC query: 4 rounds of
+    # most-frequent-neighbor-label voting with deterministic (count DESC,
+    # label ASC) tie-breaks. Where CC answers "which docs are connected
+    # at all", LPA splits weakly-bridged chains into densely-linked
+    # communities - the two labelings are compared downstream.
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_minhash_bands_sql()},
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands_c a JOIN bands_c b USING (bk) WHERE a.doc_id < b.doc_id
+    ),
+    verts AS (SELECT DISTINCT doc_id FROM corpus),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION SELECT dst AS u, src AS v FROM edges
+    ),
+    deg AS (
+      SELECT u AS id, count(*) AS d FROM sym GROUP BY u
+    ),
+    lab0 AS (SELECT doc_id AS id, doc_id AS lab FROM verts),
+    {','.join(_duck_lpa_round(k) for k in range(1, _LPA_ROUNDS + 1))},
+    sizes AS (
+      SELECT lab, count(*) AS csize FROM lab{_LPA_ROUNDS} GROUP BY lab
+    )
+    SELECT l.id AS doc_id, l.lab AS community_id,
+           CAST(s.csize AS BIGINT) AS community_size,
+           CAST(coalesce(d.d, 0) AS BIGINT) AS n_neighbors
+    FROM lab{_LPA_ROUNDS} l
+    JOIN sizes s ON l.lab = s.lab
+    LEFT JOIN deg d ON l.id = d.id
+    """,
+    category="text",
+)
+def text_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007) on the near-dup candidate graph — the densely-linked
+    refinement of `text_dedup_connected_components`: CC merges any two
+    docs joined by ANY path (one weak bridge fuses two big template
+    families), LPA lets each node adopt its neighborhood's majority
+    label, so weakly-bridged chains split into communities that
+    actually share most of their text. {K} synchronous rounds,
+    most-frequent neighbor label, ties broken by MIN label — fully
+    deterministic, no RNG ordering games.
+
+    Scale shape: the edge set is the SAME capped LSH band frame as the
+    CC/keep-best family (Σ|bucket|² with the max_bucket=50 guard,
+    32 B/row digests); each round is one |E| vote shuffle + one
+    per-node rank window PARTITIONED BY node (scales with parallelism)
+    + one |V| left join, localCheckpointed so no round re-derives the
+    lineage. The oracle replays all {K} rounds with the identical
+    tie-break."""
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark, sf_dir)
+    edges = dedup.minhash_band_edges(corpus, "doc_id", "text", max_bucket=50)
+    verts = corpus.select("doc_id").distinct()
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    lab = verts.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lab")
+    ).localCheckpoint(eager=True)
+    wv = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(
+                lab.select(F.col("id").alias("v_id"), F.col("lab")),
+                F.col("v") == F.col("v_id"),
+            )
+            .groupBy(F.col("u").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            votes.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("lab").alias("new_lab"))
+        )
+        lab = (
+            lab.join(pick, "id", "left")
+            .select(
+                "id", F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        lab.join(sizes, "lab")
+        .join(deg, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lab").alias("community_id"),
+            F.col("csize").cast("long").alias("community_size"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )
