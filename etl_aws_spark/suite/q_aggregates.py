@@ -2787,3 +2787,127 @@ def stat_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rnd_nudged((F.col("ssv") / F.col("df")) / F.col("mse"), 4))
         .alias("f_stat"),
     )
+
+
+@query(
+    "stat_mcnemar_paired_test",
+    # McNemar's test for PAIRED binary outcomes: the same user observed
+    # in two periods (first vs second half of the event window, split at
+    # the midpoint day). Only the discordant cells b (converted early
+    # only) and c (late only) carry information; the continuity-
+    # corrected chi-square (|b-c|-1)^2/(b+c) is exact integer arithmetic
+    # until one division.
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0,
+             min(CAST(ts AS DATE))
+               + CAST((max(CAST(ts AS DATE)) - min(CAST(ts AS DATE))) // 2
+                      AS INTEGER) AS mid
+      FROM events
+    ), u AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase'
+                  AND CAST(e.ts AS DATE) <= b.mid THEN 1 ELSE 0 END) AS p1,
+             max(CASE WHEN e.event_type = 'purchase'
+                  AND CAST(e.ts AS DATE) > b.mid THEN 1 ELSE 0 END) AS p2
+      FROM events e CROSS JOIN bounds b
+      GROUP BY e.user_id
+    ), cells AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS both_,
+             sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS neither,
+             sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS c
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(both_ AS BIGINT) AS converted_both,
+           CAST(neither AS BIGINT) AS converted_neither,
+           CAST(b AS BIGINT) AS early_only,
+           CAST(c AS BIGINT) AS late_only,
+           round(CASE WHEN b + c = 0 THEN 0.0
+                 ELSE (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)
+                 END, 4) + 0.0 AS chi2_continuity,
+           round(CASE WHEN b + c = 0 THEN 0.0
+                 ELSE CAST(b AS DOUBLE) / (b + c) END, 6) + 0.0
+             AS early_share_of_switchers
+    FROM cells
+    """,
+    category="aggregate",
+)
+def stat_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST for paired binary outcomes — did per-user
+    purchase behavior CHANGE between the first and second half of the
+    window? Unlike the two-proportion z-test (which treats the periods
+    as independent samples), McNemar pairs each user with themselves:
+    concordant users cancel out and only the discordant counts b
+    (early-only) and c (late-only) drive the continuity-corrected
+    chi-square — the right test for before/after product changes on
+    the same population.
+
+    Scale shape: one 2-row broadcast of the window midpoint, ONE
+    per-user conditional aggregate (map-side combined), and a 1-row
+    cell frame; every statistic is exact integer arithmetic until the
+    final two divisions."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.expr(
+            "cast(min(cast(ts as date)) + cast(datediff(max(cast(ts as date)), "
+            "min(cast(ts as date))) div 2 as int) as date)"
+        ).alias("mid"),
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts").cast("date") <= F.col("mid")),
+                    1,
+                ).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts").cast("date") > F.col("mid")),
+                    1,
+                ).otherwise(0)
+            ).alias("p2"),
+        )
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1).otherwise(0)).alias("both_"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 0), 1).otherwise(0)).alias("neither"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0)).alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    ad = F.abs(F.col("b") - F.col("c"))
+    return cells.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("both_").cast("long").alias("converted_both"),
+        F.col("neither").cast("long").alias("converted_neither"),
+        F.col("b").cast("long").alias("early_only"),
+        F.col("c").cast("long").alias("late_only"),
+        (
+            F.round(
+                F.when(bc == 0, F.lit(0.0)).otherwise(
+                    (ad - F.lit(1.0)) * (ad - F.lit(1.0)) / bc
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("chi2_continuity"),
+        (
+            F.round(
+                F.when(bc == 0, F.lit(0.0)).otherwise(
+                    F.col("b").cast("double") / bc
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("early_share_of_switchers"),
+    )
