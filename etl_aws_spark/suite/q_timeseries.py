@@ -933,6 +933,142 @@ def window_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt–Winters additive: exact binary fractions -> bit-exact fold chains
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD = 0.5, 0.25, 0.25, 7
+
+
+@query(
+    "window_holt_winters_additive",
+    # the accumulator is a 9-array [level, trend, s1..s7] where the
+    # seasonal slots form a ROTATING queue: slot 3 is always the seasonal
+    # state about to be consumed (s_{t-m}); each step drops it, appends
+    # the refreshed seasonal at the tail. Values are exact integer cents
+    # cast to double, so every engine folds the identical IEEE op chain.
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS d,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderpriority, o_orderdate
+    ), s AS (
+      SELECT pri, list(CAST(cents AS DOUBLE) ORDER BY d) AS vv,
+             count(*) AS n
+      FROM daily GROUP BY pri HAVING count(*) >= 2 * {_HW_PERIOD}
+    ), i AS (
+      SELECT pri, vv, n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               vv[1:{_HW_PERIOD}]), (acc, v) -> acc + v)
+               / {float(_HW_PERIOD)} AS l0
+      FROM s
+    ), f AS (
+      SELECT pri, n,
+             list_reduce(
+               list_prepend(
+                 list_concat([l0, CAST(0.0 AS DOUBLE)],
+                             list_transform(vv[1:{_HW_PERIOD}], v -> v - l0)),
+                 list_transform(vv[{_HW_PERIOD + 1}:],
+                   v -> [v, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+               (acc, x) -> list_concat(
+                 list_concat(
+                   [{_HW_ALPHA} * (x[1] - acc[3])
+                      + {1.0 - _HW_ALPHA} * (acc[1] + acc[2]),
+                    {_HW_BETA} * (({_HW_ALPHA} * (x[1] - acc[3])
+                        + {1.0 - _HW_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                      + {1.0 - _HW_BETA} * acc[2]],
+                   acc[4:{_HW_PERIOD + 2}]),
+                 [{_HW_GAMMA} * (x[1] - ({_HW_ALPHA} * (x[1] - acc[3])
+                      + {1.0 - _HW_ALPHA} * (acc[1] + acc[2])))
+                    + {1.0 - _HW_GAMMA} * acc[3]])
+             ) AS st
+      FROM i
+    )
+    SELECT pri AS priority, CAST(n AS BIGINT) AS n_days,
+           round(st[1] / 100.0, 4) + 0.0 AS level,
+           round(st[2] / 100.0, 4) + 0.0 AS trend,
+           round((st[1] + st[2] + st[3]) / 100.0, 4) + 0.0 AS forecast_next,
+           round((list_max(st[3:{_HW_PERIOD + 2}])
+                  - list_min(st[3:{_HW_PERIOD + 2}])) / 100.0, 4) + 0.0
+             AS seas_amplitude
+    FROM f
+    """,
+    category="timeseries",
+)
+def window_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE triple-exponential smoothing per priority
+    class: level + linear trend + a period-7 additive seasonal cycle over
+    the ascending-date daily-revenue series — the full seasonal upgrade
+    of `window_holt_linear_forecast` (Holt tracks trend but lags any
+    weekly cycle; HW carries both). α=1/2, β=1/4, γ=1/4 are exact binary
+    fractions; daily revenue is summed as exact integer cents (order-free
+    determinism) then cast to double, so the recurrence is one identical
+    IEEE op chain on both engines. The seasonal states live in a rotating
+    7-slot queue inside the fold's array accumulator: slot 3 is always
+    s_{t-m}, consumed then re-appended refreshed — no positional
+    arithmetic, no modular indexing. Initialization: level = mean of the
+    first 7 daily values, trend = 0, seasonals = first-week deviations.
+
+    Scale shape (100 TB): the fact table collapses to the |priority|×|days|
+    daily frame in ONE map-side-combined hash aggregate; the sequential
+    fold runs over calendar-bounded series (|days| per priority), never
+    corpus-sized data, and is embarrassingly parallel across series.
+    Reference analogue: the seasonal step beyond `src/model/train.py`'s
+    SARIMAX seasonal order, re-expressed as a declarative fold."""
+    orders = load(spark, sf_dir, "orders")
+    m = _HW_PERIOD
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    daily = orders.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    s = (
+        daily.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(o_orderdate, cents))), "
+                "x -> cast(x.cents as double))"
+            ).alias("vv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2 * m)
+    )
+    i = s.withColumn(
+        "l0",
+        F.expr(
+            f"aggregate(slice(vv, 1, {m}), cast(0.0 as double), "
+            f"(acc, v) -> acc + v) / {float(m)}D"
+        ),
+    )
+    lvl, tr, sold = "element_at(acc, 1)", "element_at(acc, 2)", "element_at(acc, 3)"
+    newl = f"({a}D * (x - {sold}) + {1.0 - a}D * ({lvl} + {tr}))"
+    newt = f"({b}D * ({newl} - {lvl}) + {1.0 - b}D * {tr})"
+    news = f"({g}D * (x - {newl}) + {1.0 - g}D * {sold})"
+    init = (
+        f"concat(array(l0, cast(0.0 as double)), "
+        f"transform(slice(vv, 1, {m}), v -> v - l0))"
+    )
+    fold = (
+        f"aggregate(slice(vv, {m + 1}, size(vv) - {m}), {init}, "
+        f"(acc, x) -> concat(array({newl}, {newt}), "
+        f"slice(acc, 4, {m - 1}), array({news})))"
+    )
+    st = i.withColumn("st", F.expr(fold))
+    seas = f"slice(st, 3, {m})"
+    return st.select(
+        F.col("pri").alias("priority"),
+        F.col("n").cast("long").alias("n_days"),
+        rnd(F.expr("element_at(st, 1)") / 100.0).alias("level"),
+        rnd(F.expr("element_at(st, 2)") / 100.0).alias("trend"),
+        rnd(
+            F.expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3)")
+            / 100.0
+        ).alias("forecast_next"),
+        rnd(
+            (F.expr(f"array_max({seas})") - F.expr(f"array_min({seas})")) / 100.0
+        ).alias("seas_amplitude"),
+    )
+
+
 _OHLC_BAR_US = 6 * 3600 * 1000000  # 6-hour bars
 
 
