@@ -1178,3 +1178,112 @@ def model_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("p"), 6) + F.lit(0.0)).alias("mean_pred"),
         (F.round(F.avg("y"), 6) + F.lit(0.0)).alias("actual_rate"),
     )
+
+
+@query(
+    "model_roc_auc_exact",
+    # histogram formulation of AUC: the probability a random positive
+    # outscores a random negative (ties count half) — exactly the
+    # Mann-Whitney U_pos / (n_pos * n_neg), computed from per-score
+    # (pos, neg) cells + one cumulative window over |distinct scores|.
+    # Integer-exact until the final divisions.
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                 ELSE 0 END) AS cents
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS mu FROM t
+    ), u AS (
+      SELECT score,
+             CASE WHEN CAST(cents AS DOUBLE) > m.mu THEN 1 ELSE 0 END AS is_pos
+      FROM t CROSS JOIN m
+    ), h AS (
+      SELECT score,
+             sum(is_pos) AS np_v,
+             sum(1 - is_pos) AS nn_v
+      FROM u GROUP BY score
+    ), c AS (
+      SELECT score, np_v, nn_v,
+             coalesce(sum(nn_v) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumn_lt
+      FROM h
+    ), tot AS (
+      SELECT sum(np_v) AS np, sum(nn_v) AS nn FROM h
+    ), a AS (
+      SELECT sum(np_v * (cumn_lt + 0.5 * nn_v)) AS u_stat FROM c
+    )
+    SELECT CAST(tot.np AS BIGINT) AS n_pos,
+           CAST(tot.nn AS BIGINT) AS n_neg,
+           round(a.u_stat, 4) + 0.0 AS u_stat,
+           round(a.u_stat / (tot.np * tot.nn), 6) + 0.0 AS auc,
+           round(2.0 * a.u_stat / (tot.np * tot.nn) - 1.0, 6) + 0.0 AS gini
+    FROM a CROSS JOIN tot
+    """,
+    category="ml",
+)
+def model_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of a ranking score (per-user click count) against a
+    binary label (above-mean total purchase spend) — the standard offline
+    eval of any propensity / quality ranker, computed WITHOUT sorting N
+    rows: AUC = P(score_pos > score_neg) + 0.5*P(tie) is the normalized
+    Mann-Whitney U, so scores pre-aggregate to per-value (n_pos, n_neg)
+    histogram cells and one cumulative window over |distinct scores|
+    (bounded by max user activity, not corpus size) finishes the job —
+    the same scale-safe rank formulation as `stat_mann_whitney_u`.
+    Gini = 2*AUC - 1 comes free. Everything is exact integer arithmetic
+    until the final two divisions, so the hash is deterministic.
+
+    Scale shape (100 TB): one map-side-combined user aggregate, one
+    |distinct scores| histogram, one tiny window. No global sort of the
+    score column (the textbook trapezoid formulation needs one); no ties
+    approximation. Reference analogue: the eval step the notebooks'
+    sklearn `roc_auc_score` calls (src/model/train.py metrics block),
+    re-expressed as distributed exact arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value").cast("double") * 100.0).cast("long"),
+            ).otherwise(0)
+        ).alias("cents"),
+    )
+    m = t.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    u = t.crossJoin(F.broadcast(m)).select(
+        "score",
+        F.when(F.col("cents").cast("double") > F.col("mu"), 1)
+        .otherwise(0)
+        .alias("is_pos"),
+    )
+    h = u.groupBy("score").agg(
+        F.sum("is_pos").alias("np_v"),
+        F.sum(F.lit(1) - F.col("is_pos")).alias("nn_v"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn("cumn_lt", F.coalesce(F.sum("nn_v").over(w), F.lit(0)))
+    tot = h.agg(F.sum("np_v").alias("np"), F.sum("nn_v").alias("nn"))
+    a = c.agg(
+        F.sum(
+            F.col("np_v") * (F.col("cumn_lt") + 0.5 * F.col("nn_v"))
+        ).alias("u_stat")
+    )
+    auc = F.col("u_stat") / (F.col("np") * F.col("nn"))
+    return a.crossJoin(F.broadcast(tot)).select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        rnd(F.col("u_stat")).alias("u_stat"),
+        (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+        (F.round(2.0 * auc - 1.0, 6) + F.lit(0.0)).alias("gini"),
+    )
