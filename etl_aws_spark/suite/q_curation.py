@@ -1146,3 +1146,101 @@ def curation_mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataF
             4,
         ).alias("effective_epochs"),
     )
+
+
+@query(
+    "curation_rater_agreement_kappa",
+    # 2x2 confusion of two deterministic quality raters -> Cohen's kappa.
+    # Pure integer counts until the three final divisions, identical op
+    # order on both engines.
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(text) - length(replace(text, '.', '')) >= 2
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), c AS (
+      SELECT count(*) AS n,
+             sum(a * b) AS n11,
+             sum(a * (1 - b)) AS n10,
+             sum((1 - a) * b) AS n01,
+             sum((1 - a) * (1 - b)) AS n00,
+             sum(a) AS na, sum(b) AS nb
+      FROM r
+    ), p AS (
+      SELECT n, n11, n10, n01, n00,
+             (n11 + n00) / CAST(n AS DOUBLE) AS po,
+             (CAST(na AS DOUBLE) * nb + CAST((n - na) AS DOUBLE) * (n - nb))
+               / (CAST(n AS DOUBLE) * n) AS pe
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS both_keep,
+           CAST(n10 AS BIGINT) AS only_len,
+           CAST(n01 AS BIGINT) AS only_punct,
+           CAST(n00 AS BIGINT) AS both_drop,
+           round(po, 6) + 0.0 AS p_observed,
+           round(pe, 6) + 0.0 AS p_expected,
+           round((po - pe) / (1.0 - pe), 6) + 0.0 AS kappa
+    FROM p
+    """,
+    category="curation",
+)
+def curation_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters —
+    a length rule (n_chars >= 200) and a structure rule (>= 2 sentence
+    terminators). Kappa corrects raw agreement for chance: two filters
+    that each keep 90% of a corpus agree 82% by luck alone, so curation
+    pipelines report kappa, not overlap, when deciding whether a cheap
+    heuristic can replace an expensive classifier. po and pe come from
+    ONE map-side-combined aggregate over the 2x2 confusion counts —
+    integer-exact until three scalar divisions.
+
+    Scale shape (100 TB): a single full-scan aggregate with no shuffle
+    beyond the 1-row combine; both raters are codegen-resident character
+    arithmetic. Adding raters = adding columns, not passes."""
+    docs = load(spark, sf_dir, "documents")
+    r = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text") - F.length(F.regexp_replace("text", "\\.", ""))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+    )
+    p = c.select(
+        "n", "n11", "n10", "n01", "n00",
+        ((F.col("n11") + F.col("n00")) / F.col("n").cast("double")).alias("po"),
+        (
+            (
+                F.col("na").cast("double") * F.col("nb")
+                + (F.col("n") - F.col("na")).cast("double")
+                * (F.col("n") - F.col("nb"))
+            )
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("pe"),
+    )
+    return p.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("both_keep"),
+        F.col("n10").cast("long").alias("only_len"),
+        F.col("n01").cast("long").alias("only_punct"),
+        F.col("n00").cast("long").alias("both_drop"),
+        (F.round(F.col("po"), 6) + F.lit(0.0)).alias("p_observed"),
+        (F.round(F.col("pe"), 6) + F.lit(0.0)).alias("p_expected"),
+        (
+            F.round((F.col("po") - F.col("pe")) / (1.0 - F.col("pe")), 6)
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )
