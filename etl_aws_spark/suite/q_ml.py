@@ -1287,3 +1287,190 @@ def model_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
         (F.round(2.0 * auc - 1.0, 6) + F.lit(0.0)).alias("gini"),
     )
+
+
+def _gmm_oracle_sql(iters: int) -> str:
+    """Materialized-CTE replay of the histogram-domain EM loop: iteration
+    k's cells CTE joins the params CTE i{k-1}, the six responsibility
+    folds run in ascending-cents order, and every double op is the same
+    IEEE chain the Spark driver loop executes (the BPE-training oracle
+    pattern). exp() is the only transcendental — nudge-rounded to 8
+    digits before the weight products on both engines."""
+    e = (
+        "(round(exp(-least(((CAST(x.vc AS DOUBLE) - i.mu{j}) / i.s{j})"
+        " * ((CAST(x.vc AS DOUBLE) - i.mu{j}) / i.s{j}) / 2.0, 18.0))"
+        " + 1e-9, 8) + 0.0)"
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({t} ORDER BY vc)), (a, y) -> a + y)"
+    )
+    parts = [
+        """
+    WITH h AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vc,
+             count(*) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), tot AS (
+      SELECT sum(c * vc) AS s, sum(c * vc * vc) AS q,
+             sum(c) AS n, count(*) AS ncells
+      FROM h
+    ), g AS (
+      SELECT CAST(n AS DOUBLE) AS nd, n, ncells,
+             CAST(s AS DOUBLE) / n AS mu,
+             sqrt(greatest(CAST(q AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                  1.0)) AS sg
+      FROM tot
+    ), i0 AS (
+      SELECT 0.5 AS pi1, mu - sg / 2.0 AS mu1, sg AS s1,
+             mu + sg / 2.0 AS mu2, sg AS s2
+      FROM g
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        w1 = f"i.pi1 * {e.format(j=1)} / i.s1"
+        w2 = f"(1.0 - i.pi1) * {e.format(j=2)} / i.s2"
+        parts.append(
+            f""", c{k} AS (
+      SELECT vc, c, v,
+             CASE WHEN (w1 + w2) <= 0.0 THEN 0.5
+                  ELSE w1 / (w1 + w2) END AS r
+      FROM (
+        SELECT x.vc, x.c, CAST(x.vc AS DOUBLE) AS v,
+               {w1} AS w1,
+               {w2} AS w2
+        FROM h x CROSS JOIN i{k - 1} i
+      )
+    ), a{k} AS (
+      SELECT {fold.format(t="c * r")} AS n1,
+             {fold.format(t="c * r * v")} AS s1sum,
+             {fold.format(t="c * r * v * v")} AS q1,
+             {fold.format(t="c * (1.0 - r)")} AS n2,
+             {fold.format(t="c * (1.0 - r) * v")} AS s2sum,
+             {fold.format(t="c * (1.0 - r) * v * v")} AS q2
+      FROM c{k}
+    ), i{k} AS (
+      SELECT a.n1 / g.nd AS pi1,
+             a.s1sum / a.n1 AS mu1,
+             sqrt(greatest(a.q1 / a.n1
+                  - (a.s1sum / a.n1) * (a.s1sum / a.n1), 1.0)) AS s1,
+             a.s2sum / a.n2 AS mu2,
+             sqrt(greatest(a.q2 / a.n2
+                  - (a.s2sum / a.n2) * (a.s2sum / a.n2), 1.0)) AS s2
+      FROM a{k} a CROSS JOIN g
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(g.n AS BIGINT) AS n_obs,
+           CAST(g.ncells AS BIGINT) AS n_cells,
+           round(i.pi1 + sign(i.pi1) * 1e-9, 6) + 0.0 AS pi1,
+           round(i.mu1 / 100.0 + sign(i.mu1 / 100.0) * 1e-9, 6) + 0.0 AS mu1,
+           round(i.s1 / 100.0 + sign(i.s1 / 100.0) * 1e-9, 6) + 0.0 AS sigma1,
+           round(i.mu2 / 100.0 + sign(i.mu2 / 100.0) * 1e-9, 6) + 0.0 AS mu2,
+           round(i.s2 / 100.0 + sign(i.s2 / 100.0) * 1e-9, 6) + 0.0 AS sigma2
+    FROM i{iters} i CROSS JOIN g"""
+    )
+    return "".join(parts)
+
+
+_GMM_ITERS = 5
+
+
+@query(
+    "model_gmm_em_univariate",
+    oracle=_gmm_oracle_sql(_GMM_ITERS),
+    category="ml",
+)
+def model_gmm_em_univariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component univariate Gaussian-mixture fit by {n} fixed EM
+    iterations over purchase values — run in the HISTOGRAM domain:
+    2-decimal prices collapse to |distinct cents| cells first, so the
+    E-step responsibilities and the six M-step moment folds touch
+    |cells| rows per iteration, never N. Mixture params are O(1) MODEL
+    STATE collected to the driver between iterations and re-broadcast as
+    plan-time literals (the `kmeans_iterate` pattern, SCALE.md §5) — no
+    join, no corpus shuffle; the only aggregate is map-side combined.
+
+    Determinism: initialization comes from exact integer sums (Σc, Σcv,
+    Σcv² in cents), every update is the identical IEEE op chain on both
+    engines (driver Python doubles == engine doubles), exp() — the one
+    transcendental — is nudge-rounded to 8 digits before the weight
+    products, the responsibility folds run in ascending-cents order, and
+    a degenerate cell (both weights underflow) gets r=1/2 by definition.
+    Variance floors at 1 cent² so components can't collapse. Reference
+    analogue: the latent-regime step beyond `src/model/train.py`'s
+    point-estimate fits; public EM formulation (Dempster et al. 1977).
+    """.format(
+        n=_GMM_ITERS
+    )
+    import math
+
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    h = (
+        ev.groupBy(
+            F.round(F.col("value").cast("double") * 100.0)
+            .cast("long")
+            .alias("vc")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    t = h.agg(
+        F.sum(F.col("c") * F.col("vc")).alias("s"),
+        F.sum(F.col("c") * F.col("vc") * F.col("vc")).alias("q"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("ncells"),
+    ).collect()[0]
+    s_i, q_i, n_i, ncells = t["s"], t["q"], t["n"], t["ncells"]
+    nd = float(n_i)
+    mu = float(s_i) / n_i
+    sg = math.sqrt(max(float(q_i) / n_i - mu * mu, 1.0))
+    pi1, mu1, s1, mu2, s2 = 0.5, mu - sg / 2.0, sg, mu + sg / 2.0, sg
+
+    def weight(pi: float, m: float, sd: float, sign_pi: bool) -> "F.Column":
+        v = F.col("vc").cast("double")
+        d = (v - F.lit(m)) / F.lit(sd)
+        e = F.round(
+            F.exp(-F.least(d * d / F.lit(2.0), F.lit(18.0))) + F.lit(1e-9), 8
+        ) + F.lit(0.0)
+        p = F.lit(pi) if not sign_pi else (F.lit(1.0) - F.lit(pi))
+        return p * e / F.lit(sd)
+
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(vc, {t} as tv))), "
+        "x -> x.tv), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    for _ in range(_GMM_ITERS):
+        w1, w2 = weight(pi1, mu1, s1, False), weight(pi1, mu2, s2, True)
+        cells = h.select(
+            "vc",
+            "c",
+            F.col("vc").cast("double").alias("v"),
+            F.when(w1 + w2 <= 0.0, 0.5).otherwise(w1 / (w1 + w2)).alias("r"),
+        )
+        row = cells.agg(
+            F.expr(fold.format(t="c * r")).alias("n1"),
+            F.expr(fold.format(t="c * r * v")).alias("s1sum"),
+            F.expr(fold.format(t="c * r * v * v")).alias("q1"),
+            F.expr(fold.format(t="c * (1.0D - r)")).alias("n2"),
+            F.expr(fold.format(t="c * (1.0D - r) * v")).alias("s2sum"),
+            F.expr(fold.format(t="c * (1.0D - r) * v * v")).alias("q2"),
+        ).collect()[0]
+        pi1 = row["n1"] / nd
+        mu1 = row["s1sum"] / row["n1"]
+        s1 = math.sqrt(max(row["q1"] / row["n1"] - mu1 * mu1, 1.0))
+        mu2 = row["s2sum"] / row["n2"]
+        s2 = math.sqrt(max(row["q2"] / row["n2"] - mu2 * mu2, 1.0))
+    return spark.range(1).select(
+        F.lit(int(n_i)).cast("long").alias("n_obs"),
+        F.lit(int(ncells)).cast("long").alias("n_cells"),
+        rnd_nudged(F.lit(pi1), 6).alias("pi1"),
+        rnd_nudged(F.lit(mu1 / 100.0), 6).alias("mu1"),
+        rnd_nudged(F.lit(s1 / 100.0), 6).alias("sigma1"),
+        rnd_nudged(F.lit(mu2 / 100.0), 6).alias("mu2"),
+        rnd_nudged(F.lit(s2 / 100.0), 6).alias("sigma2"),
+    )
