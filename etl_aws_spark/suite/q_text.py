@@ -2624,3 +2624,61 @@ def text_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("n_neighbors"),
         )
     )
+
+
+@query(
+    "text_phonetic_confusion_sets",
+    # vocab-level phonetic blocking: |vocab| is Heaps-bounded, the code is
+    # an identical string-op chain in both dialects, and groups collapse
+    # by exact count — no floats anywhere.
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT t AS word
+      FROM documents, unnest({D.tokens('text', D.DUCK)}) AS u(t)
+      WHERE regexp_matches(t, '^[a-z]{{3,}}$')
+    ), c AS (
+      SELECT word, {D.soundex_simplified('word', D.DUCK)} AS code FROM w
+    )
+    SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+           min(word) AS first_word, max(word) AS last_word
+    FROM c GROUP BY code HAVING count(*) >= 2
+    """,
+    category="text",
+)
+def text_phonetic_confusion_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic confusion sets over the corpus vocabulary: every
+    simplified-soundex code shared by >= 2 distinct words — the phonetic
+    blocking key of classic entity resolution (Robert/Rupert -> R163),
+    and the spelling-variant detector a text-normalization pass runs
+    before token-level dedup. The code is one translate + 6 run-collapse
+    regexes + pad (`_dialect.soundex_simplified`), an IDENTICAL
+    deterministic chain in Spark and DuckDB, so the grouped sets match
+    exactly; h/w/y map to the vowel class (the documented simplified
+    variant -- full soundex's h/w separator rule needs backreferences
+    RE2 lacks).
+
+    Scale shape (100 TB): tokens collapse to the DISTINCT vocabulary
+    first (Heaps-bounded, corpus-size-free), the code is codegen-resident
+    string arithmetic on |vocab| rows, and the group-by shuffles only
+    (code, word) pairs. No pair join at all — phonetic blocking IS the
+    bucket."""
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(F.expr(D.tokens("text", D.SPARK))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    c = w.select(
+        "word", F.expr(D.soundex_simplified("word", D.SPARK)).alias("code")
+    )
+    return (
+        c.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.min("word").alias("first_word"),
+            F.max("word").alias("last_word"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )

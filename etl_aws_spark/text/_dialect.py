@@ -148,3 +148,29 @@ def winnow_fingerprints(col: str, k: int, w: int, dialect: str) -> str:
         f"list_distinct(list_transform(range(1, len({hts}) - {w} + 2), "
         f"i -> list_min(({hts})[i:i + {w} - 1])))"
     )
+
+
+def soundex_simplified(col: str, dialect: str) -> str:
+    """Simplified soundex code of a lowercase alphabetic word — IDENTICAL
+    string-op chain in both dialects (the h/w separator rule of full
+    soundex is deliberately dropped: h/w/y map to the vowel class, the
+    common 'simplified soundex' variant), so the code is an exact
+    cross-engine phonetic blocking key. translate() maps letters to the
+    standard digit classes, runs of the same consonant class collapse
+    (regexp, no backreferences — RE2-safe), the vowel class is stripped,
+    the first letter's own class digit is dropped, and the code pads to
+    letter + 3 digits."""
+    m = (
+        f"translate({col}, 'abcdefghijklmnopqrstuvwxyz', "
+        f"'01230120022455012623010202')"
+    )
+    g = ", 'g'" if dialect == DUCK else ""
+    mc = m
+    for d in "123456":
+        mc = f"regexp_replace({mc}, '{d}+', '{d}'{g})"
+    return (
+        f"(upper(substr({col}, 1, 1)) || substr(rpad("
+        f"CASE WHEN substr({m}, 1, 1) <> '0' "
+        f"THEN substr(replace({mc}, '0', ''), 2) "
+        f"ELSE replace({mc}, '0', '') END, 3, '0'), 1, 3))"
+    )
