@@ -1474,3 +1474,120 @@ def model_gmm_em_univariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(F.lit(mu2 / 100.0), 6).alias("mu2"),
         rnd_nudged(F.lit(s2 / 100.0), 6).alias("sigma2"),
     )
+
+
+@query(
+    "model_ndcg_ranking_eval",
+    # top-20 by score and ideal top-20 by relevance both come from
+    # orderBy().limit(20) (TakeOrderedAndProject); ranks attach on the
+    # 20-row frames; log2 — the one transcendental — is nudge-rounded to
+    # 8 digits before the division; per-k folds walk rank order.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+             least(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                   10) AS rel
+      FROM events GROUP BY user_id
+    ), top AS (
+      SELECT rel, row_number() OVER (ORDER BY score DESC, user_id) AS rk
+      FROM u ORDER BY score DESC, user_id LIMIT 20
+    ), ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, user_id) AS rk
+      FROM u ORDER BY rel DESC, user_id LIMIT 20
+    ), terms AS (
+      SELECT rk,
+             (power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+               / (round(log2(CAST(rk + 1 AS DOUBLE)) + 1e-9, 8) + 0.0) AS t
+      FROM top
+    ), iterms AS (
+      SELECT rk,
+             (power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+               / (round(log2(CAST(rk + 1 AS DOUBLE)) + 1e-9, 8) + 0.0) AS t
+      FROM ideal
+    ), ks AS (SELECT unnest([5, 10, 20]) AS k),
+    d AS (
+      SELECT ks.k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(terms.t ORDER BY terms.rk)), (a, x) -> a + x) AS dcg
+      FROM ks JOIN terms ON terms.rk <= ks.k GROUP BY ks.k
+    ), i AS (
+      SELECT ks.k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(iterms.t ORDER BY iterms.rk)), (a, x) -> a + x) AS idcg
+      FROM ks JOIN iterms ON iterms.rk <= ks.k GROUP BY ks.k
+    )
+    SELECT CAST(d.k AS INT) AS k,
+           round(d.dcg, 6) + 0.0 AS dcg,
+           round(i.idcg, 6) + 0.0 AS idcg,
+           round(d.dcg / i.idcg, 6) + 0.0 AS ndcg
+    FROM d JOIN i ON d.k = i.k
+    """,
+    category="ml",
+)
+def model_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{5,10,20} of the click-count ranker against graded purchase
+    relevance (capped at 10) — the position-weighted ranking metric that
+    AUC can't see: AUC scores the whole ordering, nDCG concentrates on
+    the head a retrieval/curation system actually serves. Both the
+    scored top-20 and the ideal top-20 come from `orderBy().limit(20)`
+    (TakeOrderedAndProject: mergeable per-partition top-k, never a
+    global sort), ranks attach on the 20-row frames, and the per-k DCG
+    folds walk rank order so the sums are bit-exact. log2 — the one
+    transcendental — is nudge-rounded to 8 digits before the division
+    (the periodogram trig recipe).
+
+    Scale shape (100 TB): one map-side-combined user aggregate, two
+    top-20s, arithmetic on <= 20 rows. Reference analogue: the ranking
+    leg of the eval the notebooks run point-metrics for
+    (src/model/train.py), made exact and distributed."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
+            F.lit(10),
+        ).alias("rel"),
+    )
+
+    def _ranked_terms(df: DataFrame, order_col: str) -> DataFrame:
+        top = df.orderBy(F.desc(order_col), "user_id").limit(20)
+        w = Window.orderBy(F.desc(order_col), "user_id")
+        r = top.withColumn("rk", F.row_number().over(w))
+        lg = F.round(
+            F.log2((F.col("rk") + 1).cast("double")) + F.lit(1e-9), 8
+        ) + F.lit(0.0)
+        return r.select(
+            "rk",
+            (
+                (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0) / lg
+            ).alias("t"),
+        )
+
+    terms = _ranked_terms(u, "score")
+    iterms = _ranked_terms(u, "rel")
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(rk, t))), "
+        "x -> x.t), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    d = (
+        ks.join(terms, terms["rk"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.expr(fold).alias("dcg"))
+    )
+    i = (
+        ks.join(iterms, iterms["rk"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.expr(fold).alias("idcg"))
+    )
+    return d.join(i, "k").select(
+        F.col("k").cast("int").alias("k"),
+        (F.round(F.col("dcg"), 6) + F.lit(0.0)).alias("dcg"),
+        (F.round(F.col("idcg"), 6) + F.lit(0.0)).alias("idcg"),
+        (F.round(F.col("dcg") / F.col("idcg"), 6) + F.lit(0.0)).alias("ndcg"),
+    )

@@ -495,6 +495,7 @@ def test_unpartitioned_windows_are_on_bounded_frames_only():
         ("suite/q_timeseries.py", "stat_ks_two_sample"): "cum over |distinct 2-decimal values| (domain-bounded)",
         ("suite/q_timeseries.py", "stat_mann_whitney_u"): "cum over |distinct 2-decimal prices| (domain-bounded)",
         ("suite/q_ml.py", "model_roc_auc_exact"): "cum over |distinct per-user click counts| (activity-bounded)",
+        ("suite/q_ml.py", "_ranked_terms"): "ndcg rank attached on the 20-row post-limit frame",
         ("suite/q_aggregates.py", "stat_benjamini_hochberg_fdr"): "rank over |nations| p-values (25, schema-bounded)",
         ("suite/q_aggregates.py", "stat_poisson_bootstrap_ci"): "rank over B=|bootstrap replicates| means (fixed budget)",
         ("suite/q_timeseries.py", "stat_granger_causality"): "lag window over the |days| daily frame (calendar-bounded)",
