@@ -685,3 +685,95 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("fp").cast("double") / F.lit(float(_HITS_FP)), 6).alias("score"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    # Pearson correlation of endpoint degrees over the symmetric directed
+    # edge list: every moment is an exact integer sum (degrees are ints),
+    # so the statistic is deterministic regardless of summation order —
+    # doubles appear only in the final closed form.
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS (
+      SELECT s AS u, d AS v FROM pairs
+      UNION ALL SELECT d AS u, s AS v FROM pairs
+    ), deg AS (
+      SELECT u AS id, count(*) AS degree FROM sym GROUP BY u
+    ), ed AS (
+      SELECT du.degree AS x, dv.degree AS y
+      FROM sym JOIN deg du ON sym.u = du.id
+               JOIN deg dv ON sym.v = dv.id
+    ), mom AS (
+      SELECT count(*) AS m, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(x * y) AS sxy
+      FROM ed
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           round((CAST(sxy AS DOUBLE) / m
+                  - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+                 / (CAST(sxx AS DOUBLE) / m
+                    - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)),
+                 6) + 0.0 AS assortativity
+    FROM mom
+    """,
+    category="graph",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the bought-together graph — the Pearson
+    correlation of endpoint degrees over the symmetric edge list
+    (Newman 2002): positive means hubs link to hubs (social-network
+    shape), negative means hubs link to leaves (dependency/star shape).
+    This single scalar decides which skew mitigation matters: a
+    disassortative graph concentrates wedge fan-out at hub cores
+    (degree-ordered orientation wins), an assortative one spreads it.
+    Because both endpoint marginals are identical on a symmetric edge
+    list, the formula collapses to (E[xy]-E[x]^2)/(E[x^2]-E[x]^2) with
+    every moment an exact INTEGER sum — no fold ordering, no rounding
+    bridge, deterministic by arithmetic.
+
+    Scale shape (100 TB): degrees come from one map-side-combined count;
+    attaching them to edges is two hash joins on node id (the same
+    shuffle key), and the moment aggregate is a 1-row combine. Nothing
+    quadratic, nothing sorted."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+    )
+    sym = pairs.select(F.col("s").alias("u"), F.col("d").alias("v")).unionAll(
+        pairs.select(F.col("d").alias("u"), F.col("s").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+    ed = (
+        sym.join(deg.select(F.col("id").alias("u"), F.col("degree").alias("x")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("degree").alias("y")), "v")
+        .select("x", "y")
+    )
+    mom = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    mx = F.col("sx").cast("double") / F.col("m")
+    r = (F.col("sxy").cast("double") / F.col("m") - mx * mx) / (
+        F.col("sxx").cast("double") / F.col("m") - mx * mx
+    )
+    return mom.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("m") / F.lit(2)).cast("long").alias("n_edges"),
+        (F.round(r, 6) + F.lit(0.0)).alias("assortativity"),
+    )
