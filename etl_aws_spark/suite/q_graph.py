@@ -777,3 +777,114 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") / F.lit(2)).cast("long").alias("n_edges"),
         (F.round(r, 6) + F.lit(0.0)).alias("assortativity"),
     )
+
+
+_KCORE_KS = (2, 3)
+_KCORE_ROUNDS = 6
+
+
+def _duck_kcore_round(k: int, t: int) -> str:
+    """One peeling round: restrict edges to surviving endpoints, recount
+    degrees, keep nodes with degree >= k."""
+    return f"""
+    k{k}n{t} AS MATERIALIZED (
+      SELECT u AS id FROM sym
+      WHERE u IN (SELECT id FROM k{k}n{t - 1})
+        AND v IN (SELECT id FROM k{k}n{t - 1})
+      GROUP BY u HAVING count(*) >= {k}
+    )"""
+
+
+@query(
+    "graph_kcore_decomposition",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT s AS u, d AS v FROM pairs
+      UNION ALL SELECT d AS u, s AS v FROM pairs
+    ), k2n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+    k3n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+    {','.join(_duck_kcore_round(k, t) for k in _KCORE_KS
+              for t in range(1, _KCORE_ROUNDS + 1))}
+    SELECT k, n_core_nodes, n_core_edges FROM (
+      {' UNION ALL '.join(
+        f'''SELECT {k} AS k,
+               CAST((SELECT count(*) FROM k{k}n{_KCORE_ROUNDS}) AS BIGINT)
+                 AS n_core_nodes,
+               CAST((SELECT count(*) / 2 FROM sym
+                     WHERE u IN (SELECT id FROM k{k}n{_KCORE_ROUNDS})
+                       AND v IN (SELECT id FROM k{k}n{_KCORE_ROUNDS}))
+                    AS BIGINT) AS n_core_edges'''
+        for k in _KCORE_KS)}
+    )
+    """,
+    category="graph",
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition of the bought-together graph (k = 2, 3 after
+    {r} fixed peeling rounds): iteratively remove nodes with in-subgraph
+    degree < k until the k-core remains — the standard coreness filter a
+    dedup/community pipeline runs to separate tight clusters from chain
+    noise before expensive per-cluster work. Fixed round count keeps the
+    oracle an exact unrolled-CTE replay (the BFS/CC discipline); on this
+    graph the peel converges well inside {r} rounds, and the round count
+    is a documented contract, not a convergence guess.
+
+    Scale shape (100 TB): each round is one semi-join of the edge list
+    against the surviving-node set plus a map-side-combined degree
+    count — scalar (u, v) rows only, localCheckpoint flattening lineage
+    per round (the `graph_khop_reachability` pattern). Peeling touches
+    Σ|edges| per round with a fixed round budget — linear, never
+    quadratic. Counts are exact integers; no rounding bridge.""".format(
+        r=_KCORE_ROUNDS
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+    )
+    sym = (
+        pairs.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionAll(pairs.select(F.col("d").alias("u"), F.col("s").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for k in _KCORE_KS:
+        nodes = sym.select("u").distinct().withColumnRenamed("u", "id")
+        nodes = nodes.localCheckpoint(eager=True)
+        for _ in range(_KCORE_ROUNDS):
+            sub = sym.join(
+                nodes.withColumnRenamed("id", "u"), "u"
+            ).join(nodes.withColumnRenamed("id", "v"), "v")
+            nodes = (
+                sub.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("u").alias("id"))
+                .localCheckpoint(eager=True)
+            )
+        core_edges = (
+            sym.join(nodes.withColumnRenamed("id", "u"), "u")
+            .join(nodes.withColumnRenamed("id", "v"), "v")
+            .agg((F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_core_edges"))
+        )
+        n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_core_nodes"))
+        out.append(
+            n_nodes.crossJoin(core_edges).select(
+                F.lit(k).cast("int").alias("k"), "n_core_nodes", "n_core_edges"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
