@@ -868,3 +868,56 @@ def phash_images(df: DataFrame, n_freq: int = 4) -> DataFrame:
         "asset_id bigint, width int, height int, dc_sum bigint, "
         "mean_luma double, phash bigint",
     )
+
+
+_SPECTRAL_TWO_PI = 6.283185307179586  # the house 2π literal (q_timeseries)
+
+
+def audio_spectral_projection(
+    df: DataFrame, bins: tuple = (1, 2, 4, 8)
+) -> DataFrame:
+    """Arrow-batched single-bin Fourier PROJECTIONS over real WAV
+    decodes: for each normalized frequency bin ``k`` (cycles per clip),
+    the cos/sin projections A_k = Σ s_j·cb(j), B_k = Σ s_j·sb(j) with a
+    fixed-point 1e4-scaled trig basis (the `_dct_basis_fixed` recipe:
+    basis = round(trig·1e4 + sign·1e-3), so the basis integers — and
+    therefore every projection — are engine-exact int64s a SQL oracle
+    replays from the waveform generator). The power P_k = A_k² + B_k²
+    and spectral-centroid rollups belong to the calling query; this op
+    only emits the exact integers.
+
+    Output: long-form (asset_id, n_samples, k, a, b) — one row per
+    (clip, bin); no per-sample rows ever leave the task."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, _rate = decode_wav16(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                n = s.size
+                j = np.arange(n)
+                for k in bins:
+                    theta = _SPECTRAL_TWO_PI * k * j / n
+                    c = np.cos(theta)
+                    sn = np.sin(theta)
+                    cb = np.round(c * 10000.0 + np.sign(c) * 0.001).astype(
+                        np.int64
+                    )
+                    sb = np.round(sn * 10000.0 + np.sign(sn) * 0.001).astype(
+                        np.int64
+                    )
+                    rows.append(
+                        (int(aid), n, int(k), int((s * cb).sum()),
+                         int((s * sb).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_samples", "k", "a", "b"]
+            )
+
+    return df.mapInPandas(
+        run, "asset_id bigint, n_samples int, k int, a bigint, b bigint"
+    )

@@ -2911,3 +2911,86 @@ def stat_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("early_share_of_switchers"),
     )
+
+
+@query(
+    "quality_l_diversity",
+    # distinct-l-diversity over the same QI classes as quality_k_anonymity:
+    # pure integer counts — classes collapse first, sensitive diversity is
+    # a count distinct per class, thresholds fan out over the tiny frame.
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS class_size,
+             count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS INT))
+               AS n_sensitive
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), agg AS (
+      SELECT l.l,
+             count(*) AS n_classes,
+             sum(class_size) AS n_rows,
+             min(n_sensitive) AS min_diversity,
+             sum(CASE WHEN n_sensitive < l.l THEN 1 ELSE 0 END)
+               AS classes_below_l,
+             sum(CASE WHEN n_sensitive < l.l THEN class_size ELSE 0 END)
+               AS rows_below_l
+      FROM cls CROSS JOIN (VALUES (2), (3), (5)) l(l)
+      GROUP BY l.l
+    )
+    SELECT CAST(l AS INT) AS l,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(min_diversity AS BIGINT) AS min_diversity,
+           CAST(classes_below_l AS BIGINT) AS classes_below_l,
+           CAST(rows_below_l AS BIGINT) AS rows_at_risk,
+           round(100.0e0 * rows_below_l / n_rows, 4) + 0.0 AS pct_rows_at_risk,
+           CAST(min_diversity >= l AS INT) AS is_l_diverse
+    FROM agg
+    """,
+    category="aggregate",
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-DIVERSITY audit (Machanavajjhala 2007) over the same
+    quasi-identifier classes as `quality_k_anonymity`, with the account-
+    balance band (1000-unit buckets) as the sensitive attribute: a class
+    can be k-anonymous yet leak everything if all its members share one
+    sensitive value — l-diversity requires >= l DISTINCT sensitive values
+    per class. For l in {2, 3, 5}: classes below l, rows they expose, and
+    whether the release is l-diverse. The two audits together are the
+    standard pre-release privacy gate pair.
+
+    Shape: ONE groupBy collapses the corpus to |QI classes| rows (count
+    distinct folds map-side per class); thresholds fan out over that tiny
+    frame. Pure integer arithmetic — no rounding bridge needed beyond the
+    one percentage."""
+    cust = load(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000.0).cast("int")
+        ).alias("n_sensitive"),
+    )
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l int")
+    agg = cls.crossJoin(F.broadcast(ls)).groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("n_sensitive").alias("min_diversity"),
+        F.sum(F.when(F.col("n_sensitive") < F.col("l"), 1).otherwise(0)).alias(
+            "classes_below_l"
+        ),
+        F.sum(
+            F.when(F.col("n_sensitive") < F.col("l"), F.col("class_size")).otherwise(0)
+        ).alias("rows_below_l"),
+    )
+    return agg.select(
+        F.col("l").cast("int").alias("l"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_diversity").cast("long").alias("min_diversity"),
+        F.col("classes_below_l").cast("long").alias("classes_below_l"),
+        F.col("rows_below_l").cast("long").alias("rows_at_risk"),
+        rnd(F.lit(100.0) * F.col("rows_below_l") / F.col("n_rows"), 4).alias(
+            "pct_rows_at_risk"
+        ),
+        (F.col("min_diversity") >= F.col("l")).cast("int").alias("is_l_diverse"),
+    )

@@ -273,3 +273,100 @@ def sort_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "dedup_blocking_reduction_audit",
+    # Σ|b|(|b|-1)/2 per candidate blocking scheme — the quantity every
+    # blocked pair join in this repo is budgeted by, measured instead of
+    # assumed. Pure integer arithmetic until the final ratio.
+    oracle="""
+    WITH keys AS (
+      SELECT 'length_bucket' AS scheme,
+             CAST(n_chars // 100 AS VARCHAR) AS bk
+      FROM documents
+      UNION ALL
+      SELECT 'source_lang' AS scheme, source || ':' || lang AS bk
+      FROM documents
+      UNION ALL
+      SELECT 'prefix8' AS scheme, substr(trim(lower(text)), 1, 8) AS bk
+      FROM documents
+    ), blocks AS (
+      SELECT scheme, bk, count(*) AS c FROM keys GROUP BY scheme, bk
+    ), agg AS (
+      SELECT scheme,
+             sum(c) AS n_items,
+             count(*) AS n_blocks,
+             max(c) AS max_block_size,
+             sum(c * (c - 1) / 2) AS cand_pairs
+      FROM blocks GROUP BY scheme
+    )
+    SELECT scheme,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(max_block_size AS BIGINT) AS max_block_size,
+           CAST(cand_pairs AS BIGINT) AS cand_pairs,
+           round(1.0 - CAST(cand_pairs AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2.0), 6) + 0.0
+             AS reduction_ratio
+    FROM agg
+    """,
+    category="dedup",
+)
+def dedup_blocking_reduction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme REDUCTION-RATIO audit: for three candidate block
+    keys (length bucket, source:lang, 8-char text prefix), the exact
+    candidate-pair budget Σ|b|(|b|-1)/2 each scheme would feed a pair
+    join, versus the N(N-1)/2 unblocked quadratic — the pre-flight audit
+    every blocked dedup in this repo (`dedup_names_levenshtein`, the LSH
+    band family, `text_phonetic_confusion_sets`) implicitly budgets by,
+    here measured instead of assumed. max_block_size is the skew
+    headline: one hot block dominates the pair stage exactly the way one
+    hot key dominates a shuffle.
+
+    Shape: one scan fans out to (scheme, key) rows, one map-side-combined
+    count per block, one tiny per-scheme rollup. The audit costs a scan
+    regardless of corpus size — the pair joins it prices NEVER run here.
+    Integer-exact until the final ratio."""
+    docs = load(spark, sf_dir, "documents")
+    keys = (
+        docs.select(
+            F.lit("length_bucket").alias("scheme"),
+            F.expr("cast(n_chars div 100 as string)").alias("bk"),
+        )
+        .unionAll(
+            docs.select(
+                F.lit("source_lang").alias("scheme"),
+                F.concat_ws(":", "source", "lang").alias("bk"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                F.lit("prefix8").alias("scheme"),
+                F.substring(F.trim(F.lower(F.col("text"))), 1, 8).alias("bk"),
+            )
+        )
+    )
+    blocks = keys.groupBy("scheme", "bk").agg(F.count(F.lit(1)).alias("c"))
+    agg = blocks.groupBy("scheme").agg(
+        F.sum("c").alias("n_items"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("c").alias("max_block_size"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("cand_pairs"),
+    )
+    return agg.select(
+        "scheme",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("max_block_size").cast("long").alias("max_block_size"),
+        F.col("cand_pairs").cast("long").alias("cand_pairs"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("cand_pairs").cast("double")
+                / (F.col("n_items").cast("double") * (F.col("n_items") - 1) / 2.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("reduction_ratio"),
+    )
