@@ -1569,3 +1569,112 @@ def multimodal_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("mean_luma"), 6) + F.lit(0.0)).alias("mean_luma"),
         "phash",
     )
+
+
+@query(
+    "multimodal_audio_spectral_centroid",
+    # closed-form Fourier oracle: the fixed-point 1e4-scaled trig basis
+    # (nudged round — the pHash DCT recipe) makes every projection an
+    # exact BIGINT from the waveform generator; powers go to double with
+    # one identical rounding, the centroid folds the 4 bins in k order,
+    # and the dominant bin resolves by exact double equality with the
+    # per-clip max (tie to the lower bin).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ), pr AS (
+      SELECT d.doc_id, d.n, b.k,
+             sum((((d.doc_id * 131 + j.j * 17) % 4096) - 2048)
+                 * CAST(round(10000.0 * cos(6.283185307179586 * b.k * j.j / d.n)
+                        + sign(cos(6.283185307179586 * b.k * j.j / d.n)) * 0.001)
+                        AS BIGINT)) AS a,
+             sum((((d.doc_id * 131 + j.j * 17) % 4096) - 2048)
+                 * CAST(round(10000.0 * sin(6.283185307179586 * b.k * j.j / d.n)
+                        + sign(sin(6.283185307179586 * b.k * j.j / d.n)) * 0.001)
+                        AS BIGINT)) AS b
+      FROM d
+      CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k) b
+      JOIN (SELECT unnest(generate_series(0, 160)) AS j) j ON j.j < d.n
+      GROUP BY d.doc_id, d.n, b.k
+    ), p AS (
+      SELECT doc_id, n, k,
+             CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+               + CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS pw
+      FROM pr
+    ), m AS (
+      SELECT doc_id, max(pw) AS mp FROM p GROUP BY doc_id
+    ), agg AS (
+      SELECT p.doc_id, max(p.n) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(p.k * p.pw ORDER BY p.k)), (x, y) -> x + y) AS num,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(p.pw ORDER BY p.k)), (x, y) -> x + y) AS den,
+             min(CASE WHEN p.pw = m.mp THEN p.k END) AS dom,
+             max(m.mp) AS mp
+      FROM p JOIN m ON p.doc_id = m.doc_id
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(dom AS INT) AS dominant_bin,
+           round(num / den + sign(num / den) * 1e-9, 6) + 0.0
+             AS spectral_centroid,
+           round(mp / den + sign(mp / den) * 1e-9, 6) + 0.0
+             AS dominant_share
+    FROM agg
+    """,
+    category="multimodal",
+)
+def multimodal_audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL CENTROID + dominant frequency bin over real WAV decodes:
+    single-bin Fourier projections at normalized bins k ∈ {1,2,4,8}
+    cycles/clip with a fixed-point 1e4-scaled trig basis (the pHash DCT
+    determinism recipe), P_k = A_k² + B_k², centroid = Σk·P_k / ΣP_k —
+    the timbre/brightness feature an audio-curation pipeline buckets
+    clips by, and the dominant-bin share is its tonality gauge. The
+    decoder computes the exact int64 projections inside the Arrow batch
+    (`ops.audio_spectral_projection`); only (clip, bin) scalar rows leave
+    the task, and the oracle replays basis and projections closed-form
+    from the waveform generator — bit-exact through the final two nudged
+    roundings.
+
+    Scale shape (100 TB): per-clip work is O(n·|bins|) inside mapInPandas
+    — no per-sample rows shuffle; the rollup is a 4-row-per-clip
+    aggregate with k-ordered folds. Adding bins adds columns of work, not
+    passes over the audio bytes."""
+    wav = _wav_corpus(spark, sf_dir)
+    pr = ops.audio_spectral_projection(wav)
+    p = pr.select(
+        "asset_id",
+        "n_samples",
+        "k",
+        (
+            F.col("a").cast("double") * F.col("a").cast("double")
+            + F.col("b").cast("double") * F.col("b").cast("double")
+        ).alias("pw"),
+    )
+    m = p.groupBy("asset_id").agg(F.max("pw").alias("mp"))
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(k, {t} as tv))), "
+        "x -> x.tv), cast(0.0 as double), (x, y) -> x + y)"
+    )
+    agg = (
+        p.join(m, "asset_id")
+        .groupBy("asset_id")
+        .agg(
+            F.max("n_samples").alias("n"),
+            F.expr(fold.format(t="k * pw")).alias("num"),
+            F.expr(fold.format(t="pw")).alias("den"),
+            F.min(F.when(F.col("pw") == F.col("mp"), F.col("k"))).alias("dom"),
+            F.max("mp").alias("mp"),
+        )
+    )
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    return agg.select(
+        "asset_id",
+        F.col("n").cast("int").alias("n_samples"),
+        F.col("dom").cast("int").alias("dominant_bin"),
+        rnd_nudged(F.col("num") / F.col("den"), 6).alias("spectral_centroid"),
+        rnd_nudged(F.col("mp") / F.col("den"), 6).alias("dominant_share"),
+    )
