@@ -432,3 +432,67 @@ def kmv_merge_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def bloom_merge_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    group_cols: list[str],
+    m_bits: int = 8192,
+    n_hashes: int = 2,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch BLOOM-FILTER maintenance: each micro-batch builds its
+    own packed-word partial (the `operators.sketch.bloom_bits` position
+    family: md5-derived positions, 32-bit lanes so DuckDB's checked shift
+    never sees 1<<63) and merges into the parquet state by BITWISE OR per
+    (group, word_idx) — associative and idempotent exactly like HLL's
+    register max (a set bit stays set; replaying a batch re-ORs the same
+    bits). So the streamed filter EQUALS the batch-built filter
+    regardless of batch boundaries — the batch-parity invariant the
+    oracle checks, occupancy estimate included. State is at most
+    |groups|·m_bits/32 rows forever, and membership probes served from it
+    never touch the raw log."""
+    from etl_aws_spark.text import _dialect as D
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay: bit_or merge is idempotent
+        pos_exprs = [
+            F.expr(
+                "(%s) %% %d"
+                % (D.hash60("concat('bloom%d:', key)" % j, D.SPARK), m_bits)
+            )
+            for j in range(n_hashes)
+        ]
+        keys = batch_df.select(
+            *group_cols, F.col(key_col).cast("string").alias("key")
+        )
+        pos = keys.select(*group_cols, F.explode(F.array(*pos_exprs)).alias("p"))
+        g = (
+            pos.select(
+                *group_cols,
+                F.expr("p div 32").cast("int").alias("word_idx"),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(p % 32 as int))"
+                ).alias("word"),
+            )
+            .groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*g.columns)
+            g = (
+                g.unionByName(prev)
+                .groupBy(*group_cols, "word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        _commit_state(g, state_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1241,3 +1241,102 @@ def streaming_kalman_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(F.col("variance"), 6).alias("variance"),
         "n",
     )
+
+
+@query(
+    "streaming_sketch_bloom_membership",
+    # batch parity: bit_or is associative and idempotent, so the streamed
+    # packed words must equal the one-shot batch filter bit-for-bit — the
+    # oracle rebuilds words from the raw log and re-derives occupancy and
+    # the ln-based distinct estimate (nudged transcendental).
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key FROM events
+    ), pos AS (
+      SELECT event_type,
+             ('0x' || substr(md5('bloom0:' || key), 1, 15))::BIGINT % 8192 AS p
+      FROM keys
+      UNION ALL
+      SELECT event_type,
+             ('0x' || substr(md5('bloom1:' || key), 1, 15))::BIGINT % 8192 AS p
+      FROM keys
+    ), words AS (
+      SELECT event_type, p // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+      FROM pos GROUP BY event_type, p // 32
+    ), agg AS (
+      SELECT event_type, count(*) AS n_words, sum(bit_count(word)) AS set_bits
+      FROM words GROUP BY event_type
+    ), est AS (
+      SELECT event_type, n_words, set_bits,
+             round(ln(1e0 - CAST(set_bits AS DOUBLE) / 8192e0)
+                   + sign(ln(1e0 - CAST(set_bits AS DOUBLE) / 8192e0)) * 1e-9,
+                   8) + 0.0 AS lr
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(n_words AS INT) AS n_words_nonzero,
+           CAST(set_bits AS BIGINT) AS set_bits,
+           round(-4096e0 * lr + 1e-9, 4) + 0.0 AS bloom_distinct_est
+    FROM est
+    """,
+    category="streaming",
+)
+def streaming_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type BLOOM FILTER maintained AS STREAM STATE: each
+    micro-batch ORs its packed-word partial into the parquet state
+    (streaming/ingest.py bloom_merge_stream) — bitwise OR is associative
+    and idempotent, so batch boundaries and at-least-once replays cannot
+    change a single bit, and the streamed filter equals the one-shot
+    batch build exactly (the HLL/KMV/count-min/top-k/bitmap parity law,
+    sketch #6 in the family). The filter then serves membership without
+    the raw log: this query reports per-type occupancy (exact integer
+    set-bit counts over the words) and the standard occupancy inversion
+    estimate n̂ = -(m/k)·ln(1 - X/m) — the nudged-transcendental recipe
+    keeps the one ln() engine-exact.
+
+    Scale shape (100 TB): state is |types|·m/32 packed longs FOREVER
+    (8 KiB per type here); the per-batch partial is one explode + one
+    map-side-combined bit_or; the merge touches state rows only. The
+    prefilter consumer (`join_bloom_prefilter`) shows what the filter
+    buys at the shuffle."""
+    root = _cache_dir(sf_dir, "stream_bloom")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+        ev.repartition(8).write.mode("overwrite").parquet(landing)
+    ingest.reset_state(state)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.bloom_merge_stream(
+        stream, state, "user_id", ["event_type"], m_bits=8192, n_hashes=2
+    )
+    q.awaitTermination(300)
+    words = spark.read.parquet(state)
+    agg = words.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("word")).alias("set_bits"),
+    )
+    ln_arg = F.lit(1.0) - F.col("set_bits").cast("double") / F.lit(8192.0)
+    lr = F.round(
+        F.log(ln_arg) + F.signum(F.log(ln_arg)) * F.lit(1e-9), 8
+    ) + F.lit(0.0)
+    return agg.select(
+        "event_type",
+        F.col("n_words").cast("int").alias("n_words_nonzero"),
+        F.col("set_bits").cast("long").alias("set_bits"),
+        (F.round(F.lit(-4096.0) * lr + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "bloom_distinct_est"
+        ),
+    )
