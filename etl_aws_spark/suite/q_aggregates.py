@@ -2994,3 +2994,83 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("min_diversity") >= F.col("l")).cast("int").alias("is_l_diverse"),
     )
+
+
+@query(
+    "quality_benford_law_audit",
+    # first significant digit histogram vs Benford expectation: counts are
+    # exact integers off one map-side aggregate; expected shares use
+    # nudge-rounded log10 (the transcendental recipe); chi-square folds in
+    # digit order over 9 cells.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), h AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (
+      SELECT sum(n) AS total FROM h
+    ), e AS (
+      SELECT h.digit, h.n, t.total,
+             round(log10(1e0 + 1e0 / h.digit)
+                   + sign(log10(1e0 + 1e0 / h.digit)) * 1e-9, 8) + 0.0 AS p_exp
+      FROM h CROSS JOIN t
+    )
+    SELECT CAST(digit AS INT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) + 0.0 AS p_observed,
+           p_exp AS p_expected,
+           round((CAST(n AS DOUBLE) - total * p_exp)
+                 * (CAST(n AS DOUBLE) - total * p_exp)
+                 / (total * p_exp), 6) + 0.0 AS chi2_term
+    FROM e
+    """,
+    category="aggregate",
+)
+def quality_benford_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals — the classic
+    fabricated-data detector: naturally occurring multi-scale amounts
+    follow P(d) = log10(1 + 1/d), and a synthetic or manipulated column
+    deviates visibly (uniform TPC-H prices do, and the audit says so —
+    the honest answer, exactly like the flat periodogram). Emits the
+    per-digit observed/expected shares and chi-square terms so the
+    caller thresholds Σχ² at any significance.
+
+    Scale shape (100 TB): the first significant digit comes from exact
+    integer-cents string arithmetic (no float log for binning), the
+    histogram is ONE map-side-combined 9-cell aggregate, and the only
+    transcendental (log10 of 9 constants) is nudge-rounded before use.
+    Reference analogue: the data-quality gate family
+    (`src/data/preprocessing.py` sanity checks), upgraded to a
+    statistical audit."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice").cast("double") * 100.0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    h = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").alias("total"))
+    lg = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    p_exp = F.round(lg + F.signum(lg) * F.lit(1e-9), 8) + F.lit(0.0)
+    e = h.crossJoin(F.broadcast(t)).withColumn("p_exp", p_exp)
+    dev = F.col("n").cast("double") - F.col("total") * F.col("p_exp")
+    return e.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(F.col("n").cast("double") / F.col("total"), 6) + F.lit(0.0)).alias(
+            "p_observed"
+        ),
+        F.col("p_exp").alias("p_expected"),
+        (
+            F.round(dev * dev / (F.col("total") * F.col("p_exp")), 6) + F.lit(0.0)
+        ).alias("chi2_term"),
+    )
