@@ -370,3 +370,84 @@ def dedup_blocking_reduction_audit(spark: SparkSession, sf_dir: str) -> DataFram
             + F.lit(0.0)
         ).alias("reduction_ratio"),
     )
+
+
+@query(
+    "dedup_symspell_deletions",
+    # SymSpell (Garbe): the 1-deletion neighborhood of a word is a
+    # COMPLETE blocking key for edit distance 1 — substitution pairs share
+    # the deletion at the edited position, ins/del pairs share the shorter
+    # word itself — so the exact-verify join runs over Σ|bucket|², never
+    # |vocab|². Both engines build the identical variant set and the same
+    # levenshtein DP.
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT t AS word
+      FROM documents,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+      WHERE regexp_matches(t, '^[a-z]{4,10}$')
+    ), k AS (
+      SELECT word,
+             unnest(list_distinct(list_concat([word],
+               list_transform(range(1, length(word) + 1),
+                 i -> substr(word, 1, i - 1) || substr(word, i + 1)))))
+               AS key
+      FROM w
+    ), p AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b
+      FROM k a JOIN k b ON a.key = b.key AND a.word < b.word
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS INT) AS dist
+    FROM p WHERE levenshtein(word_a, word_b) <= 1
+    """,
+    category="dedup",
+)
+def dedup_symspell_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell DELETION-NEIGHBORHOOD spelling-variant detection over the
+    corpus vocabulary: every word keys on itself plus its 1-deletion
+    variants, words sharing a key are candidates, and an exact
+    levenshtein pass keeps true distance-1 pairs. The 1-deletion index is
+    PROVABLY COMPLETE for edit distance 1 (a substitution pair shares the
+    deletion at the edited position; an insertion/deletion pair shares
+    the shorter word), so unlike the phonetic or prefix blocks this one
+    misses nothing — the lossless blocking key of the family, at the cost
+    of |word| keys per word instead of 1.
+
+    Scale shape (100 TB): tokens collapse to the Heaps-bounded DISTINCT
+    vocabulary first; the key explode is |vocab|·avg_len rows of short
+    strings; the pair join is per-key (Σ|bucket|², bucket = words sharing
+    one deletion — naturally tiny); exact verify runs only on candidates.
+    Reference analogue: the typo-normalization step ahead of
+    `dedup_names_levenshtein`'s entity resolution, at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    from etl_aws_spark.text import _dialect as D
+
+    w = (
+        docs.select(F.explode(F.expr(D.tokens("text", D.SPARK))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{4,10}$"))
+        .distinct()
+    )
+    k = w.select(
+        "word",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(word), "
+                "transform(sequence(1, length(word)), "
+                "i -> concat(substr(word, 1, i - 1), substr(word, i + 1)))))"
+            )
+        ).alias("key"),
+    )
+    a = k.select(F.col("word").alias("word_a"), "key")
+    b = k.select(F.col("word").alias("word_b"), "key")
+    p = (
+        a.join(b, "key")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    return p.filter(F.levenshtein("word_a", "word_b") <= 1).select(
+        "word_a",
+        "word_b",
+        F.levenshtein("word_a", "word_b").cast("int").alias("dist"),
+    )
