@@ -2682,3 +2682,99 @@ def text_phonetic_confusion_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_words") >= 2)
     )
+
+
+def _textrank_oracle() -> str:
+    from etl_aws_spark.suite.q_graph import _duck_pr_round
+
+    toks = D.tokens("text", D.DUCK)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter({toks},
+                         t -> regexp_matches(t, '^[a-z]{{5,12}}$')) AS w
+      FROM documents
+    ), adj AS (
+      SELECT DISTINCT
+             CASE WHEN w[i.i] < w[i.i + 1] THEN w[i.i] ELSE w[i.i + 1] END AS s,
+             CASE WHEN w[i.i] < w[i.i + 1] THEN w[i.i + 1] ELSE w[i.i] END AS d
+      FROM f JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+        ON i.i < len(w)
+      WHERE w[i.i] <> w[i.i + 1]
+    ), pairs AS (
+      SELECT s, d FROM adj UNION ALL SELECT d AS s, s AS d FROM adj
+    ), deg AS (
+      SELECT s, count(*) AS outdeg FROM pairs GROUP BY s
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nv FROM deg
+    ), r0 AS (
+      SELECT s AS id, 1.0 / n.nv AS rank FROM deg CROSS JOIN n
+    ),{_duck_pr_round('0', '1')},{_duck_pr_round('1', '2')},{_duck_pr_round('2', '3')}
+    SELECT id AS keyword, round(rank, 8) + 0.0 AS rank
+    FROM r3
+    ORDER BY round(rank, 8) DESC, id ASC
+    LIMIT 20
+    """
+
+
+@query(
+    "text_keyword_textrank",
+    # TextRank = PageRank on the window-2 co-occurrence word graph
+    # (Mihalcea & Tarau 2004). The oracle unrolls the same 3 damped
+    # rounds over the identical symmetric edge set; ranking on the
+    # ROUNDED score keeps the top-20 cut deterministic across engines'
+    # float summation orders (the graph_pagerank_parts rule).
+    oracle=_textrank_oracle(),
+    category="text",
+)
+def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank KEYWORD EXTRACTION (Mihalcea & Tarau 2004): PageRank on
+    the window-2 co-occurrence graph of content words (5-12 lowercase
+    letters), 3 damped rounds, top 20 — the graph-centrality member of
+    the keyword family beside RAKE (degree/frequency scores) and TF-IDF
+    (corpus statistics): TextRank surfaces words that glue many contexts
+    together even at moderate frequency. Adjacency is computed in the
+    FILTERED token sequence (both engines replay the same filter-then-
+    pair rule), edges are distinct undirected pairs, and the rank
+    recursion reuses `operators.graph.pagerank` — the same code path as
+    `graph_pagerank_parts`, so one verified iteration kernel serves both
+    the entity graph and the text graph.
+
+    Scale shape (100 TB): tokens collapse to distinct word-pair edges
+    (vocab²-bounded in principle, Heaps-bounded in practice); each round
+    moves (src, dst, rank/deg) scalars; the top-20 is orderBy().limit()
+    on the rounded score. No per-document state after the edge build."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr(
+            "filter(" + D.tokens("text", D.SPARK)
+            + ", t -> t rlike '^[a-z]{5,12}$')"
+        ).alias("w")
+    )
+    adj = (
+        f.filter(F.expr("size(w) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> "
+                    "struct(element_at(w, i) as x, element_at(w, i + 1) as y))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.x") != F.col("p.y"))
+        .select(
+            F.least("p.x", "p.y").alias("src"),
+            F.greatest("p.x", "p.y").alias("dst"),
+        )
+        .distinct()
+    )
+    from etl_aws_spark.operators import graph
+
+    ranks = graph.pagerank(adj, damping=0.85, n_iter=3, undirected=True)
+    return (
+        ranks.select(
+            F.col("id").alias("keyword"), rnd(F.col("rank"), 8).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("keyword"))
+        .limit(20)
+    )
