@@ -1591,3 +1591,141 @@ def model_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("idcg"), 6) + F.lit(0.0)).alias("idcg"),
         (F.round(F.col("dcg") / F.col("idcg"), 6) + F.lit(0.0)).alias("ndcg"),
     )
+
+
+@query(
+    "model_conformal_interval",
+    # split-conformal: q̂ is the ⌈(n_cal+1)(1-α)⌉-th smallest calibration
+    # residual — an exact order statistic. The oracle takes it naively
+    # (one ranked window); the engine runs the scalable two-phase form
+    # (coarse bucket counts → driver cutoff → orderBy().limit(offset)
+    # inside the single cutoff bucket — the token-budget pattern).
+    # Residuals are |cents − μ| doubles from identical op chains, so the
+    # rank-k VALUE matches bit-for-bit.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS d,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+               AS cents
+      FROM orders
+    ), tr AS (
+      SELECT pri, CAST(sum(cents) AS DOUBLE) / count(*) AS mu
+      FROM o WHERE d < DATE '1996-01-01' GROUP BY pri
+    ), cal AS (
+      SELECT abs(CAST(o.cents AS DOUBLE) - tr.mu) AS r
+      FROM o JOIN tr USING (pri)
+      WHERE d >= DATE '1996-01-01' AND d < DATE '1997-06-01'
+    ), kk AS (
+      SELECT count(*) AS n_cal,
+             CAST(ceil((count(*) + 1) * 9e-1) AS BIGINT) AS k
+      FROM cal
+    ), q AS (
+      SELECT s.r AS q_hat
+      FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal) s
+      JOIN kk ON s.rn = kk.k
+    ), te AS (
+      SELECT abs(CAST(o.cents AS DOUBLE) - tr.mu) AS r
+      FROM o JOIN tr USING (pri)
+      WHERE d >= DATE '1997-06-01'
+    ), cov AS (
+      SELECT count(*) AS n_test,
+             sum(CASE WHEN te.r <= q.q_hat THEN 1 ELSE 0 END) AS n_in
+      FROM te CROSS JOIN q
+    )
+    SELECT CAST(kk.n_cal AS BIGINT) AS n_cal,
+           CAST(kk.k AS BIGINT) AS k_rank,
+           CAST(cov.n_test AS BIGINT) AS n_test,
+           round(q.q_hat / 100.0, 4) + 0.0 AS q_hat,
+           round(2.0 * q.q_hat / 100.0, 4) + 0.0 AS interval_width,
+           round(CAST(cov.n_in AS DOUBLE) / cov.n_test, 6) + 0.0 AS coverage
+    FROM kk CROSS JOIN q CROSS JOIN cov
+    """,
+    category="ml",
+)
+def model_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval (Vovk; Lei et al. 2018) around
+    a per-priority mean-price model: train < 1996-01, calibrate on
+    1996-01..1997-06 residuals, test after — q̂ is the ⌈(n+1)(1−α)⌉-th
+    smallest calibration residual (α=0.1), giving the distribution-free
+    ≥90% coverage guarantee the test leg then verifies empirically. THE
+    modern uncertainty wrapper for any point model, and the eval a
+    training pipeline runs before shipping intervals.
+
+    Scale shape (100 TB): the exact order statistic never global-sorts —
+    coarse 100-dollar bucket counts (bounded by the price domain) reduce
+    to a driver cutoff, then `orderBy().limit(offset)` inside the ONE
+    cutoff bucket (TakeOrderedAndProject) yields the rank-k value — the
+    `curation_token_budget` two-phase pattern applied to quantiles.
+    Everything else is map-side aggregates and broadcast joins of the
+    5-row model. Exact integer cents keep every residual bit-identical
+    across engines."""
+    import math
+
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice").cast("double") * 100.0)
+        .cast("long")
+        .alias("cents"),
+    )
+    tr = (
+        o.filter(F.col("d") < F.lit("1996-01-01").cast("date"))
+        .groupBy("pri")
+        .agg((F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"))
+    )
+    cal = (
+        o.filter(
+            (F.col("d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("d") < F.lit("1997-06-01").cast("date"))
+        )
+        .join(F.broadcast(tr), "pri")
+        .select(F.abs(F.col("cents").cast("double") - F.col("mu")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    n_cal = cal.count()
+    k = int(math.ceil((n_cal + 1) * 0.9))
+    # phase 1: coarse bucket counts (|price domain| / 100 dollars cells)
+    buckets = (
+        cal.groupBy(F.floor(F.col("r") / 10000.0).cast("long").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("bk")
+        .collect()
+    )
+    cum = 0
+    cutoff_bk, offset = None, None
+    for row in buckets:
+        if cum + row["c"] >= k:
+            cutoff_bk, offset = row["bk"], k - cum
+            break
+        cum += row["c"]
+    # phase 2: rank-(offset) value inside the single cutoff bucket
+    q_hat = (
+        cal.filter(F.floor(F.col("r") / 10000.0).cast("long") == cutoff_bk)
+        .orderBy("r")
+        .limit(offset)
+        .agg(F.max("r").alias("q"))
+        .collect()[0]["q"]
+    )
+    te = (
+        o.filter(F.col("d") >= F.lit("1997-06-01").cast("date"))
+        .join(F.broadcast(tr), "pri")
+        .select(F.abs(F.col("cents").cast("double") - F.col("mu")).alias("r"))
+    )
+    cov = te.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("r") <= F.lit(q_hat), 1).otherwise(0)).alias("n_in"),
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(k).cast("long").alias("k_rank"),
+        F.col("n_test").cast("long").alias("n_test"),
+        (F.round(F.lit(q_hat) / 100.0, 4) + F.lit(0.0)).alias("q_hat"),
+        (F.round(F.lit(2.0) * F.lit(q_hat) / 100.0, 4) + F.lit(0.0)).alias(
+            "interval_width"
+        ),
+        (
+            F.round(F.col("n_in").cast("double") / F.col("n_test"), 6)
+            + F.lit(0.0)
+        ).alias("coverage"),
+    )
