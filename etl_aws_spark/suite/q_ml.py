@@ -1729,3 +1729,141 @@ def model_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("coverage"),
     )
+
+
+@query(
+    "model_brier_decomposition",
+    # Murphy decomposition over forecast-value cells: every rate is an
+    # integer ratio, the three components fold over <= |nations| cells in
+    # forecast order, and the direct Brier score comes from the same cell
+    # counts (s·(p-1)² + (n-s)·p²) — so BS and rel - res + unc are both
+    # engine-exact and agree to float identity.
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate AS d,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), j AS (
+      SELECT c.c_nationkey AS nk, o.d, o.y
+      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), tr AS (
+      SELECT nk, CAST(sum(y) AS DOUBLE) / count(*) AS p
+      FROM j WHERE d < DATE '1996-01-01' GROUP BY nk
+    ), te AS (
+      SELECT tr.p, j.y FROM j JOIN tr USING (nk)
+      WHERE d >= DATE '1996-01-01'
+    ), cells AS (
+      SELECT p, count(*) AS n, sum(y) AS s FROM te GROUP BY p
+    ), tot AS (
+      SELECT sum(n) AS nn, sum(s) AS ss FROM cells
+    ), terms AS (
+      SELECT cells.p, cells.n, cells.s,
+             CAST(cells.s AS DOUBLE) / cells.n AS ob,
+             tot.nn, CAST(tot.ss AS DOUBLE) / tot.nn AS obar
+      FROM cells CROSS JOIN tot
+    ), f AS (
+      SELECT max(nn) AS nn, max(obar) AS obar,
+             count(*) AS n_cells,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(n * (p - ob) * (p - ob) ORDER BY p)),
+               (a, x) -> a + x) AS rel_sum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(n * (ob - obar) * (ob - obar) ORDER BY p)),
+               (a, x) -> a + x) AS res_sum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(s * (p - 1.0) * (p - 1.0) + (n - s) * p * p ORDER BY p)),
+               (a, x) -> a + x) AS bs_sum
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n_test,
+           CAST(n_cells AS INT) AS n_cells,
+           round(bs_sum / nn, 6) + 0.0 AS brier,
+           round(rel_sum / nn, 6) + 0.0 AS reliability,
+           round(res_sum / nn, 6) + 0.0 AS resolution,
+           round(obar * (1.0 - obar), 6) + 0.0 AS uncertainty,
+           round(rel_sum / nn - res_sum / nn + obar * (1.0 - obar), 6) + 0.0
+             AS brier_reassembled
+    FROM f
+    """,
+    category="ml",
+)
+def model_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MURPHY DECOMPOSITION of the Brier score for a per-nation
+    urgent-order rate forecaster (train < 1996-01, test after):
+    BS = reliability − resolution + uncertainty, the standard diagnostic
+    that says WHY a probabilistic model scores what it scores —
+    miscalibration (reliability), discrimination power (resolution), or
+    irreducible base-rate noise (uncertainty). The direct Brier score is
+    recomputed from the same cells (s·(p−1)² + (n−s)·p²) and reported
+    beside the reassembled sum as a built-in algebraic self-check.
+
+    Scale shape (100 TB): the test scan collapses to |distinct forecast
+    values| cells (≤ |nations|) in one map-side aggregate; the three
+    component folds run over that tiny frame in forecast order. Exact
+    integer counts feed every rate, so both engines produce identical
+    IEEE values. Reference analogue: the probabilistic upgrade of
+    src/model/train.py's point-metric eval block."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("d"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    j = o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_nationkey").alias("nk"), "d", "y"
+    )
+    tr = (
+        j.filter(F.col("d") < F.lit("1996-01-01").cast("date"))
+        .groupBy("nk")
+        .agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("p"))
+    )
+    te = j.filter(F.col("d") >= F.lit("1996-01-01").cast("date")).join(
+        F.broadcast(tr), "nk"
+    )
+    cells = te.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    tot = cells.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "p", "n", "s",
+        (F.col("s").cast("double") / F.col("n")).alias("ob"),
+        "nn",
+        (F.col("ss").cast("double") / F.col("nn")).alias("obar"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(p, {t} as tv))), "
+        "x -> x.tv), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    f = terms.agg(
+        F.max("nn").alias("nn"),
+        F.max("obar").alias("obar"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr(fold.format(t="n * (p - ob) * (p - ob)")).alias("rel_sum"),
+        F.expr(fold.format(t="n * (ob - obar) * (ob - obar)")).alias("res_sum"),
+        F.expr(
+            fold.format(t="s * (p - 1.0D) * (p - 1.0D) + (n - s) * p * p")
+        ).alias("bs_sum"),
+    )
+    unc = F.col("obar") * (F.lit(1.0) - F.col("obar"))
+    return f.select(
+        F.col("nn").cast("long").alias("n_test"),
+        F.col("n_cells").cast("int").alias("n_cells"),
+        (F.round(F.col("bs_sum") / F.col("nn"), 6) + F.lit(0.0)).alias("brier"),
+        (F.round(F.col("rel_sum") / F.col("nn"), 6) + F.lit(0.0)).alias(
+            "reliability"
+        ),
+        (F.round(F.col("res_sum") / F.col("nn"), 6) + F.lit(0.0)).alias(
+            "resolution"
+        ),
+        (F.round(unc, 6) + F.lit(0.0)).alias("uncertainty"),
+        (
+            F.round(
+                F.col("rel_sum") / F.col("nn")
+                - F.col("res_sum") / F.col("nn")
+                + unc,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("brier_reassembled"),
+    )
