@@ -680,3 +680,68 @@ def jl_project(df: DataFrame, id_col: str, vec_col: str, dim: int, out_dim: int)
             )
         )
     return df.select(F.col(id_col), F.array(*comps).alias(vec_col))
+
+
+def top_pc_power_iteration(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    iters: int = 4,
+) -> tuple[list, float, int]:
+    """Top principal direction of the (uncentered) second-moment matrix
+    by POWER ITERATION — distributed PCA without ever materializing the
+    dim×dim covariance: each iteration applies C·v as two corpus passes,
+    dots_i = x_i·v then S_d = Σ_i x_d,i·dots_i, with v re-normalized on
+    the driver (O(dim) model state, the `kmeans_iterate` pattern).
+
+    Exactness contract: components quantize to 1e4 fixed point (nudged
+    round) and v re-quantizes to 1e4 after each normalization, so BOTH
+    corpus passes are pure INTEGER sums — order-free, no fold needed
+    anywhere in the hot path (xq ≤ 5e3, vq ≤ 1e4, dot ≤ 3.2e9, Σ xq·dot
+    ≤ 3.2e17 — inside int64). The only doubles are the driver-side
+    norm/eigenvalue arithmetic, replayed op-for-op by the SQL oracle's
+    unrolled iteration CTEs. Uncentered by design (the streaming-PCA
+    convention); center upstream if the mean matters.
+
+    Returns (vq ints, eigenvalue estimate, n_vectors)."""
+    import math
+
+    parts = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "x"),
+    ).select(
+        "_id",
+        "_pos",
+        F.round(
+            F.col("x") * 10000.0 + F.signum("x") * F.lit(0.001)
+        ).cast("long").alias("xq"),
+    ).localCheckpoint(eager=True)
+    n = parts.select("_id").distinct().count()
+    vq = [1250] * dim  # 1/sqrt(64) at 1e4 fixed point
+    nrm = 0.0
+    for _ in range(iters):
+        arr = "array(%s)" % ",".join(f"{q}L" for q in vq)
+        dots = (
+            parts.withColumn("vq", F.expr(f"element_at({arr}, _pos + 1)"))
+            .groupBy("_id")
+            .agg(F.sum(F.col("xq") * F.col("vq")).alias("dot"))
+        )
+        s = (
+            parts.join(dots, "_id")
+            .groupBy("_pos")
+            .agg(F.sum(F.col("xq") * F.col("dot")).alias("s"))
+            .collect()
+        )
+        sv = [0] * dim
+        for row in s:
+            sv[row["_pos"]] = row["s"]
+        nrm = math.sqrt(sum(float(x) * float(x) for x in sv))
+        vq = []
+        for x in sv:
+            vd = float(x) / nrm * 10000.0
+            sgn = 1.0 if x > 0 else (-1.0 if x < 0 else 0.0)
+            y = vd + sgn * 0.001
+            vq.append(int((1 if y > 0 else -1) * math.floor(abs(y) + 0.5)))
+    lam = nrm / (1e12 * n)
+    return vq, lam, n

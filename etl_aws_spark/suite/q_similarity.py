@@ -2702,3 +2702,83 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.round("dist", 6) + F.lit(0.0)).alias("dist_to_selected"),
     )
+
+
+def _pca_oracle(iters: int = 4) -> str:
+    """Unrolled power-iteration replay: integer corpus passes per round,
+    pos-ordered norm fold, the same nudged re-quantization."""
+    parts = ["""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS id, u.i - 1 AS pos,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e4
+                  + sign(embedding[u.i]) * 1e-3) AS BIGINT) AS xq
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS i) u
+    ), nn AS (
+      SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM e
+    ), v0 AS (
+      SELECT unnest(generate_series(0, 63)) AS pos, CAST(1250 AS BIGINT) AS vq
+    )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", d{k} AS MATERIALIZED (
+      SELECT e.id, sum(e.xq * v.vq) AS dot
+      FROM e JOIN v{k - 1} v ON e.pos = v.pos GROUP BY e.id
+    ), s{k} AS MATERIALIZED (
+      SELECT e.pos, sum(e.xq * d.dot) AS s
+      FROM e JOIN d{k} d ON e.id = d.id GROUP BY e.pos
+    ), n{k} AS (
+      SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) ORDER BY pos)),
+               (a, x) -> a + x)) AS nrm
+      FROM s{k}
+    ), v{k} AS MATERIALIZED (
+      SELECT s.pos,
+             CAST(round(CAST(s.s AS DOUBLE) / n.nrm * 1e4
+                  + sign(s.s) * 1e-3) AS BIGINT) AS vq
+      FROM s{k} s CROSS JOIN n{k} n
+    )""")
+    parts.append(f"""
+    SELECT CAST(v.pos AS INT) AS pos,
+           CAST(v.vq AS DOUBLE) / 1e4 AS loading,
+           round(n.nrm / (1e12 * nn.n)
+                 + sign(n.nrm / (1e12 * nn.n)) * 1e-9, 8) + 0.0 AS eigenvalue
+    FROM v{iters} v CROSS JOIN n{iters} n CROSS JOIN nn""")
+    return "".join(parts)
+
+
+@query(
+    "embedding_pca_top_component",
+    oracle=_pca_oracle(4),
+    category="similarity",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PRINCIPAL COMPONENT of the embedding corpus by 4 rounds of
+    distributed power iteration (`similarity/knn.py
+    top_pc_power_iteration`) — the spectral summary an embedding
+    pipeline uses for whitening, drift fingerprinting, and anisotropy
+    audits (embedding spaces are famously dominated by a rogue top
+    direction). C·v is applied WITHOUT materializing the 64×64
+    covariance: dots then per-dimension weighted sums, both pure INTEGER
+    corpus passes at 1e4 fixed point (order-free — no ordered fold in
+    the hot path at all), with v as O(dim) driver model state
+    re-broadcast as a plan-time array literal (the kmeans/GMM pattern).
+    The oracle unrolls all 4 iterations as materialized CTEs and lands
+    on the identical quantized eigenvector and Rayleigh eigenvalue.
+
+    Scale shape (100 TB): two map-side-combined aggregates per round
+    (one keyed by vector id, one by dimension), k·dim driver traffic,
+    nothing corpus-sized ever sorted or collected. Uncentered second
+    moment by design (the streaming-PCA convention)."""
+    from etl_aws_spark.similarity.knn import top_pc_power_iteration
+
+    emb = load(spark, sf_dir, "embeddings")
+    vq, lam, _n = top_pc_power_iteration(emb, "vec_id", "embedding", 64, 4)
+    from etl_aws_spark.suite._util import rnd_nudged
+
+    rows = [(p, q / 10000.0) for p, q in enumerate(vq)]
+    out = spark.createDataFrame(rows, "pos int, loading double")
+    return out.select(
+        "pos",
+        "loading",
+        rnd_nudged(F.lit(lam), 8).alias("eigenvalue"),
+    )
