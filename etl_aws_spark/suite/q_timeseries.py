@@ -3422,3 +3422,173 @@ def stat_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.col("k")).cast("long").alias("df_within"),
         )
     )
+
+
+_HURST_WINDOWS = (8, 16, 32)
+
+
+@query(
+    "stat_hurst_exponent",
+    # R/S analysis in one 4-slot fold per block: walking the demeaned
+    # prefix sum carries [cum, min, max, ssq] in day order — no prefix
+    # array ever materializes. Every value is exact integer cents cast to
+    # double, folds replay op-for-op, ln is nudged, and the 3-point
+    # log-log OLS is closed form.
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderdate
+    ), ser AS (
+      SELECT row_number() OVER (ORDER BY d) AS idx,
+             CAST(cents AS DOUBLE) AS x
+      FROM daily
+    ), blocks AS (
+      SELECT w.w, CAST((ser.idx - 1) // w.w AS BIGINT) AS blk,
+             list(x ORDER BY idx) AS arr
+      FROM ser CROSS JOIN (SELECT unnest([{', '.join(str(w) for w in _HURST_WINDOWS)}]) AS w) w
+      GROUP BY w.w, CAST((ser.idx - 1) // w.w AS BIGINT)
+      HAVING count(*) = w.w
+    ), st AS (
+      SELECT w, blk,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+                         (a, x) -> a + x) / w AS m
+      FROM blocks
+    ), folded AS (
+      SELECT b.w, b.blk,
+             list_reduce(
+               list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
+                 list_transform(b.arr, x -> [x - st.m, 0.0, 0.0, 0.0])),
+               (a, e) -> [a[1] + e[1],
+                          least(a[2], a[1] + e[1]),
+                          greatest(a[3], a[1] + e[1]),
+                          a[4] + e[1] * e[1]]
+             ) AS f
+      FROM blocks b JOIN st ON b.w = st.w AND b.blk = st.blk
+    ), rs AS (
+      SELECT w, blk,
+             (f[3] - f[2]) / sqrt(f[4] / w) AS rs
+      FROM folded WHERE f[4] > 0.0
+    ), mw AS (
+      SELECT w,
+             count(*) AS n_blocks,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(rs ORDER BY blk)), (a, x) -> a + x) / count(*) AS mean_rs
+      FROM rs GROUP BY w
+    ), pts AS (
+      SELECT w, n_blocks, mean_rs,
+             round(ln(CAST(w AS DOUBLE)) + 1e-9, 8) + 0.0 AS lx,
+             round(ln(mean_rs) + sign(ln(mean_rs)) * 1e-9, 8) + 0.0 AS ly
+      FROM mw
+    ), fit AS (
+      SELECT (sum(lx * ly) - count(*) * avg(lx) * avg(ly))
+             / (sum(lx * lx) - count(*) * avg(lx) * avg(lx)) AS h
+      FROM pts
+    )
+    SELECT CAST(pts.w AS INT) AS w,
+           CAST(pts.n_blocks AS BIGINT) AS n_blocks,
+           round(pts.mean_rs, 6) + 0.0 AS mean_rs,
+           round(fit.h + sign(fit.h) * 1e-9, 6) + 0.0 AS hurst
+    FROM pts CROSS JOIN fit
+    """,
+    category="timeseries",
+)
+def stat_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of daily revenue by classic rescaled-range (R/S)
+    analysis: for block sizes {8,16,32} days, each block's range of
+    demeaned prefix sums over its std, averaged per size, with H = the
+    log-log OLS slope — the long-memory detector (H≈0.5 random walk,
+    H>0.5 trending/persistent, H<0.5 mean-reverting) that tells a
+    forecasting pipeline whether yesterday's shock matters next month.
+    The whole R/S walk runs as ONE 4-slot array fold per block
+    ([cum, min, max, Σd²] carried in day order) — no prefix array, no
+    second pass; the only transcendentals (ln of 3 window sizes + 3 mean
+    ratios) are nudge-rounded.
+
+    Scale shape (100 TB): the fact table collapses to the calendar-
+    bounded |days| frame first; blocks are (w, blk)-keyed groups of ≤32
+    values; everything after is arithmetic over |windows|·|blocks| rows.
+    The one unpartitioned row_number runs on the |days| frame — the
+    `stat_granger_causality` bound."""
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    ser = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("idx"),
+        F.col("cents").cast("double").alias("x"),
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WINDOWS], "w int")
+    blocks = (
+        ser.crossJoin(F.broadcast(ws))
+        .groupBy("w", F.expr("cast((idx - 1) div w as bigint)").alias("blk"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, x))), s -> s.x)"
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") == F.col("w"))
+    )
+    st = blocks.withColumn(
+        "m",
+        F.expr("aggregate(arr, cast(0.0 as double), (a, x) -> a + x)")
+        / F.col("w"),
+    )
+    folded = st.withColumn(
+        "f",
+        F.expr(
+            "aggregate(transform(arr, x -> x - m), "
+            "array(cast(0.0 as double), 0.0D, 0.0D, 0.0D), "
+            "(a, e) -> array(element_at(a, 1) + e, "
+            "least(element_at(a, 2), element_at(a, 1) + e), "
+            "greatest(element_at(a, 3), element_at(a, 1) + e), "
+            "element_at(a, 4) + e * e))"
+        ),
+    )
+    rs = folded.filter(F.expr("element_at(f, 4) > 0.0")).select(
+        "w",
+        "blk",
+        F.expr(
+            "(element_at(f, 3) - element_at(f, 2)) / sqrt(element_at(f, 4) / w)"
+        ).alias("rs"),
+    )
+    mw = rs.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(blk, rs))), "
+                "s -> s.rs), cast(0.0 as double), (a, x) -> a + x)"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_rs"),
+    )
+    lx = F.round(F.log(F.col("w").cast("double")) + F.lit(1e-9), 8) + F.lit(0.0)
+    lny = F.log("mean_rs")
+    ly = F.round(lny + F.signum(lny) * F.lit(1e-9), 8) + F.lit(0.0)
+    pts = mw.select("w", "n_blocks", "mean_rs", lx.alias("lx"), ly.alias("ly"))
+    fit = pts.agg(
+        (
+            (
+                F.sum(F.col("lx") * F.col("ly"))
+                - F.count(F.lit(1)) * F.avg("lx") * F.avg("ly")
+            )
+            / (
+                F.sum(F.col("lx") * F.col("lx"))
+                - F.count(F.lit(1)) * F.avg("lx") * F.avg("lx")
+            )
+        ).alias("h")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("w").cast("int").alias("w"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        (F.round(F.col("mean_rs"), 6) + F.lit(0.0)).alias("mean_rs"),
+        (
+            F.round(F.col("h") + F.signum("h") * F.lit(1e-9), 6) + F.lit(0.0)
+        ).alias("hurst"),
+    )
