@@ -921,3 +921,55 @@ def audio_spectral_projection(
     return df.mapInPandas(
         run, "asset_id bigint, n_samples int, k int, a bigint, b bigint"
     )
+
+
+def image_sobel_stats(df: DataFrame, threshold: int = 150000) -> DataFrame:
+    """Arrow-batched SOBEL edge statistics over real BMP decodes: the
+    exact fixed-point luma plane (299R+587G+114B — the pHash convention)
+    convolves with the 3×3 Sobel pair on interior pixels, gradient
+    magnitude |Gx|+|Gy| stays an exact int64 end-to-end, and a pixel is
+    an edge iff magnitude >= ``threshold``. Emits per-image exact integer
+    accounting a SQL oracle replays closed-form from the pixel
+    generator — no float enters until the final density ratio.
+
+    Output: asset_id, width, height, n_interior, n_edges, total_grad."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_bmp24(bytes(payload))  # h × w × 3 uint8
+                a = px.astype(np.int64)
+                lum = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+                h, w = lum.shape
+                gx = (
+                    lum[:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:]
+                    - lum[:-2, :-2] - 2 * lum[1:-1, :-2] - lum[2:, :-2]
+                )
+                gy = (
+                    lum[2:, :-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:]
+                    - lum[:-2, :-2] - 2 * lum[:-2, 1:-1] - lum[:-2, 2:]
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                rows.append(
+                    (
+                        int(aid), w, h, int(mag.size),
+                        int((mag >= threshold).sum()), int(mag.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_interior", "n_edges",
+                    "total_grad",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, width int, height int, n_interior bigint, "
+        "n_edges bigint, total_grad bigint",
+    )

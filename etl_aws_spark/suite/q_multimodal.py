@@ -1678,3 +1678,89 @@ def multimodal_audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> Data
         rnd_nudged(F.col("num") / F.col("den"), 6).alias("spectral_centroid"),
         rnd_nudged(F.col("mp") / F.col("den"), 6).alias("dominant_share"),
     )
+
+
+def _sobel_oracle(threshold: int = 150000) -> str:
+    """Closed-form Sobel replay: each of the six neighbor lumas expands
+    the pixel-generator formula, so every gradient is exact integer
+    arithmetic straight from (doc_id, x, y)."""
+
+    def lum(xe: str, ye: str) -> str:
+        base = f"(d.doc_id * 31 + ({xe}) * 7 + ({ye}) * 3)"
+        return (
+            f"(299 * (({base}) % 256) + 587 * (({base} + 11) % 256) "
+            f"+ 114 * (({base} + 22) % 256))"
+        )
+
+    gx = (
+        f"(({lum('x.x + 1', 'y.y - 1')} + 2 * {lum('x.x + 1', 'y.y')} "
+        f"+ {lum('x.x + 1', 'y.y + 1')}) - ({lum('x.x - 1', 'y.y - 1')} "
+        f"+ 2 * {lum('x.x - 1', 'y.y')} + {lum('x.x - 1', 'y.y + 1')}))"
+    )
+    gy = (
+        f"(({lum('x.x - 1', 'y.y + 1')} + 2 * {lum('x.x', 'y.y + 1')} "
+        f"+ {lum('x.x + 1', 'y.y + 1')}) - ({lum('x.x - 1', 'y.y - 1')} "
+        f"+ 2 * {lum('x.x', 'y.y - 1')} + {lum('x.x + 1', 'y.y - 1')}))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), g AS (
+      SELECT d.doc_id, d.w, d.h, abs({gx}) + abs({gy}) AS mag
+      FROM d
+      JOIN (SELECT unnest(generate_series(1, 15)) AS x) x
+        ON x.x <= d.w - 2
+      JOIN (SELECT unnest(generate_series(1, 13)) AS y) y
+        ON y.y <= d.h - 2
+    ), agg AS (
+      SELECT doc_id, max(w) AS w, max(h) AS h,
+             count(*) AS n_interior,
+             sum(CASE WHEN mag >= {threshold} THEN 1 ELSE 0 END) AS n_edges,
+             sum(mag) AS total_grad
+      FROM g GROUP BY doc_id
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(n_interior AS BIGINT) AS n_interior,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(total_grad AS BIGINT) AS total_grad,
+           round(CAST(n_edges AS DOUBLE) / n_interior, 6) + 0.0
+             AS edge_density
+    FROM agg
+    """
+
+
+@query(
+    "multimodal_image_sobel_edges",
+    oracle=_sobel_oracle(),
+    category="multimodal",
+)
+def multimodal_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOBEL edge statistics over real BMP decodes — the structure/
+    complexity feature an image-curation pipeline buckets by (blank or
+    flat images have near-zero edge density; busy/textured ones are
+    edge-heavy), and the classic 3×3 convolution demonstrated as exact
+    integer arithmetic: fixed-point luma (the pHash plane), |Gx|+|Gy|
+    magnitudes, a fixed threshold, per-image exact counts. The oracle
+    expands all six neighbor lumas closed-form from the pixel generator,
+    so the engine's REAL decode + numpy convolution must land on the
+    identical int64s.
+
+    Shape: one Arrow-batched mapInPandas decode+convolve per image (no
+    per-pixel rows ever leave the task), one row per asset. At 100 TB
+    this rides the same single decode pass as the dHash/pHash family —
+    adding a feature costs a column, not a pass."""
+    corpus = _bmp_corpus(spark, sf_dir)
+    out = ops.image_sobel_stats(
+        corpus.select(F.col("doc_id").alias("asset_id"), "payload")
+    )
+    return out.select(
+        "asset_id", "width", "height", "n_interior", "n_edges", "total_grad",
+        (
+            F.round(
+                F.col("n_edges").cast("double") / F.col("n_interior"), 6
+            )
+            + F.lit(0.0)
+        ).alias("edge_density"),
+    )
