@@ -2778,3 +2778,146 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("keyword"))
         .limit(20)
     )
+
+
+def _burrows_oracle() -> str:
+    toks = D.tokens("text", D.DUCK)
+    return f"""
+    WITH t AS (
+      SELECT source, unnest({toks}) AS tok FROM documents
+    ), tot AS (
+      SELECT source, count(*) AS n_tok FROM t GROUP BY source
+    ), gc AS (
+      SELECT tok, count(*) AS c FROM t GROUP BY tok
+    ), topk AS (
+      SELECT tok FROM gc ORDER BY c DESC, tok ASC LIMIT 30
+    ), cells AS (
+      SELECT tot.source, topk.tok,
+             CAST(coalesce(sc.c, 0) AS DOUBLE) / tot.n_tok AS f
+      FROM tot CROSS JOIN topk
+      LEFT JOIN (
+        SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok
+      ) sc ON sc.source = tot.source AND sc.tok = topk.tok
+    ), mu AS (
+      SELECT tok, count(*) AS ns,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(f ORDER BY source)), (a, x) -> a + x) / count(*) AS m
+      FROM cells GROUP BY tok
+    ), sd AS (
+      SELECT c.tok, mu.m,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((c.f - mu.m) * (c.f - mu.m) ORDER BY c.source)),
+               (a, x) -> a + x) / mu.ns) AS s
+      FROM cells c JOIN mu ON c.tok = mu.tok
+      GROUP BY c.tok, mu.m, mu.ns
+    ), z AS (
+      SELECT c.source, c.tok,
+             CASE WHEN sd.s > 0.0 THEN (c.f - sd.m) / sd.s ELSE 0.0 END AS z
+      FROM cells c JOIN sd ON c.tok = sd.tok
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.tok,
+             abs(a.z - b.z) AS dz
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS INT) AS n_words,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(dz ORDER BY tok)), (a, x) -> a + x) / count(*), 6)
+             + 0.0 AS delta
+    FROM pairs GROUP BY source_a, source_b
+    """
+
+
+@query(
+    "text_burrows_delta_stylometry",
+    # all frames are bounded: 30 marker words (top-k by integer count with
+    # tok tie-break), |sources| cells per word, source-ordered and
+    # word-ordered folds — every z-score replays exactly.
+    oracle=_burrows_oracle(),
+    category="text",
+)
+def text_burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA between sources (the classic stylometric /
+    authorship-attribution distance, Burrows 2002): z-score the relative
+    frequencies of the 30 most common words across sources, Delta(a,b) =
+    mean |z_a − z_b| — function-word profiles separate writing styles
+    where topic models can't, and a curation pipeline uses the matrix to
+    detect near-duplicate *sources* (mirrors, scrapes of the same site)
+    rather than near-duplicate documents. The marker set is a global
+    top-30 by integer count (tok tie-break — deterministic cut), every
+    frequency is an integer ratio, and the μ/σ/Delta folds run
+    source-ordered / word-ordered over ≤|sources| and ≤30 elements.
+
+    Scale shape (100 TB): one token scan produces both the global and
+    per-source counts (map-side combined); everything after lives on
+    |sources|×30 cells. The pair stage is |sources|² — sources are a
+    catalog, not a corpus."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.expr(D.tokens("text", D.SPARK))).alias("tok")
+    )
+    tot = t.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    topk = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(30)
+        .select("tok")
+    )
+    sc = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        tot.crossJoin(F.broadcast(topk))
+        .join(sc, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n_tok")
+            ).alias("f"),
+        )
+    )
+    fold_src = (
+        "aggregate(transform(array_sort(collect_list(struct(source, {t} as tv))), "
+        "x -> x.tv), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    mu = cells.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("ns"),
+        (F.expr(fold_src.format(t="f")) / F.count(F.lit(1))).alias("m"),
+    )
+    sd = (
+        cells.join(mu, "tok")
+        .groupBy("tok", "m", "ns")
+        .agg(
+            F.sqrt(
+                F.expr(fold_src.format(t="(f - m) * (f - m)")) / F.first("ns")
+            ).alias("s")
+        )
+    )
+    z = cells.join(sd.select("tok", "m", "s"), "tok").select(
+        "source",
+        "tok",
+        F.when(F.col("s") > 0.0, (F.col("f") - F.col("m")) / F.col("s"))
+        .otherwise(0.0)
+        .alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "tok", F.col("z").alias("zb")
+    )
+    pairs = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b")).select(
+        "source_a", "source_b", "tok",
+        F.abs(F.col("za") - F.col("zb")).alias("dz"),
+    )
+    fold_tok = (
+        "aggregate(transform(array_sort(collect_list(struct(tok, dz))), "
+        "x -> x.dz), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        (
+            F.round(F.expr(fold_tok) / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("delta"),
+    )
