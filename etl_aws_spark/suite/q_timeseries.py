@@ -3592,3 +3592,151 @@ def stat_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("h") + F.signum("h") * F.lit(1e-9), 6) + F.lit(0.0)
         ).alias("hurst"),
     )
+
+
+_PERM_B = 200
+
+
+@query(
+    "stat_permutation_test_mean",
+    # randomization test with a fixed md5-derived reassignment family:
+    # every permuted statistic is built from INTEGER cent sums (order-free
+    # exact), the observed statistic uses the same arithmetic, and the
+    # p-value is a pure count — no distributional assumption, no float
+    # fold anywhere.
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_a,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), obs AS (
+      SELECT sum(is_a) AS na, sum(1 - is_a) AS nb,
+             sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS sa,
+             sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS sb,
+             count(*) AS n
+      FROM g
+    ), t0 AS (
+      SELECT na, nb,
+             abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) AS t_obs
+      FROM obs
+    ), perm AS (
+      SELECT b.b,
+             CASE WHEN ('0x' || substr(md5('perm' || b.b || ':'
+                        || CAST(g.event_id AS VARCHAR)), 1, 15))::BIGINT
+                       % obs.n < obs.na
+                  THEN 1 ELSE 0 END AS pa,
+             g.cents
+      FROM g CROSS JOIN obs
+      CROSS JOIN (SELECT unnest(generate_series(1, {_PERM_B})) AS b) b
+    ), pt AS (
+      SELECT b,
+             sum(pa) AS na_b, sum(1 - pa) AS nb_b,
+             sum(CASE WHEN pa = 1 THEN cents ELSE 0 END) AS sa_b,
+             sum(CASE WHEN pa = 0 THEN cents ELSE 0 END) AS sb_b
+      FROM perm GROUP BY b
+    ), tb AS (
+      SELECT b,
+             abs(CAST(sa_b AS DOUBLE) / nullif(na_b, 0)
+                 - CAST(sb_b AS DOUBLE) / nullif(nb_b, 0)) AS t_b
+      FROM pt
+    )
+    SELECT CAST(t0.na AS BIGINT) AS n_weekend,
+           CAST(t0.nb AS BIGINT) AS n_weekday,
+           round(t0.t_obs / 100.0, 4) + 0.0 AS t_obs,
+           CAST(sum(CASE WHEN tb.t_b >= t0.t_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           round((1.0 + sum(CASE WHEN tb.t_b >= t0.t_obs THEN 1 ELSE 0 END))
+                 / (1.0 + {_PERM_B}), 6) + 0.0 AS p_value
+    FROM tb CROSS JOIN t0
+    GROUP BY t0.na, t0.nb, t0.t_obs
+    """,
+    category="timeseries",
+)
+def stat_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION TEST for the weekend/weekday difference in mean
+    purchase value — the assumption-free companion to
+    `stat_welch_t_test` (no normality) and `stat_mann_whitney_u` (tests
+    means, not ranks): {b} fixed md5-derived label reassignments
+    (salted hash % n < n_a — the house deterministic-budget family),
+    p = (1 + #extreme)/(1 + B). Every permuted statistic is built from
+    INTEGER cent sums, so all B statistics and the ≥ comparisons are
+    exact — the p-value is bit-deterministic, no Monte-Carlo seed
+    anywhere.
+
+    Scale shape (100 TB): the B-way fan-out shuffles (b, bit, cents)
+    scalar triples with map-side combine onto B cells — B is a fixed
+    budget knob, the corpus is scanned once, and nothing is ever
+    sorted. The label-reassignment variant (vs exact-size permutation)
+    is the standard large-N randomization test and is documented as
+    such.""".format(
+        b=_PERM_B
+    )
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        "event_id",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_a"),
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("cents"),
+    )
+    obs = g.agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0)).alias("sb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t_obs = F.abs(
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    bs = spark.range(1, _PERM_B + 1).select(F.col("id").cast("int").alias("b"))
+    h = (
+        "cast(conv(substr(md5(concat('perm', b, ':', "
+        "cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    perm = (
+        g.crossJoin(F.broadcast(obs.select("na", "n")))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            "b",
+            F.when(F.expr(h) % F.col("n") < F.col("na"), 1)
+            .otherwise(0)
+            .alias("pa"),
+            "cents",
+        )
+    )
+    pt = perm.groupBy("b").agg(
+        F.sum("pa").alias("na_b"),
+        F.sum(F.lit(1) - F.col("pa")).alias("nb_b"),
+        F.sum(F.when(F.col("pa") == 1, F.col("cents")).otherwise(0)).alias("sa_b"),
+        F.sum(F.when(F.col("pa") == 0, F.col("cents")).otherwise(0)).alias("sb_b"),
+    )
+    tb = pt.select(
+        "b",
+        F.abs(
+            F.col("sa_b").cast("double") / F.nullif(F.col("na_b"), F.lit(0))
+            - F.col("sb_b").cast("double") / F.nullif(F.col("nb_b"), F.lit(0))
+        ).alias("t_b"),
+    )
+    o = obs.select("na", "nb", t_obs.alias("t_obs"))
+    return (
+        tb.crossJoin(F.broadcast(o))
+        .groupBy("na", "nb", "t_obs")
+        .agg(
+            F.sum(F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)).alias(
+                "n_extreme"
+            )
+        )
+        .select(
+            F.col("na").cast("long").alias("n_weekend"),
+            F.col("nb").cast("long").alias("n_weekday"),
+            (F.round(F.col("t_obs") / 100.0, 4) + F.lit(0.0)).alias("t_obs"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            (
+                F.round(
+                    (F.lit(1.0) + F.col("n_extreme")) / F.lit(1.0 + _PERM_B), 6
+                )
+                + F.lit(0.0)
+            ).alias("p_value"),
+        )
+    )
