@@ -3740,3 +3740,136 @@ def stat_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+_BASS_PS = (0.0005, 0.001, 0.002, 0.005)
+_BASS_QS = (0.005, 0.01, 0.02, 0.05, 0.1)
+
+
+@query(
+    "events_bass_diffusion_fit",
+    # grid SSE fit of the closed-form Bass curve: the only transcendental
+    # (one exp per (day, combo) cell) is nudge-rounded to 8 digits before
+    # any product; SSE folds in day order per combo; argmin ties break to
+    # the lower (p, q) via struct order. m pins to the observed total.
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), m0 AS (
+      SELECT min(d) AS d0, CAST(sum(c) AS DOUBLE) AS m,
+             count(*) AS n_days
+      FROM s
+    ), cum AS (
+      SELECT date_diff('day', m0.d0, s.d) AS t,
+             CAST(sum(s.c) OVER (ORDER BY s.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS y,
+             m0.m, m0.n_days
+      FROM s CROSS JOIN m0
+    ), grid AS (
+      SELECT p.p, q.q
+      FROM (SELECT unnest([{', '.join(f'{p}e0' for p in _BASS_PS)}]) AS p) p
+      CROSS JOIN (SELECT unnest([{', '.join(f'{q}e0' for q in _BASS_QS)}]) AS q) q
+    ), cells AS (
+      SELECT g.p, g.q, cum.t, cum.n_days,
+             cum.y - cum.m * (1e0 - (round(exp(-(g.p + g.q) * cum.t)
+                  + 1e-9, 8) + 0.0))
+               / (1e0 + (g.q / g.p) * (round(exp(-(g.p + g.q) * cum.t)
+                  + 1e-9, 8) + 0.0)) AS err
+      FROM grid g CROSS JOIN cum
+    ), sse AS (
+      SELECT p, q, max(n_days) AS n_days,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(err * err ORDER BY t)), (a, x) -> a + x) AS sse
+      FROM cells GROUP BY p, q
+    ), best AS (
+      SELECT min(struct_pack(sse := sse, p := p, q := q, n_days := n_days))
+               AS b
+      FROM sse
+    )
+    SELECT CAST(b.n_days AS BIGINT) AS n_days,
+           b.p AS p_innovation,
+           b.q AS q_imitation,
+           round(b.sse, 4) + 0.0 AS sse,
+           round(ln(b.q / b.p) / (b.p + b.q)
+                 + sign(ln(b.q / b.p)) * 1e-9, 4) + 0.0 AS peak_time_days
+    FROM best
+    """,
+    category="timeseries",
+)
+def events_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASS DIFFUSION fit of cumulative signups (Bass 1969) — the
+    adoption-curve model growth teams fit to decide whether uptake is
+    innovation-driven (p: external marketing) or imitation-driven (q:
+    word of mouth), and when adoption peaks (ln(q/p)/(p+q)). Closed-form
+    F(t) = m(1−e^{{-(p+q)t}})/(1+(q/p)e^{{-(p+q)t}}) is evaluated on a
+    {np}×{nq} (p, q) grid against the observed cumulative curve; least
+    SSE wins with ties to the lower (p, q) — the same bounded GRID-MLE
+    discipline as the Weibull and Croston fits (no iterative optimizer
+    to replay). m pins to the observed total (the standard pinned-market
+    simplification); uniform synthetic signups fit poorly and the SSE
+    says so — the honest answer.
+
+    Scale shape (100 TB): the fact scan collapses to the |days| daily
+    frame; the grid fan-out is |days|·{np}·{nq} scalar cells; one nudged
+    exp per cell; SSE folds per combo in day order. The cumulative
+    window runs on the calendar-bounded daily frame (the
+    `stat_granger_causality` bound).""".format(
+        np=len(_BASS_PS), nq=len(_BASS_QS)
+    )
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    s = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m0 = s.agg(
+        F.min("d").alias("d0"),
+        F.sum("c").cast("double").alias("m"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        s.withColumn("y", F.sum("c").over(w).cast("double"))
+        .crossJoin(F.broadcast(m0))
+        .select(F.datediff("d", "d0").alias("t"), "y", "m", "n_days")
+    )
+    grid = spark.createDataFrame(
+        [(p, q) for p in _BASS_PS for q in _BASS_QS], "p double, q double"
+    )
+    e = F.round(
+        F.exp(-(F.col("p") + F.col("q")) * F.col("t")) + F.lit(1e-9), 8
+    ) + F.lit(0.0)
+    fhat = (
+        F.col("m")
+        * (F.lit(1.0) - e)
+        / (F.lit(1.0) + (F.col("q") / F.col("p")) * e)
+    )
+    cells = F.broadcast(grid).crossJoin(cum).select(
+        "p", "q", "t", "n_days", (F.col("y") - fhat).alias("err")
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(t, err))), "
+        "x -> x.err * x.err), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    sse = cells.groupBy("p", "q").agg(
+        F.max("n_days").alias("n_days"), F.expr(fold).alias("sse")
+    )
+    best = sse.agg(
+        F.min(F.struct("sse", "p", "q", "n_days")).alias("b")
+    ).select("b.*")
+    lnqp = F.log(F.col("q") / F.col("p"))
+    return best.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("p").alias("p_innovation"),
+        F.col("q").alias("q_imitation"),
+        (F.round(F.col("sse"), 4) + F.lit(0.0)).alias("sse"),
+        (
+            F.round(
+                lnqp / (F.col("p") + F.col("q")) + F.signum(lnqp) * F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("peak_time_days"),
+    )
