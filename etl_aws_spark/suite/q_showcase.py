@@ -1002,3 +1002,155 @@ def showcase_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         (F.round(F.sum("revenue"), 2) + F.lit(0.0)).alias("class_revenue"),
     )
+
+
+@query(
+    "showcase_min_cost_supplier_q2",
+    # TPC-H Q2 shape with lineitem standing in for partsupp: per-(part,
+    # supplier) cost = MIN observed unit price (exact double min — no
+    # fold), the per-part regional minimum selects winners by exact
+    # double equality, and the final cut is orderBy().limit(100). The
+    # correlated-subquery of the spec becomes one broadcast of the tiny
+    # per-part min frame.
+    oracle="""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(CAST(l.l_extendedprice AS DOUBLE) / l.l_quantity) AS cost
+      FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           CAST(c.l_partkey AS BIGINT) AS p_partkey,
+           round(c.cost + sign(c.cost) * 1e-9, 4) + 0.0 AS cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.cost = b.min_cost
+    JOIN eu ON c.l_suppkey = eu.s_suppkey
+    ORDER BY eu.s_acctbal DESC, eu.s_name ASC, c.l_partkey ASC
+    LIMIT 100
+    """,
+    category="showcase",
+)
+def showcase_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE (minimum-cost supplier): for every part, the
+    EUROPE-region supplier(s) achieving the minimum observed unit price,
+    ranked by account balance — the classic correlated-MIN-subquery
+    query, re-expressed Spark-first: the per-part minimum is ONE
+    aggregate on the same (partkey)-keyed shuffle as the cost build, and
+    the 'correlation' is an equi-join against that tiny frame plus an
+    exact double-equality filter (identical doubles on both engines, so
+    the winner set is deterministic). Region/nation/supplier dims ride
+    broadcast joins; the final cut is TakeOrderedAndProject.
+
+    Scale shape (100 TB): lineitem is scanned once, reduced map-side to
+    (part, supplier) cost cells; everything downstream lives on cell
+    frames and broadcast dims. No window, no self-join on the fact."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    eu = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(eu.select("s_suppkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double") / F.col("l_quantity")
+            ).alias("cost")
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("cost").alias("min_cost")).select(
+        F.col("l_partkey").alias("bk"), "min_cost"
+    )
+    return (
+        cost.join(
+            best,
+            (cost["l_partkey"] == best["bk"])
+            & (cost["cost"] == best["min_cost"]),
+        )
+        .drop("bk")
+        .join(F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            rnd_nudged(F.col("cost"), 4).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "showcase_important_parts_q11",
+    # TPC-H Q11 shape: per-part value vs a global-fraction threshold —
+    # exact integer cents everywhere, the scalar total broadcast back,
+    # top-50 via orderBy().limit.
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                 AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), t AS (
+      SELECT sum(cents) AS total FROM v
+    )
+    SELECT CAST(v.l_partkey AS BIGINT) AS p_partkey,
+           round(CAST(v.cents AS DOUBLE) / 100.0, 2) + 0.0 AS part_value,
+           round(CAST(v.cents AS DOUBLE) / t.total, 8) + 0.0 AS share
+    FROM v CROSS JOIN t
+    WHERE CAST(v.cents AS DOUBLE) > 1e-3 * t.total
+    ORDER BY v.cents DESC, v.l_partkey ASC
+    LIMIT 50
+    """,
+    category="showcase",
+)
+def showcase_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 SHAPE (important stock): parts whose total lineitem
+    value exceeds a fixed fraction (0.1%) of the global total — the
+    HAVING-against-a-scalar-subquery classic. The global total is a
+    1-row aggregate broadcast back over the per-part cell frame (no
+    second fact scan, which is how the spec's naive form reads), value
+    sums are exact integer cents so the threshold comparison and the
+    top-50 cut (on cents, not the rounded display value) are
+    deterministic.
+
+    Scale shape (100 TB): one map-side-combined aggregate to |parts|
+    cells, one broadcast scalar, TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    t = v.agg(F.sum("cents").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("cents").cast("double") > F.lit(1e-3) * F.col("total"))
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .limit(50)
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            (F.round(F.col("cents").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+                "part_value"
+            ),
+            (
+                F.round(F.col("cents").cast("double") / F.col("total"), 8)
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+    )

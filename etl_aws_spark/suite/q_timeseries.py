@@ -3873,3 +3873,117 @@ def events_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("peak_time_days"),
     )
+
+
+@query(
+    "stat_runs_test_randomness",
+    # runs above/below the exact median of daily revenue: the median is
+    # the lower-middle order statistic off the |days| frame, run breaks
+    # come from one lag over the same calendar-bounded frame, and the
+    # z-score is closed form over exact integer counts.
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderdate
+    ), med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents, d) AS rn,
+               count(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = (n + 1) // 2
+    ), s AS (
+      SELECT d, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN med
+    ), runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                  OR lag(above) OVER (ORDER BY d) <> above
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    ), agg AS (
+      SELECT sum(brk) AS r, sum(above) AS n1,
+             sum(1 - above) AS n2, count(*) AS n
+      FROM runs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           round(1.0 + 2.0 * n1 * n2 / n, 4) + 0.0 AS expected_runs,
+           round((r - (1.0 + 2.0 * n1 * n2 / n))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) + 0.0
+             AS z_score
+    FROM agg
+    """,
+    category="timeseries",
+)
+def stat_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST on daily revenue: dichotomize each day
+    against the exact median, count runs of consecutive same-side days,
+    and z-score against the null expectation 1 + 2n₁n₂/n — the classic
+    sequence-randomness check (too FEW runs = clustering/regimes, too
+    MANY = oscillation) that complements the autocorrelation and
+    Mann-Kendall views of the same series. The median is the exact
+    lower-middle order statistic (integer cents, day tie-break), so the
+    dichotomy — and therefore every count — replays exactly.
+
+    Scale shape (100 TB): the fact table collapses to the calendar-
+    bounded |days| frame first; the rank and lag windows run on that
+    frame only (the `stat_granger_causality` bound); the z-score is one
+    closed form over four integers."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    wr = Window.orderBy("cents", "d")
+    ranked = daily.select(
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("cents").alias("m"))
+    s = daily.crossJoin(F.broadcast(med)).select(
+        "d", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    wl = Window.orderBy("d")
+    runs = s.select(
+        "above",
+        F.when(
+            F.lag("above").over(wl).isNull()
+            | (F.lag("above").over(wl) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("brk").alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).alias("n2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    exp_r = F.lit(1.0) + F.lit(2.0) * F.col("n1") * F.col("n2") / F.col("n")
+    z = (F.col("r") - exp_r) / F.sqrt(
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n2")
+        * (F.lit(2.0) * F.col("n1") * F.col("n2") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("r").cast("long").alias("n_runs"),
+        (F.round(exp_r, 4) + F.lit(0.0)).alias("expected_runs"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )
