@@ -2752,16 +2752,16 @@ def _pca_oracle(iters: int = 4) -> str:
     category="similarity",
 )
 def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top PRINCIPAL COMPONENT of the embedding corpus by 4 rounds of
-    distributed power iteration (`similarity/knn.py
-    top_pc_power_iteration`) — the spectral summary an embedding
-    pipeline uses for whitening, drift fingerprinting, and anisotropy
-    audits (embedding spaces are famously dominated by a rogue top
-    direction). C·v is applied WITHOUT materializing the 64×64
-    covariance: dots then per-dimension weighted sums, both pure INTEGER
-    corpus passes at 1e4 fixed point (order-free — no ordered fold in
-    the hot path at all), with v as O(dim) driver model state
+    """Top PRINCIPAL COMPONENT by COVARIANCE-FREE power iteration — the
+    high-dimension sibling of `embedding_pca_power_iteration` (which
+    materializes the dim² Gram matrix via a per-id self-join: the right
+    plan at dim=64, a dim²-cell wall at dim=4096): here C·v is applied
+    as dots then per-dimension weighted sums, two pure INTEGER corpus
+    passes at 1e4 fixed point (order-free — no ordered fold in the hot
+    path, no dim² anywhere), with v as O(dim) driver model state
     re-broadcast as a plan-time array literal (the kmeans/GMM pattern).
+    Uncentered second moment by design (the streaming-PCA convention —
+    the Gram sibling centers; together they bracket both conventions).
     The oracle unrolls all 4 iterations as materialized CTEs and lands
     on the identical quantized eigenvector and Rayleigh eigenvalue.
 
