@@ -2782,3 +2782,154 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loading",
         rnd_nudged(F.lit(lam), 8).alias("eigenvalue"),
     )
+
+
+def _duck_l2(a: str, b: str) -> str:
+    """Squared L2 as the identical ascending-index left fold from 0.0
+    (the zip_with twin of _duck_dot)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "embedding_lof_outliers",
+    # LOF within label cells: every mean is an ordered fold over the k
+    # neighbor rows (bid order), distances are the engine-exact zip_with
+    # fold, ranks tie-break on neighbor id, and the top-20 cut ranks the
+    # ROUNDED score (the pagerank rule).
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS id, label, embedding FROM embeddings
+    ), p AS MATERIALIZED (
+      SELECT a.id AS aid, b.id AS bid,
+             {_duck_l2('a.embedding', 'b.embedding')} AS d2
+      FROM e a JOIN e b ON a.label = b.label AND a.id <> b.id
+    ), r AS MATERIALIZED (
+      SELECT aid, bid, d2,
+             row_number() OVER (PARTITION BY aid ORDER BY d2, bid) AS rn
+      FROM p
+    ), knn AS MATERIALIZED (
+      SELECT aid, bid, d2 FROM r WHERE rn <= 10
+    ), kd AS MATERIALIZED (
+      SELECT aid AS id, max(d2) AS kd, count(*) AS kc FROM knn GROUP BY aid
+    ), reach AS (
+      SELECT knn.aid, knn.bid, greatest(kdb.kd, knn.d2) AS rd
+      FROM knn JOIN kd kdb ON knn.bid = kdb.id
+    ), lrd AS MATERIALIZED (
+      SELECT reach.aid AS id,
+             CAST(max(kd2.kc) AS DOUBLE) / nullif(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(rd ORDER BY bid)), (a, x) -> a + x), 0.0) AS lrd
+      FROM reach JOIN kd kd2 ON reach.aid = kd2.id GROUP BY reach.aid
+    ), lof AS (
+      SELECT knn.aid,
+             (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(lb.lrd ORDER BY knn.bid)), (a, x) -> a + x)
+              / CAST(max(kd3.kc) AS DOUBLE)) / max(la.lrd) AS lof
+      FROM knn
+      JOIN lrd lb ON knn.bid = lb.id
+      JOIN lrd la ON knn.aid = la.id
+      JOIN kd kd3 ON knn.aid = kd3.id
+      GROUP BY knn.aid
+    )
+    SELECT CAST(aid AS BIGINT) AS vec_id,
+           round(lof + sign(lof) * 1e-9, 6) + 0.0 AS lof_score
+    FROM lof
+    ORDER BY round(lof + sign(lof) * 1e-9, 6) DESC, aid ASC
+    LIMIT 20
+    """,
+    category="similarity",
+)
+def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL OUTLIER FACTOR (Breunig 2000) over the embedding corpus —
+    the density-NORMALIZED upgrade of `embedding_outlier_score`'s raw
+    global-distance ranking: a point is anomalous only relative to its
+    neighborhood's density (lrd), so sparse-but-uniform regions stop
+    flooding the outlier list. k=10 neighborhoods are computed WITHIN
+    label cells (the IVF-cell bound that keeps the pair stage Σ|cell|²
+    instead of N² — the same documented in-cell approximation as
+    `similarity_topk_ann_ivf`); reach-distances, lrd, and the final LOF
+    ratio are all ordered folds over the k neighbor rows, so every score
+    replays bit-exactly; the top-20 cut ranks the rounded score via
+    orderBy().limit.
+
+    Scale shape (100 TB): per-cell pair join (blocked, capped by cell
+    granularity), one partitioned rank window, three k-row-per-point
+    aggregates. Nothing global except the final 20-row cut."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    a = emb.select(
+        F.col("id").alias("aid"), F.col("label").alias("la"), F.col("vec").alias("va")
+    )
+    b = emb.select(
+        F.col("id").alias("bid"), F.col("label").alias("lb"), F.col("vec").alias("vb")
+    )
+    p = a.join(b, (F.col("la") == F.col("lb")) & (F.col("aid") != F.col("bid"))).select(
+        "aid",
+        "bid",
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (acc, t) -> acc + t)"
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("aid").orderBy("d2", "bid")
+    knn_df = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    kd = knn_df.groupBy(F.col("aid").alias("id")).agg(
+        F.max("d2").alias("kd"), F.count(F.lit(1)).alias("kc")
+    )
+    reach = knn_df.join(
+        kd.select(F.col("id").alias("bid"), F.col("kd").alias("kdb")), "bid"
+    ).select("aid", "bid", F.greatest("kdb", "d2").alias("rd"))
+    fold_bid = (
+        "aggregate(transform(array_sort(collect_list(struct(bid, {t} as tv))), "
+        "x -> x.tv), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    lrd = (
+        reach.join(kd.select(F.col("id").alias("aid"), "kc"), "aid")
+        .groupBy("aid")
+        .agg(
+            (
+                F.max("kc").cast("double")
+                / F.nullif(F.expr(fold_bid.format(t="rd")), F.lit(0.0))
+            ).alias("lrd")
+        )
+        .select(F.col("aid").alias("id"), "lrd")
+    )
+    lof = (
+        knn_df.join(
+            lrd.select(F.col("id").alias("bid"), F.col("lrd").alias("lrdb")), "bid"
+        )
+        .join(lrd.select(F.col("id").alias("aid"), F.col("lrd").alias("lrda")), "aid")
+        .join(kd.select(F.col("id").alias("aid"), "kc"), "aid")
+        .groupBy("aid")
+        .agg(
+            (
+                (
+                    F.expr(fold_bid.format(t="lrdb"))
+                    / F.max("kc").cast("double")
+                )
+                / F.max("lrda")
+            ).alias("lof")
+        )
+    )
+    score = F.round(F.col("lof") + F.signum("lof") * F.lit(1e-9), 6) + F.lit(0.0)
+    return (
+        lof.select(F.col("aid").cast("long").alias("vec_id"), score.alias("lof_score"))
+        .orderBy(F.desc("lof_score"), F.asc("vec_id"))
+        .limit(20)
+    )
