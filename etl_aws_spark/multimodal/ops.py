@@ -973,3 +973,64 @@ def image_sobel_stats(df: DataFrame, threshold: int = 150000) -> DataFrame:
         "asset_id bigint, width int, height int, n_interior bigint, "
         "n_edges bigint, total_grad bigint",
     )
+
+
+def image_otsu_threshold(df: DataFrame) -> DataFrame:
+    """Arrow-batched OTSU binarization threshold over real BMP decodes:
+    build the 256-bin histogram of the 8-bit luma plane (integer
+    (299R+587G+114B)//1000 — exact floor division), then pick the
+    threshold t* maximizing between-class variance. The selection
+    statistic is the QUANTIZED integer score floor(d²·10⁶ / (w0·w1))
+    with d = s0·w1 − (Σ−s0)·w0 — exact integer floor division on both
+    engines (Python big ints here, HUGEINT in the oracle), so the argmax
+    and its lower-threshold tie-break replay bit-exactly; score plateaus
+    between occupied bins always start at an occupied bin, so the oracle
+    may scan occupied bins only. Emits the threshold, class populations.
+
+    Output: asset_id, width, height, otsu_threshold, n_below, n_above."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_bmp24(bytes(payload))
+                a = px.astype(np.int64)
+                lum = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+                hist = np.bincount(lum.ravel(), minlength=256).astype(object)
+                n = int(lum.size)
+                total_sum = int((np.arange(256, dtype=np.int64) * hist.astype(np.int64)).sum())
+                best_t, best_score = 0, -1
+                w0 = 0
+                s0 = 0
+                for t in range(256):
+                    w0 += int(hist[t])
+                    s0 += t * int(hist[t])
+                    w1 = n - w0
+                    if w0 == 0 or w1 == 0:
+                        continue
+                    # between-class variance ∝ (s0*w1 - (total-s0)*w0)² / (w0*w1)
+                    d = s0 * w1 - (total_sum - s0) * w0
+                    score = (d * d * 1000000) // (w0 * w1)
+                    if score > best_score:
+                        best_t, best_score = t, score
+                n_below = int(hist[: best_t + 1].astype(np.int64).sum())
+                rows.append(
+                    (int(aid), lum.shape[1], lum.shape[0], best_t,
+                     n_below, n - n_below)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "otsu_threshold",
+                    "n_below", "n_above",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, width int, height int, otsu_threshold int, "
+        "n_below bigint, n_above bigint",
+    )

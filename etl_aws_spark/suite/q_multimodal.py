@@ -1764,3 +1764,76 @@ def multimodal_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("edge_density"),
     )
+
+
+@query(
+    "multimodal_image_otsu_threshold",
+    # occupied-bin scan: cumulative (w0, s0) per luma value, HUGEINT
+    # quantized score floor(d²·1e6/(w0·w1)), argmax with lower-threshold
+    # tie-break via a per-image 256-row rank window. Plateaus between
+    # occupied bins start AT an occupied bin, so scanning occupied bins
+    # reproduces the full 0..255 scan's argmax exactly.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), px AS MATERIALIZED (
+      SELECT d.doc_id, d.w, d.h,
+             (299 * ((d.doc_id*31 + x.x*7 + y.y*3) % 256)
+              + 587 * ((d.doc_id*31 + x.x*7 + y.y*3 + 11) % 256)
+              + 114 * ((d.doc_id*31 + x.x*7 + y.y*3 + 22) % 256)) // 1000
+               AS v
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 16)) AS x) x ON x.x < d.w
+      JOIN (SELECT unnest(generate_series(0, 14)) AS y) y ON y.y < d.h
+    ), hist AS (
+      SELECT doc_id, max(w) AS w, max(h) AS h, v, count(*) AS c
+      FROM px GROUP BY doc_id, v
+    ), cum AS (
+      SELECT doc_id, w, h, v, c,
+             sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS w0,
+             sum(v * c) OVER (PARTITION BY doc_id ORDER BY v) AS s0,
+             sum(c) OVER (PARTITION BY doc_id) AS n,
+             sum(v * c) OVER (PARTITION BY doc_id) AS ts
+      FROM hist
+    ), scored AS (
+      SELECT doc_id, w, h, v, w0,
+             (CAST(s0 * (n - w0) - (ts - s0) * w0 AS HUGEINT)
+              * CAST(s0 * (n - w0) - (ts - s0) * w0 AS HUGEINT)
+              * 1000000) // (CAST(w0 AS HUGEINT) * (n - w0)) AS score,
+             n
+      FROM cum WHERE w0 > 0 AND w0 < n
+    ), best AS (
+      SELECT doc_id, w, h, v AS t, w0, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, v ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(t AS INT) AS otsu_threshold,
+           CAST(w0 AS BIGINT) AS n_below,
+           CAST(n - w0 AS BIGINT) AS n_above
+    FROM best WHERE rn = 1
+    """,
+    category="multimodal",
+)
+def multimodal_image_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSU automatic binarization threshold over real BMP decodes — the
+    classic histogram-based foreground/background split (Otsu 1979) an
+    image-curation pipeline uses for blank-page detection and mask
+    generation: maximize between-class variance over the 256-bin luma
+    histogram. The selection statistic is quantized to an exact integer
+    (floor(d²·10⁶/(w0·w1)), Python big ints in the decoder / HUGEINT in
+    the oracle), so the argmax and its lower-threshold tie-break are
+    bit-deterministic — no float enters the decision anywhere.
+
+    Shape: one Arrow-batched decode + a 256-step integer scan per image;
+    one row per asset out. The oracle replays the histogram closed-form
+    from the pixel generator and scans occupied bins with one
+    per-image rank window over ≤256 rows."""
+    corpus = _bmp_corpus(spark, sf_dir)
+    out = ops.image_otsu_threshold(
+        corpus.select(F.col("doc_id").alias("asset_id"), "payload")
+    )
+    return out
