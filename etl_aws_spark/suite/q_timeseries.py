@@ -3987,3 +3987,107 @@ def stat_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(exp_r, 4) + F.lit(0.0)).alias("expected_runs"),
         (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )
+
+
+@query(
+    "stat_interrupted_time_series",
+    # two independent OLS segments around the intervention date, every
+    # moment an exact INTEGER sum (day index × integer cents) — order-free
+    # — and the closed forms evaluated in one identical double chain.
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderdate
+    ), x AS (
+      SELECT date_diff('day', DATE '1996-01-01', d) AS t, cents,
+             CASE WHEN d >= DATE '1996-01-01' THEN 1 ELSE 0 END AS post
+      FROM daily
+    ), seg AS (
+      SELECT post, count(*) AS n, sum(t) AS sx, sum(cents) AS sy,
+             sum(t * t) AS sxx, sum(t * cents) AS sxy
+      FROM x GROUP BY post
+    ), fit AS (
+      SELECT post, n,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+             CAST(sy AS DOUBLE) / n
+               - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                 * (CAST(sx AS DOUBLE) / n) AS a
+      FROM seg
+    )
+    SELECT CAST(pre.n AS BIGINT) AS n_pre, CAST(post.n AS BIGINT) AS n_post,
+           round(pre.a / 100.0, 4) + 0.0 AS intercept_pre,
+           round(pre.b / 100.0, 6) + 0.0 AS slope_pre,
+           round(post.a / 100.0, 4) + 0.0 AS intercept_post,
+           round(post.b / 100.0, 6) + 0.0 AS slope_post,
+           round((post.a - pre.a) / 100.0, 4) + 0.0 AS level_change,
+           round((post.b - pre.b) / 100.0, 6) + 0.0 AS slope_change
+    FROM (SELECT * FROM fit WHERE post = 0) pre
+    CROSS JOIN (SELECT * FROM fit WHERE post = 1) post
+    """,
+    category="timeseries",
+)
+def stat_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERRUPTED TIME-SERIES segmented regression around a 1996-01-01
+    intervention: independent OLS lines on the pre and post daily-revenue
+    segments (day index centered at the cut), reporting the level jump
+    and slope change at the intervention — the quasi-experimental
+    workhorse when there is no control group for `stat_diff_in_diff`.
+    Every regression moment (Σt, Σy, Σt², Σty) is an exact INTEGER sum
+    of day-index × integer-cents products — order-free, no folds — and
+    the closed forms run the identical double chain on both engines.
+
+    Scale shape (100 TB): the fact scan collapses map-side to the
+    calendar-bounded |days| frame, then ONE 2-group aggregate produces
+    all eight moments. No window at all."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    cut = F.lit("1996-01-01").cast("date")
+    x = daily.select(
+        F.datediff("d", cut).alias("t"),
+        "cents",
+        F.when(F.col("d") >= cut, 1).otherwise(0).alias("post"),
+    )
+    seg = x.groupBy("post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t") * F.col("cents")).alias("sxy"),
+    )
+    b = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    a = F.col("sy").cast("double") / F.col("n") - b * (
+        F.col("sx").cast("double") / F.col("n")
+    )
+    fit = seg.select("post", "n", b.alias("b"), a.alias("a"))
+    pre = fit.filter(F.col("post") == 0).select(
+        F.col("n").alias("n_pre"), F.col("a").alias("a0"), F.col("b").alias("b0")
+    )
+    post = fit.filter(F.col("post") == 1).select(
+        F.col("n").alias("n_post"), F.col("a").alias("a1"), F.col("b").alias("b1")
+    )
+    return pre.crossJoin(post).select(
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        (F.round(F.col("a0") / 100.0, 4) + F.lit(0.0)).alias("intercept_pre"),
+        (F.round(F.col("b0") / 100.0, 6) + F.lit(0.0)).alias("slope_pre"),
+        (F.round(F.col("a1") / 100.0, 4) + F.lit(0.0)).alias("intercept_post"),
+        (F.round(F.col("b1") / 100.0, 6) + F.lit(0.0)).alias("slope_post"),
+        (F.round((F.col("a1") - F.col("a0")) / 100.0, 4) + F.lit(0.0)).alias(
+            "level_change"
+        ),
+        (F.round((F.col("b1") - F.col("b0")) / 100.0, 6) + F.lit(0.0)).alias(
+            "slope_change"
+        ),
+    )
