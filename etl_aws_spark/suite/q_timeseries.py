@@ -4091,3 +4091,188 @@ def stat_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_change"
         ),
     )
+
+
+def _te_oracle(src: str, dst: str, suffix: str) -> str:
+    """One direction of binarized transfer entropy as a CTE block:
+    states from exact medians, 8 integer count cells, nudged log2."""
+    return f"""
+    j{suffix} AS (
+      SELECT a.t,
+             CASE WHEN a.c > ma.m THEN 1 ELSE 0 END AS xp,
+             CASE WHEN b.c > mb.m THEN 1 ELSE 0 END AS yc,
+             lag(CASE WHEN b.c > mb.m THEN 1 ELSE 0 END)
+               OVER (ORDER BY a.t) AS yp,
+             lag(CASE WHEN a.c > ma.m THEN 1 ELSE 0 END)
+               OVER (ORDER BY a.t) AS xpl
+      FROM s_{src} a
+      JOIN s_{dst} b ON a.t = b.t
+      CROSS JOIN med_{src} ma CROSS JOIN med_{dst} mb
+    ), c3_{suffix} AS (
+      SELECT yc, yp, xpl, count(*) AS c
+      FROM j{suffix} WHERE yp IS NOT NULL GROUP BY yc, yp, xpl
+    ), agg_{suffix} AS (
+      SELECT sum(c) AS n FROM c3_{suffix}
+    ), te_{suffix} AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY yc, yp, xpl)), (a, x) -> a + x) AS te
+      FROM (
+        SELECT c3.yc, c3.yp, c3.xpl,
+               CAST(c3.c AS DOUBLE) / agg_{suffix}.n
+               * (round(log2(CAST(c3.c AS DOUBLE) * cyp.c
+                             / (CAST(cpx.c AS DOUBLE) * cyy.c))
+                  + sign(log2(CAST(c3.c AS DOUBLE) * cyp.c
+                             / (CAST(cpx.c AS DOUBLE) * cyy.c))) * 1e-9, 8)
+                  + 0.0) AS term
+        FROM c3_{suffix} c3
+        JOIN (SELECT yp, sum(c) AS c FROM c3_{suffix} GROUP BY yp) cyp
+          ON c3.yp = cyp.yp
+        JOIN (SELECT yp, xpl, sum(c) AS c FROM c3_{suffix} GROUP BY yp, xpl)
+          cpx ON c3.yp = cpx.yp AND c3.xpl = cpx.xpl
+        JOIN (SELECT yc, yp, sum(c) AS c FROM c3_{suffix} GROUP BY yc, yp)
+          cyy ON c3.yc = cyy.yc AND c3.yp = cyy.yp
+        CROSS JOIN agg_{suffix}
+      )
+    )"""
+
+
+@query(
+    "stat_transfer_entropy",
+    # binarized TE in both directions: states from exact lower-middle
+    # medians of the daily count series, 8 integer count cells per
+    # direction, one nudged log2 per cell, state-ordered folds.
+    oracle=f"""
+    WITH cl AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xc,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS yc
+      FROM events GROUP BY 1
+    ), s_x AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, xc AS c FROM cl
+    ), s_y AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, yc AS c FROM cl
+    ), med_x AS (
+      SELECT c AS m FROM (
+        SELECT c, row_number() OVER (ORDER BY c, t) AS rn,
+               count(*) OVER () AS n FROM s_x
+      ) WHERE rn = (n + 1) // 2
+    ), med_y AS (
+      SELECT c AS m FROM (
+        SELECT c, row_number() OVER (ORDER BY c, t) AS rn,
+               count(*) OVER () AS n FROM s_y
+      ) WHERE rn = (n + 1) // 2
+    ),{_te_oracle('x', 'y', 'xy')},{_te_oracle('y', 'x', 'yx')}
+    SELECT CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_days,
+           round(te_xy.te, 6) + 0.0 AS te_clicks_to_purchases,
+           round(te_yx.te, 6) + 0.0 AS te_purchases_to_clicks
+    FROM te_xy CROSS JOIN te_yx
+    """,
+    category="timeseries",
+)
+def stat_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFER ENTROPY between daily click and purchase volumes
+    (binarized against each series' exact median): the
+    information-theoretic, model-free directionality measure that
+    complements `stat_granger_causality`'s linear lag test — TE sees ANY
+    predictive dependence, not just linear, and its asymmetry
+    (TE(X→Y) vs TE(Y→X)) is the direction signal. With binary states the
+    whole estimator collapses to 8 integer count cells per direction
+    (y_t, y_{{t-1}}, x_{{t-1}}); each cell contributes
+    (c/N)·log2(c·c_yp / (c_ypxp·c_ycyp)) with ONE nudged log2, folded in
+    state order — bit-deterministic.
+
+    Scale shape (100 TB): the fact scan collapses to the calendar-
+    bounded daily frame; medians are exact order statistics on that
+    frame; everything after is arithmetic on 8-row cell tables. The
+    lag/rank windows run on the |days| frame only (the granger
+    bound)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cl = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("xc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "yc"
+        ),
+    ).localCheckpoint(eager=True)
+    n_days = cl.count()
+
+    wt = Window.orderBy("d")
+
+    def series(col: str) -> DataFrame:
+        return cl.select(F.row_number().over(wt).alias("t"), F.col(col).alias("c"))
+
+    def median(s: DataFrame) -> DataFrame:
+        wr = Window.orderBy("c", "t")
+        ranked = s.select(
+            "c",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+            F.col("c").alias("m")
+        )
+
+    def te_direction(sx: DataFrame, sy: DataFrame, mx: DataFrame, my: DataFrame):
+        j = (
+            sx.select("t", F.col("c").alias("ca"))
+            .join(sy.select("t", F.col("c").alias("cb")), "t")
+            .crossJoin(F.broadcast(mx.select(F.col("m").alias("ma"))))
+            .crossJoin(F.broadcast(my.select(F.col("m").alias("mb"))))
+            .select(
+                "t",
+                F.when(F.col("ca") > F.col("ma"), 1).otherwise(0).alias("xs"),
+                F.when(F.col("cb") > F.col("mb"), 1).otherwise(0).alias("ycur"),
+            )
+        )
+        lagged = j.select(
+            "ycur",
+            F.lag("ycur").over(wt2).alias("yp"),
+            F.lag("xs").over(wt2).alias("xpl"),
+        ).filter(F.col("yp").isNotNull())
+        c3 = lagged.groupBy("ycur", "yp", "xpl").agg(F.count(F.lit(1)).alias("c"))
+        c3 = c3.localCheckpoint(eager=True)
+        n = c3.agg(F.sum("c").alias("n"))
+        cyp = c3.groupBy("yp").agg(F.sum("c").alias("c_yp"))
+        cpx = c3.groupBy("yp", "xpl").agg(F.sum("c").alias("c_ypx"))
+        cyy = c3.groupBy("ycur", "yp").agg(F.sum("c").alias("c_yy"))
+        ratio = (
+            F.col("c").cast("double")
+            * F.col("c_yp")
+            / (F.col("c_ypx").cast("double") * F.col("c_yy"))
+        )
+        lg = F.log2(ratio)
+        term = (
+            F.col("c").cast("double")
+            / F.col("n")
+            * (F.round(lg + F.signum(lg) * F.lit(1e-9), 8) + F.lit(0.0))
+        )
+        cells = (
+            c3.join(F.broadcast(cyp), "yp")
+            .join(F.broadcast(cpx), ["yp", "xpl"])
+            .join(F.broadcast(cyy), ["ycur", "yp"])
+            .crossJoin(F.broadcast(n))
+            .select("ycur", "yp", "xpl", term.alias("term"))
+        )
+        return cells.agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(ycur, yp, xpl, term))), x -> x.term), "
+                "cast(0.0 as double), (a, y) -> a + y)"
+            ).alias("te")
+        )
+
+    wt2 = Window.orderBy("t")
+    sx, sy = series("xc"), series("yc")
+    mx, my = median(sx), median(sy)
+    te_xy = te_direction(sx, sy, mx, my).select(F.col("te").alias("te_xy"))
+    te_yx = te_direction(sy, sx, my, mx).select(F.col("te").alias("te_yx"))
+    return te_xy.crossJoin(te_yx).select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        (F.round(F.col("te_xy"), 6) + F.lit(0.0)).alias(
+            "te_clicks_to_purchases"
+        ),
+        (F.round(F.col("te_yx"), 6) + F.lit(0.0)).alias(
+            "te_purchases_to_clicks"
+        ),
+    )

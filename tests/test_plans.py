@@ -502,6 +502,9 @@ def test_unpartitioned_windows_are_on_bounded_frames_only():
         ("suite/q_timeseries.py", "stat_hurst_exponent"): "row_number over the |days| daily frame (calendar-bounded)",
         ("suite/q_timeseries.py", "events_bass_diffusion_fit"): "cum over the |days| daily frame (calendar-bounded)",
         ("suite/q_timeseries.py", "stat_runs_test_randomness"): "rank+lag over the |days| daily frame (calendar-bounded)",
+        ("suite/q_timeseries.py", "stat_transfer_entropy"): "row_number over the |days| daily frame (calendar-bounded)",
+        ("suite/q_timeseries.py", "median"): "TE helper: rank over the |days| daily frame (calendar-bounded)",
+        ("suite/q_timeseries.py", "te_direction"): "TE helper: lag over the |days| daily frame (calendar-bounded)",
         ("suite/q_timeseries.py", "stat_kruskal_wallis"): "cum over |distinct integer quantities| (1..50 domain)",
         ("suite/q_timeseries.py", "stat_kaplan_meier_survival"): "two windows over |distinct day| cells (date-domain)",
         ("suite/q_similarity.py", "embedding_outlier_score"): "rank attached on the 20-row post-limit frame",
