@@ -928,3 +928,77 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nudged(F.col("vw") / F.col("span_us"), 4).alias("time_weighted_avg"),
         rnd_nudged(F.col("plain_mean"), 4).alias("plain_avg"),
     )
+
+
+@query(
+    "window_sma_crossover_signals",
+    # 10/30-bar SMA crossover events per series: the cross test compares
+    # raw window doubles and their lags (identical arithmetic both
+    # engines); only crossover rows are emitted — a bounded signal set.
+    oracle=f"""
+    WITH s AS (
+      SELECT {_KEYS}, value,
+             avg(value) {_OVER[:-1]}
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sma_s,
+             avg(value) {_OVER[:-1]}
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS sma_l,
+             count(*) {_OVER[:-1]}
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS cnt
+      FROM events
+    ), l AS (
+      SELECT event_id, user_id, ts, sma_s, sma_l, cnt,
+             lag(sma_s) {_OVER} AS p_s,
+             lag(sma_l) {_OVER} AS p_l,
+             lag(cnt) {_OVER} AS p_cnt
+      FROM s
+    )
+    SELECT event_id, user_id, ts,
+           round(sma_s, 4) + 0.0 AS sma_short,
+           round(sma_l, 4) + 0.0 AS sma_long,
+           CASE WHEN sma_s > sma_l THEN 'golden' ELSE 'death' END AS signal
+    FROM l
+    WHERE cnt = 30 AND p_cnt = 30
+      AND ((sma_s > sma_l AND p_s <= p_l) OR (sma_s < sma_l AND p_s >= p_l))
+    """,
+    category="window",
+)
+def window_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN/DEATH-CROSS detection per series: 10-bar vs 30-bar trailing
+    SMA crossover events — the classic trend-following signal the
+    reference's market-data pipeline exists to enable, computed as two
+    window averages + one lag on the SAME partitioned sort (one exchange,
+    one sort, three window functions), emitting only the crossing rows
+    (a sparse signal set, not a per-row indicator column). Full-window
+    rows only on both the current and previous bar, so a series' warm-up
+    period can never fabricate a cross."""
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ws, wl = _w().rowsBetween(-9, 0), _w().rowsBetween(-29, 0)
+    s = df.select(
+        "event_id", "user_id", "ts",
+        F.avg("value").over(ws).alias("sma_s"),
+        F.avg("value").over(wl).alias("sma_l"),
+        F.count(F.lit(1)).over(wl).alias("cnt"),
+    )
+    lw = _w()
+    l = s.select(
+        "event_id", "user_id", "ts", "sma_s", "sma_l", "cnt",
+        F.lag("sma_s").over(lw).alias("p_s"),
+        F.lag("sma_l").over(lw).alias("p_l"),
+        F.lag("cnt").over(lw).alias("p_cnt"),
+    )
+    crossed = l.filter(
+        (F.col("cnt") == 30)
+        & (F.col("p_cnt") == 30)
+        & (
+            ((F.col("sma_s") > F.col("sma_l")) & (F.col("p_s") <= F.col("p_l")))
+            | ((F.col("sma_s") < F.col("sma_l")) & (F.col("p_s") >= F.col("p_l")))
+        )
+    )
+    return crossed.select(
+        "event_id", "user_id", "ts",
+        rnd(F.col("sma_s")).alias("sma_short"),
+        rnd(F.col("sma_l")).alias("sma_long"),
+        F.when(F.col("sma_s") > F.col("sma_l"), "golden")
+        .otherwise("death")
+        .alias("signal"),
+    )
