@@ -1034,3 +1034,32 @@ def image_otsu_threshold(df: DataFrame) -> DataFrame:
         "asset_id bigint, width int, height int, otsu_threshold int, "
         "n_below bigint, n_above bigint",
     )
+
+
+def audio_zero_crossing(df: DataFrame) -> DataFrame:
+    """Arrow-batched ZERO-CROSSING RATE over real WAV decodes: count
+    sign boundaries between consecutive PCM samples (zero counts as
+    non-negative, so the crossing predicate (s_j >= 0) != (s_{j+1} >= 0)
+    is pure integer logic) — the cheap noisiness/pitch proxy that rides
+    the same decode pass as VAD and the spectral centroid.
+
+    Output: asset_id, n_samples, n_crossings (exact int64s)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, _rate = decode_wav16(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                nz = int(((s[:-1] >= 0) != (s[1:] >= 0)).sum())
+                rows.append((int(aid), int(s.size), nz))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_samples", "n_crossings"]
+            )
+
+    return df.mapInPandas(
+        run, "asset_id bigint, n_samples int, n_crossings bigint"
+    )

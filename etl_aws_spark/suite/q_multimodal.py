@@ -1837,3 +1837,55 @@ def multimodal_image_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFra
         corpus.select(F.col("doc_id").alias("asset_id"), "payload")
     )
     return out
+
+
+@query(
+    "multimodal_audio_zero_crossing",
+    # closed-form crossing oracle: both neighbor samples expand the
+    # waveform generator directly per index — pure integer logic, no
+    # window, no float anywhere except the final rate.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ), pairs AS (
+      SELECT d.doc_id, d.n,
+             CASE WHEN (((d.doc_id * 131 + j.j * 17) % 4096 - 2048 >= 0)
+                        <> ((d.doc_id * 131 + (j.j + 1) * 17) % 4096 - 2048
+                            >= 0))
+                  THEN 1 ELSE 0 END AS c
+      FROM d JOIN (SELECT unnest(generate_series(0, 159)) AS j) j
+        ON j.j < d.n - 1
+    )
+    SELECT doc_id AS asset_id,
+           CAST(max(n) AS INT) AS n_samples,
+           CAST(sum(c) AS BIGINT) AS n_crossings,
+           round(CAST(sum(c) AS DOUBLE) / (max(n) - 1), 6) + 0.0 AS zcr
+    FROM pairs GROUP BY doc_id
+    """,
+    category="multimodal",
+)
+def multimodal_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-CROSSING RATE over real WAV decodes — the cheapest spectral
+    proxy in audio curation (high ZCR ≈ noise/fricatives, low ≈ tonal/
+    voiced), completing the audio feature family beside energy VAD and
+    the Fourier spectral centroid. The crossing count is pure integer
+    logic inside the Arrow batch (`ops.audio_zero_crossing`), and the
+    oracle expands BOTH neighbor samples closed-form from the waveform
+    generator — exact int64 parity, float only in the final rate.
+
+    Shape: one decode pass, one row per asset, no shuffle beyond the
+    1-row-per-clip aggregate."""
+    wav = _wav_corpus(spark, sf_dir)
+    out = ops.audio_zero_crossing(wav)
+    return out.select(
+        "asset_id",
+        "n_samples",
+        "n_crossings",
+        (
+            F.round(
+                F.col("n_crossings").cast("double") / (F.col("n_samples") - 1),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("zcr"),
+    )
