@@ -2805,10 +2805,17 @@ def _duck_l2(a: str, b: str) -> str:
     oracle=f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id AS id, label, embedding FROM embeddings
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('lofcand:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= 500
     ), p AS MATERIALIZED (
       SELECT a.id AS aid, b.id AS bid,
              {_duck_l2('a.embedding', 'b.embedding')} AS d2
-      FROM e a JOIN e b ON a.label = b.label AND a.id <> b.id
+      FROM e a JOIN pool b ON a.label = b.label AND a.id <> b.id
     ), r AS MATERIALIZED (
       SELECT aid, bid, d2,
              row_number() OVER (PARTITION BY aid ORDER BY d2, bid) AS rn
@@ -2853,14 +2860,18 @@ def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flooding the outlier list. k=10 neighborhoods are computed WITHIN
     label cells (the IVF-cell bound that keeps the pair stage Σ|cell|²
     instead of N² — the same documented in-cell approximation as
-    `similarity_topk_ann_ivf`); reach-distances, lrd, and the final LOF
-    ratio are all ordered folds over the k neighbor rows, so every score
-    replays bit-exactly; the top-20 cut ranks the rounded score via
-    orderBy().limit.
+    `similarity_topk_ann_ivf`), and the CANDIDATE side of the pair join
+    is capped at 500 per cell by smallest salted hash (the
+    `model_knn_label_classifier` budget pattern — measured essential: the
+    uncapped in-cell join is |cell|² and went quadratic at 10× data),
+    so per-point work is O(min(|cell|, 500)) however the corpus grows.
+    Reach-distances, lrd, and the final LOF ratio are ordered folds over
+    the k neighbor rows, so every score replays bit-exactly; the top-20
+    cut ranks the rounded score via orderBy().limit.
 
-    Scale shape (100 TB): per-cell pair join (blocked, capped by cell
-    granularity), one partitioned rank window, three k-row-per-point
-    aggregates. Nothing global except the final 20-row cut."""
+    Scale shape (100 TB): budget-bounded per-cell pair join, one
+    partitioned rank window, three k-row-per-point aggregates. Nothing
+    global except the final 20-row cut."""
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -2868,10 +2879,18 @@ def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("vec"),
     )
+    wpool = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("lofcand:"), F.col("id").cast("string"))), "id"
+    )
+    pool = (
+        emb.withColumn("hrn", F.row_number().over(wpool))
+        .filter(F.col("hrn") <= 500)
+        .drop("hrn")
+    )
     a = emb.select(
         F.col("id").alias("aid"), F.col("label").alias("la"), F.col("vec").alias("va")
     )
-    b = emb.select(
+    b = pool.select(
         F.col("id").alias("bid"), F.col("label").alias("lb"), F.col("vec").alias("vb")
     )
     p = a.join(b, (F.col("la") == F.col("lb")) & (F.col("aid") != F.col("bid"))).select(
