@@ -2811,7 +2811,7 @@ def _duck_l2(a: str, b: str) -> str:
                row_number() OVER (PARTITION BY label
                  ORDER BY md5('lofcand:' || CAST(id AS VARCHAR)), id) AS hrn
         FROM e
-      ) WHERE hrn <= 500
+      ) WHERE hrn <= 200
     ), p AS MATERIALIZED (
       SELECT a.id AS aid, b.id AS bid,
              {_duck_l2('a.embedding', 'b.embedding')} AS d2
@@ -2861,10 +2861,10 @@ def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     label cells (the IVF-cell bound that keeps the pair stage Σ|cell|²
     instead of N² — the same documented in-cell approximation as
     `similarity_topk_ann_ivf`), and the CANDIDATE side of the pair join
-    is capped at 500 per cell by smallest salted hash (the
+    is capped at 200 per cell by smallest salted hash (the
     `model_knn_label_classifier` budget pattern — measured essential: the
     uncapped in-cell join is |cell|² and went quadratic at 10× data),
-    so per-point work is O(min(|cell|, 500)) however the corpus grows.
+    so per-point work is O(min(|cell|, 200)) however the corpus grows.
     Reach-distances, lrd, and the final LOF ratio are ordered folds over
     the k neighbor rows, so every score replays bit-exactly; the top-20
     cut ranks the rounded score via orderBy().limit.
@@ -2884,7 +2884,7 @@ def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = (
         emb.withColumn("hrn", F.row_number().over(wpool))
-        .filter(F.col("hrn") <= 500)
+        .filter(F.col("hrn") <= 200)
         .drop("hrn")
     )
     a = emb.select(
