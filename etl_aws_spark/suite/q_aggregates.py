@@ -3074,3 +3074,90 @@ def quality_benford_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev * dev / (F.col("total") * F.col("p_exp")), 6) + F.lit(0.0)
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "stat_srm_sample_ratio_check",
+    # 50/50 md5-bucket assignment; chi-square collapses to (na-nb)²/N —
+    # pure integers until two scalar divisions. Checked at BOTH the user
+    # grain (the randomization unit — should pass) and the event grain
+    # (the classic false-alarm grain — activity skew inflates it).
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), arm_u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('srm:'
+                  || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50
+                  THEN 1 ELSE 0 END AS arm
+      FROM u
+    ), lvls AS (
+      SELECT 'users' AS unit,
+             sum(arm) AS na, sum(1 - arm) AS nb
+      FROM arm_u
+      UNION ALL
+      SELECT 'events' AS unit,
+             sum(a.arm) AS na, sum(1 - a.arm) AS nb
+      FROM events e JOIN arm_u a ON e.user_id = a.user_id
+    )
+    SELECT unit,
+           CAST(na AS BIGINT) AS n_treat,
+           CAST(nb AS BIGINT) AS n_control,
+           round(CAST(na AS DOUBLE) / (na + nb), 6) + 0.0 AS treat_share,
+           round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6) + 0.0
+             AS chi2,
+           CAST(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb) > 3.841
+                AS INT) AS srm_flag
+    FROM lvls
+    """,
+    category="aggregate",
+)
+def stat_srm_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check for a 50/50 md5-bucketed experiment —
+    the first gate every A/B readout must pass (Kohavi: a failed SRM
+    invalidates the experiment before any metric is read): chi-square of
+    observed arm counts against the declared split, which for 50/50
+    collapses to (n_a−n_b)²/N. Audited at TWO grains: the user grain
+    (the randomization unit — should pass) and the event grain (the
+    classic false-alarm grain: per-user activity skew inflates the
+    statistic even under perfect randomization — the query demonstrates
+    WHY SRM must be tested at the assignment unit).
+
+    Scale shape (100 TB): distinct users (map-side), one hash per user,
+    two 1-row combines; the event-grain leg is a broadcast-joinable arm
+    map over one fact scan. Integer-exact until two scalar divisions."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    h = (
+        "cast(conv(substr(md5(concat('srm:', cast(user_id as string))), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    arm_u = u.select(
+        "user_id",
+        F.when(F.expr(h) % 100 < 50, 1).otherwise(0).alias("arm"),
+    )
+    users = arm_u.agg(
+        F.sum("arm").alias("na"), F.sum(F.lit(1) - F.col("arm")).alias("nb")
+    ).select(F.lit("users").alias("unit"), "na", "nb")
+    events = (
+        ev.join(F.broadcast(arm_u), "user_id")
+        .agg(
+            F.sum("arm").alias("na"),
+            F.sum(F.lit(1) - F.col("arm")).alias("nb"),
+        )
+        .select(F.lit("events").alias("unit"), "na", "nb")
+    )
+    lvls = users.unionByName(events)
+    d = F.col("na") - F.col("nb")
+    n = F.col("na") + F.col("nb")
+    chi2 = (d * d).cast("double") / n
+    return lvls.select(
+        "unit",
+        F.col("na").cast("long").alias("n_treat"),
+        F.col("nb").cast("long").alias("n_control"),
+        (F.round(F.col("na").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "treat_share"
+        ),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    )
