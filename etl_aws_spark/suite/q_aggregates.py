@@ -3161,3 +3161,80 @@ def stat_srm_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
         (chi2 > 3.841).cast("int").alias("srm_flag"),
     )
+
+
+@query(
+    "stat_negative_binomial_mom",
+    # method-of-moments NB fit on per-user purchase counts: μ and σ² from
+    # exact integer power sums (order-free), closed forms in one identical
+    # double chain; the dispersion index is the Poisson-adequacy verdict.
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT count(*) AS n, sum(k) AS s1, sum(k * k) AS s2 FROM c
+    ), est AS (
+      SELECT n, s1, s2,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(mu, 6) + 0.0 AS mean_purchases,
+           round(v, 6) + 0.0 AS variance,
+           round(v / mu, 6) + 0.0 AS dispersion_index,
+           CAST(v > mu AS INT) AS overdispersed,
+           round(CASE WHEN v > mu THEN mu * mu / (v - mu) ELSE 0.0 END, 6)
+             + 0.0 AS nb_r,
+           round(CASE WHEN v > mu THEN mu / v ELSE 1.0 END, 6) + 0.0 AS nb_p
+    FROM est
+    """,
+    category="aggregate",
+)
+def stat_negative_binomial_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL method-of-moments fit of per-user purchase
+    counts — the standard overdispersion upgrade of a Poisson rate model
+    (real user activity almost always has variance > mean; modeling it
+    Poisson under-covers the tail): dispersion index σ²/μ as the
+    verdict, and the closed-form MoM parameters r = μ²/(σ²−μ),
+    p = μ/σ² when overdispersed — the distribution a synthetic-data or
+    simulation layer would then sample user activity from. Both moments
+    come from exact INTEGER power sums in ONE map-side aggregate, so the
+    estimates are deterministic with no fold anywhere.
+
+    Scale shape (100 TB): one user aggregate, one 1-row combine, pure
+    closed forms. Companion: `events_interarrival_exponential_fit`
+    (timing) and `stat_cusum_changepoint` (rate shifts)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "k"
+        )
+    )
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    v = F.col("s2").cast("double") / F.col("n") - mu * mu
+    est = m.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.round(mu, 6) + F.lit(0.0)).alias("mean_purchases"),
+        (F.round(v, 6) + F.lit(0.0)).alias("variance"),
+        (F.round(v / mu, 6) + F.lit(0.0)).alias("dispersion_index"),
+        (v > mu).cast("int").alias("overdispersed"),
+        (
+            F.round(
+                F.when(v > mu, mu * mu / (v - mu)).otherwise(0.0), 6
+            )
+            + F.lit(0.0)
+        ).alias("nb_r"),
+        (
+            F.round(F.when(v > mu, mu / v).otherwise(1.0), 6) + F.lit(0.0)
+        ).alias("nb_p"),
+    )
+    return est
