@@ -496,3 +496,52 @@ def bloom_merge_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def hdr_merge_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    value_col: str,
+    group_cols: list[str],
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch HDR-HISTOGRAM maintenance: each micro-batch buckets
+    its values into log2 cells of exact integer cents (bucket = bit
+    length — no transcendental) and merges into the parquet state by
+    cell-wise ADDITION — the mergeable quantile state (~27 integer cells
+    per group FOREVER) that replaces a full sort for p50/p99 readouts.
+    Addition is associative so any batch split converges to the
+    batch-built histogram, and the symlink-flip commit's batch_id guard
+    keeps the sum exact under at-least-once retries (the
+    `cms_merge_stream` discipline)."""
+
+    def hist_of(df: DataFrame) -> DataFrame:
+        cents = df.select(
+            *group_cols,
+            F.floor(F.col(value_col) * 100 + 0.5).cast("long").alias("c"),
+        )
+        return (
+            cents.select(*group_cols, F.length(F.bin("c")).alias("bucket"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay: already merged
+        g = hist_of(batch_df)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*g.columns)
+            g = (
+                g.unionByName(prev)
+                .groupBy(*group_cols, "bucket")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        _commit_state(g, state_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1340,3 +1340,107 @@ def streaming_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataF
             "bloom_distinct_est"
         ),
     )
+
+
+@query(
+    "streaming_sketch_hdr_quantiles",
+    # batch parity: cell-wise addition is associative, so the streamed
+    # histogram equals the one-shot batch histogram exactly; the oracle
+    # rebuilds it from the raw log and reads the same p50/p95/p99 bucket
+    # bounds off the cumulative — bit arithmetic, no transcendental.
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), hist AS (
+      SELECT event_type, length(bin(c)) AS bucket, count(*) AS n
+      FROM cents GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_n,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ), pcts AS (
+      SELECT unnest([0.5, 0.95, 0.99]) AS p
+    ), hit AS (
+      SELECT c.event_type, p.p, min(c.bucket) AS bucket
+      FROM pcts p JOIN cum c ON c.cum_n >= p.p * c.total
+      GROUP BY c.event_type, p.p
+    )
+    SELECT h.event_type, h.p,
+           CAST(h.bucket AS INT) AS bucket,
+           round((1::BIGINT << (h.bucket - 1)) / 100.0, 2) + 0.0 AS lo_value,
+           round(((1::BIGINT << h.bucket) - 1) / 100.0, 2) + 0.0 AS hi_value,
+           CAST(c.total AS BIGINT) AS total
+    FROM hit h JOIN cum c ON h.event_type = c.event_type
+                         AND h.bucket = c.bucket
+    """,
+    category="streaming",
+)
+def streaming_sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HDR LOG-HISTOGRAM maintained AS STREAM STATE —
+    sketch #7 in the family, and the one that answers QUANTILE questions
+    (p50/p95/p99 value bands) without ever sorting: each micro-batch's
+    log2-bucket partial ADDS into ~27 integer cells per type
+    (streaming/ingest.py hdr_merge_stream), addition is associative so
+    the streamed state equals the one-shot batch histogram exactly
+    (batch-parity oracle), and the percentile readout is a cumulative
+    over the tiny state frame — the streaming twin of
+    `agg_hdr_log_histogram_percentiles`.
+
+    Scale shape (100 TB): state is |types|·~27 cells forever; per-batch
+    work is one map-side-combined bucket count; readout never touches
+    the raw log."""
+    root = _cache_dir(sf_dir, "stream_hdr")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select("event_type", "value")
+        ev.repartition(8).write.mode("overwrite").parquet(landing)
+    ingest.reset_state(state)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.hdr_merge_stream(stream, state, "value", ["event_type"])
+    q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    hist = spark.read.parquet(state)
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bucket", "n",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    pcts = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    hit = (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum_n") >= F.col("p") * F.col("total"))
+        .groupBy("event_type", "p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.join(cum.select("event_type", "bucket", "total").distinct(),
+                    ["event_type", "bucket"]).select(
+        "event_type",
+        "p",
+        F.col("bucket").cast("int").alias("bucket"),
+        (
+            F.round(F.expr("shiftleft(1L, bucket - 1)") / 100.0, 2) + F.lit(0.0)
+        ).alias("lo_value"),
+        (
+            F.round((F.expr("shiftleft(1L, bucket)") - 1) / 100.0, 2)
+            + F.lit(0.0)
+        ).alias("hi_value"),
+        F.col("total").cast("long").alias("total"),
+    )
