@@ -2021,3 +2021,66 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
         ),
         (F.round(F.col("cvr"), 6) + F.lit(0.0)).alias("base_conversion_prob"),
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    # DAU and MAU are exact distinct counts; the per-month average of
+    # integer DAUs is an integer-sum ratio — no fold, no rounding bridge
+    # beyond the display division.
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS d,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ), mau AS (
+      SELECT date_trunc('month', ts) AS month,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(dau.month AS TIMESTAMP) AS month,
+           CAST(count(*) AS INT) AS n_days,
+           CAST(sum(dau.dau) AS BIGINT) AS sum_dau,
+           CAST(max(mau.mau) AS BIGINT) AS mau,
+           round(CAST(sum(dau.dau) AS DOUBLE) / count(*), 4) + 0.0 AS avg_dau,
+           round(CAST(sum(dau.dau) AS DOUBLE) / count(*) / max(mau.mau), 6)
+             + 0.0 AS stickiness
+    FROM dau JOIN mau ON dau.month = mau.month
+    GROUP BY dau.month
+    """,
+    category="temporal",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per month — the canonical engagement ratio
+    (what fraction of a month's actives show up on an average day):
+    exact distinct-user counts at both grains, averaged over the days
+    the month actually has data for. Integer arithmetic throughout; the
+    two display divisions are the only doubles.
+
+    Scale shape (100 TB): two distinct aggregates over one fact scan
+    (both map-side partial on (grain, user)), joined on |months| rows.
+    The distinct is the honest cost — the HLL sketch family
+    (`agg_hll_distinct_users`, `streaming_sketch_hll_distinct`) is the
+    documented approximate path when exactness can yield."""
+    ev = load(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    j = dau.join(mau, "month").groupBy("month").agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.max("mau").cast("long").alias("mau"),
+    )
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days")
+    return j.select(
+        "month",
+        "n_days",
+        "sum_dau",
+        "mau",
+        (F.round(avg_dau, 4) + F.lit(0.0)).alias("avg_dau"),
+        (F.round(avg_dau / F.col("mau"), 6) + F.lit(0.0)).alias("stickiness"),
+    )
