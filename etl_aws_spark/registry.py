@@ -13,6 +13,17 @@ Conventions (see FIXTURES.md §C determinism rules):
 - ordering-sensitive ops carry a full tie-break key;
 - queries with no SQL-expressible semantics register ``oracle=None`` and
   get the driver's weaker rows-only check.
+
+Rows-only denominator (CLOSED — see SURVEY.md §8, VERDICT r9): exactly
+five registered queries carry ``oracle=None``, all inherently
+non-deterministic model fits whose outputs depend on JVM-side impurity
+heuristics, random-forest seeds, or iterative ARMA estimation —
+``model_gbt_fit_predict``, ``model_gbt_grid_search``,
+``model_gbt_halving_search``, ``model_persist_pickle``,
+``model_sarimax_per_group``. Each is pinned instead by unit tests
+(tests/test_ml.py: signal-recovery, round-trip, and parameter-recovery
+assertions). Every other query has an exact DuckDB value-hash oracle; do
+not add a rows-only query without a pinning test and a SURVEY §8 note.
 """
 
 from __future__ import annotations
