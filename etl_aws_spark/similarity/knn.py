@@ -409,6 +409,70 @@ def ivf_recall_at_k(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int,
+    budget: int = 200,
+    salt: str = "knnjoin:",
+) -> DataFrame:
+    """ALL-PAIRS k-NN join — every corpus row's top-k cosine neighbors
+    (not just a query set's): the index-build verb of the ANN family,
+    the step a semantic-dedup / graph-construction / kNN-classifier
+    pipeline runs over the WHOLE corpus. Candidates are restricted to
+    the row's own IVF cell (``label_col``; at 100 TB, k-means cells) and
+    the candidate side of the pair join is capped at ``budget`` rows per
+    cell by smallest salted md5 (the LOF / knn-classifier budget
+    pattern) — so per-row work is O(min(|cell|, budget) · dim) however
+    the corpus grows, and the pair stage is Σ|cell|·min(|cell|, budget)
+    instead of the N²-at-fixed-cells uncapped join. The left side never
+    shuffles beyond the cell equi-join; only the ≤budget·|cells| pool
+    rows replicate.
+
+    Norms are cached once per side before the join (N + pool folds, not
+    2·pairs folds); cosines are the engine-exact ascending-index left
+    fold, so ranks — tie-broken on (cos desc, neighbor id asc) — replay
+    bit-identically in the SQL oracle. Returns
+    ``(id, neighbor_id, cos, rank)`` with rank <= k.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_vec"),
+        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_n"),
+    )
+    wpool = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), "id"
+    )
+    pool = (
+        base.withColumn("_hrn", F.row_number().over(wpool))
+        .filter(F.col("_hrn") <= budget)
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("label").alias("_lb"),
+            F.col("_vec").alias("_bvec"),
+            F.col("_n").alias("_bn"),
+        )
+    )
+    scored = base.join(
+        pool,
+        (F.col("label") == F.col("_lb")) & (F.col("id") != F.col("neighbor_id")),
+    ).select(
+        "id",
+        "neighbor_id",
+        (
+            F.expr(_fold_dot("_vec", "_bvec", dim)) / (F.col("_n") * F.col("_bn"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def kmeans_iterate(
     embeddings: DataFrame,
     id_col: str,

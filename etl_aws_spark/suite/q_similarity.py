@@ -2952,3 +2952,62 @@ def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lof_score"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+@query(
+    "similarity_knn_join",
+    # Same md5 salted-hash pool, same left-fold cosine, same
+    # (cos desc, bid asc) tie-break as the Spark side — ranks replay
+    # bit-identically; only the REPORTED cosine is rounded.
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS id, label, embedding FROM embeddings
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= 200
+    ), p AS MATERIALIZED (
+      SELECT a.id AS aid, b.id AS bid,
+             {_duck_cos('a.embedding', 'b.embedding')} AS cos
+      FROM e a JOIN pool b ON a.label = b.label AND a.id <> b.id
+    ), r AS (
+      SELECT aid, bid, cos,
+             CAST(row_number() OVER (PARTITION BY aid
+               ORDER BY cos DESC, bid ASC) AS INTEGER) AS rank
+      FROM p
+    )
+    SELECT CAST(aid AS BIGINT) AS vec_id, CAST(bid AS BIGINT) AS neighbor_id,
+           round(cos, 6) + 0.0 AS cos, rank
+    FROM r WHERE rank <= 5
+    """,
+    category="similarity",
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-PAIRS k-NN join (VERDICT r9 #6 — the ANN family's missing
+    verb): top-5 cosine neighbors for EVERY corpus vector, not just a
+    query set — the index-build step of semantic dedup, kNN-graph
+    construction, and label propagation over embeddings. Candidates come
+    from the row's own IVF cell (label; k-means cells at 100 TB) with
+    the candidate side capped at 200/cell by smallest salted hash (the
+    `embedding_lof_outliers` budget pattern), so per-row work is
+    O(min(|cell|, 200)·d) and the pair stage never goes |cell|²-quadratic
+    however the corpus grows. Ranks order on the engine-exact fold
+    cosine with a neighbor-id tie-break; the reported cosine is rounded.
+
+    Scale shape (100 TB): one cell equi-join where only the
+    ≤200·|cells| pool rows replicate, one partitioned rank window.
+    Companions: `similarity_topk_ann_ivf` (query-set search),
+    `pipeline_semantic_dedup` (threshold variant of the same join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn.knn_join(
+        emb, "vec_id", "embedding", "label", _DIM, k=5, budget=200
+    )
+    return out.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )

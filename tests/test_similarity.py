@@ -292,3 +292,42 @@ def test_mmr_penalizes_near_duplicates(spark):
         for i in rel if i != first
     }
     assert max(mmr2, key=lambda i: (mmr2[i], -i)) == 3
+
+
+def test_knn_join_every_row_gets_k_in_cell_neighbors(spark, emb):
+    out = knn.knn_join(emb, "vec_id", "embedding", "label", DIM, k=5).toPandas()
+    pdf = emb.toPandas()
+    # every row appears with exactly k neighbors (cells have 20 >= k+1 rows)
+    counts = out.groupby("id").size()
+    assert len(counts) == 200 and (counts == 5).all()
+    # neighbors stay inside the row's cell and never include the row itself
+    lab = dict(zip(pdf.vec_id, pdf.label))
+    assert (out.id != out.neighbor_id).all()
+    assert all(lab[a] == lab[b] for a, b in zip(out.id, out.neighbor_id))
+    # clustered fixture + budget not binding: in-cell top-k == exact top-k
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in (0, 7, 133):
+        cos = M @ M[qid]
+        cos[qid] = -2.0  # exclude self
+        expect = [int(pdf.vec_id.iloc[i]) for i in np.lexsort((pdf.vec_id.to_numpy(), -cos))[:5]]
+        got = out[out.id == qid].sort_values("rank").neighbor_id.tolist()
+        assert got == expect
+
+
+def test_knn_join_budget_caps_candidate_pool(spark, emb):
+    # budget=8 < cell size 20: every neighbor must come from the 8-row
+    # salted-hash pool of its cell, and rows still get k neighbors
+    out = knn.knn_join(emb, "vec_id", "embedding", "label", DIM, k=5, budget=8).toPandas()
+    pool_ids = set()
+    pdf = emb.toPandas()
+    import hashlib
+    for c in sorted(pdf.label.unique()):
+        ids = sorted(
+            pdf[pdf.label == c].vec_id,
+            key=lambda i: (hashlib.md5(f"knnjoin:{i}".encode()).hexdigest(), i),
+        )[:8]
+        pool_ids.update(int(i) for i in ids)
+    assert set(out.neighbor_id).issubset(pool_ids)
+    counts = out.groupby("id").size()
+    assert len(counts) == 200 and (counts == 5).all()
