@@ -545,3 +545,87 @@ def hdr_merge_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def ivf_assign_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch IVF-INDEX MAINTENANCE: embedding vectors arrive as a
+    stream, each micro-batch assigns its vectors to the nearest cell of a
+    STATIC broadcast coarse quantizer ``cents`` (label, centroid) — tie
+    break (cos desc, label asc) — and merges the mergeable cell state:
+    per (cell, pos) the exact-integer component sum (values fixed-point
+    scaled ``floor(val*1e6 + 0.5)`` BEFORE summing, so the running sums
+    are BIGINTs and any batch split converges to the batch-built state —
+    float partial sums would be merge-order-dependent) plus the cell
+    count. State is |cells|·dim rows FOREVER; per-batch work is one
+    broadcast scoring pass + one map-side-combined aggregate.
+
+    This is the streaming twin of the batch IVF build
+    (`similarity.knn.label_centroids` + `_ivf_candidates`): the readout —
+    cell occupancy and centroid drift — answers "is the persisted coarse
+    quantizer still representative of the arriving data", the index-health
+    monitor an embedding ingest pipeline runs continuously. Same commit
+    discipline as every sketch sink here (versioned dir + symlink flip,
+    batch_id replay guard)."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.similarity.knn import _fold_dot
+
+    def grid_of(df: DataFrame) -> DataFrame:
+        qc = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "label",
+            (
+                F.expr(_fold_dot(vec_col, "centroid", dim))
+                / (
+                    F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})")
+                    * F.expr(f"sqrt({_fold_dot('centroid', 'centroid', dim)})")
+                )
+            ).alias("_ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("label"))
+        assigned = (
+            qc.withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") == 1)
+            .select(
+                F.col("label").alias("cell"),
+                F.posexplode(vec_col).alias("pos", "val"),
+            )
+        )
+        return assigned.groupBy("cell", "pos").agg(
+            F.sum(F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")).alias(
+                "ssum"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _committed_batch_id(state_path)
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay: already merged
+        g = grid_of(batch_df)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            prev = spark.read.parquet(state_path).select(*g.columns)
+            g = (
+                g.unionByName(prev)
+                .groupBy("cell", "pos")
+                .agg(
+                    F.sum("ssum").cast("long").alias("ssum"),
+                    F.sum("n").cast("long").alias("n"),
+                )
+            )
+        _commit_state(g, state_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

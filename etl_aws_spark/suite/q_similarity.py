@@ -3011,3 +3011,91 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@query(
+    "similarity_knn_graph_clusters",
+    # TRUE components via a recursive-CTE reachability closure over the
+    # identical mutual-kNN edge set — a completely different algorithm
+    # than the Spark min-label loop that must agree on every label.
+    oracle=f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT vec_id AS id, label, embedding FROM embeddings
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= 200
+    ), p AS MATERIALIZED (
+      SELECT a.id AS aid, b.id AS bid,
+             {_duck_cos('a.embedding', 'b.embedding')} AS cos
+      FROM e a JOIN pool b ON a.label = b.label AND a.id <> b.id
+    ), knn AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT aid, bid,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY cos DESC, bid ASC) AS rank
+        FROM p
+      ) WHERE rank <= 5
+    ), mutual AS (
+      SELECT k1.aid AS src, k1.bid AS dst
+      FROM knn k1 JOIN knn k2 ON k1.aid = k2.bid AND k1.bid = k2.aid
+      WHERE k1.aid < k1.bid
+    ), verts AS (SELECT id FROM e),
+    sym AS (
+      SELECT src AS u, dst AS v FROM mutual
+      UNION SELECT dst AS u, src AS v FROM mutual
+    ),
+    reach AS (
+      SELECT id, id AS r FROM verts
+      UNION
+      SELECT s.u AS id, reach.r FROM reach JOIN sym s ON s.v = reach.id
+    ),
+    cc AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+    FROM cc
+    """,
+    category="similarity",
+)
+def similarity_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN GRAPH CLUSTERING — the composition the all-pairs join
+    exists for: `similarity_knn_join`'s top-5 edges, kept only when BOTH
+    endpoints list each other (the mutuality filter that kills hub
+    vertices and is the standard kNN-graph construction for clustering),
+    closed into components by the distributed min-label CC primitive
+    (operators/graph.py — the same loop the text-dedup family uses).
+    Every vector gets (cluster_id = component min id, cluster_size).
+
+    Scale shape (100 TB): the kNN stage is the budget-bounded cell join
+    (never quadratic); the mutuality filter is one self-intersect on the
+    ≤k·N edge list (16 B/row); CC rounds shuffle 2-column frames with
+    checkpointed lineage. Companions: `text_dedup_connected_components`
+    (same closure over LSH edges), `embedding_semdedup_eps_sweep`
+    (threshold-graph variant)."""
+    from etl_aws_spark.operators import graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    kj = knn.knn_join(
+        emb, "vec_id", "embedding", "label", _DIM, k=5, budget=200
+    ).select("id", "neighbor_id")
+    rev = kj.select(
+        F.col("neighbor_id").alias("id"), F.col("id").alias("neighbor_id")
+    )
+    mutual = kj.intersect(rev).filter(F.col("id") < F.col("neighbor_id"))
+    verts = emb.select(F.col("vec_id")).distinct()
+    comp = graph.connected_components(
+        verts,
+        mutual.select(F.col("id").alias("src"), F.col("neighbor_id").alias("dst")),
+        id_col="vec_id",
+    )
+    from pyspark.sql import Window
+
+    wsz = Window.partitionBy("component_id")
+    return comp.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component_id").cast("long").alias("cluster_id"),
+        F.count(F.lit(1)).over(wsz).cast("long").alias("cluster_size"),
+    )

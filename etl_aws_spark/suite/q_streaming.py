@@ -1444,3 +1444,152 @@ def streaming_sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("hi_value"),
         F.col("total").cast("long").alias("total"),
     )
+
+
+@query(
+    "streaming_embedding_cell_assign",
+    # Batch parity: fixed-point component sums and counts are exact
+    # BIGINTs, so cell-wise addition is associative and the streamed
+    # state equals the one-shot batch assignment exactly. The oracle
+    # replays centroids (rounded label means), nearest-cell assignment
+    # (same fold cosine, same (cos desc, label asc) tie-break), the same
+    # floor(val*1e6 + 0.5) scaling, and pos-ordered drift folds.
+    oracle="""
+    WITH parts AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+    ), comp AS (
+      SELECT label, i, round(avg(val), 4) + 0.0 AS val FROM parts GROUP BY label, i
+    ), cents AS (
+      SELECT label, list(val ORDER BY i) AS centroid FROM comp GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, c.label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, 65), i -> c.centroid[i] * c.centroid[i])),
+                    (acc, x) -> acc + x))) AS ccos
+      FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, embedding, label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, label ASC) AS pr
+        FROM scored
+      ) WHERE pr = 1
+    ), grid AS (
+      SELECT cell, i AS pos,
+             sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS ssum,
+             count(*) AS n
+      FROM assigned CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+      GROUP BY cell, i
+    ), drift AS (
+      SELECT g.cell,
+             max(g.n) AS n_assigned,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c.val * (CAST(g.ssum AS DOUBLE) / 1e6 / g.n) ORDER BY g.pos)),
+               (a, x) -> a + x) AS dot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c.val * c.val ORDER BY g.pos)), (a, x) -> a + x) AS cc,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(g.ssum AS DOUBLE) / 1e6 / g.n)
+                    * (CAST(g.ssum AS DOUBLE) / 1e6 / g.n) ORDER BY g.pos)),
+               (a, x) -> a + x) AS mm
+      FROM grid g JOIN comp c ON g.cell = c.label AND g.pos = c.i
+      GROUP BY g.cell
+    )
+    SELECT CAST(cell AS INT) AS cell, CAST(n_assigned AS BIGINT) AS n_assigned,
+           round(dot / (sqrt(cc) * sqrt(mm)), 6) + 0.0 AS drift_cos
+    FROM drift
+    """,
+    category="streaming",
+)
+def streaming_embedding_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-INDEX MAINTENANCE AS A STREAM (the embedding twin of the
+    sketch family): vectors arrive in micro-batches, each batch assigns
+    to the nearest cell of the STATIC persisted coarse quantizer and
+    ADDS into the mergeable cell state — exact-integer fixed-point
+    component sums + counts, |cells|·dim rows forever
+    (streaming/ingest.py ivf_assign_stream). The readout is the
+    index-health monitor: per-cell occupancy and DRIFT — cosine between
+    the static centroid and the running mean of what actually landed in
+    the cell — the signal that tells an embedding ingest pipeline when
+    the quantizer needs retraining.
+
+    Scale shape (100 TB): per-batch work is one broadcast centroid
+    scoring + one map-side-combined (cell, pos) aggregate; state never
+    grows; the readout never touches raw vectors. Companions:
+    `streaming_sketch_hll_distinct` (the same state discipline on
+    counts), `similarity_topk_ivf` (the batch search this index
+    serves)."""
+    from etl_aws_spark.similarity import knn
+
+    root = _cache_dir(sf_dir, "stream_ivf")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        emb.select("vec_id", "embedding").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(landing)
+    ingest.reset_state(state)
+    cents = knn.label_centroids(emb, "label", "embedding", 64).localCheckpoint(
+        eager=True
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.ivf_assign_stream(stream, state, cents, "vec_id", "embedding", 64)
+    q.awaitTermination(300)
+
+    grid = spark.read.parquet(state)
+    # both sides are 0-based posexplode positions; the oracle's 1-based
+    # generate_series indices only need to agree WITHIN the oracle
+    comp = knn.label_centroid_components(emb, "label", "embedding").select(
+        F.col("label").alias("cell"),
+        "pos",
+        F.col("val").alias("cval"),
+    )
+    mean = grid.select(
+        "cell",
+        "pos",
+        (F.col("ssum").cast("double") / 1e6 / F.col("n")).alias("mval"),
+        "n",
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(pos, {t} as tv))), "
+        "x -> x.tv), cast(0.0 as double), (a, y) -> a + y)"
+    )
+    j = mean.join(comp, ["cell", "pos"])
+    out = j.groupBy("cell").agg(
+        F.max("n").cast("long").alias("n_assigned"),
+        F.expr(fold.format(t="cval * mval")).alias("_dot"),
+        F.expr(fold.format(t="cval * cval")).alias("_cc"),
+        F.expr(fold.format(t="mval * mval")).alias("_mm"),
+    )
+    return out.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_assigned",
+        (
+            F.round(
+                F.col("_dot") / (F.sqrt("_cc") * F.sqrt("_mm")), 6
+            )
+            + F.lit(0.0)
+        ).alias("drift_cos"),
+    )

@@ -261,3 +261,57 @@ def test_kmv_stream_equals_batch_sketch_at_any_split(spark, tmp_path):
         # must equal the one-shot batch sketch hash-for-hash
         assert streamed.exceptAll(batch.select("grp", "h")).count() == 0
         assert batch.select("grp", "h").exceptAll(streamed).count() == 0
+
+
+def test_ivf_assign_stream_is_batch_split_invariant(spark, tmp_path):
+    """Fixed-point component sums are exact BIGINTs, so any micro-batch
+    split converges to the one-shot batch assignment state; every vector
+    lands in exactly one cell."""
+    from pyspark.sql import functions as F, types as T
+
+    from etl_aws_spark.streaming import ingest
+
+    dim = 8
+    # 3 well-separated cells: vectors cluster around axis-aligned centers
+    rows = []
+    for i in range(120):
+        c = i % 3
+        v = [0.0] * dim
+        v[c] = 10.0
+        v[(c + 3) % dim] = 1.0 + (i % 7) * 0.01
+        rows.append((i, [float(x) for x in v], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    from etl_aws_spark.similarity import knn
+
+    cents = knn.label_centroids(emb, "label", "embedding", dim).localCheckpoint(True)
+    landing = str(tmp_path / "landing")
+    emb.select("vec_id", "embedding").repartition(6).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    grids = []
+    for files_per_trigger in (1, 6):
+        state = str(tmp_path / f"state_{files_per_trigger}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(landing)
+        )
+        q = ingest.ivf_assign_stream(stream, state, cents, "vec_id", "embedding", dim)
+        q.awaitTermination(120)
+        pdf = (
+            spark.read.parquet(state)
+            .toPandas()
+            .sort_values(["cell", "pos"])
+            .reset_index(drop=True)
+        )
+        grids.append(pdf)
+    assert grids[0].equals(grids[1])
+    # every vector assigned exactly once: per-cell counts sum to N at each pos
+    per_pos = grids[0].groupby("pos").n.sum()
+    assert (per_pos == 120).all()
+    # separated fixture: assignment recovers the generating cell sizes
+    assert sorted(grids[0][grids[0].pos == 0].n.tolist()) == [40, 40, 40]
