@@ -418,6 +418,7 @@ def knn_join(
     k: int,
     budget: int = 200,
     salt: str = "knnjoin:",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """ALL-PAIRS k-NN join — every corpus row's top-k cosine neighbors
     (not just a query set's): the index-build verb of the ANN family,
@@ -437,18 +438,27 @@ def knn_join(
     fold, so ranks — tie-broken on (cos desc, neighbor id asc) — replay
     bit-identically in the SQL oracle. Returns
     ``(id, neighbor_id, cos, rank)`` with rank <= k.
+
+    ``probes`` restricts the LEFT side (rows that get neighbors) while
+    the candidate pool stays the FULL corpus cells — the audit shape
+    (recall measurement on a sample) and the incremental shape (only new
+    rows need neighbors against the existing index).
     """
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).alias("label"),
-        F.col(vec_col).alias("_vec"),
-        F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_n"),
-    )
+
+    def sides(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("_vec"),
+            F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_n"),
+        )
+
+    base = sides(probes) if probes is not None else sides(embeddings)
     wpool = Window.partitionBy("label").orderBy(
         F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), "id"
     )
     pool = (
-        base.withColumn("_hrn", F.row_number().over(wpool))
+        sides(embeddings).withColumn("_hrn", F.row_number().over(wpool))
         .filter(F.col("_hrn") <= budget)
         .select(
             F.col("id").alias("neighbor_id"),
