@@ -586,48 +586,66 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_weighted_median",
     oracle="""
-    WITH c AS (
-      SELECT l_returnflag, l_extendedprice, l_quantity,
-             sum(l_quantity) OVER (PARTITION BY l_returnflag
-                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cumw,
-             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
-      FROM lineitem
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM h
     )
     SELECT l_returnflag,
-           round(min(l_extendedprice), 2) + 0.0 AS weighted_median_price,
-           round(max(totw), 2) + 0.0 AS total_weight
-    FROM c WHERE cumw >= 0.5 * totw
+           round(min(cents) / 100.0, 2) + 0.0 AS weighted_median_price,
+           round(CAST(max(totw) AS DOUBLE), 2) + 0.0 AS total_weight
+    FROM c WHERE 2 * cumw >= totw
     GROUP BY l_returnflag
     """,
     category="aggregate",
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted median price per return flag: the
-    cumulative-weight formulation (sort within group, running weight, first
-    value crossing half the total) — the distributed weighted-percentile
-    shape that percentile_approx cannot weight. Both windows and the final
-    pick share ONE (flag) partitioning; the full tie-break key makes the
-    crossing row engine-deterministic."""
+    """Quantity-weighted median price per return flag — the distributed
+    weighted-percentile shape `percentile_approx` cannot weight, in the
+    HISTOGRAM-CUMSUM formulation (the gini/ABC house pattern): exact
+    BIGINT quantity weights collapse to a (flag, price-cents) histogram
+    in ONE map-side-combined aggregate, the cumulative-weight window runs
+    over the |distinct prices per flag| frame, and the median is the
+    first price whose doubled block-end cum crosses the total (2·cum ≥
+    tot — integer arithmetic, no float halving). Identical value to the
+    row-level crossing (the first crossing row lies inside the first
+    crossing price block), but the full fact table is never sorted —
+    the r10 rewrite of the original per-row window, whose
+    3-flag-partition sort was the measured 4.8× slope at 10× data
+    (BASELINE.md r10 wave; a 3-reducer global sort at 100 TB)."""
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    wp = Window.partitionBy("l_returnflag")
-    wc = wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber").rowsBetween(
-        Window.unboundedPreceding, 0
+    h = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("q").alias("w"))
     )
-    c = li.select(
-        "l_returnflag", "l_extendedprice",
-        F.sum("l_quantity").over(wc).alias("cumw"),
-        F.sum("l_quantity").over(wp).alias("totw"),
+    wp = Window.partitionBy("l_returnflag")
+    wc = wp.orderBy("cents")
+    c = h.select(
+        "l_returnflag", "cents",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wp).alias("totw"),
     )
     return (
-        c.filter(F.col("cumw") >= 0.5 * F.col("totw"))
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
         .groupBy("l_returnflag")
         .agg(
-            rnd(F.min("l_extendedprice"), 2).alias("weighted_median_price"),
-            rnd(F.max("totw"), 2).alias("total_weight"),
+            rnd(F.min("cents") / 100.0, 2).alias("weighted_median_price"),
+            rnd(F.max("totw").cast("double"), 2).alias("total_weight"),
         )
     )
 
