@@ -784,3 +784,98 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c_acctbal"),
         F.rtrim(F.substring("value", 27, 12)).alias("c_mktsegment"),
     )
+
+
+@query(
+    "maintain_gdpr_delete",
+    # content parity: per-day survivor and deleted counts vs the raw
+    # table under the identical md5-derived delete set
+    oracle="""
+    WITH del AS (
+      SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+      ORDER BY md5('gdpr:' || CAST(user_id AS VARCHAR)), user_id LIMIT 5
+    )
+    SELECT CAST(day(ts) AS BIGINT) AS dia,
+           CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM del)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM del)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+    FROM events GROUP BY day(ts)
+    """,
+    category="sink",
+)
+def maintain_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN delete over a daily-partitioned lake tree —
+    the compliance job every data platform runs: purge 5 users (smallest
+    salted md5 — the deterministic stand-in for a deletion-request
+    queue) by rewriting ONLY the partitions that contain their rows.
+    The pass (1) finds affected days with a broadcast semi-join against
+    the 5-row delete set, (2) anti-joins the delete set out of exactly
+    those days, and (3) swaps them in atomically per-partition via
+    DYNAMIC partition overwrite — untouched partitions' files are never
+    rewritten (tests/test_layout.py pins byte-identical survivors on a
+    sparse fixture; THIS fixture's users span every day, so all
+    partitions rewrite here). The read-back per-day survivor/deleted
+    counts must match the raw-table oracle exactly.
+
+    Scale shape (100 TB): cost ∝ affected partitions, not table size —
+    with a user→partition index (or bucketed layout) the semi-join scan
+    prunes too; the O(|days|) driver collect is the canonical partition
+    list, not data. Companion: `maintain_compact_retention` (the other
+    nightly janitor), `quality_k_anonymity` (what must hold AFTER)."""
+    root = _cache_dir(sf_dir, "events_gdpr")
+    tree = os.path.join(root, "tree")
+    marker = os.path.join(root, "_deleted")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", F.dayofmonth("ts").alias("dia")
+    )
+    if not _done(tree):
+        ev.repartition(4).write.mode("overwrite").partitionBy("dia").parquet(tree)
+    del_users = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy(
+            F.md5(F.concat(F.lit("gdpr:"), F.col("user_id").cast("string"))),
+            "user_id",
+        )
+        .limit(5)
+        .localCheckpoint(eager=True)
+    )
+    if not os.path.exists(marker):
+        affected = [
+            r.dia
+            for r in spark.read.parquet(tree)
+            .join(F.broadcast(del_users), "user_id", "leftsemi")
+            .select("dia")
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            cleaned = (
+                spark.read.parquet(tree)
+                .filter(F.col("dia").isin(affected))
+                .join(F.broadcast(del_users), "user_id", "left_anti")
+            )
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                cleaned.write.mode("overwrite").partitionBy("dia").parquet(tree)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with open(marker, "w"):
+            pass
+    back = spark.read.parquet(tree).groupBy(
+        F.col("dia").cast("long").alias("dia")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    orig = ev.groupBy(F.col("dia").cast("long").alias("dia")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    return orig.join(back, "dia", "left").select(
+        "dia",
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+        .cast("long")
+        .alias("n_deleted"),
+    )

@@ -88,3 +88,52 @@ def test_write_zordered_files_have_tight_2d_ranges(spark, tmp_path):
     # always ~63)
     areas = (per_file.span_x + 1) * (per_file.span_y + 1)
     assert areas.median() <= 1024, per_file
+
+
+def test_gdpr_dynamic_overwrite_leaves_untouched_partitions_alone(spark, tmp_path):
+    """The targeted-delete invariant: dynamic partition overwrite rewrites
+    ONLY partitions containing delete-set rows — files in untouched
+    partitions keep their exact paths and bytes."""
+    import os
+
+    tree = str(tmp_path / "tree")
+    # users 0..9; user 7 has rows ONLY on days 1 and 3
+    rows = [(i, (i % 5) + 1 if i % 10 != 7 else (1 if i % 20 == 7 else 3), i % 10)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, dia int, user_id long")
+    df.repartition(2).write.mode("overwrite").partitionBy("dia").parquet(tree)
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(tree):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    delset = spark.createDataFrame([(7,)], "user_id long")
+    affected = [r.dia for r in spark.read.parquet(tree)
+                .join(F.broadcast(delset), "user_id", "leftsemi")
+                .select("dia").distinct().collect()]
+    assert sorted(affected) == [1, 3]
+    cleaned = (spark.read.parquet(tree)
+               .filter(F.col("dia").isin(affected))
+               .join(F.broadcast(delset), "user_id", "left_anti"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cleaned.write.mode("overwrite").partitionBy("dia").parquet(tree)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = snapshot()
+    untouched_before = {p: v for p, v in before.items()
+                        if "/dia=1/" not in p and "/dia=3/" not in p}
+    untouched_after = {p: v for p, v in after.items()
+                       if "/dia=1/" not in p and "/dia=3/" not in p}
+    assert untouched_before == untouched_after  # byte+mtime identical
+    back = spark.read.parquet(tree)
+    assert back.filter(F.col("user_id") == 7).count() == 0
+    assert back.count() == 400 - 40
