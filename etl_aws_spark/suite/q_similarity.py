@@ -3180,13 +3180,16 @@ def similarity_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    wsamp = Window.orderBy(
-        F.md5(F.concat(F.lit("knnrecall:"), F.col("vec_id").cast("string"))), "vec_id"
-    )
+    # orderBy().limit() = TakeOrderedAndProject (distributed partial
+    # top-k), never a global row_number sort (the plan-guard rule)
     probes = (
-        emb.withColumn("srn", F.row_number().over(wsamp))
-        .filter(F.col("srn") <= 50)
-        .drop("srn")
+        emb.withColumn(
+            "_srt",
+            F.md5(F.concat(F.lit("knnrecall:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_srt", "vec_id")
+        .limit(50)
+        .drop("_srt")
         .localCheckpoint(eager=True)
     )
     approx = knn.knn_join(

@@ -315,3 +315,54 @@ def test_ivf_assign_stream_is_batch_split_invariant(spark, tmp_path):
     assert (per_pos == 120).all()
     # separated fixture: assignment recovers the generating cell sizes
     assert sorted(grids[0][grids[0].pos == 0].n.tolist()) == [40, 40, 40]
+
+
+def test_ivf_assign_stream_replay_is_idempotent(spark, tmp_path):
+    """Wiping the checkpoint replays every batch with the same batch_ids —
+    the commit guard must skip them all, leaving the cell state exactly
+    once-merged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F, types as T
+
+    from etl_aws_spark.similarity import knn
+    from etl_aws_spark.streaming import ingest
+
+    dim = 4
+    rows = [(i, [10.0 if j == i % 2 else float(i % 5) for j in range(dim)], i % 2)
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = knn.label_centroids(emb, "label", "embedding", dim).localCheckpoint(True)
+    landing = str(tmp_path / "landing")
+    emb.select("vec_id", "embedding").repartition(4).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = ingest.ivf_assign_stream(
+            stream, state, cents, "vec_id", "embedding", dim, checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    g1 = (spark.read.parquet(state).toPandas()
+          .sort_values(["cell", "pos"]).reset_index(drop=True))
+    assert g1.groupby("pos").n.sum().eq(80).all()
+    assert os.path.islink(state)
+    shutil.rmtree(ckpt)
+    run()
+    g2 = (spark.read.parquet(state).toPandas()
+          .sort_values(["cell", "pos"]).reset_index(drop=True))
+    assert g1.equals(g2), "replayed batches were double-merged"
