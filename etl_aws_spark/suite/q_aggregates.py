@@ -3256,3 +3256,79 @@ def stat_negative_binomial_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_p"),
     )
     return est
+
+
+@query(
+    "quality_dp_noisy_release",
+    # same hash60-derived uniform, same inverse-CDF algebra, ln output
+    # nudge-rounded to 8 in BOTH engines before the product (the
+    # transcendental-base determinism recipe)
+    oracle="""
+    WITH eps AS (
+      SELECT * FROM (VALUES ('e1', 1.0), ('e01', 0.1)) AS t(tag, eps)
+    ), base AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type
+    ), g AS (
+      SELECT b.event_type, e.tag, e.eps, b.n_true,
+             (CAST(('0x' || substr(md5('dp:' || e.tag || ':' || b.event_type), 1, 15))::BIGINT
+                   % 1099511627776 AS DOUBLE) + 0.5) / 1099511627776.0 AS u
+      FROM base b CROSS JOIN eps e
+    ), n AS (
+      SELECT event_type, tag, eps, n_true,
+             -(1.0 / eps) * sign(u - 0.5)
+               * (round(ln(1.0 - 2.0 * abs(u - 0.5))
+                        + sign(ln(1.0 - 2.0 * abs(u - 0.5))) * 1e-9, 8) + 0.0)
+               AS noise
+      FROM g
+    )
+    SELECT event_type, tag AS eps_tag,
+           round(eps, 2) + 0.0 AS eps, n_true,
+           round(n_true + noise, 4) + 0.0 AS n_noisy,
+           round(abs(noise), 4) + 0.0 AS abs_err
+    FROM n
+    """,
+    category="aggregate",
+)
+def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE count release (Laplace mechanism,
+    sensitivity 1) with the measured noise alongside — the
+    privacy-preserving stats publication layer a data platform puts in
+    front of raw group-bys, audited at two budgets (eps = 1.0 / 0.1, so
+    the 1/eps error scaling is visible in the output). Noise is
+    DETERMINISTIC for the harness: the Laplace draw comes from the
+    inverse CDF of a hash60-derived uniform (exact 40-bit integer -> the
+    same double in both engines), with the single transcendental (ln)
+    nudge-rounded to 8 digits before the product — the periodogram
+    recipe — so every released value hash-matches. A production release
+    swaps the hashed uniform for a real RNG; everything else is this
+    exact algebra.
+
+    Scale shape (100 TB): one map-side-combined count per group; noise
+    is O(|groups| x |budgets|) scalar arithmetic. Companions:
+    `quality_k_anonymity` / `quality_l_diversity` (the suppression-based
+    alternatives), `stat_srm_sample_ratio_check` (release sanity)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    eps = spark.createDataFrame([("e1", 1.0), ("e01", 0.1)], "tag string, eps double")
+    h60 = F.expr(
+        "cast(conv(substr(md5(concat('dp:', tag, ':', event_type)), 1, 15), 16, 10) as bigint)"
+    )
+    g = base.crossJoin(F.broadcast(eps)).withColumn(
+        "u",
+        ((h60 % F.lit(1099511627776)).cast("double") + F.lit(0.5))
+        / F.lit(1099511627776.0),
+    )
+    lnexpr = F.log(F.lit(1.0) - 2.0 * F.abs(F.col("u") - 0.5))
+    ln_nudged = F.round(lnexpr + F.signum(lnexpr) * F.lit(1e-9), 8) + F.lit(0.0)
+    noise = -(1.0 / F.col("eps")) * F.signum(F.col("u") - 0.5) * ln_nudged
+    return g.select(
+        "event_type",
+        F.col("tag").alias("eps_tag"),
+        (F.round("eps", 2) + F.lit(0.0)).alias("eps"),
+        "n_true",
+        (F.round(F.col("n_true") + noise, 4) + F.lit(0.0)).alias("n_noisy"),
+        (F.round(F.abs(noise), 4) + F.lit(0.0)).alias("abs_err"),
+    )

@@ -2921,3 +2921,102 @@ def text_burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.expr(fold_tok) / F.count(F.lit(1)), 6) + F.lit(0.0)
         ).alias("delta"),
     )
+
+
+@query(
+    "quality_split_leakage_lsh",
+    # identical corpus, band keys, bucket cap, and edge set as the CC
+    # family; the split rule is one md5 hex compare replayed verbatim
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_minhash_bands_sql()},
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands_c a JOIN bands_c b USING (bk) WHERE a.doc_id < b.doc_id
+    ),
+    split AS (
+      SELECT doc_id, source,
+             CAST(md5('split:' || CAST(doc_id AS VARCHAR)) < '2' AS INT) AS is_test
+      FROM corpus
+    ),
+    leaked AS (
+      SELECT DISTINCT CASE WHEN s1.is_test = 1 THEN e.src ELSE e.dst END AS doc_id
+      FROM edges e
+      JOIN split s1 ON e.src = s1.doc_id
+      JOIN split s2 ON e.dst = s2.doc_id
+      WHERE s1.is_test <> s2.is_test
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(l.doc_id) AS BIGINT) AS n_leaked,
+           round(count(l.doc_id) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS leak_ratio
+    FROM split s LEFT JOIN leaked l ON s.doc_id = l.doc_id
+    WHERE s.is_test = 1
+    GROUP BY s.source
+    """,
+    category="text",
+)
+def quality_split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST SPLIT LEAKAGE AUDIT — the eval pitfall exact
+    contamination checks miss: a doc-level hash split puts NEAR-DUPLICATES
+    of training docs into the test set (the corpus here contains a
+    re-delivered 10% slice, so cross-split near-dup pairs exist by
+    construction). The audit splits by salted md5 (~12.5% test), reuses
+    the EXACT LSH candidate edge set of the dedup family
+    (minhash_band_edges, max_bucket=50 — Σ|bucket|², never N²), and
+    reports, per source, how many test docs have at least one train-side
+    near-dup — the docs whose eval scores are memorization, not
+    generalization. The production fix is split-by-CLUSTER
+    (`text_dedup_connected_components` canonical ids), and this query is
+    the monitor proving why.
+
+    Scale shape (100 TB): the edge list is the bounded LSH join the
+    dedup family already pays; the split decoration is two |E|-row hash
+    joins carrying (id, bit); the report is a |sources| aggregate."""
+    corpus = _corpus(spark, sf_dir)
+    split = corpus.select(
+        "doc_id",
+        "source",
+        (
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+            < F.lit("2")
+        )
+        .cast("int")
+        .alias("is_test"),
+    )
+    edges = dedup.minhash_band_edges(corpus, "doc_id", "text", max_bucket=50)
+    e2 = (
+        edges.join(
+            split.select(
+                F.col("doc_id").alias("src"), F.col("is_test").alias("st")
+            ),
+            "src",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("dst"), F.col("is_test").alias("dt")
+            ),
+            "dst",
+        )
+        .filter(F.col("st") != F.col("dt"))
+    )
+    leaked = e2.select(
+        F.when(F.col("st") == 1, F.col("src")).otherwise(F.col("dst")).alias("doc_id")
+    ).distinct()
+    test = split.filter(F.col("is_test") == 1)
+    return (
+        test.join(leaked.withColumn("_l", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count("_l").cast("long").alias("n_leaked"),
+            (
+                F.round(F.count("_l") / F.count(F.lit(1)).cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("leak_ratio"),
+        )
+    )
