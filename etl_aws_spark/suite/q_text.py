@@ -3020,3 +3020,140 @@ def quality_split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_ratio"),
         )
     )
+
+
+_STOP_IN_REL = ", ".join(f"'{s}'" for s in analysis.STOPWORDS)
+
+
+@query(
+    "pipeline_corpus_release",
+    # the full chain mirrored CTE-for-stage: gopher metrics, exact-dup
+    # survivors, LSH bands/cap/edges over THE SURVIVOR SET (the bands SQL
+    # reads the CTE literally named `corpus`), recursive-CTE true
+    # components, cluster-keyed split, per-(source, split) release report
+    oracle=f"""
+    WITH RECURSIVE raw AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    ), t0 AS (
+      SELECT doc_id, {D.tokens('text', D.DUCK)} AS toks FROM raw
+    ), m0 AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE) AS mean_len,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+             list_sum(list_transform(toks, t -> CASE WHEN t IN ({_STOP_IN_REL}) THEN 1 ELSE 0 END))
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio
+      FROM t0
+    ), keepers AS (
+      SELECT doc_id FROM m0
+      WHERE n_tok >= 10 AND n_tok <= 100000 AND mean_len >= 2.0 AND mean_len <= 12.0
+        AND uniq_ratio > 0.3 AND stop_ratio >= 0.02
+    ), gs AS (
+      SELECT r.* FROM raw r JOIN keepers USING (doc_id)
+    ), hh AS (
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM gs
+    ), es AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS mn FROM hh
+      ) WHERE doc_id = mn
+    ), corpus AS (
+      SELECT g.* FROM gs g JOIN es USING (doc_id)
+    ), {_minhash_bands_sql()},
+    bands_c AS (
+      SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS _bn FROM bands
+      ) WHERE _bn <= 50
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands_c a JOIN bands_c b USING (bk) WHERE a.doc_id < b.doc_id
+    ),
+    verts AS (SELECT doc_id FROM corpus),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION SELECT dst AS u, src AS v FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM verts
+      UNION
+      SELECT s.u AS id, reach.r FROM reach JOIN sym s ON s.v = reach.id
+    ),
+    cc AS (SELECT id AS doc_id, min(r) AS cid FROM reach GROUP BY id),
+    spl AS (
+      SELECT doc_id, cid,
+             CAST(md5('csplit:' || CAST(cid AS VARCHAR)) < '2' AS INT) AS is_test
+      FROM cc
+    ),
+    tokn AS (
+      SELECT doc_id, len({D.tokens('text', D.DUCK)}) AS nt FROM corpus
+    )
+    SELECT c.source, s.is_test,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.cid) AS BIGINT) AS n_clusters,
+           CAST(sum(tokn.nt) AS BIGINT) AS n_tokens
+    FROM corpus c JOIN spl s USING (doc_id) JOIN tokn USING (doc_id)
+    GROUP BY c.source, s.is_test
+    """,
+    category="pipeline",
+)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CORPUS-RELEASE PIPELINE end to end in ONE plan — the
+    composition every stage of this suite exists for: quality filter
+    (Gopher rules) -> exact dedup (normalized digest, min-id survivor)
+    -> near-dup closure (LSH bands, bucket cap, distributed CC) ->
+    CLUSTER-KEYED train/test split (whole near-dup clusters move
+    together — the fix `quality_split_leakage_lsh` motivates: a doc-level
+    split leaks near-dups across the boundary, a cluster split CANNOT)
+    -> per-(source, split) release report with doc/cluster/token counts.
+
+    Scale shape (100 TB): each stage keeps its own documented posture —
+    the filter is one token-metrics pass, exact dedup shuffles 32 B
+    digests, the LSH pair stage is bucket-capped, CC shuffles 2-column
+    frames on checkpointed lineage, and the report is a |sources|x2
+    aggregate. Nothing new is invented here; the value IS the
+    composition, and the oracle replays every stage CTE-for-stage
+    including the recursive-CTE true components."""
+    from etl_aws_spark.operators import graph
+    from etl_aws_spark.text import curation
+
+    raw = _corpus(spark, sf_dir)
+    gs = curation.gopher_rules(raw, "text").filter(F.col("keep")).select(
+        "doc_id", "text", "source"
+    )
+    es = (
+        dedup.exact_dedup(gs, "doc_id", "text")
+        .filter(F.col("is_dup") == 0)
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=True)
+    )
+    edges = dedup.minhash_band_edges(es, "doc_id", "text", max_bucket=50)
+    cc = graph.connected_components(
+        es.select("doc_id").distinct(), edges, id_col="doc_id"
+    )
+    spl = cc.select(
+        "doc_id",
+        "component_id",
+        (
+            F.md5(F.concat(F.lit("csplit:"), F.col("component_id").cast("string")))
+            < F.lit("2")
+        )
+        .cast("int")
+        .alias("is_test"),
+    )
+    toks = D.tokens("text", D.SPARK)
+    tokn = es.select("doc_id", F.expr(f"size({toks})").cast("long").alias("nt"))
+    return (
+        es.select("doc_id", "source")
+        .join(spl, "doc_id")
+        .join(tokn, "doc_id")
+        .groupBy("source", "is_test")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component_id").cast("long").alias("n_clusters"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
