@@ -48,6 +48,12 @@ HEADLINE = [
     "text_dedup_simhash_hamming",   # distinct-signature banded Hamming
     "pipeline_semantic_dedup",      # kmeans cells x LSH sub-blocked SemDeDup
     "similarity_ivfpq_residual_adc",  # IVFADC on centered residuals
+    # r10 additions: the round's flagship composition and the new ANN
+    # verb, so both are driver-regression-guarded. Totals are NOT
+    # comparable to r1-r9 BENCH files; compare per-query or on the
+    # original 13 (and use the canary's phase_factor first).
+    "pipeline_corpus_release",      # filter -> dedup -> CC -> cluster split
+    "similarity_knn_join",          # all-pairs budget-bounded kNN join
 ]
 
 

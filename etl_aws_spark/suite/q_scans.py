@@ -825,12 +825,16 @@ def maintain_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     nightly janitor), `quality_k_anonymity` (what must hold AFTER)."""
     root = _cache_dir(sf_dir, "events_gdpr")
     tree = os.path.join(root, "tree")
-    marker = os.path.join(root, "_deleted")
     ev = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value", F.dayofmonth("ts").alias("dia")
     )
-    if not _done(tree):
-        ev.repartition(4).write.mode("overwrite").partitionBy("dia").parquet(tree)
+    # REBUILD + DELETE together every run: partitioned writes under the
+    # session's dynamic-overwrite default never leave a root _SUCCESS, so
+    # _done() cannot gate partitioned layouts (same always-rebuild posture
+    # as maintain_compact_retention). A build-once/delete-once split (the
+    # r10 first cut) desynchronizes on the second run — fresh tree, stale
+    # "already deleted" marker — and serves undeleted rows.
+    ev.repartition(4).write.mode("overwrite").partitionBy("dia").parquet(tree)
     del_users = (
         ev.select("user_id")
         .distinct()
@@ -841,31 +845,29 @@ def maintain_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .localCheckpoint(eager=True)
     )
-    if not os.path.exists(marker):
-        affected = [
-            r.dia
-            for r in spark.read.parquet(tree)
-            .join(F.broadcast(del_users), "user_id", "leftsemi")
-            .select("dia")
-            .distinct()
-            .collect()
-        ]
-        if affected:
-            cleaned = (
-                spark.read.parquet(tree)
-                .filter(F.col("dia").isin(affected))
-                .join(F.broadcast(del_users), "user_id", "left_anti")
-            )
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                cleaned.write.mode("overwrite").partitionBy("dia").parquet(tree)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        with open(marker, "w"):
-            pass
+    affected = [
+        r.dia
+        for r in spark.read.parquet(tree)
+        .join(F.broadcast(del_users), "user_id", "leftsemi")
+        .select("dia")
+        .distinct()
+        .collect()
+    ]
+    if affected:
+        # materialize BEFORE the self-overwrite so the write never scans
+        # the partitions it is replacing
+        cleaned = (
+            spark.read.parquet(tree)
+            .filter(F.col("dia").isin(affected))
+            .join(F.broadcast(del_users), "user_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cleaned.write.mode("overwrite").partitionBy("dia").parquet(tree)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(tree).groupBy(
         F.col("dia").cast("long").alias("dia")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_after"))
