@@ -92,15 +92,21 @@ def main() -> None:
     CANARY = "agg_group_generic"
     CANARY_REFERENCE_SEC = 0.292  # BENCH_r08 uncontended best-of-3
     cfn = queries[CANARY]
-    cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-    canary_runs = []
-    for _ in range(repeats):
-        t0 = time.time()
-        cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        canary_runs.append(round(time.time() - t0, 3))
-    canary_sec = min(canary_runs)
-    phase_factor = round(canary_sec / CANARY_REFERENCE_SEC, 3)
-    print(f"  canary {CANARY}: best={canary_sec} phase_factor={phase_factor}", file=sys.stderr)
+
+    def run_canary() -> list[float]:
+        cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        return runs
+
+    # pre-run canary: measured r10 ~2x slower than the SAME query mid-run
+    # (whole-JVM C2 warmup, not sandbox phase) — kept for the warmup
+    # delta, NOT used for normalization
+    canary_pre_runs = run_canary()
+    print(f"  canary-pre {CANARY}: best={min(canary_pre_runs)}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -119,6 +125,16 @@ def main() -> None:
         spreads[name] = runs
         print(f"  {name}: best={min(runs)} runs={runs}", file=sys.stderr)
 
+    # post-run canary at JVM steady state: THIS is the sandbox-phase
+    # calibration (VERDICT r9 #5) — normalize per-query walls by it
+    canary_runs = run_canary()
+    canary_sec = min(canary_runs)
+    phase_factor = round(canary_sec / CANARY_REFERENCE_SEC, 3)
+    print(
+        f"  canary-post {CANARY}: best={canary_sec} phase_factor={phase_factor}",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -133,6 +149,7 @@ def main() -> None:
                     "query": CANARY,
                     "sec": canary_sec,
                     "runs": canary_runs,
+                    "pre_runs": canary_pre_runs,  # warmup delta: pre vs post
                     "reference_sec": CANARY_REFERENCE_SEC,
                     "reference_sf": 0.1,  # phase_factor is calibrated at sf0.1
                     "phase_factor": phase_factor,
