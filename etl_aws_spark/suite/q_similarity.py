@@ -3237,3 +3237,151 @@ def similarity_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg(F.col("n_hits") / 5.0), 6) + F.lit(0.0)).alias("recall"),
     ).select(F.lit(None).cast("long").alias("vec_id"), "n_hits", "recall")
     return per.unionByName(total)
+
+
+@query(
+    "similarity_knn_join_kmeans_recall",
+    # the k-means fit replays CTE-for-iteration (the embedding_kmeans
+    # machinery), then the identical audit as similarity_knn_join_recall
+    # over the learned cells — same probes (same salt), so the two
+    # queries' rollups are directly comparable
+    oracle=f"""
+    WITH c0 AS (
+      SELECT CAST(vec_id AS INT) AS c,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS v
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),{','.join(_duck_km_iter(n + 1, f'c{n}') for n in range(_KM_ITERS))},
+    e AS MATERIALIZED (
+      SELECT vec_id AS id, c AS label, embedding FROM (
+        SELECT emb.vec_id, emb.embedding, p.c,
+               row_number() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY {_duck_km_dist('emb.embedding', 'p.v')} ASC, p.c ASC
+               ) AS rn
+        FROM embeddings emb CROSS JOIN c{_KM_ITERS} p
+      ) WHERE rn = 1
+    ), probes AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (
+                 ORDER BY md5('knnrecall:' || CAST(id AS VARCHAR)), id) AS srn
+        FROM e
+      ) WHERE srn <= 50
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= 200
+    ), approx AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.id AS bid,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC, b.id ASC) AS rank
+        FROM probes a JOIN pool b ON a.label = b.label AND a.id <> b.id
+      ) WHERE rank <= 5
+    ), exact AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.vec_id AS bid,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC, b.vec_id ASC) AS rank
+        FROM probes a JOIN embeddings b ON a.id <> b.vec_id
+      ) WHERE rank <= 5
+    ), hits AS (
+      SELECT x.aid, count(b.bid) AS n_hits
+      FROM exact x LEFT JOIN approx b ON x.aid = b.aid AND x.bid = b.bid
+      GROUP BY x.aid
+    )
+    SELECT CAST(aid AS BIGINT) AS vec_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / 5.0, 6) + 0.0 AS recall
+    FROM hits
+    UNION ALL
+    SELECT NULL AS vec_id, CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           round(avg(n_hits / 5.0), 6) + 0.0 AS recall
+    FROM hits
+    """,
+    category="similarity",
+)
+def similarity_knn_join_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-join recall audit ON K-MEANS CELLS — closing the loop the
+    label-cell audit opens: `similarity_knn_join_recall` measures 0.084
+    because the fixture's labels are deliberately weak cosine quantizers;
+    THIS query runs the identical audit (same 50 salted probes, same
+    budget, same exact ground truth) with cells from the from-scratch
+    Lloyd fit (`embedding_kmeans_iterate` machinery — deterministic init,
+    per-iteration rounding, fold-exact assignment), so the two rollup
+    rows quantify exactly what a learned quantizer buys the all-pairs
+    join on this corpus. The production claim — same join machinery,
+    tighter cells, higher recall — becomes a measured number instead of
+    a docstring assertion.
+
+    Measured (sf0.1, identical probes): mean recall **0.256 vs 0.084**
+    on label cells — the k=8 Lloyd fit triples single-probe recall. The
+    remaining gap is single-cell probing with an L2-fit quantizer serving
+    a cosine query; the probe-depth lever is quantified separately by
+    `similarity_ivf_recall_at_k` (0.06/0.22/0.38 at 1/2/3 probes).
+
+    Scale shape (100 TB): the fit is k·dim driver state + per-iteration
+    map-side component means; assignment is a pure fold expression (no
+    corpus join); the audit legs are the same fixed-budget scans as the
+    label-cell version."""
+    emb = load(spark, sf_dir, "embeddings")
+    asg = knn.kmeans_assignment(
+        emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
+    ).localCheckpoint(eager=True)
+    probes = (
+        asg.withColumn(
+            "_srt",
+            F.md5(F.concat(F.lit("knnrecall:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_srt", "vec_id")
+        .limit(50)
+        .drop("_srt")
+        .localCheckpoint(eager=True)
+    )
+    approx = knn.knn_join(
+        asg, "vec_id", "embedding", "cluster", _DIM, k=5, budget=200, probes=probes
+    ).select(F.col("id").alias("aid"), F.col("neighbor_id").alias("bid"))
+    a = probes.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("_avec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_an"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("_bvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_bn"),
+    )
+    from pyspark.sql import Window
+
+    scored = b.crossJoin(F.broadcast(a)).filter(F.col("aid") != F.col("bid")).select(
+        "aid",
+        "bid",
+        (
+            F.expr(knn._fold_dot("_avec", "_bvec", _DIM))
+            / (F.col("_an") * F.col("_bn"))
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("aid", "bid")
+    )
+    hits = (
+        exact.join(approx.withColumn("_hit", F.lit(1)), ["aid", "bid"], "left")
+        .groupBy("aid")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .localCheckpoint(eager=True)
+    )
+    per = hits.select(
+        F.col("aid").cast("long").alias("vec_id"),
+        "n_hits",
+        (F.round(F.col("n_hits") / 5.0, 6) + F.lit(0.0)).alias("recall"),
+    )
+    total = hits.agg(
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        (F.round(F.avg(F.col("n_hits") / 5.0), 6) + F.lit(0.0)).alias("recall"),
+    ).select(F.lit(None).cast("long").alias("vec_id"), "n_hits", "recall")
+    return per.unionByName(total)
