@@ -1593,3 +1593,121 @@ def streaming_embedding_cell_assign(spark: SparkSession, sf_dir: str) -> DataFra
             + F.lit(0.0)
         ).alias("drift_cos"),
     )
+
+
+@query(
+    "streaming_cdc_tombstone_state",
+    # batch parity: 'latest by (ts, eid)' is associative, so the streamed
+    # compaction equals the one-shot latest-row pick over the identical
+    # ops log (events + the same md5-derived deletion queue the batch
+    # gdpr job consumes, each delete stamped at that user's max(ts) - 3d)
+    oracle="""
+    WITH delq AS (
+      SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+      ORDER BY md5('gdpr:' || CAST(user_id AS VARCHAR)), user_id LIMIT 5
+    ), del AS (
+      SELECT e.user_id, max(e.ts) - INTERVAL 3 DAY AS dts
+      FROM events e JOIN delq USING (user_id) GROUP BY e.user_id
+    ), ops AS (
+      SELECT user_id, ts, CAST(event_id AS BIGINT) AS eid, 'u' AS op,
+             CAST(value AS DOUBLE) AS value
+      FROM events
+      UNION ALL
+      SELECT user_id, dts AS ts, CAST(-1 AS BIGINT) AS eid, 'd' AS op,
+             CAST(NULL AS DOUBLE) AS value
+      FROM del
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, eid DESC) AS rn
+        FROM ops
+      ) WHERE rn = 1
+    )
+    SELECT user_id,
+           CAST(op = 'u' AS INT) AS alive,
+           CAST(day(ts) AS BIGINT) AS last_day,
+           round(value, 4) + 0.0 AS last_value
+    FROM latest
+    """,
+    category="streaming",
+)
+def streaming_cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC COMPACTION WITH DELETE TOMBSTONES as stream state — the
+    Kafka-compacted-topic / CDC-apply semantics that complete the keyed
+    upsert family: the ops log carries updates AND delete records (the
+    SAME md5-derived deletion queue `maintain_gdpr_delete` consumes for
+    its nightly rewrite — this is the in-flight layer between rewrites),
+    state keeps the LATEST op per key INCLUDING tombstones (a tombstone
+    must persist to defeat late-arriving older updates), and the readout
+    excludes dead keys. Each delete is stamped at its user's
+    max(ts) − 3 days, so users active in their last 3 days are
+    legitimately RESURRECTED by later updates — the subtle CDC ordering
+    case a naive "drop deleted keys" merge gets wrong.
+
+    Scale shape (100 TB): per-batch work collapses the batch to
+    |batch keys| rows before touching state; state is |keys| rows
+    forever (streaming/ingest.py upsert_latest_state — versioned-dir
+    commits, replay-guarded). Companions: `streaming_upsert_latest`
+    (the delete-free base), `merge_scd2_history` (when history must be
+    KEPT instead)."""
+    root = _cache_dir(sf_dir, "stream_cdc_tomb")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        delq = (
+            ev.select("user_id")
+            .distinct()
+            .orderBy(
+                F.md5(F.concat(F.lit("gdpr:"), F.col("user_id").cast("string"))),
+                "user_id",
+            )
+            .limit(5)
+        )
+        dels = (
+            ev.join(F.broadcast(delq), "user_id")
+            .groupBy("user_id")
+            .agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("ts"))
+            .select(
+                "user_id",
+                "ts",
+                F.lit(-1).cast("long").alias("eid"),
+                F.lit("d").alias("op"),
+                F.lit(None).cast("double").alias("value"),
+            )
+        )
+        ops = ev.select(
+            "user_id",
+            "ts",
+            F.col("event_id").cast("long").alias("eid"),
+            F.lit("u").alias("op"),
+            F.col("value").cast("double").alias("value"),
+        ).unionByName(dels)
+        ops.repartition(8).write.mode("overwrite").parquet(landing)
+    ingest.reset_state(state)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("eid", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(landing)
+    )
+    q = ingest.upsert_latest_state(
+        stream, state, keys=["user_id"], order_cols=["ts", "eid"]
+    )
+    q.awaitTermination(300)
+    st = spark.read.parquet(state)
+    return st.select(
+        "user_id",
+        (F.col("op") == "u").cast("int").alias("alive"),
+        F.dayofmonth("ts").cast("long").alias("last_day"),
+        (F.round("value", 4) + F.lit(0.0)).alias("last_value"),
+    )
