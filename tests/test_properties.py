@@ -241,3 +241,63 @@ def test_pq_assign_codes_match_bruteforce_argmin(spark, vecs):
                     best = (code, acc)
             assert got[(i, sub)][0] == best[0], (i, sub, got[(i, sub)], best)
             assert abs(got[(i, sub)][1] - round(best[1], 9)) < 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # group
+            st.integers(min_value=1, max_value=9999),   # price cents
+            st.integers(min_value=1, max_value=50),     # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_weighted_median_histogram_equals_row_crossing(spark, rows):
+    """The r10 histogram-cumsum weighted median must equal the naive
+    row-level cumulative-weight crossing on arbitrary weighted data —
+    the rewrite changed the plan shape, not the value."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(g, c / 100.0, float(w), i) for i, (g, c, w) in enumerate(rows)],
+        "l_returnflag int, l_extendedprice double, l_quantity double, l_orderkey long",
+    ).withColumn("l_linenumber", F.lit(0))
+
+    # engine formulation (mirrors suite/q_aggregates.agg_weighted_median)
+    from pyspark.sql import Window
+
+    h = (
+        df.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    wp = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag", "cents",
+        F.sum("w").over(wp.orderBy("cents")).alias("cumw"),
+        F.sum("w").over(wp).alias("totw"),
+    )
+    got = (
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg((F.min("cents") / 100.0).alias("wm"))
+        .toPandas()
+        .set_index("l_returnflag")
+        .wm.to_dict()
+    )
+
+    # naive row-level crossing in pandas
+    pdf = pd.DataFrame(rows, columns=["g", "c", "w"])
+    for g, grp in pdf.groupby("g"):
+        s = grp.sort_values("c")
+        cum = s.w.cumsum()
+        half = s.w.sum() / 2.0
+        expect = s.c[cum >= half].iloc[0] / 100.0
+        assert math.isclose(got[g], expect), (g, got[g], expect)
