@@ -33,7 +33,13 @@ def connected_components(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 12,
+    max_rounds: int = 40,
+    # r10: 12 left one sf1 component split (caught by the sf1 oracle
+    # parity run on pipeline_corpus_release — one near-dup chain needs
+    # >12 propagation steps). The exact-fixpoint probe exits EARLY when
+    # converged, so a higher cap costs nothing on converged graphs; the
+    # cap only binds where the old default silently returned a partial
+    # closure (the log.warning below fires there).
 ) -> DataFrame:
     """Label every vertex with the minimum id in its connected component.
 
