@@ -3332,3 +3332,173 @@ def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("n_true") + noise, 4) + F.lit(0.0)).alias("n_noisy"),
         (F.round(F.abs(noise), 4) + F.lit(0.0)).alias("abs_err"),
     )
+
+
+@query(
+    "quality_t_closeness",
+    # EMD numerators are exact integers: |cum_class*total - cum_global*
+    # class_size| needs no common-denominator float until the single
+    # final division, so per-class EMD is bit-identical on both engines.
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS sv
+      FROM customer
+    ), cls AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM base GROUP BY c_nationkey, c_mktsegment
+    ), buckets AS (
+      SELECT DISTINCT sv FROM base
+    ), m AS (
+      SELECT count(*) AS m, (SELECT count(*) FROM base) AS total FROM buckets
+    ), gv AS (
+      SELECT sv, count(*) AS g_cnt FROM base GROUP BY sv
+    ), cv AS (
+      SELECT c_nationkey, c_mktsegment, sv, count(*) AS c_cnt
+      FROM base GROUP BY c_nationkey, c_mktsegment, sv
+    ), grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
+             b.sv, coalesce(cv.c_cnt, 0) AS c_cnt, gv.g_cnt
+      FROM cls CROSS JOIN buckets b
+      JOIN gv ON gv.sv = b.sv
+      LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                  AND cv.c_mktsegment = cls.c_mktsegment
+                  AND cv.sv = b.sv
+    ), cum AS (
+      SELECT c_nationkey, c_mktsegment, class_size,
+             sum(c_cnt) OVER w AS cum_c,
+             sum(g_cnt) OVER w AS cum_g
+      FROM grid
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv)
+    ), emd AS (
+      SELECT c_nationkey, c_mktsegment, class_size,
+             CAST(sum(abs(cum_c * m.total - cum_g * class_size)) AS DOUBLE)
+               / (CAST(class_size AS DOUBLE) * m.total * (m.m - 1)) AS emd
+      FROM cum CROSS JOIN m
+      GROUP BY c_nationkey, c_mktsegment, class_size, m.total, m.m
+    ), audit AS (
+      SELECT t.t,
+             count(*) AS n_classes,
+             sum(class_size) AS n_rows,
+             max(emd) AS max_emd,
+             sum(CASE WHEN emd > t.t THEN 1 ELSE 0 END) AS classes_above_t,
+             sum(CASE WHEN emd > t.t THEN class_size ELSE 0 END) AS rows_above_t
+      FROM emd CROSS JOIN (VALUES (0.15), (0.25), (0.35)) t(t)
+      GROUP BY t.t
+    )
+    SELECT round(t, 2) + 0.0 AS t,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(max_emd, 6) + 0.0 AS max_emd,
+           CAST(classes_above_t AS BIGINT) AS classes_above_t,
+           CAST(rows_above_t AS BIGINT) AS rows_at_risk,
+           round(100.0e0 * rows_above_t / n_rows, 4) + 0.0 AS pct_rows_at_risk,
+           CAST(max_emd <= t AS INT) AS is_t_close
+    FROM audit
+    """,
+    category="aggregate",
+)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li et al. 2007) — the third pre-release privacy
+    gate after `quality_k_anonymity` and `quality_l_diversity` over the
+    same quasi-identifier classes: a class can be k-anonymous AND
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION differs
+    sharply from the global one. For the ordered sensitive attribute
+    (acctbal 1000-unit band), the Earth Mover's Distance reduces to the
+    mean absolute cumulative-share gap: EMD = Σ|cumP_class − cumP_global|
+    / (m−1). For t ∈ {0.15, 0.25, 0.35}: classes above t, rows they
+    expose, and whether the release is t-close.
+
+    Scale shape: two map-side-combined aggregates collapse the corpus to
+    the (class, bucket) histogram and the global bucket histogram; the
+    dense grid, cumulative windows, and EMD all run over |classes|×|m|
+    rows (hundreds), never over the corpus. Exactness: the cumulative
+    gap is computed as the INTEGER |cum_c·total − cum_g·class_size|
+    before the one final division, so EMD carries no summation jitter."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("sv"),
+    )
+    cls = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    gv = base.groupBy("sv").agg(F.count(F.lit(1)).alias("g_cnt"))
+    cv = base.groupBy("c_nationkey", "c_mktsegment", "sv").agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    consts = base.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("sv").alias("m")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gv.select("sv", "g_cnt")))
+        .join(
+            cv,
+            ["c_nationkey", "c_mktsegment", "sv"],
+            "left",
+        )
+        .withColumn("c_cnt", F.coalesce(F.col("c_cnt"), F.lit(0)))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.sum("c_cnt").over(w).alias("cum_c"),
+        F.sum("g_cnt").over(w).alias("cum_g"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(consts))
+        .groupBy("c_nationkey", "c_mktsegment", "class_size", "total", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("total")
+                    - F.col("cum_g") * F.col("class_size")
+                )
+            ).alias("gap")
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (
+                F.col("gap").cast("double")
+                / (
+                    F.col("class_size").cast("double")
+                    * F.col("total")
+                    * (F.col("m") - 1)
+                )
+            ).alias("emd"),
+        )
+    )
+    ts = spark.createDataFrame([(0.15,), (0.25,), (0.35,)], "t double")
+    audit = emd.crossJoin(F.broadcast(ts)).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.max("emd").alias("max_emd"),
+        F.sum(F.when(F.col("emd") > F.col("t"), 1).otherwise(0)).alias(
+            "classes_above_t"
+        ),
+        F.sum(
+            F.when(F.col("emd") > F.col("t"), F.col("class_size")).otherwise(0)
+        ).alias("rows_above_t"),
+    )
+    return audit.select(
+        rnd(F.col("t"), 2).alias("t"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        rnd(F.col("max_emd"), 6).alias("max_emd"),
+        F.col("classes_above_t").cast("long").alias("classes_above_t"),
+        F.col("rows_above_t").cast("long").alias("rows_at_risk"),
+        rnd(F.lit(100.0) * F.col("rows_above_t") / F.col("n_rows"), 4).alias(
+            "pct_rows_at_risk"
+        ),
+        (F.col("max_emd") <= F.col("t")).cast("int").alias("is_t_close"),
+    )

@@ -1867,3 +1867,115 @@ def model_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("brier_reassembled"),
     )
+
+
+# Cramer's-rule solve of the 3x3 normal equations, written ONCE as SQL
+# text and evaluated by BOTH engines (Spark F.expr / DuckDB) over the
+# same nine exact-integer Gram sums, so every intermediate double is
+# bit-identical. Columns: n, sx1, sx2, sx11, sx12, sx22, sy, sx1y,
+# sx2y, syy (all DOUBLE, each the cast of an exact integer sum).
+_OLS_DET = (
+    "(n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2)"
+    " + sx2 * (sx1 * sx12 - sx11 * sx2))"
+)
+_OLS_B0 = (
+    "((sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y)"
+    f" + sx2 * (sx1y * sx12 - sx11 * sx2y)) / {_OLS_DET})"
+)
+_OLS_B1 = (
+    "((n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2)"
+    f" + sx2 * (sx1 * sx2y - sx1y * sx2)) / {_OLS_DET})"
+)
+_OLS_B2 = (
+    "((n * (sx11 * sx2y - sx12 * sx1y) - sx1 * (sx1 * sx2y - sx1y * sx2)"
+    f" + sy * (sx1 * sx12 - sx11 * sx2)) / {_OLS_DET})"
+)
+_OLS_SSE = f"(syy - {_OLS_B0} * sy - {_OLS_B1} * sx1y - {_OLS_B2} * sx2y)"
+_OLS_SST = "(syy - sy * sy / n)"
+
+
+@query(
+    "model_ols_normal_equations",
+    # the Gram sums are exact integers (price cents, quantity, discount
+    # basis points) accumulated in HUGEINT, then the identical Cramer
+    # expression tree runs on both engines -> bit-identical coefficients.
+    oracle=f"""
+    WITH fp AS (
+      SELECT l_returnflag,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT) AS x2
+      FROM lineitem
+    ), g AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             count(*) AS n_rows
+      FROM fp GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round({_OLS_B0} + sign({_OLS_B0}) * 1e-9, 4) + 0.0 AS intercept_cents,
+           round({_OLS_B1} + sign({_OLS_B1}) * 1e-9, 4) + 0.0 AS beta_quantity,
+           round({_OLS_B2} + sign({_OLS_B2}) * 1e-9, 4) + 0.0 AS beta_discount_pct,
+           round(1.0 - {_OLS_SSE} / {_OLS_SST}, 6) + 0.0 AS r_squared
+    FROM g
+    """,
+    category="ml",
+)
+def model_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag multiple linear regression (extended price on
+    quantity and discount) solved CLOSED-FORM from the normal equations —
+    the sklearn ``LinearRegression`` verb of the reference's model layer
+    (reference src/model/train.py:180-200 pipelines) re-expressed as the
+    only shape that survives 100 TB: ONE map-side-combined aggregate
+    collapses the fact table to a 3x3 Gram matrix + moment vector per
+    group (10 integer sums), and Cramer's rule solves the 3-coefficient
+    system inside a codegen projection over the |groups|-row frame. No
+    gradient iterations, no driver-side fitting, no second pass.
+
+    Exactness: y = price CENTS, x1 = quantity, x2 = discount in whole
+    percent — all exact integers, so every Gram sum is an order-free
+    integer (decimal(38,0) on Spark, HUGEINT on DuckDB); the solve runs
+    the IDENTICAL SQL expression tree on both engines over those exact
+    inputs, so b and R^2 are bit-identical before the rounding bridge."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice").cast("double") * 100.0)
+        .cast("long")
+        .alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount").cast("double") * 100.0)
+        .cast("long")
+        .alias("x2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact integer sums
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x1"))).cast("double").alias("sx1"),
+        F.sum(dec(F.col("x2"))).cast("double").alias("sx2"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).cast("double").alias("sx11"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).cast("double").alias("sx12"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).cast("double").alias("sx22"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("y"))).cast("double").alias("sx1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).cast("double").alias("sx2y"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.selectExpr(
+        "l_returnflag",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        f"round({_OLS_B0} + sign({_OLS_B0}) * 1e-9, 4) + 0.0 AS intercept_cents",
+        f"round({_OLS_B1} + sign({_OLS_B1}) * 1e-9, 4) + 0.0 AS beta_quantity",
+        f"round({_OLS_B2} + sign({_OLS_B2}) * 1e-9, 4) + 0.0 AS beta_discount_pct",
+        f"round(1.0 - {_OLS_SSE} / {_OLS_SST}, 6) + 0.0 AS r_squared",
+    )

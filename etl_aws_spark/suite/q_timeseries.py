@@ -4276,3 +4276,126 @@ def stat_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "te_purchases_to_clicks"
         ),
     )
+
+
+@query(
+    "stat_wilcoxon_signed_rank",
+    # paired differences are exact integer cents, so the |d| histogram,
+    # average ranks, W+ and the tie correction are all order-free integer
+    # arithmetic until the final z division (stat_mann_whitney_u's
+    # histogram recipe applied to the signed-rank test).
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1994
+                  THEN CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s94,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1995
+                  THEN CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s95,
+             max(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) AS has94,
+             max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS has95
+      FROM orders
+      WHERE year(o_orderdate) IN (1994, 1995)
+      GROUP BY o_custkey
+    ), d AS (
+      SELECT s95 - s94 AS diff, abs(s95 - s94) AS ad
+      FROM per WHERE has94 = 1 AND has95 = 1 AND s95 <> s94
+    ), h AS (
+      SELECT ad,
+             sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS np_v,
+             count(*) AS t_v
+      FROM d GROUP BY ad
+    ), c AS (
+      SELECT ad, np_v, t_v,
+             coalesce(sum(t_v) OVER (ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lt
+      FROM h
+    ), tot AS (
+      SELECT sum(t_v) AS n,
+             sum(t_v * t_v * t_v - t_v) AS ties,
+             sum(np_v) AS n_pos
+      FROM h
+    ), w AS (
+      SELECT sum(np_v * (cum_lt + (t_v + 1.0) / 2.0)) AS w_plus FROM c
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_pairs,
+           CAST(tot.n_pos AS BIGINT) AS n_increased,
+           round(w.w_plus, 4) + 0.0 AS w_plus,
+           round((w.w_plus - tot.n * (tot.n + 1.0) / 4.0)
+                 / sqrt(tot.n * (tot.n + 1.0) * (2.0 * tot.n + 1.0) / 24.0
+                        - CAST(tot.ties AS DOUBLE) / 48.0), 6) + 0.0 AS z_score
+    FROM w CROSS JOIN tot
+    """,
+    category="timeseries",
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED samples — did per-customer
+    spend change from 1994 to 1995? — completing the nonparametric family
+    (`stat_mann_whitney_u` is the unpaired twin, `stat_mcnemar_paired_test`
+    the binary-paired one; reference src/data/visualize.py statistical
+    panel). Pairs are customers ordering in both years; d = exact spend
+    difference in cents; zero diffs drop per the standard definition.
+
+    Scale shape: ranking N pairs is a global sort, so the test runs in
+    the HISTOGRAM formulation instead — |d| values pre-aggregate to
+    per-value (n_positive, count) cells, the average rank of a cell is
+    cum_count(<|d|) + (t+1)/2, and W+ = Σ n_pos(v)·avgrank(v) with the
+    tie-corrected normal z. The shuffle and the one cumulative window run
+    over |distinct |d|| cells, never over raw pairs; everything is exact
+    integer arithmetic until the final division."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
+    yr = F.year("o_orderdate")
+    per = (
+        load(spark, sf_dir, "orders")
+        .filter(yr.isin(1994, 1995))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1994, cents).otherwise(F.lit(0))).alias("s94"),
+            F.sum(F.when(yr == 1995, cents).otherwise(F.lit(0))).alias("s95"),
+            F.max(F.when(yr == 1994, 1).otherwise(0)).alias("has94"),
+            F.max(F.when(yr == 1995, 1).otherwise(0)).alias("has95"),
+        )
+    )
+    d = per.filter(
+        (F.col("has94") == 1) & (F.col("has95") == 1) & (F.col("s95") != F.col("s94"))
+    ).select(
+        (F.col("s95") - F.col("s94")).alias("diff"),
+        F.abs(F.col("s95") - F.col("s94")).alias("ad"),
+    )
+    h = d.groupBy("ad").agg(
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("np_v"),
+        F.count(F.lit(1)).alias("t_v"),
+    )
+    win = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn("cum_lt", F.coalesce(F.sum("t_v").over(win), F.lit(0)))
+    agg = c.agg(
+        F.sum("t_v").alias("n"),
+        F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")).alias(
+            "ties"
+        ),
+        F.sum("np_v").alias("n_pos"),
+        F.sum(
+            F.col("np_v") * (F.col("cum_lt") + (F.col("t_v") + F.lit(1.0)) / 2.0)
+        ).alias("w_plus"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("n_pos").cast("long").alias("n_increased"),
+        rnd(F.col("w_plus"), 4).alias("w_plus"),
+        (
+            F.round(
+                (F.col("w_plus") - n * (n + 1.0) / 4.0)
+                / F.sqrt(
+                    n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                    - F.col("ties").cast("double") / 48.0
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z_score"),
+    )
