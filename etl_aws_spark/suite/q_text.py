@@ -3157,3 +3157,88 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty_decay",
+    # novelty = shingle instances whose global first occurrence (min
+    # doc_id) is this doc; pure integer counts until one final ratio.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
+      FROM documents
+    ), first AS (
+      SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+    ), per AS (
+      SELECT sh.doc_id, count(*) AS n_sh,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN first f ON f.h = sh.h
+      GROUP BY sh.doc_id
+    ), mx AS (
+      SELECT max(doc_id) AS maxd FROM documents
+    ), b AS (
+      SELECT CAST((d.doc_id * 10) // (mx.maxd + 1) AS INT) AS decile,
+             coalesce(p.n_sh, 0) AS n_sh, coalesce(p.n_novel, 0) AS n_novel
+      FROM documents d CROSS JOIN mx
+      LEFT JOIN per p ON p.doc_id = d.doc_id
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(CAST(sum(n_novel) AS DOUBLE) / sum(n_sh), 6) + 0.0
+             AS novelty_rate
+    FROM b GROUP BY decile
+    """,
+    category="text",
+)
+def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY DECAY across the corpus in ingestion order (doc_id
+    deciles): what fraction of each decile's distinct 3-word shingles is
+    seen here for the FIRST time corpus-wide. The standard diminishing-
+    returns curve for data collection (novelty falls as the corpus grows
+    — Heaps' law seen from the marginal side; `text_vocab_growth_heaps`
+    fits the cumulative side) and the signal curation teams watch to
+    decide when another crawl of the same sources stops paying.
+
+    Scale shape: one explode to (doc, shingle-hash) scalars, a min
+    aggregate per hash (map-side combined) defines first occurrence, one
+    hash-keyed join back, and everything after runs over 10 decile rows.
+    The decile key is integer arithmetic off a broadcast max — no global
+    sort, no window over the corpus. All counts exact integers; the one
+    ratio divides at the end."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(D.shingle_hashes("text", 3, D.SPARK))).alias("h"),
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    mx = docs.agg(F.max("doc_id").alias("maxd"))
+    b = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(mx))
+        .join(per, "doc_id", "left")
+        .select(
+            F.expr("CAST((doc_id * 10) div (maxd + 1) AS INT)").alias("decile"),
+            F.coalesce(F.col("n_sh"), F.lit(0)).alias("n_sh"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+    )
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_sh").cast("long").alias("n_shingles"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        rnd(
+            F.sum("n_novel").cast("double") / F.sum("n_sh").cast("double"), 6
+        ).alias("novelty_rate"),
+    )

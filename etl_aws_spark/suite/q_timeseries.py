@@ -4342,10 +4342,11 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HISTOGRAM formulation instead — |d| values pre-aggregate to
     per-value (n_positive, count) cells, the average rank of a cell is
     cum_count(<|d|) + (t+1)/2, and W+ = Σ n_pos(v)·avgrank(v) with the
-    tie-corrected normal z. The shuffle and the one cumulative window run
-    over |distinct |d|| cells, never over raw pairs; everything is exact
+    tie-corrected normal z. The cumulative count runs through
+    `bucketed_cumsum` ($10k diff bands), so even the |distinct |d||
+    histogram never passes through one partition; everything is exact
     integer arithmetic until the final division."""
-    from pyspark.sql import Window
+    from etl_aws_spark.suite._util import bucketed_cumsum
 
     cents = F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long")
     yr = F.year("o_orderdate")
@@ -4370,8 +4371,14 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("np_v"),
         F.count(F.lit(1)).alias("t_v"),
     )
-    win = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
-    c = h.withColumn("cum_lt", F.coalesce(F.sum("t_v").over(win), F.lit(0)))
+    c = bucketed_cumsum(
+        h,
+        "ad",
+        "t_v",
+        bucket=F.expr("ad div 1000000"),
+        out_cols="cum_lt",
+        inclusive=False,
+    )
     agg = c.agg(
         F.sum("t_v").alias("n"),
         F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")).alias(
@@ -4398,4 +4405,102 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("z_score"),
+    )
+
+
+@query(
+    "stat_cohens_effect_sizes",
+    # exact integer cents power sums per (type, group); means/variances
+    # and all three effect sizes derive through identical double
+    # expressions, so the values are bit-equal before rounding.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_we,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS v
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             sum(is_we) AS n1, sum(1 - is_we) AS n2,
+             CAST(sum(CASE WHEN is_we = 1 THEN v ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN is_we = 0 THEN v ELSE 0 END) AS DOUBLE) AS s2,
+             CAST(sum(CASE WHEN is_we = 1 THEN v * v ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(sum(CASE WHEN is_we = 0 THEN v * v ELSE 0 END) AS DOUBLE) AS q2
+      FROM g GROUP BY event_type
+    ), e AS (
+      SELECT event_type, n1, n2,
+             s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_weekend,
+           CAST(n2 AS BIGINT) AS n_weekday,
+           round((m1 - m2) / 100.0, 4) + 0.0 AS mean_diff,
+           round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2)), 6) + 0.0 AS cohens_d,
+           round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                   / (n1 + n2 - 2)))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0 AS hedges_g,
+           round((m1 - m2) / sqrt(v2), 6) + 0.0 AS glass_delta
+    FROM e
+    """,
+    category="timeseries",
+)
+def stat_cohens_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized EFFECT SIZES per event type (weekend vs weekday value):
+    Cohen's d (pooled sd), Hedges' g (small-sample corrected), and Glass's
+    delta (control-group sd) — the companion the test-statistic family
+    (`stat_welch_t_test`, `stat_mann_whitney_u`) needs to say not just
+    "significant" but "how big", which at 100 TB is the question that
+    matters (everything is significant at N = 10^12).
+
+    Scale shape: ONE conditional aggregate per event type collapses the
+    stream to six exact integer cents power sums; every derived quantity
+    is a scalar expression over the |types|-row frame. The sums are
+    order-free integers (decimal38/HUGEINT), the doubles derive through
+    the identical expression tree on both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_we"),
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("v"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact integer sums
+    s = ev.groupBy("event_type").agg(
+        F.sum("is_we").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_we")).alias("n2"),
+        F.sum(dec(F.when(F.col("is_we") == 1, F.col("v")).otherwise(0)))
+        .cast("double")
+        .alias("s1"),
+        F.sum(dec(F.when(F.col("is_we") == 0, F.col("v")).otherwise(0)))
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            dec(F.when(F.col("is_we") == 1, F.col("v") * F.col("v")).otherwise(0))
+        )
+        .cast("double")
+        .alias("q1"),
+        F.sum(
+            dec(F.when(F.col("is_we") == 0, F.col("v") * F.col("v")).otherwise(0))
+        )
+        .cast("double")
+        .alias("q2"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n1 AS BIGINT) AS n_weekend",
+        "CAST(n2 AS BIGINT) AS n_weekday",
+        "round((s1 / n1 - s2 / n2) / 100.0, 4) + 0.0 AS mean_diff",
+        """round((s1 / n1 - s2 / n2)
+                 / sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1))
+                         + (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1)))
+                        / (n1 + n2 - 2)), 6) + 0.0 AS cohens_d""",
+        """round(((s1 / n1 - s2 / n2)
+                 / sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1))
+                         + (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1)))
+                        / (n1 + n2 - 2)))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0 AS hedges_g""",
+        """round((s1 / n1 - s2 / n2)
+                 / sqrt((q2 - s2 * s2 / n2) / (n2 - 1)), 6) + 0.0 AS glass_delta""",
     )
