@@ -90,6 +90,15 @@ def main() -> None:
             rep = pdf.copy()
             for k in keys:
                 rep[k] = rep[k] + r * spans[k]
+            # key-derived columns must track the offset key, or replica
+            # rows share names and every name-blocked dedup block grows
+            # 10x by construction (found via dedup_names_levenshtein at
+            # sf1: identical c_name across replicas turned the blocked
+            # pair join quadratic as a fixture artifact)
+            if name == "customer":
+                rep["c_name"] = rep["c_custkey"].map("Customer#{:09d}".format)
+            if name == "supplier":
+                rep["s_name"] = rep["s_suppkey"].map("Supplier#{:09d}".format)
             if r > 0 and name == "documents":
                 rng = np.random.RandomState(1000 + r)
                 rep["text"] = [
