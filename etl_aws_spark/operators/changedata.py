@@ -109,3 +109,50 @@ def scd2_from_log(
             F.col("valid_to").isNull().cast("int").alias("is_current"),
         )
     )
+
+
+def write_versioned(base: DataFrame, deltas, path: str) -> None:
+    """Write a versioned snapshot tree: ``version=0/`` holds the base
+    snapshot, ``version=N/`` the Nth delta log (rows carry an ``op``
+    column: ``upsert`` | ``delete``). The layout is the MVCC core of a
+    lakehouse table format (Delta/Iceberg keep the same thing plus a
+    transaction manifest): history is append-only, every version is a
+    directory, and a reader reconstructs any point in time without
+    touching newer files.
+
+    ``deltas`` is an ordered list of DataFrames with the base's columns
+    plus ``op``.
+
+    Each version writes to its own ``version=N`` directory with an
+    explicit per-directory overwrite — never a partitionBy overwrite of
+    the root — so a re-run is idempotent under BOTH static and dynamic
+    ``partitionOverwriteMode`` (the `maintain_gdpr_delete` r10 lesson:
+    static-vs-dynamic root overwrites desynchronize on the second run).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    base.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
+        os.path.join(path, "version=0")
+    )
+    for i, d in enumerate(deltas, start=1):
+        d.write.mode("overwrite").parquet(os.path.join(path, f"version={i}"))
+
+
+def read_asof(spark, path: str, key: str, version: int) -> DataFrame:
+    """Reconstruct the table AS OF ``version``: scan only ``version <= v``
+    directories (a literal partition filter — newer versions are never
+    opened), keep the LATEST op per key, and drop keys whose latest op is
+    a delete. One shuffle on the key; cost scales with the history read,
+    not with the table's full lifetime."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    snap = spark.read.parquet(path).filter(F.col("version") <= version)
+    w = Window.partitionBy(key).orderBy(F.desc("version"))
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "upsert"))
+        .drop("_rn", "op", "version")
+    )

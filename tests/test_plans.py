@@ -543,3 +543,24 @@ def test_unpartitioned_windows_are_on_bounded_frames_only():
     )
     stale = {k for k in allow if k not in found}
     assert not stale, f"allowlist entries no longer present (prune them): {sorted(stale)}"
+
+
+def test_time_travel_read_prunes_newer_versions(spark, sf):
+    """read_asof(v) must reach the scan as a PartitionFilter on the
+    version directory — time travel reads history UP TO v, it must never
+    open newer delta files."""
+    import os
+
+    from etl_aws_spark.operators import changedata as cd
+    from etl_aws_spark.registry import all_queries
+    from etl_aws_spark.suite._util import cache_dir
+
+    # the query writes the versioned tree as a side effect
+    all_queries()["maintain_snapshot_time_travel"](spark, sf).collect()
+    path = os.path.join(cache_dir(sf, "timetravel"), "orders_versioned")
+    plan = _plan(cd.read_asof(spark, path, "k", 1))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "version" in m.group(1), plan
+    # and the pruned read really excludes version 2 rows
+    v1 = spark.read.parquet(path).filter(F.col("version") <= 1)
+    assert v1.select("version").distinct().count() == 2
