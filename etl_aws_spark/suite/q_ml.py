@@ -1979,3 +1979,102 @@ def model_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_OLS_B2} + sign({_OLS_B2}) * 1e-9, 4) + 0.0 AS beta_discount_pct",
         f"round(1.0 - {_OLS_SSE} / {_OLS_SST}, 6) + 0.0 AS r_squared",
     )
+
+
+@query(
+    "join_point_in_time_features",
+    # both engines order by exact epoch-microseconds (+ event_id row
+    # tiebreak for the last-view carry), so frame membership is integer-
+    # exact; feature values are raw parquet doubles / integer counts.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events
+    ), f AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             sum(is_click) OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+               AS clicks_7d,
+             last_value(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_value,
+             count(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_events_before
+      FROM e
+    )
+    SELECT event_id, user_id, ts AS label_ts, value AS label,
+           CAST(coalesce(clicks_7d, 0) AS BIGINT) AS clicks_7d,
+           last_view_value,
+           CAST(n_events_before AS BIGINT) AS n_events_before
+    FROM f WHERE event_type = 'purchase'
+    """,
+    category="ml",
+)
+def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature assembly — the feature-store verb that turns
+    an event stream into a leakage-free training frame: for every label
+    row (purchase), attach features computed ONLY from history strictly
+    before the label timestamp (clicks in the trailing 7 days, the last
+    view value carried forward, lifetime event count). Doing this with a
+    plain join leaks future data (the reference's feature builds recompute
+    over the whole frame, `glue.py:183-195`, which is exactly the bug);
+    the leakage-guard trailing frames generalize `window_rolling_mean`'s
+    (-n,-1) discipline to event time.
+
+    Scale shape: NO label×feature join at all — labels and feature events
+    ride the SAME per-user partitioning, features are trailing window
+    frames over the union (range frame on exact epoch-µs for the 7-day
+    count, strictly-preceding row frame with IGNORE NULLS for the
+    carry-forward), and the label filter drops non-label rows after.
+    One shuffle on user_id; at 100 TB that is the floor for per-entity
+    history, and hot users spill within their partition, never across."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604800000000, -1)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.sum("is_click").over(w_range).alias("clicks_7d"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w_rows)
+        .alias("last_view_value"),
+        F.count(F.lit(1)).over(w_rows).alias("n_events_before"),
+    )
+    return f.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("value").alias("label"),
+        F.coalesce(F.col("clicks_7d"), F.lit(0)).cast("long").alias("clicks_7d"),
+        "last_view_value",
+        F.col("n_events_before").cast("long").alias("n_events_before"),
+    )
