@@ -194,3 +194,110 @@ def kalman_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pit_features_stateful(df: DataFrame, window_us: int = 604_800_000_000) -> DataFrame:
+    """ONLINE point-in-time feature assembly — the streaming twin of the
+    batch `join_point_in_time_features` query: as events arrive, every
+    purchase (label) row is emitted with features computed ONLY from the
+    key's history strictly before it — clicks in the trailing 7 days, the
+    last view value, lifetime event count.
+
+    State per key: the click timestamps still inside the trailing window
+    (pruned every batch — O(7-day activity), never O(history)), the last
+    view value, and the event count. Feature math inside a batch is
+    vectorized: the click-window count is two ``searchsorted`` calls on
+    the sorted click-µs array, the view carry-forward is a shifted
+    ffill — no per-row Python loop.
+
+    Input columns: ``event_id, user_id, ts, event_type, value``.
+    """
+    import numpy as np
+
+    out_schema = (
+        "event_id bigint, key bigint, label_ts timestamp, label double,"
+        " clicks_7d bigint, last_view_value double, n_events_before bigint"
+    )
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key_tuple
+        clicks, lv, n0 = state.get if state.exists else ([], None, 0)
+        clicks = list(clicks or [])
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "key": pd.Series(dtype="int64"),
+                "label_ts": pd.Series(dtype="datetime64[ns]"),
+                "label": pd.Series(dtype=float),
+                "clicks_7d": pd.Series(dtype="int64"),
+                "last_view_value": pd.Series(dtype=float),
+                "n_events_before": pd.Series(dtype="int64"),
+            }
+        )
+        frames = [p for p in pdfs]
+        if not frames or sum(len(p) for p in frames) == 0:
+            state.update((clicks, lv, n0))
+            yield empty
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["us", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        us = pdf["us"].to_numpy(dtype="int64")
+        is_click = (pdf["event_type"] == "click").to_numpy()
+        # sorted click-µs array: carried state (earlier batches) + this
+        # batch's clicks in time order; clicks at position >= K_i are
+        # ordered after row i, so searchsorted over the prefix is exact
+        arr = np.concatenate(
+            [np.asarray(clicks, dtype="int64"), us[is_click]]
+        )
+        # number of clicks ordered strictly before row i
+        lt = np.searchsorted(arr, us, side="left")
+        lo = np.searchsorted(arr, us - window_us, side="left")
+        clicks_7d = lt - lo
+        view_vals = pdf["value"].where(pdf["event_type"] == "view")
+        carried = view_vals.shift(1).ffill()
+        if lv is not None:
+            carried = carried.fillna(lv)
+        n_before = n0 + np.arange(len(pdf), dtype="int64")
+        lab = (pdf["event_type"] == "purchase").to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_id": pdf.loc[lab, "event_id"].astype("int64"),
+                "key": k,
+                "label_ts": pdf.loc[lab, "ts"],
+                "label": pdf.loc[lab, "value"].astype(float),
+                "clicks_7d": clicks_7d[lab],
+                "last_view_value": carried[lab],
+                "n_events_before": n_before[lab],
+            }
+        )
+        # prune carried clicks to the trailing window of the latest event
+        last_us = int(us[-1])
+        keep = arr[arr >= last_us - window_us]
+        lv_batch = view_vals.dropna()
+        if len(lv_batch):
+            lv = float(lv_batch.iloc[-1])
+        state.update(([int(x) for x in keep], lv, n0 + len(pdf)))
+        yield out
+
+    from pyspark.sql import functions as F
+
+    prepared = df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="clicks array<bigint>, lv double, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

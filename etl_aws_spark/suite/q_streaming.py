@@ -1711,3 +1711,91 @@ def streaming_cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame
         F.dayofmonth("ts").cast("long").alias("last_day"),
         (F.round("value", 4) + F.lit(0.0)).alias("last_value"),
     )
+
+
+@query(
+    "streaming_pit_features_state",
+    # batch-parity oracle: the identical PIT window replay as
+    # join_point_in_time_features — the stream's carried state must land
+    # every label row on the same feature values.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events
+    ), f AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             sum(is_click) OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+               AS clicks_7d,
+             last_value(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_value,
+             count(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_events_before
+      FROM e
+    )
+    SELECT event_id, user_id AS key, ts AS label_ts, value AS label,
+           CAST(coalesce(clicks_7d, 0) AS BIGINT) AS clicks_7d,
+           last_view_value,
+           CAST(n_events_before AS BIGINT) AS n_events_before
+    FROM f WHERE event_type = 'purchase'
+    """,
+    category="streaming",
+)
+def streaming_pit_features_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE feature store: point-in-time feature assembly as STREAMING
+    STATE (streaming/stateful.py pit_features_stateful) — purchases are
+    emitted as training rows the moment they arrive, carrying features
+    from the key's history strictly before them (trailing-7d clicks, last
+    view value, lifetime count). State per key is the pruned trailing
+    click-µs window + 2 scalars — O(7-day activity), never O(history).
+    The batch twin `join_point_in_time_features` computes the same frame
+    offline; the oracle replays that batch window plan, so the check IS
+    online/offline feature parity — the consistency property feature
+    stores exist to guarantee (and the reference's recompute-everything
+    Glue runs silently violate between daily refreshes).
+
+    The landing set is one file so the single AvailableNow batch walks
+    each key in event order; multi-batch state carry is pinned separately
+    in tests/test_streaming_stateful.py (any time-ordered split lands on
+    identical rows because the pruned click window and carried scalars
+    are exactly the information the trailing frames need)."""
+    from etl_aws_spark.streaming import stateful
+
+    root = _cache_dir(sf_dir, "stream_pit")
+    landing = os.path.join(root, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        ev.repartition(1).write.mode("overwrite").parquet(landing)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(landing)
+    out = stateful.pit_features_stateful(stream)
+    name = "pit_features_" + os.path.basename(os.path.dirname(root))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "key", "label_ts", "label",
+        "clicks_7d", "last_view_value", "n_events_before",
+    )

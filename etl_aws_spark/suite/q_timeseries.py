@@ -4504,3 +4504,100 @@ def stat_cohens_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         """round((s1 / n1 - s2 / n2)
                  / sqrt((q2 - s2 * s2 / n2) / (n2 - 1)), 6) + 0.0 AS glass_delta""",
     )
+
+
+@query(
+    "stat_tost_equivalence",
+    # same exact integer cents power sums as the effect-size suite; both
+    # one-sided t statistics derive through one shared expression tree.
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_we,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS v
+      FROM events WHERE event_type = 'view'
+    ), s AS (
+      SELECT sum(is_we) AS n1, sum(1 - is_we) AS n2,
+             CAST(sum(CASE WHEN is_we = 1 THEN v ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN is_we = 0 THEN v ELSE 0 END) AS DOUBLE) AS s2,
+             CAST(sum(CASE WHEN is_we = 1 THEN v * v ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(sum(CASE WHEN is_we = 0 THEN v * v ELSE 0 END) AS DOUBLE) AS q2
+      FROM g
+    ), e AS (
+      SELECT n1, n2, s1 / n1 - s2 / n2 AS diff,
+             sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                  + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS se,
+             0.05 * ((s1 + s2) / (n1 + n2)) AS margin
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekend,
+           CAST(n2 AS BIGINT) AS n_weekday,
+           round(diff / 100.0, 4) + 0.0 AS mean_diff,
+           round(margin / 100.0, 4) + 0.0 AS margin,
+           round((diff + margin) / se, 6) + 0.0 AS t_lower,
+           round((diff - margin) / se, 6) + 0.0 AS t_upper,
+           CAST((diff + margin) / se > 1.6449 AND
+                (diff - margin) / se < -1.6449 AS INT) AS is_equivalent
+    FROM e
+    """,
+    category="timeseries",
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE test (two one-sided tests, Schuirmann 1987) on
+    weekend-vs-weekday view values: the A/B question `stat_welch_t_test`
+    cannot answer — not "is there a difference" but "is the difference
+    provably SMALLER than a margin" (±5% of the pooled mean), which is
+    what a data-pipeline migration needs before swapping implementations.
+    Both one-sided t statistics must clear z(0.95) ≈ 1.6449 for
+    equivalence.
+
+    Scale shape: identical to the effect-size suite — ONE conditional
+    aggregate collapses the stream to six exact integer cents power sums;
+    the two t statistics are scalar expressions over a 1-row frame,
+    derived through the same expression tree on both engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    g = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_we"),
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("v"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact integer sums
+    s = g.agg(
+        F.sum("is_we").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_we")).alias("n2"),
+        F.sum(dec(F.when(F.col("is_we") == 1, F.col("v")).otherwise(0)))
+        .cast("double")
+        .alias("s1"),
+        F.sum(dec(F.when(F.col("is_we") == 0, F.col("v")).otherwise(0)))
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            dec(F.when(F.col("is_we") == 1, F.col("v") * F.col("v")).otherwise(0))
+        )
+        .cast("double")
+        .alias("q1"),
+        F.sum(
+            dec(F.when(F.col("is_we") == 0, F.col("v") * F.col("v")).otherwise(0))
+        )
+        .cast("double")
+        .alias("q2"),
+    )
+    return s.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_weekend",
+        "CAST(n2 AS BIGINT) AS n_weekday",
+        "round((s1 / n1 - s2 / n2) / 100.0, 4) + 0.0 AS mean_diff",
+        "round(0.05 * ((s1 + s2) / (n1 + n2)) / 100.0, 4) + 0.0 AS margin",
+        """round(((s1 / n1 - s2 / n2) + 0.05 * ((s1 + s2) / (n1 + n2)))
+                 / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 6) + 0.0
+           AS t_lower""",
+        """round(((s1 / n1 - s2 / n2) - 0.05 * ((s1 + s2) / (n1 + n2)))
+                 / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 6) + 0.0
+           AS t_upper""",
+        """CAST(((s1 / n1 - s2 / n2) + 0.05 * ((s1 + s2) / (n1 + n2)))
+                 / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) > 1.6449
+                AND ((s1 / n1 - s2 / n2) - 0.05 * ((s1 + s2) / (n1 + n2)))
+                 / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) < -1.6449
+                AS INT) AS is_equivalent""",
+    )

@@ -366,3 +366,65 @@ def test_ivf_assign_stream_replay_is_idempotent(spark, tmp_path):
     g2 = (spark.read.parquet(state).toPandas()
           .sort_values(["cell", "pos"]).reset_index(drop=True))
     assert g1.equals(g2), "replayed batches were double-merged"
+
+
+def test_pit_features_state_carries_across_time_ordered_batches(spark, tmp_path):
+    """pit_features_stateful: split the event log into two time-ordered
+    files with maxFilesPerTrigger=1 (two micro-batches) — every label row
+    must carry the same features as the single-batch run, i.e. the pruned
+    click window, view carry-forward, and count genuinely survive in
+    state across triggers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.sources.readers import read_table
+    from etl_aws_spark.streaming import stateful
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    landing = str(tmp_path / "landing")
+    early = ev.filter(F.col("ts") < F.lit("1995-06-01"))
+    late = ev.filter(F.col("ts") >= F.lit("1995-06-01"))
+    early.repartition(1).write.parquet(os.path.join(landing, "b=0"))
+    late.repartition(1).write.parquet(os.path.join(landing, "b=1"))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run(max_files):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files))
+            .parquet(landing + "/b=*")
+        )
+        out_dir = str(tmp_path / f"out{max_files}")
+        q = (
+            stateful.pit_features_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"ck{max_files}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            spark.read.parquet(out_dir)
+            .toPandas()
+            .sort_values(["key", "event_id"])
+            .reset_index(drop=True)
+        )
+
+    split = run(1)   # two micro-batches: state must carry
+    whole = run(10)  # single micro-batch baseline
+    assert len(split) and len(split) == len(whole)
+    pd.testing.assert_frame_equal(split, whole)
