@@ -54,6 +54,12 @@ HEADLINE = [
     # original 13 (and use the canary's phase_factor first).
     "pipeline_corpus_release",      # filter -> dedup -> CC -> cluster split
     "similarity_knn_join",          # all-pairs budget-bounded kNN join
+    # r10 session-2 additions: the two heaviest new verbs of the wave —
+    # corpus-wide first-occurrence novelty (explode + hash-keyed join)
+    # and the leakage-free PIT training frame (one per-user shuffle,
+    # range + row trailing frames).
+    "text_ngram_novelty_decay",
+    "join_point_in_time_features",
 ]
 
 
