@@ -103,3 +103,153 @@ def pipeline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("month_cos"), 6).alias("month_cos"),
         *[rnd(F.col(c)).alias(c) for c in _FEATS],
     )
+
+
+_PIT_FRAME_SQL = """
+    e AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events
+    ), f AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             sum(is_click) OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+               AS clicks_7d,
+             last_value(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_value
+      FROM e
+    ), frame AS (
+      SELECT user_id, ts,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS label_c,
+             coalesce(clicks_7d, 0) AS clicks_7d, last_view_value,
+             CASE WHEN ts <  TIMESTAMP '2024-01-20' THEN 'train'
+                  WHEN ts <  TIMESTAMP '2024-01-25' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM f WHERE event_type = 'purchase'
+    )
+"""
+
+
+@query(
+    "pipeline_feature_store_release",
+    oracle=f"""
+    WITH {_PIT_FRAME_SQL}, tr AS (
+      SELECT DISTINCT user_id FROM frame WHERE split = 'train'
+    ), agg AS (
+      SELECT split,
+             count(*) AS n_rows,
+             count(DISTINCT user_id) AS n_users,
+             sum(label_c) AS label_sum_c,
+             sum(clicks_7d) AS clicks_sum,
+             sum(CASE WHEN last_view_value IS NULL THEN 1 ELSE 0 END) AS n_cold
+      FROM frame GROUP BY split
+    ), ov AS (
+      SELECT f.split, count(DISTINCT f.user_id) AS users_seen_in_train
+      FROM frame f JOIN tr ON tr.user_id = f.user_id
+      GROUP BY f.split
+    )
+    SELECT a.split,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(a.n_users AS BIGINT) AS n_users,
+           CAST(a.label_sum_c AS BIGINT) AS label_sum_cents,
+           round(CAST(a.clicks_sum AS DOUBLE) / a.n_rows, 6) + 0.0
+             AS mean_clicks_7d,
+           round(CAST(a.n_cold AS DOUBLE) / a.n_rows, 6) + 0.0
+             AS cold_start_rate,
+           CAST(coalesce(ov.users_seen_in_train, 0) AS BIGINT)
+             AS users_seen_in_train
+    FROM agg a LEFT JOIN ov ON ov.split = a.split
+    """,
+    category="pipeline",
+)
+def pipeline_feature_store_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABULAR-ML release pipeline END TO END — the feature-store
+    sibling of `pipeline_corpus_release`: PIT training frame (the
+    `join_point_in_time_features` window plan) → TIME-based train/valid/
+    test split (never random: a random split of temporal labels leaks
+    future context into training, the `quality_split_leakage_lsh` lesson
+    in the tabular world) → per-split release audit: row/user counts,
+    exact label sum, mean trailing-click feature, COLD-START rate (labels
+    with no prior view — the null-feature share a serving system must
+    handle), and user overlap vs train (time splits share users; the
+    audit quantifies how much, which decides GroupKFold vs time CV).
+
+    Scale shape: the frame stays on the one per-user shuffle of its
+    parent; the split is a row-local CASE; the audit is one groupBy over
+    |splits| cells plus a broadcast-sized distinct-user semi-join.
+    Label sums fold as exact integer cents."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    w_range = (
+        Window.partitionBy("user_id").orderBy("us").rangeBetween(-604800000000, -1)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frame = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.round(F.col("value").cast("double") * 100.0)
+            .cast("long")
+            .alias("label_c"),
+            F.coalesce(F.sum("is_click").over(w_range), F.lit(0)).alias(
+                "clicks_7d"
+            ),
+            F.last(
+                F.when(F.col("event_type") == "view", F.col("value")),
+                ignorenulls=True,
+            )
+            .over(w_rows)
+            .alias("last_view_value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "split",
+            F.when(F.col("ts") < F.lit("2024-01-20").cast("timestamp"), "train")
+            .when(F.col("ts") < F.lit("2024-01-25").cast("timestamp"), "valid")
+            .otherwise("test"),
+        )
+    )
+    tr = frame.filter(F.col("split") == "train").select("user_id").distinct()
+    agg = frame.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("label_c").alias("label_sum_c"),
+        F.sum("clicks_7d").alias("clicks_sum"),
+        F.sum(F.when(F.col("last_view_value").isNull(), 1).otherwise(0)).alias(
+            "n_cold"
+        ),
+    )
+    ov = (
+        frame.join(F.broadcast(tr), "user_id")
+        .groupBy("split")
+        .agg(F.countDistinct("user_id").alias("users_seen_in_train"))
+    )
+    return agg.join(ov, "split", "left").select(
+        "split",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("label_sum_c").cast("long").alias("label_sum_cents"),
+        rnd(F.col("clicks_sum").cast("double") / F.col("n_rows"), 6).alias(
+            "mean_clicks_7d"
+        ),
+        rnd(F.col("n_cold").cast("double") / F.col("n_rows"), 6).alias(
+            "cold_start_rate"
+        ),
+        F.coalesce(F.col("users_seen_in_train"), F.lit(0))
+        .cast("long")
+        .alias("users_seen_in_train"),
+    )
