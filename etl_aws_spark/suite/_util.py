@@ -66,6 +66,28 @@ def sql_rnd_nudged(expr: str, n: int = 4) -> str:
     return f"round(({expr}) + sign({expr}) * 1e-9, {n}) + 0.0"
 
 
+def rnd_nudged_rel(c: Column, n: int = 4) -> Column:
+    """Magnitude-RELATIVE nudged rounding for large-magnitude derived
+    doubles (sums of squares, huge aggregates): the absolute 1e-9 nudge
+    is below one ulp once |x| exceeds ~1e7, so it cannot move a value
+    off a decimal half-boundary there (found at sf1: stat_two_way_anova's
+    ss landed on ...334.285 exactly — Spark's HALF_UP on the shortest
+    decimal repr said .29, DuckDB's binary rounding said .28). The
+    relative term |x|·1e-12 is ~4000 ulp — far above any cross-engine
+    representation difference, far below analytic meaning — and applied
+    identically on both engines, so matching values can never diverge.
+    Mirror with :func:`sql_rnd_nudged_rel`."""
+    nudge = F.signum(c) * F.greatest(F.lit(1e-9), F.abs(c) * F.lit(1e-12))
+    return F.round(c + nudge, n) + F.lit(0.0)
+
+
+def sql_rnd_nudged_rel(expr: str, n: int = 4) -> str:
+    return (
+        f"round(({expr}) + sign({expr})"
+        f" * greatest(1e-9, abs({expr}) * 1e-12), {n}) + 0.0"
+    )
+
+
 def exact_ntile(
     df,
     k: int,

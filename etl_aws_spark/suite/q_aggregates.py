@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from etl_aws_spark.operators import aggregates as agg
 from etl_aws_spark.operators import windows as ow
 from etl_aws_spark.registry import load, query
-from etl_aws_spark.suite._util import rnd, rnd_nudged
+from etl_aws_spark.suite._util import rnd, rnd_nudged, rnd_nudged_rel
 
 # deterministic null injection: the fixtures are null-free, so null-handling
 # operators knock out value on event_id % 7 == 0 (same rule in the oracles)
@@ -2669,8 +2669,10 @@ def stat_jackknife_group_se(spark: SparkSession, sf_dir: str) -> DataFrame:
              (ss_tot - ss_cells) / (n - ab), n, ab FROM ss
     )
     SELECT effect, df,
-           round(ssv / 10000.0 + sign(ssv / 10000.0) * 1e-9, 2) + 0.0 AS ss,
-           round(ssv / df / 10000.0 + sign(ssv / df / 10000.0) * 1e-9, 2)
+           round(ssv / 10000.0 + sign(ssv / 10000.0)
+                 * greatest(1e-9, abs(ssv / 10000.0) * 1e-12), 2) + 0.0 AS ss,
+           round(ssv / df / 10000.0 + sign(ssv / df / 10000.0)
+                 * greatest(1e-9, abs(ssv / df / 10000.0) * 1e-12), 2)
              + 0.0 AS ms,
            CASE WHEN effect = 'error' THEN NULL
                 ELSE round((ssv / df) / mse
@@ -2799,8 +2801,8 @@ def stat_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eff.select(
         "effect",
         "df",
-        rnd_nudged(F.col("ssv") / 10000.0, 2).alias("ss"),
-        rnd_nudged(F.col("ssv") / F.col("df") / 10000.0, 2).alias("ms"),
+        rnd_nudged_rel(F.col("ssv") / 10000.0, 2).alias("ss"),
+        rnd_nudged_rel(F.col("ssv") / F.col("df") / 10000.0, 2).alias("ms"),
         F.when(F.col("effect") == "error", F.lit(None).cast("double"))
         .otherwise(rnd_nudged((F.col("ssv") / F.col("df")) / F.col("mse"), 4))
         .alias("f_stat"),

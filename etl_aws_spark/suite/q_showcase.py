@@ -940,13 +940,13 @@ def showcase_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(revenue * 100) AS BIGINT) AS cents
       FROM rev
     ), ranked AS (
-      SELECT l_partkey, revenue,
+      SELECT l_partkey, revenue, cents,
              CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                / CAST(sum(cents) OVER () AS DOUBLE) AS cum_share
       FROM rc
     ), classed AS (
-      SELECT l_partkey, revenue,
+      SELECT l_partkey, revenue, cents,
              CASE WHEN cum_share <= 0.8 THEN 'A'
                   WHEN cum_share <= 0.95 THEN 'B'
                   ELSE 'C' END AS abc_class
@@ -954,7 +954,7 @@ def showcase_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(revenue), 2) + 0.0 AS class_revenue
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) + 0.0 AS class_revenue
     FROM classed GROUP BY abc_class
     """,
     category="showcase",
@@ -1000,7 +1000,12 @@ def showcase_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
-        (F.round(F.sum("revenue"), 2) + F.lit(0.0)).alias("class_revenue"),
+        # class revenue folds as EXACT integer cents — summing the
+        # rounded per-part doubles accumulated enough jitter at sf1 to
+        # flip a round-2 boundary between engines (sf1 parity catch)
+        (F.round(F.sum("cents").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+            "class_revenue"
+        ),
     )
 
 
