@@ -3167,20 +3167,20 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id, unnest({D.shingle_hashes('text', 3, D.DUCK)}) AS h
       FROM documents
-    ), first AS (
-      SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+    ), novel AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel
+      FROM (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+      GROUP BY first_doc
     ), per AS (
-      SELECT sh.doc_id, count(*) AS n_sh,
-             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
-      FROM sh JOIN first f ON f.h = sh.h
-      GROUP BY sh.doc_id
+      SELECT doc_id, len({D.word_shingles('text', 3, D.DUCK)}) AS n_sh
+      FROM documents
     ), mx AS (
       SELECT max(doc_id) AS maxd FROM documents
     ), b AS (
-      SELECT CAST((d.doc_id * 10) // (mx.maxd + 1) AS INT) AS decile,
-             coalesce(p.n_sh, 0) AS n_sh, coalesce(p.n_novel, 0) AS n_novel
-      FROM documents d CROSS JOIN mx
-      LEFT JOIN per p ON p.doc_id = d.doc_id
+      SELECT CAST((p.doc_id * 10) // (mx.maxd + 1) AS INT) AS decile,
+             greatest(p.n_sh, 0) AS n_sh, coalesce(v.n_novel, 0) AS n_novel
+      FROM per p CROSS JOIN mx
+      LEFT JOIN novel v ON v.doc_id = p.doc_id
     )
     SELECT CAST(decile AS INT) AS decile,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -3201,33 +3201,38 @@ def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits the cumulative side) and the signal curation teams watch to
     decide when another crawl of the same sources stops paying.
 
-    Scale shape: one explode to (doc, shingle-hash) scalars, a min
-    aggregate per hash (map-side combined) defines first occurrence, one
-    hash-keyed join back, and everything after runs over 10 decile rows.
-    The decile key is integer arithmetic off a broadcast max — no global
-    sort, no window over the corpus. All counts exact integers; the one
-    ratio divides at the end."""
+    Scale shape: NO join back to the exploded pairs — the per-doc
+    shingle total is doc-LOCAL (the distinct-shingle array size, zero
+    shuffle), and the per-doc novel count falls straight out of the
+    first-occurrence aggregate: min(doc_id) per hash, then count per
+    winning doc (two narrow 16 B shuffles, the second over |distinct
+    hashes| map-side-combined to |docs| rows). The r10 rewrite halved
+    the shuffled volume vs the naive hash-keyed join-back (measured
+    7.0x -> see BASELINE.md). The decile key is integer arithmetic off
+    a broadcast max — no global sort, no window over the corpus. All
+    counts exact integers; the one ratio divides at the end."""
     docs = load(spark, sf_dir, "documents")
+    # shingle the corpus ONCE (the dominant CPU — measured 5.8 s of the
+    # 10.6 s sf1 wall) and materialize the 16 B (doc, hash) pairs; both
+    # aggregates below read the checkpoint instead of re-tokenizing
     sh = docs.select(
         "doc_id",
         F.explode(F.expr(D.shingle_hashes("text", 3, D.SPARK))).alias("h"),
-    )
-    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        sh.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    ).localCheckpoint(eager=True)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    novel = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
     )
     mx = docs.agg(F.max("doc_id").alias("maxd"))
     b = (
         docs.select("doc_id")
         .crossJoin(F.broadcast(mx))
-        .join(per, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
         .select(
             F.expr("CAST((doc_id * 10) div (maxd + 1) AS INT)").alias("decile"),
             F.coalesce(F.col("n_sh"), F.lit(0)).alias("n_sh"),
