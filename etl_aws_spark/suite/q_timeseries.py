@@ -4601,3 +4601,86 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) < -1.6449
                 AS INT) AS is_equivalent""",
     )
+
+
+@query(
+    "window_ewm_time_decay",
+    # per-step decay lambda = 0.5^(dt/half_life) crosses the nudged-8
+    # transcendental bridge BEFORE entering the fold, so the sequential
+    # recurrence is deterministic double arithmetic on both engines.
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
+      FROM events
+    ), l AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN lag(us) OVER w IS NULL THEN 0.0
+                  ELSE round(pow(0.5, (us - lag(us) OVER w) / 43200000000.0)
+                             + 1e-9, 8) END AS lam
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY {EVENTS_ORDER_SQL})
+    ), p AS (
+      SELECT event_id, user_id, ts, value,
+             list([lam, value]) OVER (PARTITION BY user_id
+                 ORDER BY {EVENTS_ORDER_SQL}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM l
+    )
+    SELECT event_id, user_id, ts, value,
+           round(list_reduce(list_prepend([CAST(NULL AS DOUBLE)], pre),
+                 (acc, s) -> [CASE WHEN acc[1] IS NULL THEN s[2]
+                              ELSE s[1] * acc[1] + (1.0 - s[1]) * s[2] END])[1],
+                 4) + 0.0 AS ewma_decay
+    FROM p
+    """,
+    category="timeseries",
+)
+def window_ewm_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA with TIME-decay on IRREGULAR event times — the event-time
+    generalization of `window_ewm_macd`'s row-count EWMA: each step
+    decays the accumulator by λ = 0.5^(Δt / 12h), so a reading after a
+    long gap nearly resets while a burst barely moves it (the form
+    monitoring systems and online feature stores actually need; a
+    row-count span silently treats a 1-second and a 3-day gap alike).
+
+    Exactness: λ is the one transcendental — it crosses the nudged
+    round-8 bridge per step BEFORE the fold, so the recurrence
+    e = λ·e + (1−λ)·x is identical double arithmetic on both engines.
+    Scale shape: one per-user shuffle; the prefix arrays and the fold
+    are in-row HOF codegen over bounded per-user series (the
+    `window_ewm_macd` / Holt family pattern), no Python anywhere."""
+    from pyspark.sql import Window
+
+    b = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lam = F.when(F.lag("us").over(w).isNull(), F.lit(0.0)).otherwise(
+        F.round(
+            F.pow(F.lit(0.5), (F.col("us") - F.lag("us").over(w)) / 43200000000.0)
+            + F.lit(1e-9),
+            8,
+        )
+    )
+    l = b.select("event_id", "user_id", "ts", "value", lam.alias("lam"))
+    pre = F.collect_list(F.array("lam", "value")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = l.select("event_id", "user_id", "ts", "value", pre.alias("pre"))
+    fold = (
+        "aggregate(pre, array(CAST(NULL AS DOUBLE)),"
+        " (acc, s) -> array(CASE WHEN acc[0] IS NULL THEN s[1]"
+        " ELSE s[0] * acc[0] + (1.0D - s[0]) * s[1] END),"
+        " acc -> acc[0])"
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.round(F.expr(fold), 4) + F.lit(0.0)).alias("ewma_decay"),
+    )
