@@ -4684,3 +4684,107 @@ def window_ewm_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.round(F.expr(fold), 4) + F.lit(0.0)).alias("ewma_decay"),
     )
+
+
+@query(
+    "stat_bartlett_variance_test",
+    # exact integer cents power sums per group; every ln crosses the
+    # nudged-8 transcendental bridge before the cross-group fold, which
+    # runs in group-key order on both engines.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT))
+               AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT)
+                 AS HUGEINT)
+                 * CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT))
+               AS DOUBLE) AS q
+      FROM events GROUP BY event_type
+    ), v AS (
+      SELECT event_type, n, (q - s * s / n) / (n - 1) AS var
+      FROM g
+    ), tot AS (
+      SELECT sum(n) AS nn, count(*) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(n - 1 AS DOUBLE) * var ORDER BY event_type)),
+               (a, x) -> a + x) AS pooled_num,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(n - 1 AS DOUBLE)
+                    * (round(ln(var) + sign(ln(var)) * 1e-9, 8) + 0.0)
+                    ORDER BY event_type)),
+               (a, x) -> a + x) AS sum_ln,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(1.0 / (n - 1) ORDER BY event_type)), (a, x) -> a + x)
+               AS sum_inv
+      FROM v
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total,
+           CAST(k AS INT) AS k_groups,
+           round(pooled_num / (nn - k) / 10000.0, 4) + 0.0 AS pooled_var,
+           round(((nn - k) * (round(ln(pooled_num / (nn - k))
+                                    + sign(ln(pooled_num / (nn - k))) * 1e-9, 8)
+                              + 0.0)
+                  - sum_ln)
+                 / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))), 4)
+             + 0.0 AS bartlett_stat,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM tot
+    """,
+    category="timeseries",
+)
+def stat_bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT's test for variance homogeneity across event types — the
+    parametric member of the family (`stat_brown_forsythe_levene` is the
+    robust one): T = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with the
+    Bartlett correction C, chi-square with k−1 df under normality.
+
+    Scale shape: ONE aggregate collapses the stream to exact integer
+    cents power sums per group; variances, the pooled variance, and T
+    are scalar expressions over the |types|-row frame, with the two
+    cross-group float folds running in group-key order and every ln
+    crossing the nudged-8 transcendental bridge on both engines.
+    Variances stay in cents² until the single display division."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100.0).cast("long").alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact integer sums
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("s"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("q"),
+    )
+    v = g.select(
+        "event_type",
+        "n",
+        ((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(event_type, "
+        "cast({t} as double) as t))), x -> x.t), "
+        "cast(0.0 as double), (p, q) -> p + q)"
+    )
+    ln8 = "(round(ln({x}) + sign(ln({x})) * 1e-9, 8) + 0.0)"
+    tot = v.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr(fold.format(t="(n - 1) * var")).alias("pooled_num"),
+        F.expr(
+            fold.format(t=f"(n - 1) * {ln8.format(x='var')}")
+        ).alias("sum_ln"),
+        F.expr(fold.format(t="1.0 / (n - 1)")).alias("sum_inv"),
+    )
+    pooled = "pooled_num / (nn - k)"
+    return tot.selectExpr(
+        "CAST(nn AS BIGINT) AS n_total",
+        "CAST(k AS INT) AS k_groups",
+        f"round({pooled} / 10000.0, 4) + 0.0 AS pooled_var",
+        f"""round(((nn - k) * {ln8.format(x=pooled)} - sum_ln)
+                 / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))), 4)
+             + 0.0 AS bartlett_stat""",
+        "CAST(k - 1 AS BIGINT) AS df",
+    )
