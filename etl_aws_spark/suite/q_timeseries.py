@@ -4788,3 +4788,107 @@ def stat_bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.0 AS bartlett_stat""",
         "CAST(k - 1 AS BIGINT) AS df",
     )
+
+
+@query(
+    "events_funnel_negation",
+    # next-B / next-C via conditional min over the FOLLOWING frame —
+    # exact integer microseconds, one per-user window partitioning.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+    ), w AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us,
+             min(CASE WHEN event_type = 'error' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_error_us
+      FROM e
+    ), a AS (
+      SELECT user_id,
+             CASE WHEN next_purchase_us IS NOT NULL
+                   AND next_purchase_us <= us + 604800000000 THEN 1 ELSE 0
+               END AS in_window,
+             CASE WHEN next_purchase_us IS NOT NULL
+                   AND next_purchase_us <= us + 604800000000
+                   AND (next_error_us IS NULL
+                        OR next_error_us >= next_purchase_us) THEN 1 ELSE 0
+               END AS converted
+      FROM w WHERE event_type = 'signup'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(in_window) AS BIGINT) AS n_purchase_in_7d,
+           CAST(sum(in_window) - sum(converted) AS BIGINT)
+             AS n_blocked_by_error,
+           CAST(sum(converted) AS BIGINT) AS n_clean_conversions,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) + 0.0
+             AS clean_conversion_rate
+    FROM a
+    """,
+    category="timeseries",
+)
+def events_funnel_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with NEGATION — signup → purchase within 7 days with NO
+    error event in between: the MATCH_RECOGNIZE-shaped pattern
+    (`A (^C)* B` within a window) that plain funnel counting
+    (`events_funnel_conversion`, `events_funnel_time_bound`) cannot
+    express, and the one that distinguishes "converted" from "converted
+    despite our bug" in incident analysis.
+
+    Scale shape: no self-join, no pattern automaton — the next purchase
+    and next error timestamps are conditional MINs over the FOLLOWING
+    row frame of ONE per-user window partitioning; the negation is then
+    a row-local comparison (error-before-purchase blocks the match).
+    Exact integer microseconds throughout; one final ratio."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        "event_id",
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).over(wf).alias(
+            "next_purchase_us"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("us"))).over(wf).alias(
+            "next_error_us"
+        ),
+    )
+    in_window = (
+        F.col("next_purchase_us").isNotNull()
+        & (F.col("next_purchase_us") <= F.col("us") + F.lit(604800000000))
+    )
+    converted = in_window & (
+        F.col("next_error_us").isNull()
+        | (F.col("next_error_us") >= F.col("next_purchase_us"))
+    )
+    a = w.filter(F.col("event_type") == "signup").select(
+        in_window.cast("int").alias("in_window"),
+        converted.cast("int").alias("converted"),
+    )
+    return a.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.sum("in_window").cast("long").alias("n_purchase_in_7d"),
+        (F.sum("in_window") - F.sum("converted")).cast("long").alias(
+            "n_blocked_by_error"
+        ),
+        F.sum("converted").cast("long").alias("n_clean_conversions"),
+        rnd(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("clean_conversion_rate"),
+    )
