@@ -4892,3 +4892,111 @@ def events_funnel_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count(F.lit(1)), 6
         ).alias("clean_conversion_rate"),
     )
+
+
+@query(
+    "stat_cramers_v_effect",
+    # chi-square folds over the cell grid in (type, dow) key order on
+    # both engines; V and the Bergsma bias-corrected V are scalar math.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INTEGER) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, d.dow
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+    ), full_grid AS (
+      SELECT g.event_type, g.dow, CAST(coalesce(o.o, 0) AS DOUBLE) AS o
+      FROM grid g LEFT JOIN obs o USING (event_type, dow)
+    ), tot AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS r,
+             sum(o) OVER (PARTITION BY dow) AS c,
+             sum(o) OVER () AS n
+      FROM full_grid
+    ), s AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((o - r * c / n) * (o - r * c / n) / (r * c / n)
+                    ORDER BY event_type, dow)), (a, x) -> a + x) AS chi2,
+             count(DISTINCT event_type) AS rr,
+             count(DISTINCT dow) AS cc,
+             sum(o) AS n
+      FROM tot
+    )
+    SELECT round(chi2, 4) + 0.0 AS chi2,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST(rr AS INT) AS n_rows_dim,
+           CAST(cc AS INT) AS n_cols_dim,
+           round(sqrt(chi2 / (n * least(rr - 1, cc - 1))), 6) + 0.0
+             AS cramers_v,
+           round(sqrt(greatest(chi2 / n - CAST((rr - 1) * (cc - 1) AS DOUBLE)
+                               / (n - 1), 0.0)
+                      / least(rr - CAST((rr - 1) * (rr - 1) AS DOUBLE) / (n - 1)
+                                - 1.0,
+                              cc - CAST((cc - 1) * (cc - 1) AS DOUBLE) / (n - 1)
+                                - 1.0)), 6) + 0.0 AS cramers_v_corrected
+    FROM s
+    """,
+    category="timeseries",
+)
+def stat_cramers_v_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V — the effect size for categorical association that
+    `stat_chi2_independence`'s test statistic lacks (at N = 10¹² every
+    contingency table is "significant"; V says whether the association
+    matters), plus the Bergsma (2013) bias-corrected V~ that does not
+    inflate on tables with many cells.
+
+    Scale shape: identical to the chi-square parent — one group-by to
+    the |types|×|dow| cell grid, marginals as windows over the tiny cell
+    frame; the chi-square folds in (type, dow) KEY ORDER on both engines
+    (the cross-engine ordered-fold recipe), and both V's are scalar
+    expressions over one row."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    types = obs.select("event_type").distinct()
+    dows = obs.select("dow").distinct()
+    full_grid = (
+        types.crossJoin(dows)
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "dow", F.coalesce("o", F.lit(0)).cast("double").alias("o")
+        )
+    )
+    tot = full_grid.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(event_type, dow, "
+        "(o - r * c / n) * (o - r * c / n) / (r * c / n) as t))), x -> x.t), "
+        "cast(0.0 as double), (p, q) -> p + q)"
+    )
+    s = tot.agg(
+        F.expr(fold).alias("chi2"),
+        F.countDistinct("event_type").alias("rr"),
+        F.countDistinct("dow").alias("cc"),
+        F.sum("o").alias("n"),
+    )
+    return s.selectExpr(
+        "round(chi2, 4) + 0.0 AS chi2",
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(rr AS INT) AS n_rows_dim",
+        "CAST(cc AS INT) AS n_cols_dim",
+        "round(sqrt(chi2 / (n * least(rr - 1, cc - 1))), 6) + 0.0 AS cramers_v",
+        """round(sqrt(greatest(chi2 / n - CAST((rr - 1) * (cc - 1) AS DOUBLE)
+                               / (n - 1), 0.0D)
+                      / least(rr - CAST((rr - 1) * (rr - 1) AS DOUBLE) / (n - 1)
+                                - 1.0D,
+                              cc - CAST((cc - 1) * (cc - 1) AS DOUBLE) / (n - 1)
+                                - 1.0D)), 6) + 0.0 AS cramers_v_corrected""",
+    )
