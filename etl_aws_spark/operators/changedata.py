@@ -111,7 +111,9 @@ def scd2_from_log(
     )
 
 
-def write_versioned(base: DataFrame, deltas, path: str) -> None:
+def write_versioned(
+    base: DataFrame, deltas, path: str, validate_key: str | None = None
+) -> None:
     """Write a versioned snapshot tree: ``version=0/`` holds the base
     snapshot, ``version=N/`` the Nth delta log (rows carry an ``op``
     column: ``upsert`` | ``delete``). The layout is the MVCC core of a
@@ -123,6 +125,13 @@ def write_versioned(base: DataFrame, deltas, path: str) -> None:
     ``deltas`` is an ordered list of DataFrames with the base's columns
     plus ``op``.
 
+    When ``validate_key`` is given, every version is checked for key
+    uniqueness before any file is written and a duplicate raises — a
+    delta that carries the same key twice in one version (e.g. upsert
+    then delete) has no well-defined survivor without an op-sequence
+    column, so the contract is enforced loudly at write time instead of
+    resolved arbitrarily at read time.
+
     Each version writes to its own ``version=N`` directory with an
     explicit per-directory overwrite — never a partitionBy overwrite of
     the root — so a re-run is idempotent under BOTH static and dynamic
@@ -133,6 +142,21 @@ def write_versioned(base: DataFrame, deltas, path: str) -> None:
 
     from pyspark.sql import functions as F
 
+    if validate_key is not None:
+        for v, d in enumerate([base] + list(deltas)):
+            dup = (
+                d.groupBy(validate_key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"write_versioned: duplicate key {dup[0][0]!r} in "
+                    f"version {v}; each version must carry a key at most "
+                    "once (no op-sequence column exists to break ties)"
+                )
     base.withColumn("op", F.lit("upsert")).write.mode("overwrite").parquet(
         os.path.join(path, "version=0")
     )
@@ -145,12 +169,18 @@ def read_asof(spark, path: str, key: str, version: int) -> DataFrame:
     directories (a literal partition filter — newer versions are never
     opened), keep the LATEST op per key, and drop keys whose latest op is
     a delete. One shuffle on the key; cost scales with the history read,
-    not with the table's full lifetime."""
+    not with the table's full lifetime.
+
+    Within a version, ``write_versioned(validate_key=...)`` guarantees
+    key uniqueness; should unvalidated data carry a key twice in one
+    version, the tie breaks deterministically (``op`` ascending —
+    delete precedes upsert, so the delete wins) rather than by
+    nondeterministic scan order."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     snap = spark.read.parquet(path).filter(F.col("version") <= version)
-    w = Window.partitionBy(key).orderBy(F.desc("version"))
+    w = Window.partitionBy(key).orderBy(F.desc("version"), F.asc("op"))
     return (
         snap.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("op") == "upsert"))

@@ -247,6 +247,19 @@ def pit_features_stateful(df: DataFrame, window_us: int = 604_800_000_000) -> Da
             .reset_index(drop=True)
         )
         us = pdf["us"].to_numpy(dtype="int64")
+        # Contract: micro-batches must arrive in global per-key time
+        # order — searchsorted below needs concat(carried, batch clicks)
+        # sorted, and the trailing-window prune has already discarded
+        # clicks older than the carried horizon, so an event that time-
+        # travels behind the carried state cannot be answered correctly.
+        # Fail loudly instead of silently emitting wrong clicks_7d.
+        if clicks and len(us) and us[0] < clicks[-1]:
+            raise ValueError(
+                "pit_features_stateful: out-of-order micro-batch for key "
+                f"{k}: event at {us[0]}us precedes carried click horizon "
+                f"{clicks[-1]}us; per-key batches must be time-ordered "
+                "across triggers"
+            )
         is_click = (pdf["event_type"] == "click").to_numpy()
         # sorted click-µs array: carried state (earlier batches) + this
         # batch's clicks in time order; clicks at position >= K_i are

@@ -317,7 +317,14 @@ def maintain_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     path = os.path.join(cache_dir(sf_dir, "timetravel"), "orders_versioned")
-    cd.write_versioned(base, [d1, d2], path)
+    # _SUCCESS-sentinel guard (q_streaming landing-dir idiom): the tree
+    # is deterministic per sf_dir, so skip the rewrite when a prior run
+    # completed it — a concurrent invocation never reads a half-
+    # overwritten version directory.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cd.write_versioned(base, [d1, d2], path, validate_key="k")
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
     outs = []
     for v in (0, 1, 2):
         snap = cd.read_asof(spark, path, "k", v)
