@@ -1628,10 +1628,12 @@ def similarity_ivf_index_pruned_search(spark: SparkSession, sf_dir: str) -> Data
     the vector-database layout story: the corpus is written ONCE as a
     parquet tree partitioned by coarse cell (`label=N/` directories, the
     Hive layout every table format understands), and each search reads
-    ONLY the probed cells — the probe set (≤ queries × n_probe cell ids,
-    bounded driver state) becomes a literal IN filter that Spark turns
-    into `PartitionFilters` at the scan, so unprobed cells are never
-    opened, let alone scanned (pinned in tests/test_plans.py). Semantics
+    ONLY the probed cells — the probe set (≤ queries × n_probe cell ids)
+    reaches the scan as a broadcast left-semi join on the partition
+    column, which Spark compiles to a `dynamicpruningexpression` inside
+    `PartitionFilters`, so unprobed cells are never opened, let alone
+    scanned (pinned in tests/test_plans.py), and nothing is collected to
+    the driver. Semantics
     — and the oracle — are identical to `similarity_topk_ivf`; what this
     query adds is the index-at-rest physical plan: at 100 TB the shuffle
     paid at write time is amortized over every subsequent search, the
@@ -1666,14 +1668,25 @@ def similarity_ivf_index_pruned_search(spark: SparkSession, sf_dir: str) -> Data
         ).alias("_ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("label"))
-    probes = (
+    probes_plan = (
         qc.withColumn("_pr", F.row_number().over(wp))
         .filter(F.col("_pr") <= 2)
         .select("query_id", "_qvec", "_qn", "label")
-        .localCheckpoint(eager=True)
     )
-    probe_labels = sorted({r["label"] for r in probes.select("label").collect()})
-    pruned = spark.read.parquet(index).filter(F.col("label").isin(probe_labels))
+    probes = probes_plan.localCheckpoint(eager=True)
+    # probed cells reach the index scan via DYNAMIC partition pruning: a
+    # broadcast left-semi join on the partition column compiles to
+    # `PartitionFilters: [dynamicpruningexpression(label IN ...)]`
+    # (pinned in tests/test_plans.py) — same pruning as a literal IN, but
+    # no collected label list in the plan, so the plan size stays O(1)
+    # however large the probe set grows. The semi-join build side is the
+    # PRE-checkpoint lineage: DPP requires a selective predicate on the
+    # filtering side, and a localCheckpoint's ExistingRDD hides the rank
+    # filter from the optimizer; recomputing the ≤|Q|·n_cells ranking for
+    # the label list is cheaper than scanning unprobed cells
+    pruned = spark.read.parquet(index).join(
+        F.broadcast(probes_plan.select("label").distinct()), "label", "left_semi"
+    )
     corpus = pruned.select(
         F.col("vec_id").alias("neighbor_id"),
         "label",

@@ -309,8 +309,9 @@ def test_bigram_lm_model_tables_join_no_cartesian(spark, sf):
 
 def test_ivf_index_search_prunes_cells(spark, sf):
     """The persisted-IVF search must read ONLY the probed cells: the
-    literal probe-label filter reaches the index scan as PartitionFilters
-    and unprobed label= directories are never listed in the scan."""
+    probe-label semi-join reaches the index scan as a dynamic-pruning
+    PartitionFilter (no collected literal list in the plan) and unprobed
+    label= directories are never listed in the scan."""
     import re
 
     from etl_aws_spark.registry import all_queries
@@ -319,6 +320,7 @@ def test_ivf_index_search_prunes_cells(spark, sf):
     plan = _plan(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "label" in m.group(1), plan
+    assert "dynamicpruning" in m.group(1), plan
 
 
 def test_q8_dimension_chain_is_all_broadcast(spark, sf):
