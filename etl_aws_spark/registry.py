@@ -14,12 +14,13 @@ Conventions (see FIXTURES.md §C determinism rules):
 - queries with no SQL-expressible semantics register ``oracle=None`` and
   get the driver's weaker rows-only check.
 
-Rows-only denominator (CLOSED — see SURVEY.md §8, VERDICT r9): exactly
-five registered queries carry ``oracle=None``, all inherently
+Rows-only denominator (CLOSED — see SURVEY.md §8, VERDICT r9; r11
+promoted ``model_persist_pickle`` to a metadata value-hash oracle):
+exactly four registered queries carry ``oracle=None``, all inherently
 non-deterministic model fits whose outputs depend on JVM-side impurity
 heuristics, random-forest seeds, or iterative ARMA estimation —
 ``model_gbt_fit_predict``, ``model_gbt_grid_search``,
-``model_gbt_halving_search``, ``model_persist_pickle``,
+``model_gbt_halving_search``,
 ``model_sarimax_per_group``. Each is pinned instead by unit tests
 (tests/test_ml.py: signal-recovery, round-trip, and parameter-recovery
 assertions). Every other query has an exact DuckDB value-hash oracle; do
