@@ -804,6 +804,138 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SAMPLE_MOD = 4
+
+
+def _bpe_sampled_oracle(n_merges: int = 12) -> str:
+    """Unrolled SQL replay of SAMPLED BPE training + one corpus-wide
+    apply pass: the w-chain trains the merges on the hash-sampled
+    documents only; the full-corpus word-type table f0 is then scored
+    once, with the cumulative token count after each learned merge
+    computed as nested replaces parameterized by the m{r} rows."""
+    pre = bpe_mod.PRETOKEN_RE
+    samp = (
+        "('0x' || substr(md5('bpesample:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {_BPE_SAMPLE_MOD} = 0"
+    )
+    word_table = """
+      SELECT cnt, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM (
+        SELECT lower(w) AS w, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(text, '{pre}')) AS w
+          FROM documents{where}
+        ) WHERE regexp_full_match(w, '[A-Za-z]+') GROUP BY lower(w)
+      )"""
+    parts = [
+        "w0 AS MATERIALIZED ("
+        + word_table.format(pre=pre, where=f" WHERE {samp}")
+        + "\n    )",
+        "f0 AS MATERIALIZED ("
+        + word_table.format(pre=pre, where="")
+        + "\n    )",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT sym[i] AS a, sym[i + 1] AS b, sum(cnt) AS c
+      FROM (
+        SELECT cnt, sym, unnest(generate_series(1, len(sym) - 1)) AS i
+        FROM (SELECT cnt, regexp_extract_all(s, '[^<>]+') AS sym FROM w{r - 1})
+      ) GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT w.cnt,
+             replace(w.s, '<' || m.a || '><' || m.b || '>',
+                     '<' || m.a || m.b || '>') AS s
+      FROM w{r - 1} w CROSS JOIN m{r} m
+    )""")
+    # one corpus-wide pass: all cumulative post-merge token counts from f0
+    chain = "f0.s"
+    t_cols = []
+    for r in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, '<' || m{r}.a || '><' || m{r}.b || '>', "
+            f"'<' || m{r}.a || m{r}.b || '>')"
+        )
+        t_cols.append(
+            f"sum(f0.cnt * (length({chain}) - length(replace({chain}, '<', ''))))"
+            f" AS t{r}"
+        )
+    crosses = " ".join(f"CROSS JOIN m{r}" for r in range(1, n_merges + 1))
+    parts.append(
+        "\n    tot AS MATERIALIZED (\n      SELECT "
+        + ",\n             ".join(t_cols)
+        + f"\n      FROM f0 {crosses}\n    )"
+    )
+    finals = "\n      UNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, a, b, CAST(c AS BIGINT) AS pair_count,"
+        f" CAST((SELECT t{r} FROM tot) AS BIGINT) AS corpus_tokens_after"
+        f" FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+@query("tokenizer_train_bpe_sampled", oracle=_bpe_sampled_oracle(12), category="text")
+def tokenizer_train_bpe_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training on a deterministic md5 hash-sample of the corpus
+    (~1/4 of documents), learned merges applied CORPUS-WIDE in one pass —
+    the production posture for tokenizer training at 100 TB: each merge
+    round re-scans the training word-type table, so you train on a
+    content-independent document sample (standard practice; pair
+    statistics concentrate fast) and only the final apply touches every
+    document. Output per learned merge: the sample pair count plus the
+    full-corpus token count after applying merges 1..r (the compression
+    curve). The corpus-wide counts come from ONE aggregate over the full
+    word-type frequency table with the 12 cumulative replace chains as
+    columns — one job, no per-round corpus re-scan. The oracle replays
+    sampled training AND the corpus apply in unrolled SQL, so
+    sample-trained tokenization is value-hash-checked end to end.
+    `tokenizer_train_bpe` keeps the full-corpus training path."""
+    h = (
+        "cast(conv(substr(md5(concat('bpesample:', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    docs = load(spark, sf_dir, "documents")
+    sample = docs.filter(F.expr(f"pmod({h}, {_BPE_SAMPLE_MOD}) = 0"))
+    merges = bpe_mod.train_merges(sample, "text", n_merges=12)
+
+    pre = bpe_mod.PRETOKEN_RE.replace(chr(92), chr(92) * 2)
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{pre}', 0)")
+            ).alias("w")
+        )
+        .filter(F.expr("w rlike '^[A-Za-z]+$'"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", F.expr("regexp_replace(w, '(.)', '<$1>')").alias("s"))
+    )
+    chain = "s"
+    aggs = []
+    for r, (a, b, _) in enumerate(merges, 1):
+        chain = f"replace({chain}, '<{a}><{b}>', '<{a}{b}>')"
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"cnt * (length({chain}) - length(replace({chain}, '<', '')))"
+                )
+            ).alias(f"t{r}")
+        )
+    tot = words.agg(*aggs).first()
+    rows = [
+        (r, a, b, c, int(tot[f"t{r}"]))
+        for r, (a, b, c) in enumerate(merges, 1)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, a string, b string, pair_count bigint,"
+        " corpus_tokens_after bigint",
+    )
+
+
 _RAKE_STOPS = ("a", "the")
 
 

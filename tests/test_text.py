@@ -236,6 +236,45 @@ def test_bpe_trained_table_is_well_formed_and_applies(spark):
     assert len(learned[0][0]) == 1 and len(learned[0][1]) == 1
 
 
+def test_bpe_sampled_training_tracks_full_corpus(spark):
+    """The hash-sampled training path (tokenizer_train_bpe_sampled) must
+    learn substantially the same vocabulary as full-corpus training on
+    the fixture (pair statistics concentrate fast — the justification for
+    the sampled posture at scale), and its corpus-wide compression curve
+    must be strictly non-increasing (every merge can only fuse, never
+    split)."""
+    from etl_aws_spark.registry import all_queries
+    from etl_aws_spark.suite.q_text import _BPE_SAMPLE_MOD
+    from etl_aws_spark.text import bpe
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    out = (
+        all_queries()["tokenizer_train_bpe_sampled"](spark, sf)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert len(out) == 12
+    curve = [r["corpus_tokens_after"] for r in out]
+    assert all(x >= y for x, y in zip(curve, curve[1:])), curve
+    # vocabulary overlap with full-corpus training: ≥ 2/3 of merges shared
+    from etl_aws_spark.registry import load
+
+    docs = load(spark, sf, "documents")
+    full = {(a, b) for a, b, _ in bpe.train_merges(docs, "text", n_merges=12)}
+    samp = {(r["a"], r["b"]) for r in out}
+    assert len(full & samp) >= 8, (sorted(full), sorted(samp))
+    # the sample really is a strict subset of documents
+    h = (
+        "cast(conv(substr(md5(concat('bpesample:', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    n_all = docs.count()
+    n_samp = docs.filter(F.expr(f"pmod({h}, {_BPE_SAMPLE_MOD}) = 0")).count()
+    assert 0 < n_samp < n_all
+
+
 def test_bm25_hand_computed_tiny_corpus(spark):
     import math
 
