@@ -428,3 +428,121 @@ def test_pit_features_state_carries_across_time_ordered_batches(spark, tmp_path)
     whole = run(10)  # single micro-batch baseline
     assert len(split) and len(split) == len(whole)
     pd.testing.assert_frame_equal(split, whole)
+
+
+def test_stream_stream_join_restart_under_backlog(spark, tmp_path):
+    """Crash/recover parity for the stream-stream time join (the one
+    stateful twin previously without a restart test — memory-sink
+    limitation documented in SCALE.md; this uses the parquet-sink
+    pattern): run the click→purchase join over a first tranche, stop,
+    land a second tranche whose purchases match FIRST-tranche clicks
+    (only checkpoint-recovered join state can produce those matches),
+    restart from the checkpoint under a multi-file backlog
+    (maxFilesPerTrigger=1), and assert the accumulated output equals the
+    batch range join over everything."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from etl_aws_spark.streaming import ingest
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    landing, ckpt, out = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    os.makedirs(landing)
+    base = datetime.datetime(2024, 1, 1, 9, 0)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "ts",
+            F.col("user_id").alias("key_u"),
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+            F.col("user_id").alias("key_u"),
+        )
+        joined = ingest.stream_stream_time_join(
+            clicks, purchases, key="key_u", left_ts="ts", right_ts="pts",
+            within="1 hour",
+        )
+        q = (
+            joined.select("click_id", "purchase_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    eid = 0
+    t1 = []
+    for u in range(1, 5):
+        for i in range(3):
+            eid += 1
+            t1.append(
+                (eid, base + datetime.timedelta(minutes=5 * i), u, "click")
+            )
+        eid += 1
+        t1.append((eid, base + datetime.timedelta(minutes=20), u, "purchase"))
+    land(t1)
+    run()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 12  # 3 clicks x 1 purchase x 4 users, all within 1h
+
+    # second tranche in TWO files (a real backlog for maxFilesPerTrigger=1):
+    # the minute-50 purchases join tranche-1 clicks — impossible without
+    # the click state recovered from the checkpoint
+    t2a, t2b = [], []
+    for u in range(1, 5):
+        eid += 1
+        t2a.append((eid, base + datetime.timedelta(minutes=50), u, "purchase"))
+        eid += 1
+        t2b.append((eid, base + datetime.timedelta(minutes=55), u, "click"))
+        eid += 1
+        t2b.append((eid, base + datetime.timedelta(minutes=58), u, "purchase"))
+    land(t2a)
+    land(t2b)
+    run()
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = spark.createDataFrame(t1 + t2a + t2b, schema)
+    c = ev.filter("event_type = 'click'").alias("c")
+    p = ev.filter("event_type = 'purchase'").alias("p")
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            F.expr(
+                "c.user_id = p.user_id AND p.ts >= c.ts "
+                "AND p.ts <= c.ts + interval 1 hour"
+            ),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > n_first
