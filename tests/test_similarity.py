@@ -331,3 +331,17 @@ def test_knn_join_budget_caps_candidate_pool(spark, emb):
     assert set(out.neighbor_id).issubset(pool_ids)
     counts = out.groupby("id").size()
     assert len(counts) == 200 and (counts == 5).all()
+
+
+def test_knn_join_blocking_invariance(spark, emb):
+    # n_blocks hash-splits only the BASE side; every row's candidate set
+    # stays the full cell pool, so blocked output == unblocked output
+    # bit-for-bit (the 100 TB memory-bound path is a pure repartitioning)
+    a = knn.knn_join(emb, "vec_id", "embedding", "label", DIM, k=5).toPandas()
+    b = knn.knn_join(
+        emb, "vec_id", "embedding", "label", DIM, k=5, n_blocks=3
+    ).toPandas()
+    key = ["id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
