@@ -138,6 +138,81 @@ def connected_components(
     return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
 
 
+def connected_components_blocked(
+    vertices: DataFrame,
+    edges: DataFrame,
+    block_col: str,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components when EVERY edge is confined to a blocking
+    group (the SemDeDup shape: candidate pairs are generated within a
+    (cluster, LSH-bucket) block, so components can never span blocks).
+
+    The block confinement turns the iterative min-label closure — one
+    shuffle + one self-join + one materialization PER ROUND, O(log
+    diameter) rounds — into ONE Arrow grouped-map: each block's edge
+    list meets a union-find kernel that labels every endpoint with its
+    component's minimum id, exactly the closure fixpoint. Vertices that
+    appear in no edge are their own singleton component (left join +
+    coalesce, no extra shuffle beyond the vertex-keyed join).
+
+    Scale posture (100 TB): per-group memory is O(edges-in-block), which
+    the pair-generation budget already bounds (Σ|block|² is capped by
+    blocking design — the same argument that makes the pair join
+    feasible at all); the kernel itself is O(E α(V)) per block. Do NOT
+    use this for unconfined graphs (LSH multi-band edges, mutual-kNN
+    graphs) — their components span blocks; use
+    :func:`connected_components`.
+
+    Returns (id_col, component_id) for every vertex.
+    """
+
+    def unite(pdf):
+        import numpy as np
+        import pandas as pd
+
+        s = pdf[src].to_numpy()
+        d = pdf[dst].to_numpy()
+        ids = np.unique(np.concatenate([s, d]))
+        pos = {v: i for i, v in enumerate(ids)}
+        parent = np.arange(len(ids))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in zip(s, d):
+            ra, rb = find(pos[a]), find(pos[b])
+            if ra != rb:
+                # union toward the root holding the smaller VERTEX id so
+                # the final root is the component min without a second pass
+                if ids[ra] < ids[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        comp = ids[[find(i) for i in range(len(ids))]]
+        return pd.DataFrame({"_id": ids, "_cc": comp})
+
+    linked = (
+        edges.select(F.col(src).alias(src), F.col(dst).alias(dst), F.col(block_col))
+        .filter(F.col(src) != F.col(dst))
+        .groupBy(block_col)
+        .applyInPandas(unite, "_id long, _cc long")
+    )
+    return (
+        vertices.select(F.col(id_col).alias(id_col))
+        .join(linked, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_cc"), F.col(id_col)).alias("component_id"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

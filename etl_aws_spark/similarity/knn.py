@@ -747,6 +747,7 @@ def cosine_dedup_pairs(
     threshold: float,
     round_digits: int = 6,
     n_planes: int = 6,
+    with_block: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold within blocking
     groups (a semantic shard — label, LSH bucket, source…). The threshold
@@ -786,8 +787,9 @@ def cosine_dedup_pairs(
         )
         + F.lit(0.0)
     )
+    keep = ["id_a", "id_b"] + (["_blk"] if with_block else [])
     return (
-        pairs.select("id_a", "id_b", cos.alias("cos"))
+        pairs.select(*keep, cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

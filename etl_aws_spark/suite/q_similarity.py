@@ -1179,6 +1179,12 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_aws_spark.operators import graph
 
     emb = load(spark, sf_dir, "embeddings")
+    # the (cluster, bucket, embedding) artifact is consumed by THREE
+    # downstream stages (both sides of the pair join, the CC vertex set,
+    # the survivor ranking) — checkpoint it once so the k-means
+    # assignment folds don't replay per consumer (VERDICT r10 #2; the
+    # one-corpus-pass materialization is the same trade as the CC edge
+    # checkpoint)
     cells = knn.kmeans_assignment(
         emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
     ).withColumn(
@@ -1188,13 +1194,18 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster"),
             knn.lsh_bucket_col("embedding", _DIM, 4),
         ),
-    )
+    ).localCheckpoint(eager=True)
     pairs = knn.cosine_dedup_pairs(
-        cells, "vec_id", "embedding", _DIM, block_col="_cellblk", threshold=0.25
+        cells, "vec_id", "embedding", _DIM, block_col="_cellblk",
+        threshold=0.25, with_block=True,
     )
-    comp = graph.connected_components(
+    # pairs are confined to their (cluster, bucket) block by
+    # construction, so the closure is one per-block union-find kernel,
+    # not the iterative global loop
+    comp = graph.connected_components_blocked(
         cells.select("vec_id"),
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "_blk"),
+        block_col="_blk",
         id_col="vec_id",
     )
     norm = F.expr(

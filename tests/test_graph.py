@@ -104,3 +104,29 @@ def test_triangle_stats_on_known_graph(spark):
     assert pd.isna(out.loc[4, "clustering"])
     # global triangle count: sum of corners / 3
     assert out.n_triangles.sum() % 3 == 0 and out.n_triangles.sum() // 3 == 4
+
+
+def test_blocked_cc_matches_iterative_closure(spark):
+    from etl_aws_spark.operators.graph import connected_components_blocked
+
+    # edges confined to blocks (the SemDeDup property): union-find per
+    # block must equal the iterative global closure, including the
+    # branches-hooked-to-different-roots shape and singleton vertices
+    verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edge_list = [  # block "x": 1<3<4<2 merge shape; block "y": chain
+        (1, 3, "x"), (3, 4, "x"), (4, 2, "x"),
+        (7, 8, "y"), (8, 9, "y"), (9, 9, "y"),  # self-loop tolerated
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, blk string")
+    got = {
+        r.id: r.component_id
+        for r in connected_components_blocked(verts, edges, "blk").collect()
+    }
+    ref = {
+        r.id: r.component_id
+        for r in connected_components(
+            verts, edges.select("src", "dst")
+        ).collect()
+    }
+    assert got == ref
+    assert got[5] == 5 and got[11] == 11  # singletons label themselves
