@@ -287,8 +287,8 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     `connected_components`): only TWO localCheckpoints — ``pairs`` (its
     caller-side build is usually an expensive self-join + distinct and
     feeds both the degree aggregate and the orientation join) and
-    ``oriented`` (feeds the wedge ×2 + closure legs and the final degree
-    scan). Per-node degree is NOT a separate checkpointed frame: every
+    ``oriented`` (feeds the edge list, the adjacency build, and the final
+    degree scan). Per-node degree is NOT a separate checkpointed frame: every
     undirected edge appears exactly once in ``oriented``, so degree is
     recoverable by an explode-count over the materialized edges — and
     that count FUSES with the triangle-corner count into one tagged-union
@@ -315,24 +315,30 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    # The wedge and closure joins are hinted shuffle-hash (r8): both sides
-    # are narrow (int, int) frames and an SMJ pays two full sorts per join
-    # for nothing — measured 5.4 -> 2.5 s at sf0.1 on identical output.
-    # Scale-safe, unlike a broadcast hint: the build side rides the same
-    # hash partitioning as the probe, so per-task build memory is
-    # |E|/shuffle_partitions · 16 B — controlled by the partition count
-    # that scales with the cluster — and the degree orientation already
-    # caps per-key fan-in at O(sqrt(|E|)), so no single hash key can
-    # concentrate a partition.
-    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c")).hint(
+    # Triangles close by SORTED-ADJACENCY INTERSECTION (r11, replacing
+    # the r8 wedge join + closure join): build each vertex's out-neighbor
+    # array once (one groupBy; array length capped at O(sqrt(|E|)) by the
+    # degree orientation), attach N+(a) and N+(b) to every oriented edge
+    # (two shuffle-hash joins on int keys — still scale-safe for the r8
+    # reasons: build side rides the probe's hash partitioning), and
+    # explode array_intersect(N+(a), N+(b)). The intersection only
+    # materializes CLOSING wedges — the wedge join materialized every
+    # (a,b,c) candidate wedge (Sigma in(b)·out(b) rows, wedges >>
+    # triangles on co-purchase graphs) and then paid a third shuffle to
+    # filter them. Identical triangle set by construction; measured
+    # 5.4 -> 3.4 s at sf0.1 on identical output, slope re-measured in
+    # BASELINE.md.
+    adj = oriented.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("_nbrs"))
+    na = adj.select(F.col("u").alias("a"), F.col("_nbrs").alias("_na"))
+    nb = adj.select(F.col("u").alias("b"), F.col("_nbrs").alias("_nb")).hint(
         "shuffle_hash"
     )
-    wedges = e1.join(e2, "b")
-    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c")).hint(
-        "shuffle_hash"
+    tris = (
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c"))
     )
-    tris = wedges.join(closing, ["a", "c"])
     # one tagged union, one shuffle: edge occurrences count degree,
     # triangle corners count triangles (explode, not 3-way unions of
     # projections — a union per corner would re-run the wedge+closure
