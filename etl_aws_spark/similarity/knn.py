@@ -491,6 +491,23 @@ def knn_join(
     blocked = base.select("id", "label", "_vec", blk.alias("_blk"))
     poolb = pool.withColumn("_blk", rep)
 
+    return (
+        blocked.groupBy("label", "_blk")
+        .cogroup(poolb.groupBy("_lb", "_blk"))
+        .applyInPandas(
+            _knn_score_kernel(k), "id long, neighbor_id long, cos double, rank int"
+        )
+    )
+
+
+def _knn_score_kernel(k: int):
+    """The cogrouped scoring kernel of :func:`knn_join` — module-level so
+    it is directly unit-testable without a SparkSession. ``left`` carries
+    (id, _vec), ``right`` the cell pool (neighbor_id, _bvec); returns the
+    per-id top-k (id, neighbor_id, cos, rank) with the exact 0.0-seeded
+    ascending-fold cosine and row_number's (cos DESC, neighbor_id ASC)
+    tie-break."""
+
     def score(left, right):
         import numpy as np
         import pandas as pd
@@ -542,11 +559,7 @@ def knn_join(
              "cos": np.concatenate(out_cos), "rank": np.concatenate(out_rank)}
         )
 
-    return (
-        blocked.groupBy("label", "_blk")
-        .cogroup(poolb.groupBy("_lb", "_blk"))
-        .applyInPandas(score, "id long, neighbor_id long, cos double, rank int")
-    )
+    return score
 
 
 def kmeans_iterate(

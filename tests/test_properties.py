@@ -301,3 +301,52 @@ def test_weighted_median_histogram_equals_row_crossing(spark, rows):
         half = s.w.sum() / 2.0
         expect = s.c[cum >= half].iloc[0] / 100.0
         assert math.isclose(got[g], expect), (g, got[g], expect)
+
+
+# --- knn_join scoring kernel (pure pandas, no SparkSession) -----------------
+
+@given(
+    st.integers(min_value=1, max_value=9),   # n left rows
+    st.integers(min_value=1, max_value=9),   # n pool rows
+    st.integers(min_value=1, max_value=4),   # dim
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_knn_kernel_matches_scalar_fold_reference(nl, nr, dim, seed):
+    import numpy as np
+    import pandas as pd
+
+    from etl_aws_spark.similarity.knn import _knn_score_kernel
+
+    rng = np.random.RandomState(seed % 2**31)
+    # low-entropy values force cosine TIES so the neighbor-id tie-break
+    # is actually exercised; ids overlap so self-pairs are exercised too
+    lvec = rng.choice([0.5, 1.0, 2.0], size=(nl, dim))
+    rvec = rng.choice([0.5, 1.0, 2.0], size=(nr, dim))
+    lid = rng.choice(np.arange(nl + nr), size=nl, replace=False).astype("int64")
+    rid = rng.choice(np.arange(nl + nr), size=nr, replace=False).astype("int64")
+    k = 3
+    left = pd.DataFrame({"id": lid, "_vec": list(lvec)})
+    right = pd.DataFrame({"neighbor_id": rid, "_bvec": list(rvec)})
+    out = _knn_score_kernel(k)(left, right)
+
+    def fold(xs):  # scalar 0.0-seeded ascending left fold
+        acc = 0.0
+        for x in xs:
+            acc = acc + x
+        return acc
+
+    for i in range(nl):
+        cands = []
+        for j in range(nr):
+            if rid[j] == lid[i]:
+                continue
+            dot = fold(lvec[i] * rvec[j])
+            na = fold(lvec[i] * lvec[i]) ** 0.5
+            nb = fold(rvec[j] * rvec[j]) ** 0.5
+            cands.append((-(dot / (na * nb)), rid[j]))
+        cands.sort()
+        got = out[out.id == lid[i]].sort_values("rank")
+        assert list(got.neighbor_id) == [c[1] for c in cands[:k]]
+        assert list(got["cos"]) == [-c[0] for c in cands[: len(got)]]
+        assert list(got["rank"]) == list(range(1, min(k, len(cands)) + 1))
