@@ -420,6 +420,7 @@ def knn_join(
     salt: str = "knnjoin:",
     probes: DataFrame | None = None,
     n_blocks: int = 1,
+    pool: DataFrame | None = None,
 ) -> DataFrame:
     """ALL-PAIRS k-NN join — every corpus row's top-k cosine neighbors
     (not just a query set's): the index-build verb of the ANN family,
@@ -470,18 +471,24 @@ def knn_join(
         )
 
     base = sides(probes) if probes is not None else sides(embeddings)
-    wpool = Window.partitionBy("label").orderBy(
-        F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), "id"
-    )
-    pool = (
-        sides(embeddings).withColumn("_hrn", F.row_number().over(wpool))
-        .filter(F.col("_hrn") <= budget)
-        .select(
-            F.col("id").alias("neighbor_id"),
-            F.col("label").alias("_lb"),
-            F.col("_vec").alias("_bvec"),
+    if pool is not None:
+        # caller-supplied candidate pool, used AS-IS (the epoch-pool shape:
+        # similarity_knn_join_incremental budgets the old epoch and appends
+        # the delta unbudgeted) — columns (neighbor_id, _lb, _bvec)
+        pool = pool.select("neighbor_id", "_lb", "_bvec")
+    else:
+        wpool = Window.partitionBy("label").orderBy(
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), "id"
         )
-    )
+        pool = (
+            sides(embeddings).withColumn("_hrn", F.row_number().over(wpool))
+            .filter(F.col("_hrn") <= budget)
+            .select(
+                F.col("id").alias("neighbor_id"),
+                F.col("label").alias("_lb"),
+                F.col("_vec").alias("_bvec"),
+            )
+        )
     if n_blocks > 1:
         blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
         rep = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
@@ -496,6 +503,33 @@ def knn_join(
         .cogroup(poolb.groupBy("_lb", "_blk"))
         .applyInPandas(
             _knn_score_kernel(k), "id long, neighbor_id long, cos double, rank int"
+        )
+    )
+
+
+def knn_pool(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    budget: int = 200,
+    salt: str = "knnjoin:",
+) -> DataFrame:
+    """The budget-capped candidate pool :func:`knn_join` builds internally
+    — ≤``budget`` rows per cell by smallest salted md5 — exposed so epoch
+    maintenance (`similarity_knn_join_incremental`) can budget the OLD
+    epoch and append the delta unbudgeted. Returns
+    ``(neighbor_id, _lb, _bvec)``, the ``pool=`` input shape."""
+    w = Window.partitionBy(label_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        embeddings.withColumn("_hrn", F.row_number().over(w))
+        .filter(F.col("_hrn") <= budget)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("_lb"),
+            F.col(vec_col).alias("_bvec"),
         )
     )
 
