@@ -345,3 +345,49 @@ def test_knn_join_blocking_invariance(spark, emb):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_incremental_knn_merge_equals_batch_over_epoch_pool(spark, emb):
+    # the merge algebra of similarity_knn_join_incremental, pinned
+    # Spark-side (the registry oracle proves it against DuckDB): old-epoch
+    # top-k unioned with delta-only candidates, re-ranked, must equal the
+    # one-shot batch join over the identical append-only epoch pool
+    from pyspark.sql import Window
+
+    is_delta = F.pmod(F.col("vec_id"), F.lit(7)) == 3  # ~14% delta
+    old, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    k, budget = 4, 8  # budget binds (cells have 20 rows) to stress pooling
+    dpool = delta.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_bvec"),
+    )
+    epool = knn.knn_pool(
+        old, "vec_id", "embedding", "label", budget=budget
+    ).unionAll(dpool)
+
+    old_topk = knn.knn_join(
+        old, "vec_id", "embedding", "label", DIM, k=k, budget=budget
+    ).select("id", "neighbor_id", "cos")
+    cand = knn.knn_join(
+        emb, "vec_id", "embedding", "label", DIM, k=k, probes=old, pool=dpool
+    ).select("id", "neighbor_id", "cos")
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    merged = (
+        old_topk.unionAll(cand)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    delta_topk = knn.knn_join(
+        emb, "vec_id", "embedding", "label", DIM, k=k, probes=delta, pool=epool
+    ).select("id", "neighbor_id", "cos", "rank")
+    incremental = merged.select("id", "neighbor_id", "cos", "rank").unionAll(
+        delta_topk
+    )
+
+    batch = knn.knn_join(
+        emb, "vec_id", "embedding", "label", DIM, k=k, pool=epool
+    ).select("id", "neighbor_id", "cos", "rank")
+    a = sorted(map(tuple, incremental.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
