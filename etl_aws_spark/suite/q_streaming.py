@@ -1799,3 +1799,174 @@ def streaming_pit_features_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "key", "label_ts", "label",
         "clicks_7d", "last_view_value", "n_events_before",
     )
+
+
+@query(
+    "streaming_knn_index_maintenance",
+    # identical oracle to similarity_knn_join_incremental's batch replay:
+    # the append-only merge algebra is ORDER-INDEPENDENT across delta
+    # tranches, so however the file source slices the stream the final
+    # state must value-hash-equal the one-shot batch answer over the full
+    # epoch pool (budgeted old rows + every delta row).
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS id, label, embedding FROM embeddings
+    ), oldp AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e WHERE id % 40 <> 7
+      ) WHERE hrn <= 200
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM oldp
+      UNION ALL
+      SELECT id, label, embedding FROM e WHERE id % 40 = 7
+    ), p AS MATERIALIZED (
+      SELECT a.id AS aid, b.id AS bid,
+             (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x))
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+                 (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                 (acc, x) -> acc + x))) AS cos
+      FROM e a JOIN pool b ON a.label = b.label AND a.id <> b.id
+    ), r AS (
+      SELECT aid, bid, cos,
+             CAST(row_number() OVER (PARTITION BY aid
+               ORDER BY cos DESC, bid ASC) AS INTEGER) AS rank
+      FROM p
+    )
+    SELECT CAST(aid AS BIGINT) AS vec_id, CAST(bid AS BIGINT) AS neighbor_id,
+           round(cos, 6) + 0.0 AS cos, rank
+    FROM r WHERE rank <= 5
+    """,
+    category="streaming",
+)
+def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-INDEX MAINTENANCE AS A STREAM — the streaming twin of
+    `similarity_knn_join_incremental`: delta embeddings land as files and
+    every micro-batch folds into the persisted top-5 artifact with the
+    SAME append-only epoch-pool algebra (old rows score only the batch's
+    delta candidates; batch rows probe the pool-so-far plus themselves;
+    the pool appends). State is three versioned parquet trees (edges,
+    pool, seen corpus) advanced atomically per batch — v{n} is only read
+    after v{n+1} is fully written, the `write_versioned` discipline.
+
+    The algebra is order-independent across tranches (top-k over an
+    append-only union), so the final state equals the one-shot batch
+    answer however the file source slices the stream — and the oracle IS
+    that batch answer, making the driver's value-hash gate a proof of
+    the streaming fold. At 100 TB each batch costs O(N·|delta-in-cell|),
+    the same amortization as the PQ/IVF persisted indexes."""
+    from etl_aws_spark.similarity import knn
+    from pyspark.sql import Window
+
+    _DIM = 64
+    root = _cache_dir(sf_dir, "stream_knn_maint")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    is_delta = F.pmod(F.col("vec_id"), F.lit(40)) == 7
+    old, delta = emb.filter(~is_delta), emb.filter(is_delta)
+
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        shutil.rmtree(landing, ignore_errors=True)
+        # two tranche files so the merge runs across >1 micro-batch
+        delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 7).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 47).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    # state AND checkpoint reset together: a surviving checkpoint would
+    # mark the landing files already-processed against a wiped state tree
+    # (the maintain_gdpr_delete desync lesson, SWEEPS r10-final)
+    shutil.rmtree(state, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def vdir(n: int, part: str) -> str:
+        return os.path.join(state, f"v{n}", part)
+
+    def latest() -> int:
+        if not os.path.exists(state):
+            return -1
+        return max(
+            (int(d[1:]) for d in os.listdir(state) if d.startswith("v")), default=-1
+        )
+
+    # v0 = the old-epoch batch artifact (edges, pool, seen)
+    knn.knn_join(old, "vec_id", "embedding", "label", _DIM, k=5, budget=200).select(
+        "id", "neighbor_id", "cos"
+    ).write.mode("overwrite").parquet(vdir(0, "edges"))
+    knn.knn_pool(old, "vec_id", "embedding", "label", budget=200).write.mode(
+        "overwrite"
+    ).parquet(vdir(0, "pool"))
+    old.write.mode("overwrite").parquet(vdir(0, "seen"))
+
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        n = latest()
+        edges = spark.read.parquet(vdir(n, "edges"))
+        pool = spark.read.parquet(vdir(n, "pool"))
+        seen = spark.read.parquet(vdir(n, "seen"))
+        b = batch.localCheckpoint(eager=True)
+        bpool = b.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("_lb"),
+            F.col("embedding").alias("_bvec"),
+        )
+        cand = knn.knn_join(
+            emb, "vec_id", "embedding", "label", _DIM, k=5, probes=seen, pool=bpool
+        ).select("id", "neighbor_id", "cos")
+        merged = (
+            edges.unionAll(cand)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 5)
+            .select("id", "neighbor_id", "cos")
+        )
+        new_topk = knn.knn_join(
+            emb, "vec_id", "embedding", "label", _DIM, k=5,
+            probes=b, pool=pool.unionAll(bpool),
+        ).select("id", "neighbor_id", "cos")
+        merged.unionAll(new_topk).write.mode("overwrite").parquet(
+            vdir(n + 1, "edges")
+        )
+        pool.unionAll(bpool).write.mode("overwrite").parquet(vdir(n + 1, "pool"))
+        seen.unionAll(b).write.mode("overwrite").parquet(vdir(n + 1, "seen"))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = spark.read.parquet(vdir(latest(), "edges"))
+    return final.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
