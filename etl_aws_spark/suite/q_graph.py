@@ -98,11 +98,18 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR (ds.degree = dd.degree AND p.s < p.d)
                   THEN p.d ELSE p.s END AS v
       FROM pairs p JOIN deg ds ON p.s = ds.id JOIN deg dd ON p.d = dd.id
+    ), adj AS (
+      -- r11: sorted-adjacency intersection mirrors the Spark side and,
+      -- unlike the wedge join + closure join, never materializes
+      -- non-closing wedges — the shape that spilled >70 GB and made the
+      -- sf1 oracle replay infeasible on this box (SWEEPS r10-s2-sf1-b3)
+      SELECT u, list_sort(list(v)) AS nbrs FROM oriented GROUP BY u
     ), tris AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM oriented e1
-      JOIN oriented e2 ON e1.v = e2.u
-      JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+      SELECT o.u AS a, o.v AS b,
+             UNNEST(list_intersect(na.nbrs, nb.nbrs)) AS c
+      FROM oriented o
+      JOIN adj na ON o.u = na.u
+      JOIN adj nb ON o.v = nb.u
     ), corners AS (
       SELECT id, count(*) AS n_triangles FROM (
         SELECT a AS id FROM tris
