@@ -82,6 +82,50 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple
     return "OK", ""
 
 
+# Queries whose result is too large to transfer through pandas at sf1
+# (text_dedup_simhash_hamming: 107M rows broke the Arrow socket — SWEEPS
+# r10-s2-sf1-b4). Their compare runs ENGINE-SIDE instead: rowcount +
+# sorted column names + an order-insensitive EXACT digest — the sum of
+# 60-bit integers derived from md5 over the '|'-joined string-cast row —
+# computed by the same formula in both engines (verified bit-equal:
+# Spark conv(hex,16,10) == DuckDB's hex fold). Restricted to queries
+# whose output schema is integer/string only (float formatting differs
+# across engines; every such query keeps the pandas path).
+DIGEST_QUERIES = {"text_dedup_simhash_hamming"}
+
+
+def digest_compare(sdf, con, oracle_sql: str) -> tuple[str, str]:
+    cols = sorted(sdf.columns)
+    if any(f.dataType.simpleString() not in ("int", "bigint", "smallint", "string")
+           for f in sdf.schema.fields):
+        return "FAIL", "digest mode requires an integer/string-only schema"
+    srow = "concat_ws('|', " + ", ".join(f"cast(`{c}` as string)" for c in cols) + ")"
+    srec = sdf.selectExpr(
+        "count(*) as n",
+        f"sum(cast(conv(substring(md5({srow}),1,15),16,10) as decimal(38,0))) as dig",
+    ).collect()[0]
+    drow = "concat_ws('|', " + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + ")"
+    dn, ddig, dcols = con.execute(
+        f"""
+        WITH _q AS ({oracle_sql})
+        SELECT count(*),
+               sum(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(string_split_regex(substr(md5({drow}),1,15), ''),
+                       ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS HUGEINT))),
+                   (acc, x) -> acc * 16 + x)),
+               (SELECT list_sort(list(column_name)) FROM (DESCRIBE SELECT * FROM _q))
+        FROM _q
+        """
+    ).fetchone()
+    if sorted(dcols) != cols:
+        return "FAIL", f"columns spark={cols} duck={sorted(dcols)}"
+    if int(dn) != int(srec["n"]):
+        return "FAIL", f"rowcount spark={srec['n']} duck={dn}"
+    if int(srec["dig"] or 0) != int(ddig or 0):
+        return "FAIL", f"digest spark={srec['dig']} duck={ddig}"
+    return "OK", f"digest n={srec['n']} (engine-side, no row transfer)"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(sys.argv[2:] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else sys.argv[1:])
@@ -106,6 +150,14 @@ def main() -> int:
         try:
             tq = time.time()
             sdf = fn(spark, sf_dir)
+            if name in DIGEST_QUERIES and name in oracles:
+                status, msg = digest_compare(sdf, con, oracles[name])
+                dt = time.time() - tq
+                flag = "✓" if status == "OK" else "✗"
+                n_ok += status == "OK"
+                n_bad += status != "OK"
+                print(f"{flag} {name:32s} {status:9s} {dt:6.2f}s  {msg}")
+                continue
             spark_pdf = sdf.toPandas()
             if name in oracles:
                 duck_pdf = con.execute(oracles[name]).df()
