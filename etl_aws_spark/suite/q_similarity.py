@@ -3517,3 +3517,146 @@ def similarity_knn_join_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@query(
+    "maintain_knn_index_compaction",
+    # Both regimes replayed in SQL: the drifted epoch pool (budgeted old
+    # + appended delta) vs the re-budgeted full-corpus pool, diffed per
+    # cell. A row "drifts" when its top-5 NEIGHBOR SET changes under
+    # compaction — the ops signal that tells an index owner when the
+    # append-only era should end.
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS id, label, embedding FROM embeddings
+    ), oldp AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e WHERE id % 40 <> 7
+      ) WHERE hrn <= 200
+    ), epoch_pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM oldp
+      UNION ALL SELECT id, label, embedding FROM e WHERE id % 40 = 7
+    ), fresh_pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= 200
+    ), tk_epoch AS (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.id AS bid,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 {_duck_cos('a.embedding', 'b.embedding')} DESC, b.id ASC) AS rank
+        FROM e a JOIN epoch_pool b ON a.label = b.label AND a.id <> b.id
+      ) WHERE rank <= 5
+    ), tk_fresh AS (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.id AS bid,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 {_duck_cos('a.embedding', 'b.embedding')} DESC, b.id ASC) AS rank
+        FROM e a JOIN fresh_pool b ON a.label = b.label AND a.id <> b.id
+      ) WHERE rank <= 5
+    ), drifted AS (
+      SELECT aid FROM (
+        SELECT aid, bid FROM tk_epoch EXCEPT SELECT aid, bid FROM tk_fresh
+      ) GROUP BY aid
+    ), cells AS (
+      SELECT label,
+             count(*) AS n_rows,
+             count(*) FILTER (WHERE id % 40 = 7) AS n_delta
+      FROM e GROUP BY label
+    ), psz AS (
+      SELECT label,
+             (SELECT count(*) FROM epoch_pool p WHERE p.label = c.label) AS epoch_pool_rows,
+             (SELECT count(*) FROM fresh_pool p WHERE p.label = c.label) AS fresh_pool_rows
+      FROM cells c
+    )
+    SELECT CAST(c.label AS INT) AS cell,
+           CAST(c.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_delta AS BIGINT) AS n_delta,
+           CAST(p.epoch_pool_rows AS BIGINT) AS epoch_pool_rows,
+           CAST(p.fresh_pool_rows AS BIGINT) AS fresh_pool_rows,
+           CAST(coalesce(d.n_drifted, 0) AS BIGINT) AS n_drifted
+    FROM cells c
+    JOIN psz p ON c.label = p.label
+    LEFT JOIN (
+      SELECT e2.label, count(*) AS n_drifted
+      FROM drifted dr JOIN e e2 ON dr.aid = e2.id
+      GROUP BY e2.label
+    ) d ON c.label = d.label
+    """,
+    category="similarity",
+)
+def maintain_knn_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX COMPACTION AUDIT — the third verb of the kNN-index
+    lifecycle (build → `similarity_knn_join_incremental` → compact):
+    after an append-only delta era, re-budget the pool over the FULL
+    corpus and report, per cell, how much the incremental answers
+    drifted — rows whose top-5 neighbor SET changes under the fresh pool
+    (appended deltas displace old pool members once the salted-hash
+    budget re-binds). The report (rows, delta rows, epoch vs fresh pool
+    sizes, drifted rows) is the ops signal for WHEN to pay the batch
+    rebuild: high drift means the epoch pool has diverged from what a
+    fresh build would serve.
+
+    At 100 TB both top-k legs are the budget-bounded kernel join
+    (O(N·budget·d) each, amortizable against the persisted artifacts);
+    the diff shuffles only (id, neighbor_id) int pairs and the report is
+    |cells| rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    is_delta = F.pmod(F.col("vec_id"), F.lit(40)) == 7
+    old, delta = emb.filter(~is_delta), emb.filter(is_delta)
+
+    dpool = delta.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_bvec"),
+    )
+    epool = knn.knn_pool(old, "vec_id", "embedding", "label", budget=200).unionAll(
+        dpool
+    )
+    tk_epoch = knn.knn_join(
+        emb, "vec_id", "embedding", "label", _DIM, k=5, pool=epool
+    ).select("id", "neighbor_id")
+    tk_fresh = knn.knn_join(
+        emb, "vec_id", "embedding", "label", _DIM, k=5, budget=200
+    ).select("id", "neighbor_id")
+
+    drifted = (
+        tk_epoch.exceptAll(tk_fresh)
+        .select("id")
+        .distinct()
+        .join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_drifted"))
+    )
+    cells = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_delta.cast("long")).alias("n_delta"),
+    )
+    psize = (
+        epool.groupBy(F.col("_lb").alias("label"))
+        .agg(F.count(F.lit(1)).alias("epoch_pool_rows"))
+        .join(
+            knn.knn_pool(emb, "vec_id", "embedding", "label", budget=200)
+            .groupBy(F.col("_lb").alias("label"))
+            .agg(F.count(F.lit(1)).alias("fresh_pool_rows")),
+            "label",
+        )
+    )
+    return (
+        cells.join(psize, "label")
+        .join(drifted, "label", "left")
+        .select(
+            F.col("label").cast("int").alias("cell"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_delta").cast("long").alias("n_delta"),
+            F.col("epoch_pool_rows").cast("long").alias("epoch_pool_rows"),
+            F.col("fresh_pool_rows").cast("long").alias("fresh_pool_rows"),
+            F.coalesce(F.col("n_drifted"), F.lit(0)).cast("long").alias("n_drifted"),
+        )
+    )
