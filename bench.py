@@ -60,6 +60,12 @@ HEADLINE = [
     # range + row trailing frames).
     "text_ngram_novelty_decay",
     "join_point_in_time_features",
+    # r11 additions: the kNN-index lifecycle's two heaviest verbs, so the
+    # driver bench regression-guards the new maintenance layer. Totals
+    # remain NOT comparable across rounds; compare per-query or on the
+    # original 13 after phase-normalizing by the canary.
+    "streaming_knn_index_maintenance",
+    "similarity_knn_join_incremental",
 ]
 
 
