@@ -99,26 +99,30 @@ def digest_compare(sdf, con, oracle_sql: str) -> tuple[str, str]:
     if any(f.dataType.simpleString() not in ("int", "bigint", "smallint", "string")
            for f in sdf.schema.fields):
         return "FAIL", "digest mode requires an integer/string-only schema"
+    # column-set check FIRST: a mismatched name would binder-error inside
+    # the digest query before any comparison ran
+    dcols = [
+        r[0] for r in con.execute(f"DESCRIBE SELECT * FROM ({oracle_sql})").fetchall()
+    ]
+    if sorted(dcols) != cols:
+        return "FAIL", f"columns spark={cols} duck={sorted(dcols)}"
     srow = "concat_ws('|', " + ", ".join(f"cast(`{c}` as string)" for c in cols) + ")"
     srec = sdf.selectExpr(
         "count(*) as n",
         f"sum(cast(conv(substring(md5({srow}),1,15),16,10) as decimal(38,0))) as dig",
     ).collect()[0]
     drow = "concat_ws('|', " + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + ")"
-    dn, ddig, dcols = con.execute(
+    dn, ddig = con.execute(
         f"""
         WITH _q AS ({oracle_sql})
         SELECT count(*),
                sum(list_reduce(list_prepend(CAST(0 AS HUGEINT),
                      list_transform(string_split_regex(substr(md5({drow}),1,15), ''),
                        ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS HUGEINT))),
-                   (acc, x) -> acc * 16 + x)),
-               (SELECT list_sort(list(column_name)) FROM (DESCRIBE SELECT * FROM _q))
+                   (acc, x) -> acc * 16 + x))
         FROM _q
         """
     ).fetchone()
-    if sorted(dcols) != cols:
-        return "FAIL", f"columns spark={cols} duck={sorted(dcols)}"
     if int(dn) != int(srec["n"]):
         return "FAIL", f"rowcount spark={srec['n']} duck={dn}"
     if int(srec["dig"] or 0) != int(ddig or 0):
