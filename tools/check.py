@@ -35,8 +35,13 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
         # normalize list-ish cells for sorting
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-    key = pdf.astype(str).apply(lambda r: "|".join(r.values), axis=1) if len(pdf) else None
-    if key is not None:
+    if len(pdf):
+        # vectorized column-concat sort key: the old row-wise
+        # apply('|'.join, axis=1) dominated large-output compares
+        # (600k-row scans spent ~10 s in canon alone)
+        key = pdf.iloc[:, 0].astype(str)
+        for c in pdf.columns[1:]:
+            key = key + "|" + pdf[c].astype(str)
         pdf = pdf.loc[key.sort_values(kind="mergesort").index]
     return pdf.reset_index(drop=True)
 
