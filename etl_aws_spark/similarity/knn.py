@@ -489,21 +489,25 @@ def knn_join(
                 F.col("_vec").alias("_bvec"),
             )
         )
-    if n_blocks > 1:
-        blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-        rep = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
-    else:
-        blk = F.lit(0)
-        rep = F.lit(0)
+    schema = "id long, neighbor_id long, cos double, rank int"
+    if n_blocks <= 1:
+        # cogroup on the bare cell key: the pool-side window already
+        # clustered by label, so its exchange is reused and the whole
+        # join costs two shuffles (base group + pool group), not three
+        return (
+            base.groupBy("label")
+            .cogroup(pool.groupBy("_lb"))
+            .applyInPandas(_knn_score_kernel(k), schema)
+        )
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    rep = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
     blocked = base.select("id", "label", "_vec", blk.alias("_blk"))
     poolb = pool.withColumn("_blk", rep)
 
     return (
         blocked.groupBy("label", "_blk")
         .cogroup(poolb.groupBy("_lb", "_blk"))
-        .applyInPandas(
-            _knn_score_kernel(k), "id long, neighbor_id long, cos double, rank int"
-        )
+        .applyInPandas(_knn_score_kernel(k), schema)
     )
 
 
