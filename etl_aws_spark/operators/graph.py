@@ -127,12 +127,24 @@ def connected_components(
         # for one extra join in EVERY round — a wash at bench scale, so
         # one jump stays.)
         parent = cur.select(F.col("_id").alias("_pid"), F.col("_lbl").alias("_plbl"))
+        # convergence probe rides the checkpoint job itself via observe()
+        # (r11): the materialization evaluates the observation, so each
+        # super-round costs ONE job, not checkpoint + probe-count
+        from pyspark.sql import Observation
+
+        obs = Observation()
         nxt = (
             cur.join(parent, cur["_lbl"] == parent["_pid"], "left")
             .select("_id", "_old", F.coalesce("_plbl", "_lbl").alias("_lbl"))
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("_old") != F.col("_lbl")).cast("int")
+                ).alias("_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = nxt.filter(F.col("_old") != F.col("_lbl")).limit(1).count()
+        changed = int(obs.get["_changed"] or 0)
         labels = nxt.select("_id", "_lbl")
         if changed == 0:
             break
