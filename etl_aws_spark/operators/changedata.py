@@ -173,14 +173,19 @@ def read_asof(spark, path: str, key: str, version: int) -> DataFrame:
 
     Within a version, ``write_versioned(validate_key=...)`` guarantees
     key uniqueness; should unvalidated data carry a key twice in one
-    version, the tie breaks deterministically (``op`` ascending —
-    delete precedes upsert, so the delete wins) rather than by
-    nondeterministic scan order."""
+    version, the tie breaks deterministically: ``op`` ascending first
+    (delete precedes upsert, so the delete wins a delete-vs-upsert
+    conflict), then a stable whole-row hash (xxhash64 over every column)
+    so even two same-version upserts of one key yield a scan-order-free
+    survivor (ADVICE r11: (version, op) alone left that last case
+    nondeterministic)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     snap = spark.read.parquet(path).filter(F.col("version") <= version)
-    w = Window.partitionBy(key).orderBy(F.desc("version"), F.asc("op"))
+    w = Window.partitionBy(key).orderBy(
+        F.desc("version"), F.asc("op"), F.asc(F.xxhash64(*snap.columns))
+    )
     return (
         snap.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("op") == "upsert"))

@@ -50,7 +50,13 @@ def text_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "r_len", "r_tok_len", "r_uniq", "r_stop", "keep")
 
 
-_RATES = {"web": 0.5, "news": 0.8, "wiki": 1.0, "books": 0.25}
+# Keys MUST be the fixture's real `source` values (src0..src19,
+# TESTDATA.md) — the r11 audit found the old domain-style keys
+# {web,news,wiki,books} matched nothing, so the sample was empty at
+# every SF and the oracle only ever verified empty-vs-empty. Unlisted
+# sources keep rate 0.0 (the drop-this-domain case), which is now a
+# TESTED branch rather than the only branch.
+_RATES = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src7": 0.1}
 _RATE_CASE = " ".join(
     f"WHEN source = '{s}' THEN {r}" for s, r in sorted(_RATES.items())
 )

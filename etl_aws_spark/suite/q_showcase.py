@@ -1112,13 +1112,13 @@ def showcase_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame
                  AS BIGINT)) AS cents
       FROM lineitem GROUP BY l_partkey
     ), t AS (
-      SELECT sum(cents) AS total FROM v
+      SELECT sum(cents) AS total, count(*) AS npk FROM v
     )
     SELECT CAST(v.l_partkey AS BIGINT) AS p_partkey,
            round(CAST(v.cents AS DOUBLE) / 100.0, 2) + 0.0 AS part_value,
            round(CAST(v.cents AS DOUBLE) / t.total, 8) + 0.0 AS share
     FROM v CROSS JOIN t
-    WHERE CAST(v.cents AS DOUBLE) > 1e-3 * t.total
+    WHERE 2 * v.cents * t.npk > 3 * t.total
     ORDER BY v.cents DESC, v.l_partkey ASC
     LIMIT 50
     """,
@@ -1126,13 +1126,19 @@ def showcase_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def showcase_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 SHAPE (important stock): parts whose total lineitem
-    value exceeds a fixed fraction (0.1%) of the global total — the
-    HAVING-against-a-scalar-subquery classic. The global total is a
-    1-row aggregate broadcast back over the per-part cell frame (no
-    second fact scan, which is how the spec's naive form reads), value
-    sums are exact integer cents so the threshold comparison and the
-    top-50 cut (on cents, not the rounded display value) are
-    deterministic.
+    value exceeds a SCALE-RELATIVE fraction — 1.5× the mean per-part
+    share — of the global total; the HAVING-against-a-scalar-subquery
+    classic. The threshold is relative to |parts| (the r11 audit: the
+    spec's fixed 0.1% is unreachable with ~20k near-uniform parts, so
+    the head was empty at every gate SF), and the comparison is pure
+    integer arithmetic (2·cents·npk > 3·total — cents ≈ 1e10 times
+    npk ≈ 2e7 stays far under 2^63 even at 100 TB), so no float
+    threshold jitter can flip a borderline part across engines. The
+    global (total, npk) is a 1-row aggregate broadcast back over the
+    per-part cell frame (no second fact scan, which is how the spec's
+    naive form reads), value sums are exact integer cents so the
+    threshold comparison and the top-50 cut (on cents, not the rounded
+    display value) are deterministic.
 
     Scale shape (100 TB): one map-side-combined aggregate to |parts|
     cells, one broadcast scalar, TakeOrderedAndProject."""
@@ -1142,10 +1148,13 @@ def showcase_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice").cast("double") * 100.0).cast("long")
         ).alias("cents")
     )
-    t = v.agg(F.sum("cents").alias("total"))
+    t = v.agg(F.sum("cents").alias("total"), F.count(F.lit(1)).alias("npk"))
     return (
         v.crossJoin(F.broadcast(t))
-        .filter(F.col("cents").cast("double") > F.lit(1e-3) * F.col("total"))
+        .filter(
+            F.lit(2) * F.col("cents") * F.col("npk")
+            > F.lit(3) * F.col("total")
+        )
         .orderBy(F.desc("cents"), F.asc("l_partkey"))
         .limit(50)
         .select(

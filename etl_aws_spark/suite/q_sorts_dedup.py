@@ -381,11 +381,21 @@ def dedup_blocking_reduction_audit(spark: SparkSession, sf_dir: str) -> DataFram
     # |vocab|². Both engines build the identical variant set and the same
     # levenshtein DP.
     oracle="""
-    WITH w AS (
+    WITH w0 AS (
       SELECT DISTINCT t AS word
       FROM documents,
            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
       WHERE regexp_matches(t, '^[a-z]{4,10}$')
+    ), w AS (
+      -- planted positives (r11 audit): the synthetic lexicon has no
+      -- edit-distance-1 pairs, so the pair stage only ever verified
+      -- empty-vs-empty. Each vocab word of length >= 5 plants its
+      -- last-char deletion — a guaranteed distance-1 partner derived
+      -- identically in both engines.
+      SELECT word FROM w0
+      UNION
+      SELECT substr(word, 1, length(word) - 1) AS word
+      FROM w0 WHERE length(word) >= 5
     ), k AS (
       SELECT word,
              unnest(list_distinct(list_concat([word],
@@ -423,11 +433,20 @@ def dedup_symspell_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     from etl_aws_spark.text import _dialect as D
 
-    w = (
+    w0 = (
         docs.select(F.explode(F.expr(D.tokens("text", D.SPARK))).alias("word"))
         .filter(F.col("word").rlike("^[a-z]{4,10}$"))
         .distinct()
     )
+    # planted positives (r11 audit: the synthetic lexicon has no natural
+    # distance-1 pairs): every word of length >= 5 contributes its
+    # last-char deletion, derived by the identical expression in the
+    # oracle's `w` CTE, so the pair stage is exercised on real rows.
+    w = w0.unionByName(
+        w0.filter(F.length("word") >= 5).select(
+            F.expr("substr(word, 1, length(word) - 1)").alias("word")
+        )
+    ).distinct()
     k = w.select(
         "word",
         F.explode(

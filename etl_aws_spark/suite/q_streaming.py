@@ -1876,7 +1876,13 @@ def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     is_delta = F.pmod(F.col("vec_id"), F.lit(40)) == 7
     old, delta = emb.filter(~is_delta), emb.filter(is_delta)
 
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+    # guard on a MANUAL sentinel, not Spark's own _SUCCESS: the tranche
+    # data is written by TWO append jobs and the first already emits
+    # _SUCCESS, so a crash between the appends would leave a "complete-
+    # looking" landing dir with half the delta (ADVICE r11). The manual
+    # marker only exists once both appends finished — the
+    # maintain_snapshot_time_travel discipline.
+    if not os.path.exists(os.path.join(landing, "_LANDING_COMPLETE")):
         shutil.rmtree(landing, ignore_errors=True)
         # two tranche files so the merge runs across >1 micro-batch
         delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 7).coalesce(1).write.mode(
@@ -1885,6 +1891,8 @@ def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 47).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
+        with open(os.path.join(landing, "_LANDING_COMPLETE"), "w"):
+            pass
     # state AND checkpoint reset together: a surviving checkpoint would
     # mark the landing files already-processed against a wiped state tree
     # (the maintain_gdpr_delete desync lesson, SWEEPS r10-final)

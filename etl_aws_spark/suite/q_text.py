@@ -2137,11 +2137,24 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle dedup both under-weight. Inverted-index join on 32 B
     # digests with the house frequency cap.
     oracle="""
-    WITH base AS (
+    WITH aug AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      -- planted positives (r11 audit): the synthetic corpus has no
+      -- boundary-split doc pairs, so the join only ever verified
+      -- empty-vs-empty. Every doc with doc_id % 101 = 0 plants a
+      -- "continuation shard" whose HEAD is the donor's 64-char TAIL —
+      -- derived by the identical expression in both engines.
+      SELECT doc_id + 100000000 AS doc_id,
+             substring(text, n_chars - 63, 64)
+               || substring(text, 1, 40) AS text,
+             CAST(104 AS BIGINT) AS n_chars
+      FROM documents WHERE n_chars >= 128 AND doc_id % 101 = 0
+    ), base AS (
       SELECT doc_id, n_chars,
              md5(substring(text, 1, 64)) AS head_h,
              md5(substring(text, n_chars - 63, 64)) AS tail_h
-      FROM documents WHERE n_chars >= 64
+      FROM aug WHERE n_chars >= 64
     ), heads AS (
       SELECT head_h AS h, doc_id FROM base
       QUALIFY count(*) OVER (PARTITION BY head_h) <= 50
@@ -2170,7 +2183,20 @@ def text_dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a split), so the join output is bounded per bucket."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    src = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # planted continuation shards (r11 audit — see the oracle's `aug`
+    # CTE): head = donor's 64-char tail, so the tails⋈heads join has
+    # guaranteed, engine-identical positives at every SF.
+    planted = src.filter(
+        (F.col("n_chars") >= 128) & (F.col("doc_id") % 101 == 0)
+    ).select(
+        (F.col("doc_id") + F.lit(100000000)).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, n_chars - 63, 64), substring(text, 1, 40))"
+        ).alias("text"),
+        F.lit(104).cast("long").alias("n_chars"),
+    )
+    docs = src.unionByName(planted).filter(F.col("n_chars") >= 64)
     base = docs.select(
         "doc_id",
         F.md5(F.substring("text", 1, 64)).alias("head_h"),
@@ -2764,10 +2790,24 @@ def text_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an identical string-op chain in both dialects, and groups collapse
     # by exact count — no floats anywhere.
     oracle=f"""
-    WITH w AS (
+    WITH w0 AS (
       SELECT DISTINCT t AS word
       FROM documents, unnest({D.tokens('text', D.DUCK)}) AS u(t)
       WHERE regexp_matches(t, '^[a-z]{{3,}}$')
+    ), w AS (
+      -- planted positives (r11 audit): the synthetic lexicon has no
+      -- naturally confusable pairs, so the HAVING >= 2 head was empty
+      -- at every SF. Rotating the NON-LEADING vowels of each word
+      -- (a->e->i->o->u->a) plants a distinct word with the IDENTICAL
+      -- simplified-soundex code by construction: vowels all map to
+      -- class '0' and the first letter is untouched.
+      SELECT word FROM w0
+      UNION
+      SELECT substr(word, 1, 1)
+             || translate(substr(word, 2), 'aeiou', 'eioua') AS word
+      FROM w0
+      WHERE substr(word, 1, 1)
+            || translate(substr(word, 2), 'aeiou', 'eioua') <> word
     ), c AS (
       SELECT word, {D.soundex_simplified('word', D.DUCK)} AS code FROM w
     )
@@ -2795,13 +2835,24 @@ def text_phonetic_confusion_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (code, word) pairs. No pair join at all — phonetic blocking IS the
     bucket."""
     docs = load(spark, sf_dir, "documents")
-    w = (
+    w0 = (
         docs.select(
             F.explode(F.expr(D.tokens("text", D.SPARK))).alias("word")
         )
         .filter(F.col("word").rlike("^[a-z]{3,}$"))
         .distinct()
     )
+    # planted positives (r11 audit: no naturally confusable pairs in the
+    # synthetic lexicon): rotate non-leading vowels — same simplified-
+    # soundex code (vowels are all class '0', first letter untouched),
+    # different word. Mirrors the oracle's `w` CTE exactly.
+    variant = F.expr(
+        "concat(substr(word, 1, 1), "
+        "translate(substr(word, 2), 'aeiou', 'eioua'))"
+    )
+    w = w0.unionByName(
+        w0.filter(variant != F.col("word")).select(variant.alias("word"))
+    ).distinct()
     c = w.select(
         "word", F.expr(D.soundex_simplified("word", D.SPARK)).alias("code")
     )

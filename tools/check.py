@@ -98,6 +98,44 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple
 # across engines; every such query keeps the pandas path).
 DIGEST_QUERIES = {"text_dedup_simhash_hamming"}
 
+# Queries whose correct output CAN be legitimately empty at small SFs —
+# every other oracle-matched result with 0 rows is flagged EMPTY and
+# counts as a failure (r11 audit: five queries were green for ten rounds
+# while both engines returned 0 rows, proving schema agreement and
+# nothing else). Keep this list SHORT and justified.
+MAY_BE_EMPTY = {
+    # A ⧵ B over hash-partitioned ids: empty at sf0.01 by cardinality,
+    # non-empty (and value-checked) at sf0.1 — r11 judge deemed this one
+    # acceptable because a non-vacuous SF is inside the gate sweep.
+    "setop_except": "empty at sf0.01, value-verified non-empty at sf0.1",
+}
+
+
+def empty_guard(name: str, status: str, n_rows: int) -> tuple[str, str] | None:
+    """Downgrade a green-but-empty oracle match to EMPTY unless declared."""
+    if status in ("OK", "FUZZY") and n_rows == 0 and name not in MAY_BE_EMPTY:
+        return "EMPTY", "0 rows on BOTH engines — vacuous match (declare in MAY_BE_EMPTY if legitimate)"
+    return None
+
+
+def _digest_cell(quoted: str) -> str:
+    """Length-prefixed, NULL-sentinel cell encoding for the digest row.
+
+    concat_ws skips NULLs in both engines, so (NULL,'x') and ('x',NULL)
+    — or a '|' inside a value spanning a column boundary — could digest
+    equal (ADVICE r11). Prefixing every non-null value with its char
+    length and ':' makes the row string prefix-decodable (parse length,
+    consume value, repeat), and 'N' (which no length prefix can start
+    with — those start with a digit) marks NULL, so two different row
+    tuples can never encode to the same string. Identical expression
+    text works in both dialects.
+    """
+    return (
+        f"CASE WHEN {quoted} IS NULL THEN 'N' ELSE "
+        f"concat(cast(length(cast({quoted} as string)) as string), ':', "
+        f"cast({quoted} as string)) END"
+    )
+
 
 def digest_compare(sdf, con, oracle_sql: str) -> tuple[str, str]:
     cols = sorted(sdf.columns)
@@ -111,12 +149,12 @@ def digest_compare(sdf, con, oracle_sql: str) -> tuple[str, str]:
     ]
     if sorted(dcols) != cols:
         return "FAIL", f"columns spark={cols} duck={sorted(dcols)}"
-    srow = "concat_ws('|', " + ", ".join(f"cast(`{c}` as string)" for c in cols) + ")"
+    srow = "concat_ws('|', " + ", ".join(_digest_cell(f"`{c}`") for c in cols) + ")"
     srec = sdf.selectExpr(
         "count(*) as n",
         f"sum(cast(conv(substring(md5({srow}),1,15),16,10) as decimal(38,0))) as dig",
     ).collect()[0]
-    drow = "concat_ws('|', " + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + ")"
+    drow = "concat_ws('|', " + ", ".join(_digest_cell(f'"{c}"') for c in cols) + ")"
     dn, ddig = con.execute(
         f"""
         WITH _q AS ({oracle_sql})
@@ -161,6 +199,10 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if name in DIGEST_QUERIES and name in oracles:
                 status, msg = digest_compare(sdf, con, oracles[name])
+                if msg.startswith("digest n=0"):
+                    downgraded = empty_guard(name, status, 0)
+                    if downgraded:
+                        status, msg = downgraded
                 dt = time.time() - tq
                 flag = "✓" if status == "OK" else "✗"
                 n_ok += status == "OK"
@@ -171,6 +213,11 @@ def main() -> int:
             if name in oracles:
                 duck_pdf = con.execute(oracles[name]).df()
                 status, msg = compare(name, spark_pdf, duck_pdf)
+                downgraded = empty_guard(name, status, len(spark_pdf))
+                if downgraded:
+                    status, msg = downgraded
+                elif status == "OK":
+                    msg = f"{len(spark_pdf)} rows"
             else:
                 status, msg = ("ROWS-ONLY", f"{len(spark_pdf)} rows") if len(spark_pdf) >= 0 else ("FAIL", "no rows")
             dt = time.time() - tq
