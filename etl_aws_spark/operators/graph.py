@@ -289,107 +289,107 @@ def pagerank(
 
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Per-node triangle counts and local clustering coefficients on an
-    undirected graph given as canonical pairs ``(s, d)`` with ``s < d``,
-    one row per edge.
+    undirected graph given as ``(s, d)`` edge rows — ANY orientation,
+    duplicates allowed, no self-loops (r12 contract widening: callers no
+    longer pay a canonicalizing ``distinct`` — dedup rides this
+    operator's one edge repartition for free).
 
     Algorithm: degree-ordered edge orientation (Cohen 2009 / the standard
     MapReduce triangle scheme) — each undirected edge points from its
     lower-(degree, id) endpoint to the higher, making the orientation
-    acyclic, so every triangle materializes exactly once as the wedge
-    (a→b, b→c) closed by (a→c). Orienting by DEGREE (id only as
-    tie-break) is the 100 TB-critical choice: the wedge join fans out
-    quadratically in OUT-degree, and degree orientation caps every
-    vertex's out-degree at O(sqrt(|E|)) regardless of how skewed the
-    natural degree distribution is — a hub with a million neighbors
-    receives its edges instead of emitting them. Shuffles carry only
-    (int, int) edges: the wedge join keys on the shared middle vertex,
-    the closure check on the (a, c) pair.
+    acyclic, so every triangle materializes exactly once and closes by
+    SORTED-ADJACENCY INTERSECTION (r11): attach N+(a) and N+(b) to every
+    oriented edge and count array_intersect matches — only CLOSING wedges
+    ever materialize. Orienting by DEGREE (id only as tie-break) is the
+    100 TB-critical choice: intersection cost is Σ(|N+(a)|+|N+(b)|) and
+    degree orientation caps every out-neighborhood at O(sqrt(|E|))
+    regardless of hub skew — a hub with a million neighbors receives its
+    edges instead of emitting them.
+
+    Plan shape (r12 rewrite, 5.0 -> 2.3 s at sf0.1 on identical output):
+    ONE edge-scale repartition does triple duty — both-direction edges
+    land hash-partitioned by ``u``, so the duplicate-collapsing
+    ``groupBy(u, v)`` AND the degree count ``groupBy(u)`` satisfy their
+    distributions with zero further exchanges (HashPartitioning(u) ⊆
+    both clustering keys), replacing the old distinct + explode-degree
+    pair of shuffles. One localCheckpoint materializes the deduped edge
+    set; degree joins ride AQE broadcasts at gate SFs (shuffle-hash on
+    int keys at scale); corner counting explodes only the CLOSING third
+    vertices — (a, b) corners fold as size(intersection) without a
+    per-triangle row.
 
     Output: (id, degree, n_triangles, clustering) where clustering =
     2T / (deg·(deg−1)), NULL for degree < 2 (nullif, ANSI-safe).
-
-    Materialization discipline (r8, the super-round lesson from
-    `connected_components`): only TWO localCheckpoints — ``pairs`` (its
-    caller-side build is usually an expensive self-join + distinct and
-    feeds both the degree aggregate and the orientation join) and
-    ``oriented`` (feeds the edge list, the adjacency build, and the final
-    degree scan). Per-node degree is NOT a separate checkpointed frame: every
-    undirected edge appears exactly once in ``oriented``, so degree is
-    recoverable by an explode-count over the materialized edges — and
-    that count FUSES with the triangle-corner count into one tagged-union
-    groupBy, replacing the old deg-checkpoint + corners-groupBy + final
-    left-join with a single (id)-keyed aggregate.
     """
-    pairs = pairs.localCheckpoint(eager=True)
-    deg = (
-        pairs.select(F.explode(F.array("s", "d")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    ds = deg.select(F.col("id").alias("s"), F.col("degree").alias("_sdeg"))
-    dd = deg.select(F.col("id").alias("d"), F.col("degree").alias("_ddeg"))
-    forward = (F.col("_sdeg") < F.col("_ddeg")) | (
-        (F.col("_sdeg") == F.col("_ddeg")) & (F.col("s") < F.col("d"))
-    )
-    oriented = (
-        pairs.join(ds, "s")
-        .join(dd, "d")
-        .select(
-            F.when(forward, F.col("s")).otherwise(F.col("d")).alias("u"),
-            F.when(forward, F.col("d")).otherwise(F.col("s")).alias("v"),
-        )
+    # both directions in one generate; the repartition makes every later
+    # u-keyed aggregate exchange-free inside this job
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("u"), F.col("d").alias("v")),
+                F.struct(F.col("d").alias("u"), F.col("s").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    e = (
+        both.repartition("u")
+        .groupBy("u", "v")
+        .agg(F.lit(1))
+        .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    # Triangles close by SORTED-ADJACENCY INTERSECTION (r11, replacing
-    # the r8 wedge join + closure join): build each vertex's out-neighbor
-    # array once (one groupBy; array length capped at O(sqrt(|E|)) by the
-    # degree orientation), attach N+(a) and N+(b) to every oriented edge
-    # (two shuffle-hash joins on int keys — still scale-safe for the r8
-    # reasons: build side rides the probe's hash partitioning), and
-    # explode array_intersect(N+(a), N+(b)). The intersection only
-    # materializes CLOSING wedges — the wedge join materialized every
-    # (a,b,c) candidate wedge (Sigma in(b)·out(b) rows, wedges >>
-    # triangles on co-purchase graphs) and then paid a third shuffle to
-    # filter them. Identical triangle set by construction; measured
-    # 5.4 -> 3.4 s at sf0.1 on identical output, slope re-measured in
-    # BASELINE.md.
-    adj = oriented.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("_nbrs"))
+    # undirected degree == out-degree in the both-direction edge set
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    du = deg.select("u", F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("_deg").alias("_dv"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
     na = adj.select(F.col("u").alias("a"), F.col("_nbrs").alias("_na"))
     nb = adj.select(F.col("u").alias("b"), F.col("_nbrs").alias("_nb")).hint(
         "shuffle_hash"
     )
-    tris = (
+    tri_ab = (
         oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .join(na, "a")
         .join(nb, "b")
-        .select("a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c"))
+        .select("a", "b", F.array_intersect("_na", "_nb").alias("_cs"))
+        .filter(F.size("_cs") > 0)
     )
-    # one tagged union, one shuffle: edge occurrences count degree,
-    # triangle corners count triangles (explode, not 3-way unions of
-    # projections — a union per corner would re-run the wedge+closure
-    # joins three times)
-    contrib = oriented.select(
-        F.explode(F.array("u", "v")).alias("id"),
-        F.lit(1).alias("_e"),
-        F.lit(0).alias("_t"),
-    ).unionAll(
-        tris.select(
-            F.explode(F.array("a", "b", "c")).alias("id"),
-            F.lit(0).alias("_e"),
-            F.lit(1).alias("_t"),
+    # corner counts: a and b each gain size(_cs) triangles in one row —
+    # only the closing c vertices explode (1/3 of the old corner volume)
+    corners = (
+        tri_ab.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("id"), F.size("_cs").alias("n")),
+                    F.struct(F.col("b").alias("id"), F.size("_cs").alias("n")),
+                )
+            ).alias("s")
         )
+        .select("s.id", "s.n")
+        .unionAll(tri_ab.select(F.explode("_cs").alias("id"), F.lit(1).alias("n")))
+        .groupBy("id")
+        .agg(F.sum("n").alias("n_triangles"))
     )
-    stats = contrib.groupBy("id").agg(
-        F.sum("_e").alias("degree"), F.sum("_t").alias("n_triangles")
+    stats = deg.select(F.col("u").alias("id"), F.col("_deg").alias("degree")).join(
+        corners, "id", "left"
     )
     return stats.select(
         "id",
         F.col("degree").cast("long").alias("degree"),
-        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
         (
             F.round(
                 2.0
-                * F.col("n_triangles")
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
                 / F.nullif(
                     F.col("degree").cast("double") * (F.col("degree") - 1), F.lit(0.0)
                 ),

@@ -684,6 +684,89 @@ def kmeans_assignment(
     )
 
 
+def kmeans_assignment_multiprobe(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    p: int = 2,
+    round_digits: int = 4,
+    k_threshold: int = 256,
+    fit_on: DataFrame | None = None,
+) -> DataFrame:
+    """The ``p``-nearest-centroid assignment of :func:`kmeans_iterate`'s
+    fit — MULTI-PROBE IVF's query-side key (Lv et al.; the standard fix
+    for cell-boundary recall loss): one output row per (vector, probe
+    rank), ``arank`` 1..p ordered by (squared L2 distance asc, cluster
+    asc) — the identical fold and tie order as the single-cell
+    :func:`kmeans_assignment`, whose result is exactly the ``arank = 1``
+    slice. Same two bit-identical physical forms (plan-time literal
+    centroids for k ≤ threshold, one broadcast centroid row beyond), so
+    the probe list costs one corpus scan and zero shuffles either way.
+
+    ``fit_on`` separates the fit corpus from the frame being assigned
+    (the audit shape: fit on the FULL corpus, multi-assign only the
+    probe sample); default fits on ``embeddings`` itself.
+
+    Returns (id_col, vec_col, cluster, arank). Scale: output is p·N rows
+    of (id, vec, int, int) — the p× fan-out is the probe side of a kNN
+    join only; index cells stay single-assignment."""
+    cents, _ = _kmeans_fit(
+        fit_on if fit_on is not None else embeddings,
+        id_col, vec_col, dim, k, iters, round_digits, k_threshold,
+    )
+    if k <= k_threshold:
+        structs = []
+        for j, c in enumerate(cents):
+            arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in c) + ")"
+            dist = (
+                f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+                f"acc + (cast(element_at({vec_col}, i) as double) - element_at({arr}, i)) * "
+                f"(cast(element_at({vec_col}, i) as double) - element_at({arr}, i)))"
+            )
+            structs.append(f"struct({dist} as d, {j} as c)")
+        # lexicographic struct sort == (dist asc, cluster asc), the
+        # single-assignment argmin's order generalized to the top p
+        topp = f"slice(array_sort(array({', '.join(structs)})), 1, {p})"
+        out = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(F.expr(topp)).alias("_pos", "_s"),
+        )
+    else:
+        spark = embeddings.sparkSession
+        cent_df = spark.createDataFrame(
+            [([[float(v) for v in c] for c in cents],)],
+            "_cents array<array<double>>",
+        )
+        dist = (
+            f"aggregate(sequence(1, {dim}), cast(0.0 as double), (acc, i) -> "
+            f"acc + (cast(element_at({vec_col}, i) as double) - element_at(cv, i)) * "
+            f"(cast(element_at({vec_col}, i) as double) - element_at(cv, i)))"
+        )
+        topp = (
+            f"slice(array_sort(transform(_cents, (cv, j) -> "
+            f"struct({dist} as d, j as c))), 1, {p})"
+        )
+        out = (
+            embeddings.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(cent_df))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.posexplode(F.expr(topp)).alias("_pos", "_s"),
+            )
+        )
+    return out.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_s.c").cast("int").alias("cluster"),
+        (F.col("_pos") + 1).cast("int").alias("arank"),
+    )
+
+
 def _kmeans_fit(
     embeddings: DataFrame,
     id_col: str,

@@ -140,23 +140,21 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a lineitem self-join: the per-order part set is tiny
     # (avg ~4), so Σk² explode output equals the join output, but the
     # plan drops the SMJ's two 600k-row sorts — measured 10-27% off the
-    # whole query at sf0.1 (interleaved A/B), identical pair set
+    # whole query at sf0.1 (interleaved A/B), identical pair set.
+    # No `.distinct()` (r12): triangle_stats' widened contract dedups
+    # cross-order duplicates inside its one edge repartition for free.
     grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("pk")
+        F.collect_set("l_partkey").alias("pk")
     )
-    pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(pk, (x, i) -> transform("
-                    "slice(pk, i + 2, size(pk) - i - 1), "
-                    "y -> struct(x as s, y as d))))"
-                )
-            ).alias("p")
-        )
-        .select("p.s", "p.d")
-        .distinct()
-    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pk, x -> transform("
+                "filter(pk, y -> y > x), "
+                "y -> struct(x as s, y as d))))"
+            )
+        ).alias("p")
+    ).select("p.s", "p.d")
     out = graph.triangle_stats(pairs)
     return out.select(
         F.col("id").cast("long").alias("p_partkey"),

