@@ -2,7 +2,8 @@
 `streaming_knn_index_maintenance` registry query and its crash/restart
 parity test.
 
-State is three versioned parquet trees (edges, pool, seen corpus) under
+State is two versioned parquet trees (edges; corpus with an ``in_pool``
+membership flag — r12 consolidated the old separate pool/seen trees) under
 ``state/v{n}/``, advanced ATOMICALLY per micro-batch: v{n} is only read
 after v{n+1} is fully written — the `operators/changedata.write_versioned`
 discipline — so a crash mid-batch leaves v{n} intact and the structured-
@@ -47,17 +48,25 @@ def init_state(
     k: int = 5,
     budget: int = 200,
 ) -> None:
-    """Write the v0 artifact (edges, pool, seen) from the old-epoch batch
-    corpus. Idempotent per-directory overwrites."""
+    """Write the v0 artifact from the old-epoch batch corpus — TWO trees
+    per version (r12, was three): ``edges`` (the served top-k) and
+    ``corpus`` (every indexed row, with ``in_pool`` marking membership in
+    the budget-capped candidate pool; delta rows always carry true — the
+    append-only epoch-pool algebra). One tree fewer means one fewer
+    read+write+commit point per micro-batch. Idempotent per-directory
+    overwrites."""
     from etl_aws_spark.similarity import knn
 
     knn.knn_join(old, "vec_id", "embedding", "label", dim, k=k, budget=budget).select(
         "id", "neighbor_id", "cos"
     ).write.mode("overwrite").parquet(_vdir(state, 0, "edges"))
-    knn.knn_pool(old, "vec_id", "embedding", "label", budget=budget).write.mode(
-        "overwrite"
-    ).parquet(_vdir(state, 0, "pool"))
-    old.write.mode("overwrite").parquet(_vdir(state, 0, "seen"))
+    pool_ids = knn.knn_pool(old, "vec_id", "embedding", "label", budget=budget).select(
+        F.col("neighbor_id").alias("vec_id"), F.lit(True).alias("in_pool")
+    )
+    old.join(pool_ids, "vec_id", "left").select(
+        "vec_id", "embedding", "label",
+        F.coalesce("in_pool", F.lit(False)).alias("in_pool"),
+    ).write.mode("overwrite").parquet(_vdir(state, 0, "corpus"))
 
 
 def run_maintenance_pass(
@@ -89,8 +98,13 @@ def run_maintenance_pass(
             return
         n = _latest(state)
         edges = spark.read.parquet(_vdir(state, n, "edges"))
-        pool = spark.read.parquet(_vdir(state, n, "pool"))
-        seen = spark.read.parquet(_vdir(state, n, "seen"))
+        corpus = spark.read.parquet(_vdir(state, n, "corpus"))
+        seen = corpus.select("vec_id", "embedding", "label")
+        pool = corpus.filter(F.col("in_pool")).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("_lb"),
+            F.col("embedding").alias("_bvec"),
+        )
         b = batch.localCheckpoint(eager=True)
         bpool = b.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -115,10 +129,13 @@ def run_maintenance_pass(
         merged.unionAll(new_topk).write.mode("overwrite").parquet(
             _vdir(state, n + 1, "edges")
         )
-        pool.unionAll(bpool).write.mode("overwrite").parquet(
-            _vdir(state, n + 1, "pool")
-        )
-        seen.unionAll(b).write.mode("overwrite").parquet(_vdir(state, n + 1, "seen"))
+        # delta rows append with in_pool=true (unbudgeted, the epoch-pool
+        # contract); the old epoch's flags carry forward unchanged
+        corpus.unionAll(
+            b.select("vec_id", "embedding", "label").withColumn(
+                "in_pool", F.lit(True)
+            )
+        ).write.mode("overwrite").parquet(_vdir(state, n + 1, "corpus"))
 
     schema = T.StructType(
         [

@@ -1855,9 +1855,11 @@ def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     every micro-batch folds into the persisted top-5 artifact with the
     SAME append-only epoch-pool algebra (old rows score only the batch's
     delta candidates; batch rows probe the pool-so-far plus themselves;
-    the pool appends). State is three versioned parquet trees (edges,
-    pool, seen corpus) advanced atomically per batch — v{n} is only read
-    after v{n+1} is fully written, the `write_versioned` discipline.
+    the pool appends). State is two versioned parquet trees (edges; the
+    corpus with an `in_pool` membership flag — r12 consolidated pool/seen,
+    one fewer read+write+commit point per batch) advanced atomically —
+    v{n} is only read after v{n+1} is fully written, the
+    `write_versioned` discipline.
 
     The algebra is order-independent across tranches (top-k over an
     append-only union), so the final state equals the one-shot batch
