@@ -44,7 +44,9 @@ def connected_components(
     """Label every vertex with the minimum id in its connected component.
 
     ``vertices``: one column ``id_col`` (distinct). ``edges``: columns
-    ``src``/``dst`` (undirected; self-loops and duplicates tolerated).
+    ``src``/``dst`` (undirected; self-loops and duplicates tolerated;
+    every endpoint must appear in ``vertices`` — an edge to an unknown
+    id would relay labels through it, r12 touched-vertex contract).
 
     Propagation step: label(v) := min(label(v), min over neighbors'
     labels) — correct at fixpoint: a stable labeling is constant across
@@ -90,18 +92,19 @@ def connected_components(
     # labels, min-over-neighbor-labels is just min neighbor id — one
     # aggregate over sym, no label join. Same fixpoint, one fewer loop
     # round on every graph (measured ~0.9 s/query on the CC family).
+    #
+    # r12: the loop runs over TOUCHED vertices only — `sym` carries both
+    # directions, so its grouped `_u` set IS every vertex with an edge,
+    # and the bootstrap needs no vertex join at all. Isolated vertices
+    # (the overwhelming majority on near-dup graphs: most docs have no
+    # candidate pair) are their own components by definition and attach
+    # once at the end via a left join — every per-round shuffle,
+    # checkpoint and probe now scales with |touched| = O(|E|), not |V|.
     nbr0 = sym.groupBy("_u").agg(F.min("_v").alias("_nmin0"))
-    labels = (
-        vertices.select(F.col(id_col).alias("_id"))
-        .join(nbr0, F.col("_id") == F.col("_u"), "left")
-        .select(
-            "_id",
-            F.least(
-                F.col("_id"), F.coalesce("_nmin0", F.col("_id"))
-            ).alias("_lbl"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    labels = nbr0.select(
+        F.col("_u").alias("_id"),
+        F.least(F.col("_u"), F.col("_nmin0")).alias("_lbl"),
+    ).localCheckpoint(eager=True)
     steps_done = 0
     changed = 1
     while steps_done < max_rounds:
@@ -160,7 +163,15 @@ def connected_components(
             "max_rounds.",
             max_rounds,
         )
-    return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
+    # isolated vertices re-attach here: component = own id
+    return (
+        vertices.select(F.col(id_col).alias("_vid"))
+        .join(labels, F.col("_vid") == F.col("_id"), "left")
+        .select(
+            F.col("_vid").alias(id_col),
+            F.coalesce("_lbl", F.col("_vid")).alias("component_id"),
+        )
+    )
 
 
 def connected_components_blocked(
