@@ -577,6 +577,130 @@ def streaming_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(F.col("doc_id").cast("long").alias("doc_id"), "text_digest")
 
 
+def _neardup_bands_sql(bands: int = 4, r: int = 4) -> str:
+    """Mirror of dedup.minhash_band_keys over the raw documents table —
+    the q_text._minhash_bands_sql machinery with `documents` as the
+    source (this stream runs on the un-planted corpus)."""
+    from etl_aws_spark.text import _dialect as D
+
+    perms = D.perm_constants(bands * r)
+    sigs = ",\n".join(
+        f"{D.perm_min('h', a, b)} AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "SELECT doc_id, md5(concat_ws('_', "
+        + ", ".join(f"mh{b * r + j}" for j in range(r))
+        + ")) AS bk FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"toks AS (SELECT doc_id, unnest({D.distinct_tokens('text', D.DUCK)}) AS tok FROM documents), "
+        f"base AS (SELECT doc_id, {D.token_base_hash('tok', D.DUCK)} AS h FROM toks), "
+        f"sig AS (SELECT doc_id, {sigs} FROM base GROUP BY doc_id), bands AS ({band_selects})"
+    )
+
+
+@query(
+    "streaming_neardup_cluster_state",
+    # batch-parity oracle: bucket-min STAR edges over the FULL corpus +
+    # a recursive reachability closure — true components computed from
+    # scratch by a completely different algorithm. Equality proves the
+    # incremental star fold is order/tranche-independent, not just
+    # row-complete.
+    oracle=f"""
+    WITH RECURSIVE {_neardup_bands_sql()},
+    bmin AS (SELECT bk, min(doc_id) AS mn FROM bands GROUP BY bk),
+    -- closure runs on the BUCKET graph (buckets linked by any shared
+    -- doc), not the doc graph: doc–doc and bucket–bucket connectivity
+    -- coincide through the bipartite (doc, bucket) relation, and the
+    -- recursive reach CTE's Sigma|component|^2 pair growth is bounded by
+    -- |buckets| (1.5k at sf1) instead of |docs| (50k, where an uncapped
+    -- mega-component made the doc-level closure quadratically infeasible)
+    bedges AS (
+      SELECT DISTINCT a.bk AS s, b.bk AS d
+      FROM bands a JOIN bands b ON a.doc_id = b.doc_id AND a.bk < b.bk
+    ),
+    bsym AS (
+      SELECT s AS u, d AS v FROM bedges
+      UNION SELECT d AS u, s AS v FROM bedges
+    ),
+    breach AS (
+      SELECT bk AS id, bk AS r FROM (SELECT DISTINCT bk FROM bands)
+      UNION
+      SELECT s.u AS id, breach.r FROM breach JOIN bsym s ON s.v = breach.id
+    ),
+    bcomp AS (
+      SELECT breach.id AS bk, min(m.mn) AS comp
+      FROM breach JOIN bmin m ON breach.r = m.bk
+      GROUP BY breach.id
+    ),
+    doclbl AS (
+      SELECT b.doc_id, min(c.comp) AS component_id
+      FROM bands b JOIN bcomp c USING (bk)
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(x.component_id, d.doc_id) AS component_id,
+           CAST(d.doc_id <> coalesce(x.component_id, d.doc_id) AS INT) AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN doclbl x USING (doc_id)
+    """,
+    category="streaming",
+)
+def streaming_neardup_cluster_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NEAR-DUP CLUSTERING — the streaming twin of
+    `text_dedup_connected_components`, completing the dedup lifecycle the
+    way `streaming_knn_index_maintenance` completed the kNN index's:
+    documents land as file tranches and every micro-batch folds into a
+    persisted GLOBAL clustering (streaming/clustering.py) held as two
+    versioned trees — per-bucket running minima and component labels —
+    advanced atomically per batch (the `write_versioned` discipline).
+
+    The fold is STAR-edged: each batch doc links to its LSH buckets'
+    current minima, a bucket whose minimum moves chains old→new min, and
+    the previous labels ride along as their own star edges, so the
+    per-batch closure converges in O(1) rounds over 2-column frames.
+    Per-bucket star chains connect exactly what full bucket cliques
+    would — same components — while every doc ever contributes ≤ n_bands
+    edges, so NO hot-bucket cap is needed (the batch clique form must
+    drop degenerate buckets to stay sub-quadratic; the star form is
+    linear by construction, which is precisely why it is the streaming
+    choice). The oracle recomputes true components from scratch
+    (bucket-min star edges over the full corpus + recursive reachability)
+    — value-hash equality proves the incremental fold is order- and
+    tranche-independent.
+
+    Scale shape (100 TB): per batch, signatures cost one pass over the
+    BATCH only; bucket-min state is |buckets| narrow rows map-side
+    combined; the closure shuffles 2-column (id, label) frames over
+    touched vertices. Nothing rescans the seen corpus text — the
+    persisted state carries everything the fold needs."""
+    from etl_aws_spark.streaming import clustering as cl
+
+    root = _cache_dir(sf_dir, "stream_neardup_cc")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(os.path.join(landing, "_LANDING_COMPLETE")):
+        shutil.rmtree(landing, ignore_errors=True)
+        # two tranches so the closure must merge ACROSS micro-batches
+        docs.filter(F.col("doc_id") % 3 != 1).coalesce(2).write.mode(
+            "append"
+        ).parquet(landing)
+        docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        with open(os.path.join(landing, "_LANDING_COMPLETE"), "w"):
+            pass
+    # state AND checkpoint reset together (the GDPR-desync lesson)
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cl.init_state(spark, state)
+    cl.run_clustering_pass(spark, landing, state, ckpt)
+    return cl.read_clusters(spark, state)
+
+
 @query(
     "streaming_ewma_stateful",
     # batch oracle: the identical adjust=False recurrence replayed as a

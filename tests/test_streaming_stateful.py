@@ -616,3 +616,72 @@ def test_knn_maintenance_restart_mid_lifecycle(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_neardup_cluster_restart_mid_lifecycle(spark, tmp_path):
+    """Kill-between-batches restart parity for the streaming near-dup
+    clustering (streaming/clustering.py): land tranche 1, run one
+    availableNow pass, land tranche 2 with docs whose only near-dup
+    partners live in TRANCHE 1 (cross-tranche merges are impossible
+    unless the persisted bucket-min and label state recovered), restart
+    against the same checkpoint/state, and assert the final clustering
+    equals the one-shot batch star-edge closure over everything."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.operators import graph
+    from etl_aws_spark.registry import load
+    from etl_aws_spark.streaming import clustering as cl
+    from etl_aws_spark.text import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    t1 = docs.filter(F.col("doc_id") % 3 != 1)
+    t2 = docs.filter(F.col("doc_id") % 3 == 1)
+    landing, state, ckpt = (str(tmp_path / d) for d in ("in", "st", "ck"))
+
+    cl.init_state(spark, state)
+    t1.coalesce(1).write.mode("append").parquet(landing)
+    cl.run_clustering_pass(spark, landing, state, ckpt)
+    v1 = cl._latest(state)
+    assert v1 >= 1  # tranche 1 folded
+
+    t2.coalesce(1).write.mode("append").parquet(landing)
+    cl.run_clustering_pass(spark, landing, state, ckpt)
+    # the restart folded ONLY the new tranche
+    assert cl._latest(state) == v1 + 1
+
+    got = (
+        cl.read_clusters(spark, state)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # one-shot batch answer: star edges to bucket minima + CC closure
+    bands = dedup.minhash_band_keys(docs, "doc_id", "text")
+    bmin = bands.groupBy("bk").agg(F.min("doc_id").alias("mn"))
+    edges = (
+        bands.join(bmin, "bk")
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
+    )
+    comp = graph.connected_components(
+        docs.select("doc_id").distinct(), edges, id_col="doc_id"
+    )
+    expected = (
+        comp.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component_id").cast("long").alias("component_id"),
+            (F.col("doc_id") != F.col("component_id")).cast("int").alias("is_dup"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, expected)
+    # cross-tranche merges actually happened: some tranche-2 doc belongs
+    # to a component rooted at a tranche-1 doc (or vice versa)
+    m2 = got[(got.doc_id % 3 == 1) & (got.component_id % 3 != 1)]
+    m1 = got[(got.doc_id % 3 != 1) & (got.component_id % 3 == 1)]
+    assert len(m2) + len(m1) > 0
