@@ -391,3 +391,52 @@ def test_incremental_knn_merge_equals_batch_over_epoch_pool(spark, emb):
     a = sorted(map(tuple, incremental.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+def test_multiprobe_rank1_equals_single_assignment(spark, emb):
+    """kmeans_assignment_multiprobe's arank=1 slice must be EXACTLY the
+    single-cell kmeans_assignment (same fit, same fold, same tie order) —
+    the invariant that makes the multi-probe audit's delta attributable
+    to probe depth alone. Also pins the probe contract: p rows per
+    vector, distinct cells, distances non-decreasing in arank."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.similarity import knn
+
+    single = knn.kmeans_assignment(
+        emb, "vec_id", "embedding", DIM, k=8, iters=2
+    ).select("vec_id", "cluster")
+    multi = knn.kmeans_assignment_multiprobe(
+        emb, "vec_id", "embedding", DIM, k=8, iters=2, p=3
+    )
+    r1 = multi.filter(F.col("arank") == 1).select("vec_id", "cluster")
+    assert r1.exceptAll(single).count() == 0
+    assert single.exceptAll(r1).count() == 0
+    per = multi.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster").alias("nc"),
+    )
+    bad = per.filter((F.col("n") != 3) | (F.col("nc") != 3)).count()
+    assert bad == 0
+
+
+def test_multiprobe_fit_on_uses_corpus_not_probes(spark, emb):
+    """fit_on separates the fit corpus from the assigned frame: assigning
+    a tiny probe sample with fit_on=corpus must reproduce the corpus
+    fit's rank-1 cells for those probes (fitting on the sample itself
+    would move the centroids)."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.similarity import knn
+
+    probes = emb.filter(F.col("vec_id") % 17 == 3)
+    got = knn.kmeans_assignment_multiprobe(
+        probes, "vec_id", "embedding", DIM, k=8, iters=2, p=1, fit_on=emb
+    ).select("vec_id", "cluster")
+    want = (
+        knn.kmeans_assignment(emb, "vec_id", "embedding", DIM, k=8, iters=2)
+        .join(probes.select("vec_id"), "vec_id")
+        .select("vec_id", "cluster")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -685,3 +685,49 @@ def test_neardup_cluster_restart_mid_lifecycle(spark, tmp_path):
     m2 = got[(got.doc_id % 3 == 1) & (got.component_id % 3 != 1)]
     m1 = got[(got.doc_id % 3 != 1) & (got.component_id % 3 == 1)]
     assert len(m2) + len(m1) > 0
+
+
+def test_star_edges_close_like_bucket_cliques(spark):
+    """The streaming clustering's core claim: per-bucket STAR edges
+    (doc -> bucket min) yield EXACTLY the components of full bucket
+    cliques — including through a HOT bucket (30 docs) and a chain of
+    pairwise-overlapping buckets — while emitting O(docs) edges where
+    cliques emit O(Σ|bucket|²). This is why the streaming fold needs no
+    hot-bucket cap."""
+    from pyspark.sql import functions as F
+
+    from etl_aws_spark.operators import graph
+
+    rows = []
+    # hot bucket: docs 100..129 all share bucket 'H'
+    rows += [(i, "H") for i in range(100, 130)]
+    # chain: b0:{1,2} b1:{2,3} b2:{3,4} -> one component {1,2,3,4}
+    rows += [(1, "b0"), (2, "b0"), (2, "b1"), (3, "b1"), (3, "b2"), (4, "b2")]
+    # isolated doc 500 in its own bucket
+    rows += [(500, "solo")]
+    bands = spark.createDataFrame(rows, "doc_id long, bk string")
+    verts = bands.select("doc_id").distinct()
+
+    bmin = bands.groupBy("bk").agg(F.min("doc_id").alias("mn"))
+    star = (
+        bands.join(bmin, "bk")
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    clique = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    got = sorted(map(tuple, graph.connected_components(
+        verts, star, id_col="doc_id").collect()))
+    want = sorted(map(tuple, graph.connected_components(
+        verts, clique, id_col="doc_id").collect()))
+    assert got == want
+    # and the star form is linear: ≤ 1 edge per (doc, bucket) membership
+    assert star.count() <= bands.count()
+    # sanity on the crafted shape: chain collapsed to min 1, hot to 100
+    comp = dict(got)
+    assert comp[4] == 1 and comp[129] == 100 and comp[500] == 500
