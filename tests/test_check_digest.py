@@ -53,3 +53,23 @@ def test_digest_refuses_float_schema(spark):
     f = spark.createDataFrame([(1, 0.5)], "a long, x double")
     status, msg = digest_compare(f, duckdb.connect(), "SELECT 1 AS a, 0.5 AS x")
     assert status == "FAIL" and "schema" in msg
+
+
+def test_digest_detects_null_position_swap(spark):
+    """ADVICE r11 regression: concat_ws skips NULLs, so under the old
+    row encoding ('x', NULL) and (NULL, 'x') digested equal. The
+    length-prefixed NULL-sentinel cells must tell them apart."""
+    sdf = spark.createDataFrame([(1, "x", None)], "a long, b string, c string")
+    swapped = "SELECT * FROM (VALUES (1, NULL, 'x')) t(a, b, c)"
+    status, msg = digest_compare(sdf, duckdb.connect(), swapped)
+    assert status == "FAIL" and "digest" in msg
+
+
+def test_digest_detects_boundary_straddle(spark):
+    """A '|' inside a value must not alias a column boundary: ('a|b', 'c')
+    vs ('a', 'b|c') digested equal under the old '|'-join. The length
+    prefixes make the row string prefix-decodable."""
+    sdf = spark.createDataFrame([(1, "a|b", "c")], "a long, b string, c string")
+    straddled = "SELECT * FROM (VALUES (1, 'a', 'b|c')) t(a, b, c)"
+    status, msg = digest_compare(sdf, duckdb.connect(), straddled)
+    assert status == "FAIL" and "digest" in msg
