@@ -2,15 +2,26 @@
 `streaming_knn_index_maintenance` registry query and its crash/restart
 parity test.
 
-State is two versioned parquet trees (edges; corpus with an ``in_pool``
-membership flag — r12 consolidated the old separate pool/seen trees) under
-``state/v{n}/``, advanced ATOMICALLY per micro-batch: v{n} is only read
-after v{n+1} is fully written — the `operators/changedata.write_versioned`
-discipline — so a crash mid-batch leaves v{n} intact and the structured-
-streaming checkpoint replays the batch against it. The fold algebra is
-order-independent across tranches (top-k over an append-only union), so
-the post-restart state equals the one-shot batch answer however the file
-source slices — and however many times — the landing files arrive.
+State lives in a `streaming.state.VersionedState` (r13: the shared
+manifest-committed, delta-versioned protocol) with two trees:
+
+- ``edges`` — keyed deltas, latest-version-wins per ``id``: a version
+  writes the FULL refreshed top-k rows for exactly the ids whose list
+  changed (an old id changes iff one of the batch's delta candidates
+  survives its rank<=k cut) plus the batch's own new ids. Per-trigger
+  write I/O is O(changed·k), not O(corpus·k) — the r12 verdict's
+  snapshot-rewrite gap, closed.
+- ``corpus`` — append-only deltas: each version writes only the batch's
+  rows (``in_pool`` true — the append-only epoch-pool algebra; v0 carries
+  the budget-capped old-epoch flags).
+
+Commits are atomic and batch_id-stamped, so an at-least-once replay of a
+crashed batch either re-derives from the still-latest version (crash
+before the commit record) or returns untouched (crash after it) — never
+double-folds (r12 ADVICE). The fold algebra is order-independent across
+tranches (top-k over an append-only union), so the post-restart state
+equals the one-shot batch answer however the file source slices — and
+however many times — the landing files arrive.
 
 Reference analogue: the incremental half of `train.py:14-368`'s
 retrain-on-new-data loop, as an always-on index instead of a batch job.
@@ -18,22 +29,10 @@ retrain-on-new-data loop, as an always-on index instead of a batch job.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-
-def _vdir(state: str, n: int, part: str) -> str:
-    return os.path.join(state, f"v{n}", part)
-
-
-def _latest(state: str) -> int:
-    if not os.path.exists(state):
-        return -1
-    return max(
-        (int(d[1:]) for d in os.listdir(state) if d.startswith("v")), default=-1
-    )
+from etl_aws_spark.streaming.state import VersionedState
 
 
 def _rank_window() -> Window:
@@ -48,25 +47,27 @@ def init_state(
     k: int = 5,
     budget: int = 200,
 ) -> None:
-    """Write the v0 artifact from the old-epoch batch corpus — TWO trees
-    per version (r12, was three): ``edges`` (the served top-k) and
-    ``corpus`` (every indexed row, with ``in_pool`` marking membership in
-    the budget-capped candidate pool; delta rows always carry true — the
-    append-only epoch-pool algebra). One tree fewer means one fewer
-    read+write+commit point per micro-batch. Idempotent per-directory
-    overwrites."""
+    """Commit the v0 artifact from the old-epoch batch corpus: ``edges``
+    (the served top-k) and ``corpus`` (every indexed row, with
+    ``in_pool`` marking membership in the budget-capped candidate pool;
+    later delta rows always carry true — the append-only epoch-pool
+    contract)."""
     from etl_aws_spark.similarity import knn
 
-    knn.knn_join(old, "vec_id", "embedding", "label", dim, k=k, budget=budget).select(
-        "id", "neighbor_id", "cos"
-    ).write.mode("overwrite").parquet(_vdir(state, 0, "edges"))
+    st = VersionedState(spark, state)
+    edges0 = knn.knn_join(
+        old, "vec_id", "embedding", "label", dim, k=k, budget=budget
+    ).select("id", "neighbor_id", "cos")
+    st.write_tree(edges0, 0, "edges")
     pool_ids = knn.knn_pool(old, "vec_id", "embedding", "label", budget=budget).select(
         F.col("neighbor_id").alias("vec_id"), F.lit(True).alias("in_pool")
     )
-    old.join(pool_ids, "vec_id", "left").select(
+    corpus0 = old.join(pool_ids, "vec_id", "left").select(
         "vec_id", "embedding", "label",
         F.coalesce("in_pool", F.lit(False)).alias("in_pool"),
-    ).write.mode("overwrite").parquet(_vdir(state, 0, "corpus"))
+    )
+    st.write_tree(corpus0, 0, "corpus")
+    st.commit(0, batch_id=-1, base=0)
 
 
 def run_maintenance_pass(
@@ -81,24 +82,25 @@ def run_maintenance_pass(
     timeout_s: int = 300,
 ) -> None:
     """One ``availableNow`` pass of the maintenance stream: every landed
-    file not yet marked processed in ``ckpt`` folds into the latest state
-    version. Call again after more files land (or after a crash) — the
-    checkpoint guarantees each tranche folds exactly once, and the
-    versioned state guarantees a replayed batch overwrites its own
-    half-written version rather than double-folding into a committed one.
-    """
+    file not yet marked processed in ``ckpt`` folds into the latest
+    committed state version. Safe to call again after more files land or
+    after a crash at ANY point — the checkpoint plus the batch_id-stamped
+    commit protocol makes each tranche fold exactly once."""
     from pyspark.sql import types as T
 
     from etl_aws_spark.similarity import knn
 
+    st = VersionedState(spark, state)
     w = _rank_window()
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        n = _latest(state)
-        edges = spark.read.parquet(_vdir(state, n, "edges"))
-        corpus = spark.read.parquet(_vdir(state, n, "corpus"))
+        if st.already_folded(batch_id):
+            return  # at-least-once replay of a committed fold
+        n = st.version()
+        edges = st.read_latest_wins("edges", ["id"])
+        corpus = st.read_append("corpus")
         seen = corpus.select("vec_id", "embedding", "label")
         pool = corpus.filter(F.col("in_pool")).select(
             F.col("vec_id").alias("neighbor_id"),
@@ -111,31 +113,51 @@ def run_maintenance_pass(
             F.col("label").alias("_lb"),
             F.col("embedding").alias("_bvec"),
         )
-        # old rows score ONLY the batch's delta candidates...
-        cand = knn.knn_join(
-            emb, "vec_id", "embedding", "label", dim, k=k, probes=seen, pool=bpool
-        ).select("id", "neighbor_id", "cos")
-        merged = (
-            edges.unionAll(cand)
+        # old rows score ONLY the batch's delta candidates... (eager
+        # checkpoint: the kNN cogroup feeds both the changed-id probe and
+        # the delta write — O(batch-candidates) rows, computed once)
+        cand = (
+            knn.knn_join(
+                emb, "vec_id", "embedding", "label", dim, k=k, probes=seen,
+                pool=bpool,
+            )
+            .select("id", "neighbor_id", "cos")
+            .localCheckpoint(eager=True)
+        )
+        # O(corpus·k) narrow rows, checkpointed once: the frame feeds both
+        # the changed-id probe and the delta write (without the
+        # checkpoint the union+window subtree evaluates twice per fold)
+        ranked = (
+            edges.withColumn("_new", F.lit(0))
+            .unionAll(cand.withColumn("_new", F.lit(1)))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
-            .select("id", "neighbor_id", "cos")
+            .localCheckpoint(eager=True)
         )
+        # an old id's served list changed iff a delta candidate survived
+        # the cut — only those ids get a rewritten top-k row group
+        changed = ranked.filter(F.col("_new") == 1).select("id").distinct()
         # ...batch rows probe the pool-so-far plus themselves
         new_topk = knn.knn_join(
             emb, "vec_id", "embedding", "label", dim, k=k,
             probes=b, pool=pool.unionAll(bpool),
         ).select("id", "neighbor_id", "cos")
-        merged.unionAll(new_topk).write.mode("overwrite").parquet(
-            _vdir(state, n + 1, "edges")
+        edges_delta = (
+            ranked.join(changed, "id", "left_semi")
+            .select("id", "neighbor_id", "cos")
+            .unionAll(new_topk)
         )
+        st.write_tree(edges_delta, n + 1, "edges")
         # delta rows append with in_pool=true (unbudgeted, the epoch-pool
-        # contract); the old epoch's flags carry forward unchanged
-        corpus.unionAll(
+        # contract); O(batch) rows — prior versions carry the rest
+        st.write_tree(
             b.select("vec_id", "embedding", "label").withColumn(
                 "in_pool", F.lit(True)
-            )
-        ).write.mode("overwrite").parquet(_vdir(state, n + 1, "corpus"))
+            ),
+            n + 1,
+            "corpus",
+        )
+        st.commit(n + 1, batch_id)
 
     schema = T.StructType(
         [
@@ -156,13 +178,33 @@ def run_maintenance_pass(
     q.awaitTermination(timeout_s)
 
 
+def compact_state(spark: SparkSession, state: str) -> int:
+    """Fold the delta chain into a fresh single-version base (read-side
+    union width resets to 1; served results are unchanged — the
+    compaction-drift contract). Returns the new base version."""
+    st = VersionedState(spark, state)
+    return st.compact(
+        {
+            "edges": st.read_latest_wins("edges", ["id"]),
+            "corpus": st.read_append("corpus"),
+        }
+    )
+
+
 def read_final_topk(spark: SparkSession, state: str, k: int = 5) -> DataFrame:
-    """The latest state version's edges, re-ranked to (vec_id,
-    neighbor_id, cos, rank) — the maintenance stream's query surface."""
-    final = spark.read.parquet(_vdir(state, _latest(state), "edges"))
-    return final.withColumn("rank", F.row_number().over(_rank_window())).select(
-        F.col("id").cast("long").alias("vec_id"),
-        F.col("neighbor_id").cast("long").alias("neighbor_id"),
-        (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
-        F.col("rank").cast("int").alias("rank"),
+    """The latest committed edges, re-ranked to (vec_id, neighbor_id,
+    cos, rank) and cut at ``k`` — the maintenance stream's query surface.
+    The explicit rank<=k cut honors callers asking for fewer than the
+    maintained k (r12 ADVICE: the parameter used to be ignored)."""
+    st = VersionedState(spark, state)
+    final = st.read_latest_wins("edges", ["id"])
+    return (
+        final.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

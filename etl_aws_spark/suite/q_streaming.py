@@ -5,12 +5,12 @@ SQL-expressible; invariants are pinned in tests/test_streaming.py)."""
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_aws_spark import fsutil
 from etl_aws_spark.registry import load, query
 from etl_aws_spark.sources import writers
 from etl_aws_spark.streaming import ingest
@@ -44,8 +44,8 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "refined"),
         os.path.join(root, "ckpt"),
     )
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
         # re-deliver ~10% of events: the stream must drop them
         redelivered = ev.filter(F.col("event_id") % 10 == 0)
@@ -58,7 +58,7 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    if not os.path.exists(refined_p):
+    if not fsutil.exists(spark, refined_p):
         stream = ingest.read_stream(spark, landing, schema)
         deduped = ingest.dedup_with_watermark(stream, "ts", ["event_id"])
         q = ingest.merge_into_refined(
@@ -111,8 +111,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream/batch parity for stateful session merging."""
     root = _cache_dir(sf_dir, "stream_sw")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
         ev.write.mode("overwrite").parquet(landing)
     schema = T.StructType(
@@ -160,8 +160,8 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join — stream/batch parity for the hardest stateful operator."""
     root = _cache_dir(sf_dir, "stream_ssj")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
         ev.write.mode("overwrite").parquet(landing)
     schema = T.StructType(
@@ -237,8 +237,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic parquet snapshot of `events`."""
     root = _cache_dir(sf_dir, "stream_wc")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
         ev.write.mode("overwrite").parquet(landing)
     schema = T.StructType(
@@ -291,8 +291,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same inputs — stream/batch parity, value-hashed."""
     root = _cache_dir(sf_dir, "stream_enrich")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
         ev.write.mode("overwrite").parquet(landing)
     schema = T.StructType(
@@ -358,8 +358,8 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "state"),
         os.path.join(root, "ckpt"),
     )
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
         # many files -> several AvailableNow micro-batches under the trigger cap
         ev.repartition(8, "user_id").write.mode("overwrite").parquet(landing)
@@ -371,7 +371,7 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    if not os.path.exists(os.path.join(state_p, "_SUCCESS")):
+    if not fsutil.exists(spark, os.path.join(state_p, "_SUCCESS")):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "3")
@@ -424,8 +424,8 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     per event — stream/batch parity, value-hashed."""
     root = _cache_dir(sf_dir, "stream_swc")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
         ev.write.mode("overwrite").parquet(landing)
     schema = T.StructType(
@@ -490,8 +490,8 @@ def streaming_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _cache_dir(sf_dir, "stream_cms")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
     ingest.reset_state(state)  # state is a symlink; plain rmtree no-ops on it
@@ -549,14 +549,14 @@ def streaming_corpus_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "state"),
         os.path.join(root, "ckpt"),
     )
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         docs.repartition(8).write.mode("overwrite").parquet(landing)
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
-    if not os.path.exists(os.path.join(state_p, "_SUCCESS")):
+    if not fsutil.exists(spark, os.path.join(state_p, "_SUCCESS")):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "3")
@@ -682,8 +682,8 @@ def streaming_neardup_cluster_state(spark: SparkSession, sf_dir: str) -> DataFra
     state = os.path.join(root, "state")
     ckpt = os.path.join(root, "ckpt")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    if not os.path.exists(os.path.join(landing, "_LANDING_COMPLETE")):
-        shutil.rmtree(landing, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_LANDING_COMPLETE")):
+        fsutil.rmtree(spark, landing)
         # two tranches so the closure must merge ACROSS micro-batches
         docs.filter(F.col("doc_id") % 3 != 1).coalesce(2).write.mode(
             "append"
@@ -691,11 +691,10 @@ def streaming_neardup_cluster_state(spark: SparkSession, sf_dir: str) -> DataFra
         docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        with open(os.path.join(landing, "_LANDING_COMPLETE"), "w"):
-            pass
+        fsutil.touch(spark, os.path.join(landing, "_LANDING_COMPLETE"))
     # state AND checkpoint reset together (the GDPR-desync lesson)
-    shutil.rmtree(state, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    fsutil.rmtree(spark, state)
+    fsutil.rmtree(spark, ckpt)
     cl.init_state(spark, state)
     cl.run_clustering_pass(spark, landing, state, ckpt)
     return cl.read_clusters(spark, state)
@@ -742,8 +741,8 @@ def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _cache_dir(sf_dir, "stream_ewma")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
         # single file -> single AvailableNow micro-batch -> deterministic
         # in-batch event-time sort (ts is unique per user in the fixtures)
@@ -841,8 +840,8 @@ def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _cache_dir(sf_dir, "stream_topk")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = (
             load(spark, sf_dir, "events")
             .filter(F.col("event_type") == "purchase")
@@ -957,8 +956,8 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination(300)
 
-    if not os.path.exists(os.path.join(root, "_DONE")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(root, "_DONE")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
         ev.coalesce(1).write.mode("overwrite").parquet(landing)
         run_catchup()  # run 1: corpus; watermark committed to checkpoint
@@ -967,8 +966,7 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         late.coalesce(1).write.mode("append").parquet(landing)
         run_catchup()  # run 2: stragglers only — all beyond the watermark
-        with open(os.path.join(root, "_DONE"), "w"):
-            pass
+        fsutil.touch(spark, os.path.join(root, "_DONE"))
     snap = spark.read.parquet(updates)
     return snap.groupBy("day").agg(
         F.max("n_events").cast("long").alias("n_events")
@@ -1020,16 +1018,15 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
     ckpt = os.path.join(root, "ckpt")
-    if not os.path.exists(os.path.join(root, "_READY")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(root, "_READY")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select(
             "user_id", "event_type", "ts", "event_id"
         )
         for lo, hi in ((1, 10), (11, 20), (21, 31)):
             chunk = ev.filter(F.dayofmonth("ts").between(lo, hi))
             chunk.coalesce(1).write.mode("append").parquet(landing)
-        with open(os.path.join(root, "_READY"), "w"):
-            pass
+        fsutil.touch(spark, os.path.join(root, "_READY"))
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -1179,8 +1176,8 @@ def streaming_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     root = _cache_dir(sf_dir, "stream_hll")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
     ingest.reset_state(state)  # state is a symlink; plain rmtree no-ops on it
@@ -1252,8 +1249,8 @@ def streaming_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     root = _cache_dir(sf_dir, "stream_kmv")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
     ingest.reset_state(state)
@@ -1335,8 +1332,8 @@ def streaming_kalman_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _cache_dir(sf_dir, "stream_kalman")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
         ev.repartition(1).write.mode("overwrite").parquet(landing)
     schema = T.StructType(
@@ -1427,8 +1424,8 @@ def streaming_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataF
     root = _cache_dir(sf_dir, "stream_bloom")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
     ingest.reset_state(state)
@@ -1519,8 +1516,8 @@ def streaming_sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     root = _cache_dir(sf_dir, "stream_hdr")
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "value")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
     ingest.reset_state(state)
@@ -1659,8 +1656,8 @@ def streaming_embedding_cell_assign(spark: SparkSession, sf_dir: str) -> DataFra
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
     )
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         emb.select("vec_id", "embedding").repartition(8).write.mode(
             "overwrite"
         ).parquet(landing)
@@ -1778,8 +1775,8 @@ def streaming_cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame
     landing = os.path.join(root, "landing")
     state = os.path.join(root, "state")
     ev = load(spark, sf_dir, "events")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         delq = (
             ev.select("user_id")
             .distinct()
@@ -1893,8 +1890,8 @@ def streaming_pit_features_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _cache_dir(sf_dir, "stream_pit")
     landing = os.path.join(root, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_SUCCESS")):
+        fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select(
             "event_id", "user_id", "ts", "event_type", "value"
         )
@@ -2008,8 +2005,8 @@ def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     # looking" landing dir with half the delta (ADVICE r11). The manual
     # marker only exists once both appends finished — the
     # maintain_snapshot_time_travel discipline.
-    if not os.path.exists(os.path.join(landing, "_LANDING_COMPLETE")):
-        shutil.rmtree(landing, ignore_errors=True)
+    if not fsutil.exists(spark, os.path.join(landing, "_LANDING_COMPLETE")):
+        fsutil.rmtree(spark, landing)
         # two tranche files so the merge runs across >1 micro-batch
         delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 7).coalesce(1).write.mode(
             "append"
@@ -2017,14 +2014,13 @@ def streaming_knn_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         delta.filter(F.pmod(F.col("vec_id"), F.lit(80)) == 47).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        with open(os.path.join(landing, "_LANDING_COMPLETE"), "w"):
-            pass
+        fsutil.touch(spark, os.path.join(landing, "_LANDING_COMPLETE"))
     # state AND checkpoint reset together: a surviving checkpoint would
     # mark the landing files already-processed against a wiped state tree
     # (the maintain_gdpr_delete desync lesson, SWEEPS r10-final)
-    shutil.rmtree(state, ignore_errors=True)
+    fsutil.rmtree(spark, state)
     ckpt = os.path.join(root, "ckpt")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    fsutil.rmtree(spark, ckpt)
 
     # the lifecycle itself lives in streaming/maintenance.py so the
     # crash/restart parity test (tests/test_streaming_stateful.py)

@@ -577,14 +577,17 @@ def test_knn_maintenance_restart_mid_lifecycle(spark, tmp_path):
     mt.init_state(spark, old, state, dim, k=5, budget=200)
     d1.coalesce(1).write.mode("append").parquet(landing)
     mt.run_maintenance_pass(spark, emb, landing, state, ckpt, dim, k=5, budget=200)
-    assert mt._latest(state) == 1  # tranche 1 folded exactly once
+    from etl_aws_spark.streaming.state import VersionedState
+
+    st = VersionedState(spark, state)
+    assert st.version() == 1  # tranche 1 folded exactly once
 
     # --- crash window: more data lands while the stream is down ---
     d2.coalesce(1).write.mode("append").parquet(landing)
     mt.run_maintenance_pass(spark, emb, landing, state, ckpt, dim, k=5, budget=200)
     # the restart folded ONLY the new tranche (v2, not v3): the
     # checkpoint remembered tranche 1 as processed
-    assert mt._latest(state) == 2
+    assert st.version() == 2
 
     got = (
         mt.read_final_topk(spark, state, k=5)
@@ -642,13 +645,15 @@ def test_neardup_cluster_restart_mid_lifecycle(spark, tmp_path):
     cl.init_state(spark, state)
     t1.coalesce(1).write.mode("append").parquet(landing)
     cl.run_clustering_pass(spark, landing, state, ckpt)
-    v1 = cl._latest(state)
+    from etl_aws_spark.streaming.state import VersionedState
+
+    v1 = VersionedState(spark, state).version()
     assert v1 >= 1  # tranche 1 folded
 
     t2.coalesce(1).write.mode("append").parquet(landing)
     cl.run_clustering_pass(spark, landing, state, ckpt)
     # the restart folded ONLY the new tranche
-    assert cl._latest(state) == v1 + 1
+    assert VersionedState(spark, state).version() == v1 + 1
 
     got = (
         cl.read_clusters(spark, state)
