@@ -40,13 +40,19 @@ def connected_components(
     # converged, so a higher cap costs nothing on converged graphs; the
     # cap only binds where the old default silently returned a partial
     # closure (the log.warning below fires there).
+    edges_subset_of_vertices: bool = False,
 ) -> DataFrame:
     """Label every vertex with the minimum id in its connected component.
 
     ``vertices``: one column ``id_col`` (distinct). ``edges``: columns
-    ``src``/``dst`` (undirected; self-loops and duplicates tolerated;
-    every endpoint must appear in ``vertices`` — an edge to an unknown
-    id would relay labels through it, r12 touched-vertex contract).
+    ``src``/``dst`` (undirected; self-loops and duplicates tolerated).
+    Edges touching ids absent from ``vertices`` are DROPPED before the
+    closure (r12 ADVICE: the touched-vertex loop would otherwise relay
+    min-labels through removed vertices and merge components a filtered
+    vertex subset should keep apart). Callers that construct edges from
+    the vertex set itself can assert ``edges_subset_of_vertices=True`` to
+    skip the two semi-joins — the flag is a contract, checked nowhere,
+    so only pass it where the construction guarantees it.
 
     Propagation step: label(v) := min(label(v), min over neighbors'
     labels) — correct at fixpoint: a stable labeling is constant across
@@ -70,11 +76,16 @@ def connected_components(
 
     Returns (id_col, component_id).
     """
-    e0 = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .filter(F.col("_s") != F.col("_d"))
-        .localCheckpoint(eager=True)
+    e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).filter(
+        F.col("_s") != F.col("_d")
     )
+    if not edges_subset_of_vertices:
+        # implicit vertex-subset filtering: two semi-joins on the (small)
+        # touched edge set against the vertex ids
+        e0 = e0.join(
+            vertices.select(F.col(id_col).alias("_s")), "_s", "left_semi"
+        ).join(vertices.select(F.col(id_col).alias("_d")), "_d", "left_semi")
+    e0 = e0.localCheckpoint(eager=True)
     sym = (
         e0.select(
             F.explode(

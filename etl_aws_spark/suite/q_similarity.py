@@ -3114,6 +3114,7 @@ def similarity_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
         verts,
         mutual.select(F.col("id").alias("src"), F.col("neighbor_id").alias("dst")),
         id_col="vec_id",
+        edges_subset_of_vertices=True,
     )
     from pyspark.sql import Window
 
@@ -3423,9 +3424,9 @@ _MP_P = 4
 @query(
     "similarity_knn_join_multiprobe_recall",
     # identical fit + pool + probes + exact legs as the kmeans audit;
-    # the ONLY change is the probe side carrying its p=2 nearest cells
-    # (rank over the same bit-exact distance fold), so the rollup delta
-    # is attributable to multi-probe alone
+    # the ONLY change is the probe side carrying its p=_MP_P nearest
+    # cells (rank over the same bit-exact distance fold), so the rollup
+    # delta is attributable to multi-probe alone
     oracle=f"""
     WITH c0 AS (
       SELECT CAST(vec_id AS INT) AS c,

@@ -504,7 +504,9 @@ def text_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFra
 
     edges = dedup.minhash_band_edges(corpus, "doc_id", "text", max_bucket=50)
     verts = corpus.select("doc_id").distinct()
-    comp = graph.connected_components(verts, edges, id_col="doc_id")
+    comp = graph.connected_components(
+        verts, edges, id_col="doc_id", edges_subset_of_vertices=True
+    )
     return comp.select(
         "doc_id",
         "component_id",
@@ -570,7 +572,9 @@ def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     edges = dedup.minhash_band_edges(corpus, "doc_id", "text", max_bucket=50)
     verts = corpus.select("doc_id").distinct()
-    comp = graph.connected_components(verts, edges, id_col="doc_id")
+    comp = graph.connected_components(
+        verts, edges, id_col="doc_id", edges_subset_of_vertices=True
+    )
     lab = corpus.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")).join(
         comp, "doc_id"
     )
@@ -3315,7 +3319,8 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = dedup.minhash_band_edges(es, "doc_id", "text", max_bucket=50)
     cc = graph.connected_components(
-        es.select("doc_id").distinct(), edges, id_col="doc_id"
+        es.select("doc_id").distinct(), edges, id_col="doc_id",
+        edges_subset_of_vertices=True,
     )
     spl = cc.select(
         "doc_id",
