@@ -2,8 +2,8 @@
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -11,24 +11,38 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from etl_aws_spark import fsutil
+
 
 # --- atomic, replay-idempotent parquet state commits -----------------------
 #
 # foreachBatch is at-least-once: a retried micro-batch re-invokes the sink
 # with the SAME batch_id, and a crash mid-write must never corrupt the
-# committed state. Both state sinks below therefore commit through a
-# versioned-dir + symlink-flip protocol:
+# committed state. The state sinks below therefore commit through a
+# versioned-dir + commit-record + publish protocol, all probed through the
+# Hadoop FileSystem API (`fsutil`) so it works where the driver's POSIX
+# view is not the data plane (HDFS/S3A — r12 verdict: no symlinks, no
+# `os.*` in version resolution):
 #
-#   <state_path>.versions/v{batch_id}/   — each commit writes a FRESH dir
-#   <state_path>  -> symlink to the committed version dir
+#   <state_path>.versions/v{batch_id}/  — each commit writes a FRESH dir
+#   <state_path>.commits/b{batch_id}    — empty, name-encoded commit record
+#   <state_path>/                       — the published (readable) copy
 #
-# The flip is os.replace() of a symlink — atomic on POSIX — so readers
-# (`spark.read.parquet(state_path)`) always see a complete grid: either the
-# old version or the new one, never a half-rewritten directory. The
-# committed batch_id is encoded in the version-dir name, so a replayed
-# batch (batch_id <= committed) is skipped instead of double-merged —
-# restoring the batch-split invariance that cell-wise CMS addition and
-# 'latest-by' upserts advertise, now including under retries.
+# Order: write version dir → touch commit record (THE commit point; the
+# record's full name appears only at create+close, so it cannot tear) →
+# publish by delete-old + rename-version-into-place → GC older records.
+# `spark.read.parquet(state_path)` keeps working unchanged for every
+# downstream reader. Crash windows: mid-version-write → record absent, the
+# replay overwrites the partial dir; between record and publish →
+# `_committed_batch_id` sees the still-present version dir and finishes
+# the flip (healing is idempotent, and on this availableNow/foreachBatch
+# lifecycle no reader races the sink). A replayed batch (batch_id <=
+# committed) is skipped instead of double-merged — the batch-split
+# invariance that cell-wise CMS addition and 'latest-by' upserts
+# advertise, now including under retries. These states are bounded
+# aggregates (sketch grids, latest-per-key), so the per-batch full
+# rewrite is O(state), deliberately — the delta protocol for
+# corpus-growing state lives in `streaming/state.py`.
 #
 # LIFECYCLE COUPLING (r6 advice, made explicit): the state tree and the
 # streaming checkpoint are ONE unit — batch_ids are only monotonic within
@@ -36,50 +50,54 @@ from pyspark.sql.types import StructType
 # state resets batch_ids to 0, and the replay guard above would then skip
 # every fresh batch as "already committed"; keeping the checkpoint while
 # deleting the state silently drops the accumulated grid. Always drop or
-# keep <ckpt> and <state_path>(.versions) together — the suite's fixture
-# caches do this by rooting both under the same cache_dir(sf_dir, ...)
-# tree, which the content-fingerprinted tag abandons atomically.
+# keep <ckpt> and <state_path>(.versions/.commits) together — the suite's
+# fixture caches do this by rooting both under the same
+# cache_dir(sf_dir, ...) tree, which the content-fingerprinted tag
+# abandons atomically.
+
+_COMMIT_RE = re.compile(r"^b(\d+)$")
 
 
-def _committed_batch_id(state_path: str) -> int | None:
-    """batch_id of the committed state version, or None if no state."""
-    if not os.path.islink(state_path):
+def _committed_batch_id(spark: SparkSession, state_path: str) -> int | None:
+    """batch_id of the newest committed state version (None if no state),
+    finishing any crash-interrupted publish as a side effect."""
+    ids = [
+        int(m.group(1))
+        for name in fsutil.list_names(spark, state_path + ".commits")
+        if (m := _COMMIT_RE.match(name))
+    ]
+    if not ids:
         return None
-    target = os.path.basename(os.readlink(state_path))
-    try:
-        return int(target[1:])
-    except ValueError:
-        return None
+    done = max(ids)
+    vdir = posixpath.join(state_path + ".versions", "v%012d" % done)
+    if fsutil.exists(spark, vdir):
+        # committed but not yet published: finish the flip
+        fsutil.rmtree(spark, state_path)
+        fsutil.rename(spark, vdir, state_path)
+    return done
 
 
 def _commit_state(df: DataFrame, state_path: str, batch_id: int) -> None:
-    """Materialize df into a fresh version dir and atomically flip the
-    state symlink to it; GC all older versions after the flip."""
-    versions = state_path + ".versions"
-    dst = os.path.join(versions, "v%012d" % batch_id)
-    df.write.mode("overwrite").parquet(dst)
-    if os.path.lexists(state_path) and not os.path.islink(state_path):
-        # legacy plain-dir layout: replace it with the symlink protocol
-        shutil.rmtree(state_path, ignore_errors=True)
-    tmp = "%s.lnk.%d" % (state_path, batch_id)
-    if os.path.lexists(tmp):
-        os.unlink(tmp)
-    os.symlink(dst, tmp)
-    os.replace(tmp, state_path)  # atomic pointer flip
-    keep = os.path.basename(dst)
-    for name in os.listdir(versions):
-        if name != keep:
-            shutil.rmtree(os.path.join(versions, name), ignore_errors=True)
+    """Materialize df into a fresh version dir, commit it via the
+    name-encoded record, publish it at ``state_path``, GC older records."""
+    spark = df.sparkSession
+    vdir = posixpath.join(state_path + ".versions", "v%012d" % batch_id)
+    df.write.mode("overwrite").parquet(vdir)
+    commits = state_path + ".commits"
+    fsutil.touch(spark, posixpath.join(commits, "b%d" % batch_id))
+    fsutil.rmtree(spark, state_path)
+    fsutil.rename(spark, vdir, state_path)
+    for name in fsutil.list_names(spark, commits):
+        m = _COMMIT_RE.match(name)
+        if m and int(m.group(1)) < batch_id:
+            fsutil.rmtree(spark, posixpath.join(commits, name))
 
 
-def reset_state(state_path: str) -> None:
-    """Remove a state symlink and its version store (test/rebuild hook).
-    shutil.rmtree refuses symlinks, so callers must use this instead."""
-    if os.path.islink(state_path):
-        os.unlink(state_path)
-    else:
-        shutil.rmtree(state_path, ignore_errors=True)
-    shutil.rmtree(state_path + ".versions", ignore_errors=True)
+def reset_state(spark: SparkSession, state_path: str) -> None:
+    """Remove a published state, its version store, and its commit
+    records (test/rebuild hook)."""
+    for p in (state_path, state_path + ".versions", state_path + ".commits"):
+        fsutil.rmtree(spark, p)
 
 
 def read_stream(
@@ -272,11 +290,11 @@ def upsert_latest_state(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay of an already-merged batch
         merged = latest(batch_df)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*merged.columns)
             merged = latest(merged.unionByName(prev))
         _commit_state(merged, state_path, batch_id)
@@ -331,11 +349,11 @@ def cms_merge_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay: this grid is already merged
         g = grid_of(batch_df)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
             g = (
                 g.unionByName(prev)
@@ -371,11 +389,11 @@ def hll_merge_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay: max-merge is idempotent anyway
         g = hll_registers(batch_df, key_col, group_cols, p)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
             g = (
                 g.unionByName(prev)
@@ -412,11 +430,11 @@ def kmv_merge_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay: bottom-k merge is idempotent
         g = kmv_sketch(batch_df, key_col, group_cols, k)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
             w = Window.partitionBy(*group_cols).orderBy("h")
             g = (
@@ -458,7 +476,7 @@ def bloom_merge_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay: bit_or merge is idempotent
         pos_exprs = [
@@ -483,7 +501,7 @@ def bloom_merge_stream(
             .groupBy(*group_cols, "word_idx")
             .agg(F.bit_or("word").alias("word"))
         )
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
             g = (
                 g.unionByName(prev)
@@ -528,11 +546,11 @@ def hdr_merge_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay: already merged
         g = hist_of(batch_df)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
             g = (
                 g.unionByName(prev)
@@ -609,11 +627,11 @@ def ivf_assign_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _committed_batch_id(state_path)
+        done = _committed_batch_id(spark, state_path)
         if done is not None and batch_id <= done:
             return  # at-least-once replay: already merged
         g = grid_of(batch_df)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        if fsutil.exists(spark, posixpath.join(state_path, "_SUCCESS")):
             prev = spark.read.parquet(state_path).select(*g.columns)
             g = (
                 g.unionByName(prev)

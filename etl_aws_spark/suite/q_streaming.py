@@ -494,7 +494,7 @@ def streaming_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_id", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
-    ingest.reset_state(state)  # state is a symlink; plain rmtree no-ops on it
+    ingest.reset_state(spark, state)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1037,14 +1037,14 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(batch_df, batch_id):
-        done = ing._committed_batch_id(state)
+        done = ing._committed_batch_id(spark, state)
         if done is not None and batch_id <= done:
             return
         bseg = cd.scd2_from_log(
             batch_df, key="user_id", attr="event_type", ts_col="ts",
             order_tail=["event_id"],
         ).select("user_id", "event_type", "valid_from", "valid_to")
-        if os.path.lexists(state):
+        if fsutil.exists(spark, state):
             prev = spark.read.parquet(state).select(
                 "user_id", "event_type", "valid_from", "valid_to"
             )
@@ -1180,7 +1180,7 @@ def streaming_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
-    ingest.reset_state(state)  # state is a symlink; plain rmtree no-ops on it
+    ingest.reset_state(spark, state)
     schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),
@@ -1253,7 +1253,7 @@ def streaming_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
-    ingest.reset_state(state)
+    ingest.reset_state(spark, state)
     schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),
@@ -1428,7 +1428,7 @@ def streaming_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataF
         fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "user_id")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
-    ingest.reset_state(state)
+    ingest.reset_state(spark, state)
     schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),
@@ -1520,7 +1520,7 @@ def streaming_sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         fsutil.rmtree(spark, root)
         ev = load(spark, sf_dir, "events").select("event_type", "value")
         ev.repartition(8).write.mode("overwrite").parquet(landing)
-    ingest.reset_state(state)
+    ingest.reset_state(spark, state)
     schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),
@@ -1661,7 +1661,7 @@ def streaming_embedding_cell_assign(spark: SparkSession, sf_dir: str) -> DataFra
         emb.select("vec_id", "embedding").repartition(8).write.mode(
             "overwrite"
         ).parquet(landing)
-    ingest.reset_state(state)
+    ingest.reset_state(spark, state)
     cents = knn.label_centroids(emb, "label", "embedding", 64).localCheckpoint(
         eager=True
     )
@@ -1806,7 +1806,7 @@ def streaming_cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("value").cast("double").alias("value"),
         ).unionByName(dels)
         ops.repartition(8).write.mode("overwrite").parquet(landing)
-    ingest.reset_state(state)
+    ingest.reset_state(spark, state)
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),

@@ -153,9 +153,10 @@ def test_cms_state_commit_is_replay_idempotent_and_atomic(spark, tmp_path):
         .sort_values(["depth", "bucket"]).reset_index(drop=True)
     )
     assert grid1.cell_n.sum() == 300 * 4
-    # committed state is the symlink protocol, batch_id recoverable
-    assert os.path.islink(state)
-    assert ingest._committed_batch_id(state) is not None
+    # committed state is a published plain dir, batch_id recoverable
+    # from the name-encoded commit records
+    assert os.path.isdir(state) and not os.path.islink(state)
+    assert ingest._committed_batch_id(spark, state) is not None
 
     # wipe the checkpoint: the re-run replays every batch with the same
     # batch_ids from 0 — the guard must skip all of them
@@ -167,10 +168,11 @@ def test_cms_state_commit_is_replay_idempotent_and_atomic(spark, tmp_path):
     )
     assert grid1.equals(grid2), "replayed batches were double-merged"
 
-    # reset_state clears both the link and the version store
-    ingest.reset_state(state)
+    # reset_state clears the published copy, version store, and records
+    ingest.reset_state(spark, state)
     assert not os.path.lexists(state)
     assert not os.path.exists(state + ".versions")
+    assert not os.path.exists(state + ".commits")
 
 
 def test_transform_with_state_topk_carries_across_batches(spark, tmp_path):
@@ -360,7 +362,8 @@ def test_ivf_assign_stream_replay_is_idempotent(spark, tmp_path):
     g1 = (spark.read.parquet(state).toPandas()
           .sort_values(["cell", "pos"]).reset_index(drop=True))
     assert g1.groupby("pos").n.sum().eq(80).all()
-    assert os.path.islink(state)
+    assert os.path.isdir(state) and not os.path.islink(state)
+    assert ingest._committed_batch_id(spark, state) is not None
     shutil.rmtree(ckpt)
     run()
     g2 = (spark.read.parquet(state).toPandas()
