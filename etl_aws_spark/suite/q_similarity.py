@@ -3594,6 +3594,200 @@ def similarity_knn_join_multiprobe_recall(spark: SparkSession, sf_dir: str) -> D
     return per.unionByName(total)
 
 
+# the r12-verdict budget-split variant: p=2 probes spend the SAME
+# 400-candidate total as uniform p=2 (2 cells x 200), reallocated by
+# centroid rank — the nearer cell's pool prefix is 250 (≈ full cell at
+# this fixture's ~250-row cells), the second 150. SCALE.md §7n derives
+# why this is the budget-optimal split AND why no split reaches 0.51:
+# recall at p=2 is quantizer-bound (cell coverage 0.500), not
+# budget-bound.
+_MP_SPLIT = (250, 150)
+
+
+@query(
+    "similarity_knn_join_multiprobe_budget_split",
+    # identical fit + probes + exact legs as the uniform multiprobe
+    # audit; the ONLY change is the per-rank pool prefix (hrn <= 250 for
+    # the probe's nearest cell, <= 150 for its second — same salted-md5
+    # pool order, so the rank-150 pool is a strict prefix of the
+    # rank-250 pool), making the rollup delta attributable to budget
+    # reallocation alone
+    oracle=f"""
+    WITH c0 AS (
+      SELECT CAST(vec_id AS INT) AS c,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS v
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),{','.join(_duck_km_iter(n + 1, f'c{n}') for n in range(_KM_ITERS))},
+    e AS MATERIALIZED (
+      SELECT vec_id AS id, c AS label, embedding FROM (
+        SELECT emb.vec_id, emb.embedding, p.c,
+               row_number() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY {_duck_km_dist('emb.embedding', 'p.v')} ASC, p.c ASC
+               ) AS rn
+        FROM embeddings emb CROSS JOIN c{_KM_ITERS} p
+      ) WHERE rn = 1
+    ), probe_ids AS MATERIALIZED (
+      SELECT id, embedding FROM (
+        SELECT id, embedding,
+               row_number() OVER (
+                 ORDER BY md5('knnrecall:' || CAST(id AS VARCHAR)), id) AS srn
+        FROM e
+      ) WHERE srn <= 50
+    ), probes_mp AS MATERIALIZED (
+      SELECT id, embedding, plabel, arank FROM (
+        SELECT pr.id, pr.embedding, p.c AS plabel,
+               row_number() OVER (
+                 PARTITION BY pr.id
+                 ORDER BY {_duck_km_dist('pr.embedding', 'p.v')} ASC, p.c ASC
+               ) AS arank
+        FROM probe_ids pr CROSS JOIN c{_KM_ITERS} p
+      ) WHERE arank <= 2
+    ), pool AS MATERIALIZED (
+      SELECT id, label, embedding, hrn FROM (
+        SELECT id, label, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('knnjoin:' || CAST(id AS VARCHAR)), id) AS hrn
+        FROM e
+      ) WHERE hrn <= {_MP_SPLIT[0]}
+    ), approx AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.id AS bid,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC, b.id ASC) AS rank
+        FROM probes_mp a JOIN pool b ON a.plabel = b.label AND a.id <> b.id
+        WHERE b.hrn <= CASE WHEN a.arank = 1
+                            THEN {_MP_SPLIT[0]} ELSE {_MP_SPLIT[1]} END
+      ) WHERE rank <= 5
+    ), exact AS MATERIALIZED (
+      SELECT aid, bid FROM (
+        SELECT a.id AS aid, b.vec_id AS bid,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC, b.vec_id ASC) AS rank
+        FROM probe_ids a JOIN embeddings b ON a.id <> b.vec_id
+      ) WHERE rank <= 5
+    ), hits AS (
+      SELECT x.aid, count(b.bid) AS n_hits
+      FROM exact x LEFT JOIN approx b ON x.aid = b.aid AND x.bid = b.bid
+      GROUP BY x.aid
+    )
+    SELECT CAST(aid AS BIGINT) AS vec_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / 5.0, 6) + 0.0 AS recall
+    FROM hits
+    UNION ALL
+    SELECT NULL AS vec_id, CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           round(avg(n_hits / 5.0), 6) + 0.0 AS recall
+    FROM hits
+    """,
+    category="similarity",
+)
+def similarity_knn_join_multiprobe_budget_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-REALLOCATED p=2 multiprobe recall: the same 400-candidate
+    total as uniform p=2 (2 x 200), split (250, 150) by centroid rank —
+    the nearer cell's salted-md5 pool prefix grows to ~the full cell,
+    the second cell's shrinks. The r13 decomposition (SCALE.md §7n)
+    shows observed recall == (cell coverage at p) x (pool-hit rate)
+    EXACTLY at every probe depth — ranking loses nothing — so the best
+    any 400-candidate split can do at p=2 is cover the nearest cell
+    fully (0.324 truth mass x ~1.0) plus 150/~250 of the second (0.176
+    x ~0.6) ≈ 0.43, and the p=2 ceiling at ANY budget is the 0.500
+    cell-coverage mass. Measured (sf0.1): **0.432 vs 0.392 uniform** —
+    the reallocation buys +0.040 at the same candidate count, landing
+    on the decomposition's ~0.43 prediction, and the 0.51 target the
+    r11 verdict floated is provably quantizer-bound, not budget-bound
+    (2x arrives at p=4 where coverage is 0.736).
+
+    Composition: two :func:`knn.knn_join` passes sharing one fit — the
+    rank-1 probe rows against the 250-prefix pool, the rank-2 rows
+    against its 150-prefix (a strict prefix of the same salted order,
+    so the pools nest) — unioned and re-ranked to a global top-5.
+    Scale posture identical to the uniform audit: probe side fans out
+    2x, index side / pair law unchanged, pools broadcast-small."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    asg = knn.kmeans_assignment(
+        emb, "vec_id", "embedding", _DIM, k=_KM_K, iters=_KM_ITERS
+    ).localCheckpoint(eager=True)
+    probe_ids = (
+        asg.withColumn(
+            "_srt",
+            F.md5(F.concat(F.lit("knnrecall:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_srt", "vec_id")
+        .limit(50)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    probes_mp = knn.kmeans_assignment_multiprobe(
+        probe_ids, "vec_id", "embedding", _DIM,
+        k=_KM_K, iters=_KM_ITERS, p=2, fit_on=emb,
+    ).localCheckpoint(eager=True)
+    parts = []
+    for rank, budget in enumerate(_MP_SPLIT, start=1):
+        pr = probes_mp.filter(F.col("arank") == rank).select(
+            "vec_id", "embedding", "cluster"
+        )
+        pool = knn.knn_pool(
+            asg, "vec_id", "embedding", "cluster", budget=budget
+        )
+        parts.append(
+            knn.knn_join(
+                asg, "vec_id", "embedding", "cluster", _DIM,
+                k=5, budget=budget, probes=pr, pool=pool,
+            )
+        )
+    percell = parts[0].unionByName(parts[1])
+    wm = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    approx = (
+        percell.withColumn("_grank", F.row_number().over(wm))
+        .filter(F.col("_grank") <= 5)
+        .select(F.col("id").alias("aid"), F.col("neighbor_id").alias("bid"))
+    )
+    a = probe_ids.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("_avec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_an"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("_bvec"),
+        F.expr(f"sqrt({knn._fold_dot('embedding', 'embedding', _DIM)})").alias("_bn"),
+    )
+    scored = b.crossJoin(F.broadcast(a)).filter(F.col("aid") != F.col("bid")).select(
+        "aid",
+        "bid",
+        (
+            F.expr(knn._fold_dot("_avec", "_bvec", _DIM))
+            / (F.col("_an") * F.col("_bn"))
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("aid", "bid")
+    )
+    hits = (
+        exact.join(approx.withColumn("_hit", F.lit(1)), ["aid", "bid"], "left")
+        .groupBy("aid")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .localCheckpoint(eager=True)
+    )
+    per = hits.select(
+        F.col("aid").cast("long").alias("vec_id"),
+        "n_hits",
+        (F.round(F.col("n_hits") / 5.0, 6) + F.lit(0.0)).alias("recall"),
+    )
+    total = hits.agg(
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        (F.round(F.avg(F.col("n_hits") / 5.0), 6) + F.lit(0.0)).alias("recall"),
+    ).select(F.lit(None).cast("long").alias("vec_id"), "n_hits", "recall")
+    return per.unionByName(total)
+
+
 @query(
     "similarity_knn_join_incremental",
     # The oracle replays the FULL BATCH answer over the epoch pool

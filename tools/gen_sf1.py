@@ -20,7 +20,11 @@ Two tables need more than key offsets to keep the scaling HONEST:
   empirical per-component mean/std — cluster structure preserved, vectors
   new.
 
-Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/etl_aws_spark_sf1)
+Usage: python tools/gen_sf1.py [out_dir] [replicas]
+       (defaults: /tmp/etl_aws_spark_sf1, 10). replicas=30 generates the
+       sf3 fixtures for the second scale octave (sf1->sf3 ratios in
+       BASELINE.md): same construction, so within-replica structure per
+       unit data is identical across octaves.
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = 10  # default; overridden by argv[2]
 
 # key columns to offset, per table: {col: span_source_col_or_none}
 OFFSET_KEYS = {
@@ -66,6 +70,7 @@ KEY_DOMAIN = {
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/etl_aws_spark_sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
     os.makedirs(out_dir, exist_ok=True)
 
     tables = {}
@@ -86,7 +91,7 @@ def main() -> None:
         base = tables[name]
         pdf = base.to_pandas()
         reps = []
-        for r in range(REPLICAS):
+        for r in range(replicas):
             rep = pdf.copy()
             for k in keys:
                 rep[k] = rep[k] + r * spans[k]
