@@ -97,6 +97,180 @@ def _packed(
     )
 
 
+def _fold_sq_l2(a: str, b: str) -> str:
+    """Squared-L2 between two DOUBLE arrays as the ascending-index left
+    fold from 0.0 — bit-identical to the DuckDB ``list_reduce`` mirror
+    (``zip_with`` + ``aggregate`` both walk index order)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def subvector_arrays(df: DataFrame, id_col: str, vec_col: str, d_sub: int) -> DataFrame:
+    """Slice vectors into per-subspace DOUBLE arrays ``(_id, sub, subvec)``
+    WITHOUT a shuffle: ``slice()`` on the source array yields exactly the
+    ascending-``spos`` subvector that :func:`_packed` re-packs from scalar
+    parts, so every downstream fold sees identical doubles — minus the
+    N·dim-row pack exchange (guide §2.4: remove shuffles outright)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(size({vec_col}) div {d_sub}) - 1), "
+                f"s -> slice(cast({vec_col} as array<double>), s * {d_sub} + 1, {d_sub}))"
+            )
+        ).alias("sub", "subvec"),
+    )
+
+
+def _cw_by_sub(codebook: DataFrame) -> DataFrame:
+    """Pack a scalar codebook into per-subspace codeword arrays
+    ``(sub, cwarr: array<struct<code, cwvec>>)`` sorted by code — m rows,
+    always broadcast."""
+    cw = _packed(codebook, ["sub", "code"], "cw", "cwvec")
+    return cw.groupBy("sub").agg(
+        F.expr("array_sort(collect_list(struct(code, cwvec)))").alias("cwarr")
+    )
+
+
+def _cb_matrix(codebook: DataFrame) -> DataFrame:
+    """The whole codebook as ONE broadcastable row
+    ``(cbmat: array[sub] of array<struct<code, cwvec>>)``, built in a
+    single global aggregate (one SinglePartition exchange — no
+    hashpartitioning) with the nesting done by array expressions over the
+    (sub, code, spos)-sorted component list."""
+    flat = codebook.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(sub, code, spos, cw)))").alias("_flat")
+    )
+    return flat.select(
+        F.expr(
+            """
+            transform(
+              array_distinct(transform(_flat, x -> x.sub)),
+              s -> transform(
+                array_distinct(transform(filter(_flat, x -> x.sub = s), x -> x.code)),
+                cd -> named_struct(
+                  'code', cd,
+                  'cwvec', transform(filter(_flat, x -> x.sub = s and x.code = cd),
+                                     x -> x.cw))))
+            """
+        ).alias("cbmat")
+    )
+
+
+def _zero_key(col: Column) -> Column:
+    """A constant-valued (always 0) but NON-foldable int key:
+    ``least(size(col), 0)`` is always 0 (size of a non-null collection is
+    >= 0) yet no Catalyst rule can prove it, so a join on two such keys
+    keeps its equi-condition and plans as a BroadcastHashJoin instead of
+    a nested-loop. (``size(col) * 0`` does NOT work — Catalyst folds
+    multiply-by-zero over non-nullable children.)"""
+    return F.least(F.size(col), F.lit(0))
+
+
+def _fanout_join(left: DataFrame, right: DataFrame, lkey: Column, rkey: Column) -> DataFrame:
+    """All-pairs attach of a small broadcast frame via an equi-join on
+    constant-valued non-foldable keys on BOTH sides (see :func:`_zero_key`)
+    — a BroadcastHashJoin fan-out, never a cartesian."""
+    return (
+        left.withColumn("_j", lkey)
+        .join(F.broadcast(right.withColumn("_j", rkey)), "_j")
+        .drop("_j")
+    )
+
+
+def _assign_arrays(subvecs: DataFrame, cw_by_sub: DataFrame) -> DataFrame:
+    """Shuffle-free nearest-codeword assignment over packed subvectors:
+    broadcast the per-subspace codeword arrays, evaluate all k codewords as
+    ``zip_with`` folds, argmin via ``array_min`` over ``struct(dist, code)``
+    (smallest dist, ties to the lower code — the exact ``min(struct)``
+    rule). Returns ``(_id, sub, subvec, code, dist)`` with no exchange."""
+    best = (
+        "array_min(transform(cwarr, c -> named_struct("
+        "'dist', " + _fold_sq_l2("subvec", "c.cwvec") + ", 'code', c.code)))"
+    )
+    return subvecs.join(F.broadcast(cw_by_sub), "sub").select(
+        "_id",
+        "sub",
+        "subvec",
+        F.expr(best + ".code").alias("code"),
+        F.expr(best + ".dist").alias("dist"),
+    )
+
+
+# codes are < k <= _DT_STRIDE always (k is 16 in every caller), so
+# sub * _DT_STRIDE + code is collision-free as a flat table key.
+_DT_STRIDE = 1024
+
+
+def _encode_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    codebook: DataFrame,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Vector-level PQ encoding ``(_id, codes: array<int>)`` with ZERO
+    shuffles: the codebook matrix rides a constant-key broadcast join and
+    each vector's m argmins evaluate as one expression over ``slice()``
+    subvectors — same folds, same tie-break, no pack exchange and no
+    argmin exchange (guide §2.3/§2.4)."""
+    codes_expr = (
+        f"transform(sequence(0, int(size({vec_col}) div {d_sub}) - 1), s -> "
+        "array_min(transform(cbmat[s], c -> named_struct('dist', "
+        + _fold_sq_l2(
+            f"slice(cast({vec_col} as array<double>), s * {d_sub} + 1, {d_sub})",
+            "c.cwvec",
+        )
+        + ", 'code', c.code))).code)"
+    )
+    keep = [F.col(c) for c in (keep_cols or [])]
+    return _fanout_join(
+        df, _cb_matrix(codebook), _zero_key(F.col(vec_col)), _zero_key(F.col("cbmat"))
+    ).select(F.col(id_col).alias("_id"), *keep, F.expr(codes_expr).alias("codes"))
+
+
+def _query_dtables(
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+) -> DataFrame:
+    """Per-query ADC distance tables as ONE map column
+    ``(query_id, dt: map<sub·stride + code, ddist>)``, built at the vector
+    level from the broadcast codebook matrix — zero exchanges, replacing
+    the |Q|·m·k scalar-row aggregate. Each ``ddist`` is the identical
+    ascending-``spos`` left fold from 0.0."""
+    entries = (
+        f"flatten(transform(sequence(0, int(size({vec_col}) div {d_sub}) - 1), s -> "
+        f"transform(cbmat[s], c -> named_struct('key', s * {_DT_STRIDE} + c.code, "
+        "'value', "
+        + _fold_sq_l2(
+            f"slice(cast({vec_col} as array<double>), s * {d_sub} + 1, {d_sub})",
+            "c.cwvec",
+        )
+        + "))))"
+    )
+    return _fanout_join(
+        queries, _cb_matrix(codebook), _zero_key(F.col(vec_col)), _zero_key(F.col("cbmat"))
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"map_from_entries({entries})").alias("dt"),
+    )
+
+
+# Ascending-sub ADC left fold from 0.0 over the broadcast table — the
+# same summation the scored-stage collect_list fold performed, now
+# map-side (dt is dense over the codebook, so no lookup can miss).
+_ADC_FOLD = (
+    "aggregate(sequence(0, size(codes) - 1), cast(0.0 as double), "
+    f"(acc, s) -> acc + dt[s * {_DT_STRIDE} + codes[s]])"
+)
+
+
 def assign_codes(parts: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest codeword per (vector, subspace): broadcast the codebook,
     evaluate all k codewords (the inherent PQ N·dim·k product), fold the
@@ -141,6 +315,26 @@ def refine_codebook(
     )
 
 
+def _refine_arrays(
+    subvecs: DataFrame, codebook: DataFrame, round_digits: int = 4
+) -> DataFrame:
+    """One Lloyd recompute over packed subvectors: assignment is the
+    shuffle-free :func:`_assign_arrays`, and the member means shuffle only
+    partial (sub, code, spos) aggregates (avg is map-side combinable) —
+    the exchange carries O(partitions · m·k·d_sub) rows instead of the
+    old N·dim-row assigned⋈parts join (guide §2.3: aggregate before you
+    shuffle). Emptied codewords keep their previous position."""
+    assigned = _assign_arrays(subvecs, _cw_by_sub(codebook))
+    means = (
+        assigned.select("sub", "code", F.posexplode("subvec").alias("spos", "val"))
+        .groupBy("sub", "code", "spos")
+        .agg(_nudged_round(F.avg("val"), round_digits).alias("cw_new"))
+    )
+    return codebook.join(means, ["sub", "code", "spos"], "left").select(
+        "sub", "code", "spos", F.coalesce("cw_new", "cw").alias("cw")
+    )
+
+
 def train_codebook(
     df: DataFrame,
     id_col: str,
@@ -152,11 +346,14 @@ def train_codebook(
 ) -> tuple[DataFrame, DataFrame]:
     """Sample-init + ``iters`` Lloyd refinements per subspace (all
     subspaces train in ONE relational plan — the subspace id is just a
-    grouping column, not a loop). Returns (parts, codebook)."""
+    grouping column, not a loop). Returns (parts, codebook); ``parts`` is
+    the scalar component view for compat/artifact consumers, while the
+    refinement itself runs over packed subvector arrays."""
     parts = subvector_parts(df, id_col, vec_col, d_sub)
+    subvecs = subvector_arrays(df, id_col, vec_col, d_sub)
     cb = init_codebook(parts, k, round_digits)
     for _ in range(iters):
-        cb = refine_codebook(parts, cb, assign_codes(parts, cb), round_digits)
+        cb = _refine_arrays(subvecs, cb, round_digits)
     return parts, cb
 
 
@@ -173,8 +370,10 @@ def encode(
     """Train and encode: ``(vec_id, sub, code, sub_err)`` — one row per
     (vector, subspace); ``sub_err`` is the squared reconstruction error of
     the chosen codeword (the quantity PQ training minimizes)."""
-    parts, cb = train_codebook(df, id_col, vec_col, d_sub, k, iters, round_digits)
-    enc = assign_codes(parts, cb)
+    _, cb = train_codebook(df, id_col, vec_col, d_sub, k, iters, round_digits)
+    enc = _assign_arrays(
+        subvector_arrays(df, id_col, vec_col, d_sub), _cw_by_sub(cb)
+    )
     return enc.select(
         F.col("_id").alias("vec_id"),
         "sub",
@@ -195,26 +394,40 @@ def adc_search(
     """The search-only ADC leg against an EXISTING index: ``codes``
     is ``(_id, sub, code)`` (the compressed corpus, typically read from a
     persisted parquet artifact), ``codebook`` is ``(sub, code, spos, cw)``
-    with already-rounded components. Exactly three shuffles: the per-query
-    distance-table aggregate (|Q|·m·k rows, then broadcast), the
-    per-(query, neighbor) ADC fold, and the top-k window — training cost
-    is zero, which is the point of persisting the index. Returns
+    with already-rounded components. Exactly two shuffles: packing the
+    persisted codes into per-vector arrays, and the top-k window — the
+    per-query distance tables build shuffle-free at the vector level and
+    broadcast, and the ADC fold runs map-side over them. Returns
     ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
-    qparts = subvector_parts(queries, id_col, vec_col, d_sub).withColumnRenamed(
-        "_id", "query_id"
+    codes_vec = codes.groupBy("_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))), s -> s.code)"
+        ).alias("codes")
     )
-    qterms = qparts.join(F.broadcast(codebook), ["sub", "spos"]).select(
-        "query_id", "sub", "code", "spos",
-        ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
-    )
-    dtable = qterms.groupBy("query_id", "sub", "code").agg(
-        _ordered_fold_sum("spos", "term").alias("ddist")
-    )
+    return _adc_rank(codes_vec, codebook, queries, id_col, vec_col, d_sub, topk)
 
-    scored = (
-        codes.join(F.broadcast(dtable), ["sub", "code"])
-        .groupBy("query_id", F.col("_id").alias("neighbor_id"))
-        .agg(_ordered_fold_sum("sub", "ddist").alias("adc_dist"))
+
+def _adc_rank(
+    codes_vec: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    topk: int,
+) -> DataFrame:
+    """ADC scoring over per-vector code arrays: the per-query distance
+    tables attach via a constant-key BroadcastHashJoin (a pure fan-out —
+    exactly the |Q|-way pairing the old (sub, code) join produced, with
+    m× fewer intermediate rows), the ascending-``sub`` fold runs map-side,
+    and only (query, neighbor, dist) scalars reach the top-k window."""
+    dt = _query_dtables(queries, codebook, id_col, vec_col, d_sub)
+    scored = _fanout_join(
+        codes_vec, dt, _zero_key(F.col("codes")), _zero_key(F.col("dt"))
+    ).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        F.expr(_ADC_FOLD).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
@@ -262,42 +475,47 @@ def ivfpq_residual_adc_topk(
     from etl_aws_spark.similarity import knn
 
     comp = knn.label_centroid_components(embeddings, label_col, vec_col, round_digits)
-    vparts = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v"),
-    )
-    rparts = (
-        vparts.join(F.broadcast(comp), ["label", "pos"])
-        .select(
-            "_id",
-            "label",
-            F.expr(f"pos div {d_sub}").cast("int").alias("sub"),
-            (F.col("pos") % d_sub).cast("int").alias("spos"),
-            (F.col("_v") - F.col("val")).alias("val"),
+    # centroids packed per cell — the coarse-quantizer artifact, tiny and
+    # multi-referenced (residuals, probing, query residuals), so the one
+    # localCheckpoint lives HERE instead of on the old N·dim rparts frame:
+    # every corpus pass is now a parquet scan + broadcast zip_with, and
+    # nothing corpus-sized is ever materialized (guide §2.4, §5).
+    cent = (
+        comp.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
+            ).alias("cvec")
         )
         .localCheckpoint(eager=True)
     )
-    cb = init_codebook(rparts, k_codes, round_digits)
-    cb = refine_codebook(rparts, cb, assign_codes(rparts, cb), round_digits)
-    codes = assign_codes(rparts, cb).select("_id", "sub", "code").join(
+    resid = (
         embeddings.select(
-            F.col(id_col).alias("_id"), F.col(label_col).alias("label")
-        ),
-        "_id",
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .join(F.broadcast(cent), "label")
+        .select(
+            "_id", "label", F.expr("zip_with(_v, cvec, (a, b) -> a - b)").alias("rvec")
+        )
     )
+    cb = init_codebook(subvector_parts(resid, "_id", "rvec", d_sub), k_codes, round_digits)
+    cb = _refine_arrays(
+        subvector_arrays(resid, "_id", "rvec", d_sub), cb, round_digits
+    ).localCheckpoint(eager=True)
+    # per-vector residual codes, label carried through — no codes⋈labels join
+    codes_vec = _encode_vectors(resid, "_id", "rvec", d_sub, cb, keep_cols=["label"])
 
-    qparts = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_q"),
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_q")
     )
-    # coarse probe: ascending-pos fold of (q - c)^2 per (query, cell)
-    probe_terms = qparts.join(F.broadcast(comp), "pos").select(
-        "query_id", "label", "pos",
-        ((F.col("_q") - F.col("val")) * (F.col("_q") - F.col("val"))).alias("term"),
-    )
-    cell_d = probe_terms.groupBy("query_id", "label").agg(
-        _ordered_fold_sum("pos", "term").alias("l2")
+    # coarse probe: ascending-pos fold of (q - c)^2 per (query, cell),
+    # computed as one zip_with fold per (query, cell) pair
+    cell_d = _fanout_join(
+        q, cent, _zero_key(F.col("_q")), _zero_key(F.col("cvec"))
+    ).select(
+        "query_id", "label", F.expr(_fold_sq_l2("_q", "cvec")).alias("l2")
     )
     wp = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("label"))
     probes = (
@@ -305,25 +523,32 @@ def ivfpq_residual_adc_topk(
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "label")
     )
-    # query residual vs each probed cell, then the per-cell distance table
-    qr = probes.join(qparts, "query_id").join(F.broadcast(comp), ["label", "pos"]).select(
+    # query residual vs each probed cell, then that cell's distance table
+    # (vector-level, shuffle-free past the tiny probe window)
+    qr = (
+        probes.join(q, "query_id")
+        .join(F.broadcast(cent), "label")
+        .select(
+            "query_id", "label",
+            F.expr("zip_with(_q, cvec, (a, b) -> a - b)").alias("rq"),
+        )
+    )
+    dt = _query_dtables(
+        qr.select(F.struct("query_id", "label").alias("qkey"), "rq"),
+        cb, "qkey", "rq", d_sub,
+    ).select(
+        F.col("query_id.query_id").alias("query_id"),
+        F.col("query_id.label").alias("label"),
+        "dt",
+    )
+    # in-cell ADC: codes meet only their own cell's probed tables via a
+    # broadcast join on label; the fold is map-side, and only candidate
+    # (query, neighbor, dist) scalars reach the top-k window
+    scored = codes_vec.join(F.broadcast(dt), "label").select(
         "query_id",
         "label",
-        F.expr(f"pos div {d_sub}").cast("int").alias("sub"),
-        (F.col("pos") % d_sub).cast("int").alias("spos"),
-        (F.col("_q") - F.col("val")).alias("val"),
-    )
-    qterms = qr.join(F.broadcast(cb), ["sub", "spos"]).select(
-        "query_id", "label", "sub", "code", "spos",
-        ((F.col("val") - F.col("cw")) * (F.col("val") - F.col("cw"))).alias("term"),
-    )
-    dtable = qterms.groupBy("query_id", "label", "sub", "code").agg(
-        _ordered_fold_sum("spos", "term").alias("ddist")
-    )
-    scored = (
-        codes.join(F.broadcast(dtable), ["label", "sub", "code"])
-        .groupBy("query_id", "label", F.col("_id").alias("neighbor_id"))
-        .agg(_ordered_fold_sum("sub", "ddist").alias("adc_dist"))
+        F.col("_id").alias("neighbor_id"),
+        F.expr(_ADC_FOLD).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
@@ -431,12 +656,12 @@ def adc_topk(
     train-once / search-many shape, persist ``train_codebook`` +
     ``assign_codes`` output and call :func:`adc_search`. Returns
     ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
-    parts, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
+    _, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
     # The trained codebook (m·k·d_sub rows, ~1k) is referenced by BOTH the
     # corpus-encoding leg and the query distance-table leg; without a
     # lineage cut Spark replays the whole training subtree (itself a full
     # corpus assignment) once per reference. Materializing the tiny frame
     # costs one job and makes every downstream reference a scan.
     cb = cb.localCheckpoint(eager=True)
-    codes = assign_codes(parts, cb).select("_id", "sub", "code")
-    return adc_search(codes, cb, queries, id_col, vec_col, d_sub, topk)
+    codes_vec = _encode_vectors(df, id_col, vec_col, d_sub, cb)
+    return _adc_rank(codes_vec, cb, queries, id_col, vec_col, d_sub, topk)
