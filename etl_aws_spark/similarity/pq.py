@@ -107,33 +107,6 @@ def _fold_sq_l2(a: str, b: str) -> str:
     )
 
 
-def subvector_arrays(df: DataFrame, id_col: str, vec_col: str, d_sub: int) -> DataFrame:
-    """Slice vectors into per-subspace DOUBLE arrays ``(_id, sub, subvec)``
-    WITHOUT a shuffle: ``slice()`` on the source array yields exactly the
-    ascending-``spos`` subvector that :func:`_packed` re-packs from scalar
-    parts, so every downstream fold sees identical doubles — minus the
-    N·dim-row pack exchange (guide §2.4: remove shuffles outright)."""
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, int(size({vec_col}) div {d_sub}) - 1), "
-                f"s -> slice(cast({vec_col} as array<double>), s * {d_sub} + 1, {d_sub}))"
-            )
-        ).alias("sub", "subvec"),
-    )
-
-
-def _cw_by_sub(codebook: DataFrame) -> DataFrame:
-    """Pack a scalar codebook into per-subspace codeword arrays
-    ``(sub, cwarr: array<struct<code, cwvec>>)`` sorted by code — m rows,
-    always broadcast."""
-    cw = _packed(codebook, ["sub", "code"], "cw", "cwvec")
-    return cw.groupBy("sub").agg(
-        F.expr("array_sort(collect_list(struct(code, cwvec)))").alias("cwarr")
-    )
-
-
 def _cb_matrix(codebook: DataFrame) -> DataFrame:
     """The whole codebook as ONE broadcastable row
     ``(cbmat: array[sub] of array<struct<code, cwvec>>)``, built in a
@@ -165,8 +138,17 @@ def _zero_key(col: Column) -> Column:
     >= 0) yet no Catalyst rule can prove it, so a join on two such keys
     keeps its equi-condition and plans as a BroadcastHashJoin instead of
     a nested-loop. (``size(col) * 0`` does NOT work — Catalyst folds
-    multiply-by-zero over non-nullable children.)"""
+    multiply-by-zero over non-nullable children.) Key off a CHEAP column
+    (a scan attribute), never a derived array, or CollapseProject
+    duplicates the derivation into the key."""
     return F.least(F.size(col), F.lit(0))
+
+
+def _zero_key_scalar(col: Column) -> Column:
+    """:func:`_zero_key` for scalar columns: ``least(length(string(col)),
+    0)`` — length is always >= 0, so the key is always 0 and still
+    non-foldable."""
+    return F.least(F.length(col.cast("string")), F.lit(0))
 
 
 def _fanout_join(left: DataFrame, right: DataFrame, lkey: Column, rkey: Column) -> DataFrame:
@@ -180,56 +162,93 @@ def _fanout_join(left: DataFrame, right: DataFrame, lkey: Column, rkey: Column) 
     )
 
 
-def _assign_arrays(subvecs: DataFrame, cw_by_sub: DataFrame) -> DataFrame:
-    """Shuffle-free nearest-codeword assignment over packed subvectors:
-    broadcast the per-subspace codeword arrays, evaluate all k codewords as
-    ``zip_with`` folds, argmin via ``array_min`` over ``struct(dist, code)``
-    (smallest dist, ties to the lower code — the exact ``min(struct)``
-    rule). Returns ``(_id, sub, subvec, code, dist)`` with no exchange."""
-    best = (
-        "array_min(transform(cwarr, c -> named_struct("
-        "'dist', " + _fold_sq_l2("subvec", "c.cwvec") + ", 'code', c.code)))"
-    )
-    return subvecs.join(F.broadcast(cw_by_sub), "sub").select(
-        "_id",
-        "sub",
-        "subvec",
-        F.expr(best + ".code").alias("code"),
-        F.expr(best + ".dist").alias("dist"),
-    )
-
-
 # codes are < k <= _DT_STRIDE always (k is 16 in every caller), so
 # sub * _DT_STRIDE + code is collision-free as a flat table key.
 _DT_STRIDE = 1024
 
 
-def _encode_vectors(
+def _pq_assign_kernel(d_sub: int, keep_vec: bool = False):
+    """Vectorized nearest-codeword assignment (guide §4.2: batch work in
+    native code behind the Arrow boundary): per batch, one numpy
+    broadcast-subtract + square per subspace with the exact 0.0-seeded
+    ascending ``cumsum`` left fold (sequential by definition — bit-equal
+    to the ``zip_with``/``aggregate`` fold and the DuckDB mirror), argmin
+    ties to the first (= lowest code; codeword rows arrive code-sorted).
+    The codebook matrix rides every row of the broadcast-joined input and
+    is parsed once per task. Module-level factory so the kernel is
+    unit-testable without a session."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB = None
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if CB is None:
+                CB = []
+                for sub_list in batch["cbmat"].iloc[0]:
+                    cids = np.array([e["code"] for e in sub_list], dtype=np.int32)
+                    cw = np.array(
+                        [list(e["cwvec"]) for e in sub_list], dtype=np.float64
+                    )
+                    CB.append((cids, cw))
+            X = np.stack(batch["_invec"].to_numpy()).astype(np.float64)
+            n = len(X)
+            codes_out = np.empty((n, len(CB)), dtype=np.int32)
+            dists_out = np.empty((n, len(CB)), dtype=np.float64)
+            for s, (cids, cw) in enumerate(CB):
+                sub = X[:, s * d_sub : (s + 1) * d_sub]
+                sq = sub[:, None, :] - cw[None, :, :]
+                sq *= sq
+                sq[..., 0] = 0.0 + sq[..., 0]  # fold seed normalizes -0.0
+                dist = np.cumsum(sq, axis=-1)[..., -1]
+                am = np.argmin(dist, axis=1)
+                codes_out[:, s] = cids[am]
+                dists_out[:, s] = dist[np.arange(n), am]
+            drop = ("cbmat",) if keep_vec else ("cbmat", "_invec")
+            out = {c: batch[c] for c in batch.columns if c not in drop}
+            out["codes"] = list(codes_out)
+            out["dists"] = list(dists_out)
+            yield pd.DataFrame(out)
+
+    return kern
+
+
+def _encode_vectors_kernel(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     d_sub: int,
     codebook: DataFrame,
     keep_cols: list[str] | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Vector-level PQ encoding ``(_id, codes: array<int>)`` with ZERO
-    shuffles: the codebook matrix rides a constant-key broadcast join and
-    each vector's m argmins evaluate as one expression over ``slice()``
-    subvectors — same folds, same tie-break, no pack exchange and no
-    argmin exchange (guide §2.3/§2.4)."""
-    codes_expr = (
-        f"transform(sequence(0, int(size({vec_col}) div {d_sub}) - 1), s -> "
-        "array_min(transform(cbmat[s], c -> named_struct('dist', "
-        + _fold_sq_l2(
-            f"slice(cast({vec_col} as array<double>), s * {d_sub} + 1, {d_sub})",
-            "c.cwvec",
-        )
-        + ", 'code', c.code))).code)"
-    )
-    keep = [F.col(c) for c in (keep_cols or [])]
-    return _fanout_join(
+    """Attach the broadcast codebook matrix (BroadcastHashJoin fan-out)
+    and run :func:`_pq_assign_kernel`: returns ``(_id, [keeps], [_invec],
+    codes array<int>, dists array<double>)`` with no shuffle; the Python
+    node also acts as the optimizer barrier that keeps downstream folds
+    from re-inlining the encode work."""
+    keep = list(keep_cols or [])
+    src = _fanout_join(
         df, _cb_matrix(codebook), _zero_key(F.col(vec_col)), _zero_key(F.col("cbmat"))
-    ).select(F.col(id_col).alias("_id"), *keep, F.expr(codes_expr).alias("codes"))
+    ).select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in keep],
+        F.col(vec_col).cast("array<double>").alias("_invec"),
+        "cbmat",
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    keep_schema = "".join(
+        f"{c} {df.schema[c].dataType.simpleString()}, " for c in keep
+    )
+    vec_part = "_invec array<double>, " if keep_vec else ""
+    schema = (
+        f"_id {id_type}, {keep_schema}{vec_part}"
+        "codes array<int>, dists array<double>"
+    )
+    return src.mapInPandas(_pq_assign_kernel(d_sub, keep_vec), schema)
 
 
 def _query_dtables(
@@ -265,9 +284,15 @@ def _query_dtables(
 # Ascending-sub ADC left fold from 0.0 over the broadcast table — the
 # same summation the scored-stage collect_list fold performed, now
 # map-side (dt is dense over the codebook, so no lookup can miss).
+# The fold iterates the codes ARRAY itself (sub index carried in the
+# accumulator) so the array expression is referenced exactly once:
+# indexing codes[s] inside the lambda would let CollapseProject re-inline
+# the whole encode expression once PER ELEMENT (the known
+# staged-column-in-HOF re-evaluation trap).
 _ADC_FOLD = (
-    "aggregate(sequence(0, size(codes) - 1), cast(0.0 as double), "
-    f"(acc, s) -> acc + dt[s * {_DT_STRIDE} + codes[s]])"
+    "aggregate(codes, named_struct('acc', cast(0.0 as double), 's', 0), "
+    f"(st, c) -> named_struct('acc', st.acc + dt[st.s * {_DT_STRIDE} + c], "
+    "'s', st.s + 1)).acc"
 )
 
 
@@ -315,20 +340,35 @@ def refine_codebook(
     )
 
 
-def _refine_arrays(
-    subvecs: DataFrame, codebook: DataFrame, round_digits: int = 4
+def _refine_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_sub: int,
+    codebook: DataFrame,
+    round_digits: int = 4,
 ) -> DataFrame:
-    """One Lloyd recompute over packed subvectors: assignment is the
-    shuffle-free :func:`_assign_arrays`, and the member means shuffle only
-    partial (sub, code, spos) aggregates (avg is map-side combinable) —
-    the exchange carries O(partitions · m·k·d_sub) rows instead of the
+    """One Lloyd recompute driven by the vectorized assignment kernel:
+    members explode back to (sub, code, spos, val) scalar rows via two
+    Generate passes (codegen'd — no k-factor work), and the means shuffle
+    only partial (sub, code, spos) aggregates (avg is map-side
+    combinable) — O(partitions · m·k·d_sub) exchanged rows instead of the
     old N·dim-row assigned⋈parts join (guide §2.3: aggregate before you
     shuffle). Emptied codewords keep their previous position."""
-    assigned = _assign_arrays(subvecs, _cw_by_sub(codebook))
-    means = (
-        assigned.select("sub", "code", F.posexplode("subvec").alias("spos", "val"))
-        .groupBy("sub", "code", "spos")
-        .agg(_nudged_round(F.avg("val"), round_digits).alias("cw_new"))
+    enc = _encode_vectors_kernel(
+        df, id_col, vec_col, d_sub, codebook, keep_vec=True
+    )
+    members = enc.select(
+        F.posexplode("codes").alias("sub", "code"), "_invec"
+    ).select(
+        "sub",
+        "code",
+        F.posexplode(F.expr(f"slice(_invec, sub * {d_sub} + 1, {d_sub})")).alias(
+            "spos", "val"
+        ),
+    )
+    means = members.groupBy("sub", "code", "spos").agg(
+        _nudged_round(F.avg("val"), round_digits).alias("cw_new")
     )
     return codebook.join(means, ["sub", "code", "spos"], "left").select(
         "sub", "code", "spos", F.coalesce("cw_new", "cw").alias("cw")
@@ -348,12 +388,11 @@ def train_codebook(
     subspaces train in ONE relational plan — the subspace id is just a
     grouping column, not a loop). Returns (parts, codebook); ``parts`` is
     the scalar component view for compat/artifact consumers, while the
-    refinement itself runs over packed subvector arrays."""
+    refinement itself runs through the vectorized assignment kernel."""
     parts = subvector_parts(df, id_col, vec_col, d_sub)
-    subvecs = subvector_arrays(df, id_col, vec_col, d_sub)
     cb = init_codebook(parts, k, round_digits)
     for _ in range(iters):
-        cb = _refine_arrays(subvecs, cb, round_digits)
+        cb = _refine_kernel(df, id_col, vec_col, d_sub, cb, round_digits)
     return parts, cb
 
 
@@ -371,14 +410,15 @@ def encode(
     (vector, subspace); ``sub_err`` is the squared reconstruction error of
     the chosen codeword (the quantity PQ training minimizes)."""
     _, cb = train_codebook(df, id_col, vec_col, d_sub, k, iters, round_digits)
-    enc = _assign_arrays(
-        subvector_arrays(df, id_col, vec_col, d_sub), _cw_by_sub(cb)
-    )
+    enc = _encode_vectors_kernel(df, id_col, vec_col, d_sub, cb)
     return enc.select(
         F.col("_id").alias("vec_id"),
+        F.posexplode(F.arrays_zip("codes", "dists")).alias("sub", "_z"),
+    ).select(
+        "vec_id",
         "sub",
-        "code",
-        (F.round("dist", err_digits) + F.lit(0.0)).alias("sub_err"),
+        F.col("_z.codes").alias("code"),
+        (F.round(F.col("_z.dists"), err_digits) + F.lit(0.0)).alias("sub_err"),
     )
 
 
@@ -423,7 +463,7 @@ def _adc_rank(
     and only (query, neighbor, dist) scalars reach the top-k window."""
     dt = _query_dtables(queries, codebook, id_col, vec_col, d_sub)
     scored = _fanout_join(
-        codes_vec, dt, _zero_key(F.col("codes")), _zero_key(F.col("dt"))
+        codes_vec, dt, _zero_key_scalar(F.col("_id")), _zero_key_scalar(F.col("query_id"))
     ).select(
         "query_id",
         F.col("_id").alias("neighbor_id"),
@@ -501,11 +541,13 @@ def ivfpq_residual_adc_topk(
         )
     )
     cb = init_codebook(subvector_parts(resid, "_id", "rvec", d_sub), k_codes, round_digits)
-    cb = _refine_arrays(
-        subvector_arrays(resid, "_id", "rvec", d_sub), cb, round_digits
+    cb = _refine_kernel(
+        resid, "_id", "rvec", d_sub, cb, round_digits
     ).localCheckpoint(eager=True)
     # per-vector residual codes, label carried through — no codes⋈labels join
-    codes_vec = _encode_vectors(resid, "_id", "rvec", d_sub, cb, keep_cols=["label"])
+    codes_vec = _encode_vectors_kernel(
+        resid, "_id", "rvec", d_sub, cb, keep_cols=["label"]
+    ).select("_id", "label", "codes")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_q")
@@ -663,5 +705,7 @@ def adc_topk(
     # corpus assignment) once per reference. Materializing the tiny frame
     # costs one job and makes every downstream reference a scan.
     cb = cb.localCheckpoint(eager=True)
-    codes_vec = _encode_vectors(df, id_col, vec_col, d_sub, cb)
+    codes_vec = _encode_vectors_kernel(df, id_col, vec_col, d_sub, cb).select(
+        "_id", "codes"
+    )
     return _adc_rank(codes_vec, cb, queries, id_col, vec_col, d_sub, topk)
