@@ -59,12 +59,16 @@ def init_state(
         old, "vec_id", "embedding", "label", dim, k=k, budget=budget
     ).select("id", "neighbor_id", "cos")
     st.write_tree(edges0, 0, "edges")
-    pool_ids = knn.knn_pool(old, "vec_id", "embedding", "label", budget=budget).select(
-        F.col("neighbor_id").alias("vec_id"), F.lit(True).alias("in_pool")
+    # in_pool directly from the pool window's rank — the same
+    # (salted-md5, id) order knn_pool ranks by, so the flag is identical
+    # to the old membership join, with one window pass instead of a
+    # second pool build plus a join back to the corpus
+    wpool = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("knnjoin:"), F.col("vec_id").cast("string"))), "vec_id"
     )
-    corpus0 = old.join(pool_ids, "vec_id", "left").select(
+    corpus0 = old.select(
         "vec_id", "embedding", "label",
-        F.coalesce("in_pool", F.lit(False)).alias("in_pool"),
+        (F.row_number().over(wpool) <= budget).alias("in_pool"),
     )
     st.write_tree(corpus0, 0, "corpus")
     st.commit(0, batch_id=-1, base=0)
@@ -113,17 +117,14 @@ def run_maintenance_pass(
             F.col("label").alias("_lb"),
             F.col("embedding").alias("_bvec"),
         )
-        # old rows score ONLY the batch's delta candidates... (eager
-        # checkpoint: the kNN cogroup feeds both the changed-id probe and
-        # the delta write — O(batch-candidates) rows, computed once)
-        cand = (
-            knn.knn_join(
-                emb, "vec_id", "embedding", "label", dim, k=k, probes=seen,
-                pool=bpool,
-            )
-            .select("id", "neighbor_id", "cos")
-            .localCheckpoint(eager=True)
-        )
+        # old rows score ONLY the batch's delta candidates (no checkpoint
+        # of its own: `ranked` below is cand's only consumer and IS
+        # eagerly checkpointed, so the kNN cogroup still runs exactly
+        # once — one fewer materialization job per fold)
+        cand = knn.knn_join(
+            emb, "vec_id", "embedding", "label", dim, k=k, probes=seen,
+            pool=bpool,
+        ).select("id", "neighbor_id", "cos")
         # O(corpus·k) narrow rows, checkpointed once: the frame feeds both
         # the changed-id probe and the delta write (without the
         # checkpoint the union+window subtree evaluates twice per fold)
