@@ -132,6 +132,21 @@ def _cb_matrix(codebook: DataFrame) -> DataFrame:
     )
 
 
+def _scaled(df: DataFrame) -> DataFrame:
+    """Scale-adaptive corpus parallelism (guide §2.5/§6.1): the r13
+    shuffle-free PQ chains inherit the SCAN's split count, and a corpus
+    that arrives in fewer splits than the session's parallelism (a small
+    single-row-group file at gate SFs — never at 100 TB, where splits >>
+    cores) would run every downstream kernel and ADC fold on those few
+    tasks. Fan such a corpus out ONCE, round-robin (deterministic:
+    sort-before-repartition is on by default); otherwise return the frame
+    untouched — no shuffle is ever added at scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _zero_key(col: Column) -> Column:
     """A constant-valued (always 0) but NON-foldable int key:
     ``least(size(col), 0)`` is always 0 (size of a non-null collection is
@@ -167,33 +182,76 @@ def _fanout_join(left: DataFrame, right: DataFrame, lkey: Column, rkey: Column) 
 _DT_STRIDE = 1024
 
 
-def _pq_assign_kernel(d_sub: int, keep_vec: bool = False):
+def _cb_rows(codebook) -> list[tuple]:
+    """The codebook as driver-side MODEL STATE: collected (sub, code,
+    spos, cw) tuples in deterministic (sub, code, spos) order. A codebook
+    is m·k·d_sub rounded doubles (~1 KiB) — the same bounded k·dim class
+    `knn.kmeans_iterate` already collects between Lloyd iterations, never
+    corpus-sized. Accepts an already-collected list and passes it
+    through, so a caller can materialize once and feed several
+    consumers."""
+    if isinstance(codebook, list):
+        return codebook
+    return sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in codebook.select("sub", "code", "spos", "cw").collect()
+    )
+
+
+def _cb_arrays(rows: list[tuple]) -> list[tuple]:
+    """``_cb_rows`` output as per-subspace numpy pairs
+    ``(code_ids int32, codewords float64[k, d_sub])``, codes ascending —
+    the closure shape :func:`_pq_assign_kernel` consumes."""
+    import numpy as np
+
+    subs: dict[int, dict[int, list[float]]] = {}
+    for sub, code, _spos, cw in rows:  # rows already (sub, code, spos)-sorted
+        subs.setdefault(sub, {}).setdefault(code, []).append(cw)
+    out = []
+    for s in sorted(subs):
+        cids = sorted(subs[s])
+        out.append(
+            (
+                np.array(cids, dtype=np.int32),
+                np.array([subs[s][c] for c in cids], dtype=np.float64),
+            )
+        )
+    return out
+
+
+def _cb_frame(spark, rows: list[tuple]) -> DataFrame:
+    """``_cb_rows`` output back as a codebook frame for the JVM
+    distance-table builders, with no training lineage left to replay.
+    MUST convert through pandas/Arrow: ``createDataFrame(list)`` builds a
+    pickled ParallelCollectionRDD whose every scan runs Python workers
+    per task (measured 2.1–2.4 s worker init per task in every consumer
+    stage); the Arrow path lands the rows JVM-side."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["sub", "code", "spos", "cw"])
+    return spark.createDataFrame(pdf, "sub int, code int, spos int, cw double")
+
+
+def _pq_assign_kernel(d_sub: int, CB: list[tuple], keep_vec: bool = False):
     """Vectorized nearest-codeword assignment (guide §4.2: batch work in
     native code behind the Arrow boundary): per batch, one numpy
     broadcast-subtract + square per subspace with the exact 0.0-seeded
     ascending ``cumsum`` left fold (sequential by definition — bit-equal
     to the ``zip_with``/``aggregate`` fold and the DuckDB mirror), argmin
-    ties to the first (= lowest code; codeword rows arrive code-sorted).
-    The codebook matrix rides every row of the broadcast-joined input and
-    is parsed once per task. Module-level factory so the kernel is
-    unit-testable without a session."""
+    ties to the first (= lowest code; codeword rows are code-sorted).
+    ``CB`` (:func:`_cb_arrays`) rides the function closure — shipped once
+    per task with the serialized command, NOT as a nested Arrow column on
+    every input row (the r13-early fan-out join paid a per-row
+    nested-struct→pandas conversion that dominated the stage). Module-
+    level factory so the kernel is unit-testable without a session."""
 
     def kern(batches):
         import numpy as np
         import pandas as pd
 
-        CB = None
         for batch in batches:
             if len(batch) == 0:
                 continue
-            if CB is None:
-                CB = []
-                for sub_list in batch["cbmat"].iloc[0]:
-                    cids = np.array([e["code"] for e in sub_list], dtype=np.int32)
-                    cw = np.array(
-                        [list(e["cwvec"]) for e in sub_list], dtype=np.float64
-                    )
-                    CB.append((cids, cw))
             X = np.stack(batch["_invec"].to_numpy()).astype(np.float64)
             n = len(X)
             codes_out = np.empty((n, len(CB)), dtype=np.int32)
@@ -207,7 +265,7 @@ def _pq_assign_kernel(d_sub: int, keep_vec: bool = False):
                 am = np.argmin(dist, axis=1)
                 codes_out[:, s] = cids[am]
                 dists_out[:, s] = dist[np.arange(n), am]
-            drop = ("cbmat",) if keep_vec else ("cbmat", "_invec")
+            drop = () if keep_vec else ("_invec",)
             out = {c: batch[c] for c in batch.columns if c not in drop}
             out["codes"] = list(codes_out)
             out["dists"] = list(dists_out)
@@ -221,23 +279,23 @@ def _encode_vectors_kernel(
     id_col: str,
     vec_col: str,
     d_sub: int,
-    codebook: DataFrame,
+    codebook,
     keep_cols: list[str] | None = None,
     keep_vec: bool = False,
 ) -> DataFrame:
-    """Attach the broadcast codebook matrix (BroadcastHashJoin fan-out)
-    and run :func:`_pq_assign_kernel`: returns ``(_id, [keeps], [_invec],
-    codes array<int>, dists array<double>)`` with no shuffle; the Python
-    node also acts as the optimizer barrier that keeps downstream folds
-    from re-inlining the encode work."""
+    """Run :func:`_pq_assign_kernel` over the corpus with the collected
+    codebook in the closure: returns ``(_id, [keeps], [_invec],
+    codes array<int>, dists array<double>)`` with no shuffle and no
+    per-row codebook payload; the Python node also acts as the optimizer
+    barrier that keeps downstream folds from re-inlining the encode work.
+    ``codebook`` is a (sub, code, spos, cw) frame or an already-collected
+    ``_cb_rows`` list."""
     keep = list(keep_cols or [])
-    src = _fanout_join(
-        df, _cb_matrix(codebook), _zero_key(F.col(vec_col)), _zero_key(F.col("cbmat"))
-    ).select(
+    CB = _cb_arrays(_cb_rows(codebook))
+    src = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in keep],
         F.col(vec_col).cast("array<double>").alias("_invec"),
-        "cbmat",
     )
     id_type = df.schema[id_col].dataType.simpleString()
     keep_schema = "".join(
@@ -248,7 +306,7 @@ def _encode_vectors_kernel(
         f"_id {id_type}, {keep_schema}{vec_part}"
         "codes array<int>, dists array<double>"
     )
-    return src.mapInPandas(_pq_assign_kernel(d_sub, keep_vec), schema)
+    return src.mapInPandas(_pq_assign_kernel(d_sub, CB, keep_vec), schema)
 
 
 def _query_dtables(
@@ -354,9 +412,13 @@ def _refine_kernel(
     only partial (sub, code, spos) aggregates (avg is map-side
     combinable) — O(partitions · m·k·d_sub) exchanged rows instead of the
     old N·dim-row assigned⋈parts join (guide §2.3: aggregate before you
-    shuffle). Emptied codewords keep their previous position."""
+    shuffle). Emptied codewords keep their previous position. The input
+    codebook is collected once (driver model state) and re-enters the
+    output plan as a LocalRelation, so the pre-refinement lineage is
+    never replayed."""
+    rows = _cb_rows(codebook)
     enc = _encode_vectors_kernel(
-        df, id_col, vec_col, d_sub, codebook, keep_vec=True
+        df, id_col, vec_col, d_sub, rows, keep_vec=True
     )
     members = enc.select(
         F.posexplode("codes").alias("sub", "code"), "_invec"
@@ -370,9 +432,9 @@ def _refine_kernel(
     means = members.groupBy("sub", "code", "spos").agg(
         _nudged_round(F.avg("val"), round_digits).alias("cw_new")
     )
-    return codebook.join(means, ["sub", "code", "spos"], "left").select(
-        "sub", "code", "spos", F.coalesce("cw_new", "cw").alias("cw")
-    )
+    return _cb_frame(df.sparkSession, rows).join(
+        means, ["sub", "code", "spos"], "left"
+    ).select("sub", "code", "spos", F.coalesce("cw_new", "cw").alias("cw"))
 
 
 def train_codebook(
@@ -409,6 +471,7 @@ def encode(
     """Train and encode: ``(vec_id, sub, code, sub_err)`` — one row per
     (vector, subspace); ``sub_err`` is the squared reconstruction error of
     the chosen codeword (the quantity PQ training minimizes)."""
+    df = _scaled(df)
     _, cb = train_codebook(df, id_col, vec_col, d_sub, k, iters, round_digits)
     enc = _encode_vectors_kernel(df, id_col, vec_col, d_sub, cb)
     return enc.select(
@@ -514,20 +577,31 @@ def ivfpq_residual_adc_topk(
     """
     from etl_aws_spark.similarity import knn
 
+    embeddings = _scaled(embeddings)
     comp = knn.label_centroid_components(embeddings, label_col, vec_col, round_digits)
-    # centroids packed per cell — the coarse-quantizer artifact, tiny and
-    # multi-referenced (residuals, probing, query residuals), so the one
-    # localCheckpoint lives HERE instead of on the old N·dim rparts frame:
-    # every corpus pass is now a parquet scan + broadcast zip_with, and
-    # nothing corpus-sized is ever materialized (guide §2.4, §5).
-    cent = (
-        comp.groupBy("label")
+    # centroids packed per cell — the coarse-quantizer artifact, tiny
+    # (n_cells·dim rounded doubles) and multi-referenced (residuals,
+    # probing, query residuals): collected ONCE as driver model state and
+    # re-entered as an Arrow-local frame, so every corpus pass is a
+    # parquet scan + broadcast zip_with against a LocalTableScan, nothing
+    # corpus-sized is ever materialized, and no consumer can replay the
+    # centroid aggregate (guide §2.4, §5).
+    import pandas as pd
+
+    cent_rows = sorted(
+        (r[0], list(r[1]))
+        for r in comp.groupBy("label")
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
             ).alias("cvec")
         )
-        .localCheckpoint(eager=True)
+        .collect()
+    )
+    lbl_type = embeddings.schema[label_col].dataType.simpleString()
+    cent = embeddings.sparkSession.createDataFrame(
+        pd.DataFrame(cent_rows, columns=["label", "cvec"]),
+        f"label {lbl_type}, cvec array<double>",
     )
     resid = (
         embeddings.select(
@@ -541,12 +615,15 @@ def ivfpq_residual_adc_topk(
         )
     )
     cb = init_codebook(subvector_parts(resid, "_id", "rvec", d_sub), k_codes, round_digits)
-    cb = _refine_kernel(
-        resid, "_id", "rvec", d_sub, cb, round_digits
-    ).localCheckpoint(eager=True)
+    cb = _refine_kernel(resid, "_id", "rvec", d_sub, cb, round_digits)
+    # collect the refined codebook once (driver model state): the encode
+    # kernel takes its closure form, the distance-table leg a
+    # LocalRelation — replaces the old localCheckpoint lineage cut
+    cb_rows = _cb_rows(cb)
+    cb = _cb_frame(embeddings.sparkSession, cb_rows)
     # per-vector residual codes, label carried through — no codes⋈labels join
     codes_vec = _encode_vectors_kernel(
-        resid, "_id", "rvec", d_sub, cb, keep_cols=["label"]
+        resid, "_id", "rvec", d_sub, cb_rows, keep_cols=["label"]
     ).select("_id", "label", "codes")
 
     q = queries.select(
@@ -698,14 +775,19 @@ def adc_topk(
     train-once / search-many shape, persist ``train_codebook`` +
     ``assign_codes`` output and call :func:`adc_search`. Returns
     ``(query_id, neighbor_id, adc_dist, rank)`` with rank <= topk."""
+    df = _scaled(df)
     _, cb = train_codebook(df, id_col, vec_col, d_sub, k_codes, iters, round_digits)
     # The trained codebook (m·k·d_sub rows, ~1k) is referenced by BOTH the
-    # corpus-encoding leg and the query distance-table leg; without a
-    # lineage cut Spark replays the whole training subtree (itself a full
-    # corpus assignment) once per reference. Materializing the tiny frame
-    # costs one job and makes every downstream reference a scan.
-    cb = cb.localCheckpoint(eager=True)
-    codes_vec = _encode_vectors_kernel(df, id_col, vec_col, d_sub, cb).select(
+    # corpus-encoding leg and the query distance-table leg; collect it
+    # ONCE (driver model state, one tiny job over the training plan) and
+    # hand the encode kernel its closure form and the distance-table leg
+    # a LocalRelation — cheaper than the old localCheckpoint, and no
+    # consumer can replay the training subtree.
+    rows = _cb_rows(cb)
+    codes_vec = _encode_vectors_kernel(df, id_col, vec_col, d_sub, rows).select(
         "_id", "codes"
     )
-    return _adc_rank(codes_vec, cb, queries, id_col, vec_col, d_sub, topk)
+    return _adc_rank(
+        codes_vec, _cb_frame(df.sparkSession, rows), queries, id_col, vec_col,
+        d_sub, topk,
+    )
