@@ -85,7 +85,11 @@ def connected_components(
         e0 = e0.join(
             vertices.select(F.col(id_col).alias("_s")), "_s", "left_semi"
         ).join(vertices.select(F.col(id_col).alias("_d")), "_d", "left_semi")
-    e0 = e0.localCheckpoint(eager=True)
+    # no eager checkpoint on e0: since the r11 explode-based
+    # symmetrization, `sym` walks the edge lineage exactly ONCE and is
+    # itself checkpointed, so a separate e0 materialization only added a
+    # job per closure call (r13 opt: the old comment described the
+    # two-leg union shape that no longer exists)
     sym = (
         e0.select(
             F.explode(

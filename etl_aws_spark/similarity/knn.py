@@ -65,7 +65,11 @@ def brute_topk(
         F.col(vec_col).alias("_qvec"),
         F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_qn"),
     )
-    corpus = embeddings.select(
+    from etl_aws_spark.operators.scale import fan_out_small_scan
+
+    # the N·|Q| fold work runs map-side BEFORE any exchange, so a
+    # single-split gate-SF corpus would serialize it (no-op at scale)
+    corpus = fan_out_small_scan(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.expr(f"sqrt({_fold_dot(vec_col, vec_col, dim)})").alias("_cn"),

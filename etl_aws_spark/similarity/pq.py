@@ -133,18 +133,14 @@ def _cb_matrix(codebook: DataFrame) -> DataFrame:
 
 
 def _scaled(df: DataFrame) -> DataFrame:
-    """Scale-adaptive corpus parallelism (guide §2.5/§6.1): the r13
-    shuffle-free PQ chains inherit the SCAN's split count, and a corpus
-    that arrives in fewer splits than the session's parallelism (a small
-    single-row-group file at gate SFs — never at 100 TB, where splits >>
-    cores) would run every downstream kernel and ADC fold on those few
-    tasks. Fan such a corpus out ONCE, round-robin (deterministic:
-    sort-before-repartition is on by default); otherwise return the frame
-    untouched — no shuffle is ever added at scale."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    """Scale-adaptive corpus parallelism: the r13 shuffle-free PQ chains
+    inherit the SCAN's split count, so a gate-SF corpus (one small file →
+    one split) would run every downstream kernel and ADC fold on one
+    task. See :func:`etl_aws_spark.operators.scale.fan_out_small_scan` —
+    a guaranteed no-op at scale."""
+    from etl_aws_spark.operators.scale import fan_out_small_scan
+
+    return fan_out_small_scan(df)
 
 
 def _zero_key(col: Column) -> Column:

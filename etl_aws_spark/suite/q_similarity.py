@@ -1177,8 +1177,13 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates at this corpus. Production additionally raises k with
     corpus size; the oracle mirrors the composite key exactly."""
     from etl_aws_spark.operators import graph
+    from etl_aws_spark.operators.scale import fan_out_small_scan
 
-    emb = load(spark, sf_dir, "embeddings")
+    # fan a single-split gate-SF scan out once (no-op at scale): the
+    # k-means assignment + LSH bucket folds are interpreted per-ROW work,
+    # and a 1-split corpus serializes the whole artifact build (r13 opt:
+    # the checkpoint stage was 1 s on one task with 31 idle cores)
+    emb = fan_out_small_scan(load(spark, sf_dir, "embeddings"))
     # the (cluster, bucket, embedding) artifact is consumed by THREE
     # downstream stages (both sides of the pair join, the CC vertex set,
     # the survivor ranking) — checkpoint it once so the k-means

@@ -30,6 +30,10 @@ _CORPUS_SQL = """
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned out via operators.scale (r13 opt measured it a wash
+    # here, unlike the PQ chains): every consumer shuffles within its
+    # first stage or two, so the HOF signature work is already wide and
+    # the extra exchange only bought plan noise.
     docs = load(spark, sf_dir, "documents")
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
