@@ -515,22 +515,39 @@ def knn_join(
     )
 
 
+#: Default salt for the budget-capped pool ranking — exposed so epoch
+#: maintenance (`streaming/maintenance.py`) derives its `in_pool` flags
+#: from the SAME constant instead of duplicating the literal (r13 ADVICE:
+#: a silent divergence here would break the epoch-pool contract).
+POOL_SALT = "knnjoin:"
+
+
+def pool_rank_window(
+    id_col: str, label_col: str, salt: str = POOL_SALT
+) -> Window:
+    """The (label)-partitioned salted-md5 ranking window that defines
+    budget-capped pool membership — THE single definition both
+    :func:`knn_pool` and epoch-state initializers must share: a row is in
+    the pool iff ``row_number().over(pool_rank_window(...)) <= budget``."""
+    return Window.partitionBy(label_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
+    )
+
+
 def knn_pool(
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
     budget: int = 200,
-    salt: str = "knnjoin:",
+    salt: str = POOL_SALT,
 ) -> DataFrame:
     """The budget-capped candidate pool :func:`knn_join` builds internally
     — ≤``budget`` rows per cell by smallest salted md5 — exposed so epoch
     maintenance (`similarity_knn_join_incremental`) can budget the OLD
     epoch and append the delta unbudgeted. Returns
     ``(neighbor_id, _lb, _bvec)``, the ``pool=`` input shape."""
-    w = Window.partitionBy(label_col).orderBy(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
-    )
+    w = pool_rank_window(id_col, label_col, salt)
     return (
         embeddings.withColumn("_hrn", F.row_number().over(w))
         .filter(F.col("_hrn") <= budget)
@@ -540,6 +557,88 @@ def knn_pool(
             F.col(vec_col).alias("_bvec"),
         )
     )
+
+
+def knn_join_epoch(
+    old_probes: DataFrame,
+    new_probes: DataFrame,
+    old_pool: DataFrame,
+    new_pool: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int,
+) -> DataFrame:
+    """FUSED epoch fold — the two :func:`knn_join` rounds every epoch
+    merge runs (old rows score ONLY the delta candidates; delta rows
+    score the full pool-so-far plus themselves) collapsed into ONE
+    cogroup round (r13 verdict #1: each extra cogroup costs two
+    exchanges plus an Arrow-stage floor per fold).
+
+    ``old_probes``/``new_probes`` carry (id_col, vec_col, label_col);
+    ``old_pool``/``new_pool`` are ``(neighbor_id, _lb, _bvec)`` frames
+    (the :func:`knn_pool` shape). Inside the kernel, per cell:
+
+    - old probes rank against the NEW pool rows only — exactly
+      ``knn_join(probes=old, pool=new_pool)``;
+    - new probes rank against old ∪ new pool rows — exactly
+      ``knn_join(probes=new, pool=old_pool ∪ new_pool)``.
+
+    Exactness: both legs run the SAME scoring kernel
+    (:func:`_knn_score_kernel`) on the same per-cell row subsets the two
+    separate cogroups would receive — the kernel pre-sorts its pool side
+    by ``neighbor_id``, so the union order cannot perturb the stable
+    (cos DESC, neighbor_id ASC) ranking. Output parity with the two-call
+    form is pinned by test (tests/test_similarity.py).
+
+    Returns ``(id, neighbor_id, cos, rank)`` with rank <= k per probe,
+    ranks computed within each probe's own candidate leg."""
+
+    def sides(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("_vec"),
+        )
+
+    base = sides(old_probes).withColumn("_new", F.lit(False)).unionAll(
+        sides(new_probes).withColumn("_new", F.lit(True))
+    )
+    pool = old_pool.select("neighbor_id", "_lb", "_bvec").withColumn(
+        "_new", F.lit(False)
+    ).unionAll(
+        new_pool.select("neighbor_id", "_lb", "_bvec").withColumn(
+            "_new", F.lit(True)
+        )
+    )
+    schema = "id long, neighbor_id long, cos double, rank int"
+    return (
+        base.groupBy("label")
+        .cogroup(pool.groupBy("_lb"))
+        .applyInPandas(_knn_epoch_kernel(k), schema)
+    )
+
+
+def _knn_epoch_kernel(k: int):
+    """Tag-aware wrapper over :func:`_knn_score_kernel` for
+    :func:`knn_join_epoch`: splits each cogroup's rows by the ``_new``
+    tag and runs the UNMODIFIED scoring kernel per leg, so each leg's
+    numerics are bit-identical to the separate-cogroup form."""
+    inner = _knn_score_kernel(k)
+
+    def score(left, right):
+        import pandas as pd
+
+        legs = [
+            # old probes see only the new-epoch candidates...
+            inner(left[~left["_new"]], right[right["_new"]]),
+            # ...new probes see the full pool (old ∪ new)
+            inner(left[left["_new"]], right),
+        ]
+        return pd.concat(legs, ignore_index=True)
+
+    return score
 
 
 def _knn_score_kernel(k: int):

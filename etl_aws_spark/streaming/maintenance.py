@@ -59,13 +59,12 @@ def init_state(
         old, "vec_id", "embedding", "label", dim, k=k, budget=budget
     ).select("id", "neighbor_id", "cos")
     st.write_tree(edges0, 0, "edges")
-    # in_pool directly from the pool window's rank — the same
-    # (salted-md5, id) order knn_pool ranks by, so the flag is identical
-    # to the old membership join, with one window pass instead of a
-    # second pool build plus a join back to the corpus
-    wpool = Window.partitionBy("label").orderBy(
-        F.md5(F.concat(F.lit("knnjoin:"), F.col("vec_id").cast("string"))), "vec_id"
-    )
+    # in_pool directly from the pool window's rank — the SHARED
+    # knn.pool_rank_window definition (r13 ADVICE: the salt literal was
+    # duplicated here; now knn_pool and this flag can't silently
+    # diverge), with one window pass instead of a second pool build plus
+    # a join back to the corpus
+    wpool = knn.pool_rank_window("vec_id", "label")
     corpus0 = old.select(
         "vec_id", "embedding", "label",
         (F.row_number().over(wpool) <= budget).alias("in_pool"),
@@ -111,42 +110,46 @@ def run_maintenance_pass(
             F.col("label").alias("_lb"),
             F.col("embedding").alias("_bvec"),
         )
-        b = batch.localCheckpoint(eager=True)
+        # no eager checkpoint on the batch frame (r14): its three
+        # consumers (pool leg, probe leg, corpus append) re-scan the
+        # trigger's own pinned parquet files — O(batch) columnar re-reads
+        # are cheaper than a materialization job per fold on a query
+        # whose wall is the per-job floor
+        b = batch
         bpool = b.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("_lb"),
             F.col("embedding").alias("_bvec"),
         )
-        # old rows score ONLY the batch's delta candidates (no checkpoint
-        # of its own: `ranked` below is cand's only consumer and IS
-        # eagerly checkpointed, so the kNN cogroup still runs exactly
-        # once — one fewer materialization job per fold)
-        cand = knn.knn_join(
-            emb, "vec_id", "embedding", "label", dim, k=k, probes=seen,
-            pool=bpool,
+        # BOTH probe legs in ONE cogroup round (r13 verdict #1): old rows
+        # score only the batch's delta candidates, batch rows score the
+        # pool-so-far plus themselves — the tag-aware fused kernel runs
+        # the identical scoring per leg, so two exchanges plus an
+        # Arrow-stage floor disappear per fold. No checkpoint of its own:
+        # `ranked` below is its only consumer and IS eagerly checkpointed.
+        fused = knn.knn_join_epoch(
+            seen, b, pool, bpool, "vec_id", "embedding", "label", dim, k=k
         ).select("id", "neighbor_id", "cos")
         # O(corpus·k) narrow rows, checkpointed once: the frame feeds both
         # the changed-id probe and the delta write (without the
-        # checkpoint the union+window subtree evaluates twice per fold)
+        # checkpoint the union+window subtree evaluates twice per fold).
+        # Batch ids ride the same window: their ≤k fused rows re-rank to
+        # the identical list (row_number over the same (cos DESC,
+        # neighbor_id ASC) order), so the separate new_topk union is gone.
         ranked = (
             edges.withColumn("_new", F.lit(0))
-            .unionAll(cand.withColumn("_new", F.lit(1)))
+            .unionAll(fused.withColumn("_new", F.lit(1)))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .localCheckpoint(eager=True)
         )
         # an old id's served list changed iff a delta candidate survived
-        # the cut — only those ids get a rewritten top-k row group
+        # the cut — only those ids get a rewritten top-k row group. Batch
+        # ids qualify automatically (every row of theirs carries _new=1),
+        # reproducing the old `∪ new_topk` exactly.
         changed = ranked.filter(F.col("_new") == 1).select("id").distinct()
-        # ...batch rows probe the pool-so-far plus themselves
-        new_topk = knn.knn_join(
-            emb, "vec_id", "embedding", "label", dim, k=k,
-            probes=b, pool=pool.unionAll(bpool),
-        ).select("id", "neighbor_id", "cos")
-        edges_delta = (
-            ranked.join(changed, "id", "left_semi")
-            .select("id", "neighbor_id", "cos")
-            .unionAll(new_topk)
+        edges_delta = ranked.join(changed, "id", "left_semi").select(
+            "id", "neighbor_id", "cos"
         )
         st.write_tree(edges_delta, n + 1, "edges")
         # delta rows append with in_pool=true (unbudgeted, the epoch-pool

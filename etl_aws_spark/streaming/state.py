@@ -106,21 +106,29 @@ class VersionedState:
 
     def read_union(self, tree: str) -> DataFrame:
         """Union of ``tree`` across committed versions base..latest, with
-        a ``_v`` version column for latest-wins folds."""
+        a ``_v`` version column for latest-wins folds.
+
+        All version dirs ride ONE multi-path read (r14 opt): the
+        per-version ``spark.read.parquet`` calls each cost a driver
+        footer/schema job, so an n-version chain paid n jobs per fold
+        before any data moved — on the job-count-bound lifecycle queries
+        that was measurable wall. ``_v`` is recovered from the file path
+        (``.../v{n}/{tree}/part-*``), anchored greedily so only the
+        version segment directly enclosing ``tree`` matches."""
         c = self.latest()
         if c is None:
             raise FileNotFoundError("no committed version under %s" % self.root)
         latest_v, _, base = c
-        parts = [
-            self.spark.read.parquet(self.tree_path(v, tree)).withColumn(
-                "_v", F.lit(v)
-            )
-            for v in range(base, latest_v + 1)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        if latest_v == base:
+            return self.spark.read.parquet(
+                self.tree_path(base, tree)
+            ).withColumn("_v", F.lit(base))
+        paths = [self.tree_path(v, tree) for v in range(base, latest_v + 1)]
+        pat = ".*/v(\\d+)/" + re.escape(tree) + "/"
+        return self.spark.read.parquet(*paths).withColumn(
+            "_v",
+            F.regexp_extract(F.input_file_name(), pat, 1).cast("int"),
+        )
 
     def read_append(self, tree: str) -> DataFrame:
         """Fold for append-only trees: the plain union of all deltas."""

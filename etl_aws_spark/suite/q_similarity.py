@@ -3871,29 +3871,30 @@ def similarity_knn_join_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("label").alias("_lb"),
         F.col("embedding").alias("_bvec"),
     )
-    cand_new = knn.knn_join(
-        emb, "vec_id", "embedding", "label", _DIM, k=5, probes=old, pool=dpool
+    # both probe legs in ONE cogroup round (r13 verdict #1, same fusion
+    # as streaming/maintenance.py): old rows score only the delta
+    # candidates, delta rows score the budgeted old pool plus the delta —
+    # the tag-aware kernel runs the identical scoring per leg, replacing
+    # two knn_join cogroups (four exchanges, two Arrow stages) with one.
+    epool = knn.knn_pool(old, "vec_id", "embedding", "label", budget=200)
+    fused = knn.knn_join_epoch(
+        old, delta, epool, dpool, "vec_id", "embedding", "label", _DIM, k=5
     ).select("id", "neighbor_id", "cos")
 
     from pyspark.sql import Window
 
+    # delta ids ride the same re-rank window: they never appear in
+    # old_topk, so their ≤5 fused rows re-rank to the identical
+    # (cos DESC, neighbor_id ASC) list the separate delta_topk leg
+    # produced — one union + one window instead of two
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     merged = (
-        old_topk.unionAll(cand_new)
+        old_topk.unionAll(fused)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
 
-    epool = knn.knn_pool(
-        old, "vec_id", "embedding", "label", budget=200
-    ).unionAll(dpool)
-    delta_topk = knn.knn_join(
-        emb, "vec_id", "embedding", "label", _DIM, k=5, probes=delta, pool=epool
-    ).select("id", "neighbor_id", "cos", "rank")
-
-    return merged.select("id", "neighbor_id", "cos", "rank").unionAll(
-        delta_topk
-    ).select(
+    return merged.select("id", "neighbor_id", "cos", "rank").select(
         F.col("id").cast("long").alias("vec_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         (F.round(F.col("cos"), 6) + F.lit(0.0)).alias("cos"),

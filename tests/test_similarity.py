@@ -393,6 +393,58 @@ def test_incremental_knn_merge_equals_batch_over_epoch_pool(spark, emb):
     assert a == b
 
 
+def test_knn_join_epoch_fused_equals_two_calls(spark, emb):
+    # r14 opt: the fused one-cogroup epoch fold must be ROW-IDENTICAL to
+    # the two separate knn_join rounds it replaces (old probes vs new
+    # pool; new probes vs old ∪ new pool) — cos values bit-for-bit, ranks
+    # included, across cells where the budget binds
+    is_delta = F.pmod(F.col("vec_id"), F.lit(7)) == 3
+    old, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    k, budget = 4, 8
+    dpool = delta.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_bvec"),
+    )
+    epool = knn.knn_pool(old, "vec_id", "embedding", "label", budget=budget)
+
+    fused = knn.knn_join_epoch(
+        old, delta, epool, dpool, "vec_id", "embedding", "label", DIM, k=k
+    )
+    cand = knn.knn_join(
+        emb, "vec_id", "embedding", "label", DIM, k=k, probes=old, pool=dpool
+    )
+    delta_topk = knn.knn_join(
+        emb, "vec_id", "embedding", "label", DIM, k=k, probes=delta,
+        pool=epool.unionAll(dpool),
+    )
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, cand.unionAll(delta_topk).collect()))
+    assert a == b
+
+
+def test_pool_rank_window_defines_knn_pool_membership(spark, emb):
+    # r13 ADVICE: epoch-state initializers derive in_pool from
+    # pool_rank_window; this pins that rank<=budget membership IS
+    # knn_pool's row set (same salt, same (md5, id) order)
+    budget = 8
+    flagged = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.row_number().over(knn.pool_rank_window("vec_id", "label")) <= budget
+        ).alias("in_pool"),
+    )
+    got = {r.vec_id for r in flagged.filter("in_pool").collect()}
+    want = {
+        r.neighbor_id
+        for r in knn.knn_pool(
+            emb, "vec_id", "embedding", "label", budget=budget
+        ).collect()
+    }
+    assert got == want
+
+
 def test_multiprobe_rank1_equals_single_assignment(spark, emb):
     """kmeans_assignment_multiprobe's arank=1 slice must be EXACTLY the
     single-cell kmeans_assignment (same fit, same fold, same tie order) —
