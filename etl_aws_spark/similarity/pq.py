@@ -137,10 +137,18 @@ def _scaled(df: DataFrame) -> DataFrame:
     inherit the SCAN's split count, so a gate-SF corpus (one small file →
     one split) would run every downstream kernel and ADC fold on one
     task. See :func:`etl_aws_spark.operators.scale.fan_out_small_scan` —
-    a guaranteed no-op at scale."""
+    a guaranteed no-op at scale.
+
+    The PQ kernel/fold family is the LIGHTEST per-byte consumer of the
+    fan-out (vectorized NumPy over packed arrays, ~0.3-0.5 ms/KB vs the
+    ≥1 ms/KB HOF-fold class), so it takes a 2x coarser byte floor: the
+    r14 c8/c32 paired sweep measured width 8 beating width 13 beating
+    width 32 on all three PQ headline queries at 32 cores (each extra
+    kernel task costs an Arrow eval floor that outweighs its share of
+    the math at gate SFs)."""
     from etl_aws_spark.operators.scale import fan_out_small_scan
 
-    return fan_out_small_scan(df)
+    return fan_out_small_scan(df, 128 * 1024)
 
 
 def _zero_key(col: Column) -> Column:

@@ -229,13 +229,17 @@ def curation_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut runs the same scalable two-phase bucket form as
     `curation_token_budget`, row-identical to the oracle's global
     cumsum by monotone bucketing."""
-    from etl_aws_spark.operators.scale import fan_out_small_scan
+    from etl_aws_spark.operators.scale import (
+        HEAVY_BYTES_PER_PART,
+        fan_out_small_scan,
+    )
 
     # the BPE token-count expression is evaluated in THIS projection,
     # map-side of everything downstream — widen the single-split gate-SF
     # scan before it (no-op at scale; fanning out inside
-    # token_budget_select is too late, the expr runs pre-exchange)
-    docs = fan_out_small_scan(load(spark, sf_dir, "documents"))
+    # token_budget_select is too late, the expr runs pre-exchange; BPE
+    # counting is ~6 ms/KB — the heavy floor)
+    docs = fan_out_small_scan(load(spark, sf_dir, "documents"), HEAVY_BYTES_PER_PART)
     from etl_aws_spark.text import bpe
 
     scored = analysis.quality_score(docs, "text").select(

@@ -143,12 +143,16 @@ def dedup_names_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dedup family). Spark's built-in ``levenshtein`` and DuckDB's
     implement the same DP, so distances — and the kept pair set — match
     exactly."""
-    from etl_aws_spark.operators.scale import fan_out_small_scan
+    from etl_aws_spark.operators.scale import (
+        HEAVY_BYTES_PER_PART,
+        fan_out_small_scan,
+    )
 
     # the Σ|block|² levenshtein DPs run map-side of a broadcast join at
     # gate SFs, i.e. at SCAN parallelism — widen a single-split customer
-    # scan (no-op at scale; measured 4.9 s of CPU on 1 task at sf0.1)
-    c = fan_out_small_scan(load(spark, sf_dir, "customer")).select(
+    # scan (no-op at scale; measured 4.9 s of CPU on 1 task at sf0.1 —
+    # ~15 ms/KB, the heavy floor)
+    c = fan_out_small_scan(load(spark, sf_dir, "customer"), HEAVY_BYTES_PER_PART).select(
         "c_custkey", "c_name", F.substring("c_name", 10, 7).alias("blk")
     )
     a = c.select(

@@ -258,12 +258,16 @@ def sequence_pack(
     """
     from pyspark.sql import Window
 
-    from etl_aws_spark.operators.scale import fan_out_small_scan
+    from etl_aws_spark.operators.scale import (
+        HEAVY_BYTES_PER_PART,
+        fan_out_small_scan,
+    )
 
     # tokens_expr (BPE counting) is expensive per-row map work BEFORE the
     # shard window's shuffle — widen a single-split gate-SF scan (no-op
-    # at scale; measured 3.7 s of CPU on 1 task at sf0.1)
-    base = fan_out_small_scan(df).select(
+    # at scale; measured 3.7 s of CPU on 1 task at sf0.1, ~6 ms/KB: the
+    # heavy floor)
+    base = fan_out_small_scan(df, HEAVY_BYTES_PER_PART).select(
         F.col(id_col).alias("_id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
         F.expr(tokens_expr).cast("long").alias("_n"),
